@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Queries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 instantiated
+  * on the driver testdata (FIXTURES.md §B role mapping); [[oracleSql]]
+  * holds the DuckDB-equivalent SQL over the same parquet tables. Column
+  * names are aliased identically on both sides (the driver sorts columns
+  * by name before hashing). Aggregates over doubles are computed in
+  * DECIMAL(38,10) on both sides so the hash cannot depend on summation
+  * order.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q21FactBuild(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (Queries.q01PricingSummary _),
+    "q02_filter_project"   -> (Queries.q02FilterProject _),
+    "q03_serving_stmt"     -> (Queries.q03ServingStatementQuery _),
+    "q04_fanout_join"      -> (Queries.q04FanoutJoinAgg _),
+    "q05_anti_join"        -> (Queries.q05AntiJoin _),
+    "q06_broadcast_lookup" -> (Queries.q06BroadcastLookup _),
+    "q07_first_match"      -> (Queries.q07FirstMatchLookup _),
+    "q08_latest_per_key"   -> (Queries.q08LatestPerKey _),
+    "q09_window_rank"      -> (Queries.q09WindowRank _),
+    "q10_dup_detector"     -> (Queries.q10DupDetector _),
+    "q11_topk"             -> (Queries.q11TopK _),
+    "q12_sort_limit"       -> (Queries.q12SortLimit _),
+    "q13_availability"     -> (Queries.q13Availability _),
+    "q14_json_extract"     -> (Queries.q14JsonExtract _),
+    "q15_doc_assembly"     -> (Queries.q15DocAssembly _),
+    "q16_domain_checks"    -> (Queries.q16DomainChecks _),
+    "q17_date_buckets"     -> (Queries.q17DateBuckets _),
+    "q18_null_sanitize"    -> (Queries.q18NullSanitize _),
+    "q19_case_mapping"     -> (Queries.q19CaseMapping _),
+    "q20_union_distinct"   -> (Queries.q20UnionDistinct _),
+    "q21_fact_build"       -> (Queries.q21FactBuild _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS sum_disc_price,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_serving_stmt" ->
+      """SELECT o_orderkey, l_linenumber, c_name, c_mktsegment,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         l_quantity, l_extendedprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'F' AND l_returnflag = 'R'
+         ORDER BY o_orderkey, l_linenumber""",
+    "q04_fanout_join" ->
+      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_price
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         GROUP BY 1, 2 ORDER BY s_suppkey""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q06_broadcast_lookup" ->
+      """SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation,
+         coalesce(r_name, 'UNKNOWN') AS region
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q07_first_match" ->
+      """SELECT p_partkey, p_brand, coalesce(first_flag, 'UNKNOWN') AS first_flag
+         FROM part LEFT JOIN (
+           SELECT l_partkey AS d_partkey, min(l_returnflag) AS first_flag
+           FROM lineitem GROUP BY 1) dim ON p_partkey = d_partkey
+         ORDER BY p_partkey""",
+    "q08_latest_per_key" ->
+      """SELECT user_id, event_id, event_type,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q09_window_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         CAST(dense_rank() OVER (PARTITION BY l_orderkey
+              ORDER BY l_shipdate DESC) AS INT) AS rn
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q10_dup_detector" ->
+      """SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+         ORDER BY l_partkey, l_suppkey""",
+    "q11_topk" ->
+      """SELECT c_custkey, c_name,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY total_spend DESC, c_custkey ASC LIMIT 10""",
+    "q12_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+    "q13_availability" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+         WHERE year(l_shipdate) = 1995""",
+    "q14_json_extract" ->
+      """SELECT user_id,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    "q15_doc_assembly" ->
+      """SELECT user_id,
+         coalesce(string_agg(CASE WHEN event_type = 'click'
+           THEN CAST(event_id AS VARCHAR) END, ','
+           ORDER BY CAST(event_id AS VARCHAR)), '') AS clicks,
+         coalesce(string_agg(CASE WHEN event_type = 'purchase'
+           THEN CAST(event_id AS VARCHAR) END, ','
+           ORDER BY CAST(event_id AS VARCHAR)), '') AS purchases,
+         CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    "q16_domain_checks" ->
+      """SELECT * FROM (
+         SELECT 'lang_domain' AS check_name, CAST(sum(CASE WHEN lang NOT IN
+           ('en','fr','es','de','zh') THEN 1 ELSE 0 END) AS BIGINT) AS violations
+           FROM documents
+         UNION ALL
+         SELECT 'mktsegment_regex', CAST(sum(CASE WHEN NOT
+           regexp_matches(c_mktsegment, '^[A-Z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+           FROM customer
+         UNION ALL
+         SELECT 'n_chars_range', CAST(sum(CASE WHEN n_chars < 1 OR
+           n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+         UNION ALL
+         SELECT 'orderstatus_domain', CAST(sum(CASE WHEN o_orderstatus NOT IN
+           ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+         ) ORDER BY check_name""",
+    "q17_date_buckets" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total
+         FROM orders GROUP BY 1 ORDER BY order_month""",
+    "q18_null_sanitize" ->
+      """SELECT event_type,
+         CAST(round(sum(CAST(coalesce(CASE WHEN isnan(value) OR NOT isfinite(value)
+           THEN NULL ELSE value END, 0.0) AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS sum_value,
+         CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q19_case_mapping" ->
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+           WHEN event_type = 'purchase' THEN 'revenue'
+           WHEN event_type = 'signup' THEN 'growth'
+           ELSE 'ops' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "q20_union_distinct" ->
+      """SELECT DISTINCT c_custkey, c_nationkey FROM (
+         SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000)
+         ORDER BY c_custkey""",
+    "q21_fact_build" ->
+      """SELECT o_orderkey, o_custkey, p_brand,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date, rn,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_value,
+         CAST(count(*) AS BIGINT) AS n_facts
+         FROM (
+           SELECT *, CAST(dense_rank() OVER (PARTITION BY o_orderkey, o_custkey,
+             p_brand, l_shipdate ORDER BY l_shipdate DESC) AS INT) AS rn
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_type LIKE 'STANDARD%')
+         GROUP BY 1, 2, 3, 4, 5 ORDER BY o_orderkey, p_brand, rn""",
+  )
 }

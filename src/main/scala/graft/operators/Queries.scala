@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Parity operator inventory (SURVEY.md §2) instantiated on the driver
+  * testdata per FIXTURES.md §B role mapping. Every function is a pure
+  * `(SparkSession, sfDir) => DataFrame` with a DuckDB-oracle twin in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism contract (required for the driver's hash compare):
+  *   - every aggregate over doubles goes through DECIMAL(38,10) — decimal
+  *     addition is associative, so partial/final aggregation order (Spark)
+  *     vs single-threaded order (DuckDB) cannot change the result;
+  *   - every result carries a total ORDER BY over a unique key;
+  *   - timestamps leave the plan as formatted strings or epoch millis
+  *     (events.ts is ns-precision parquet; Spark truncates to µs — the
+  *     testdata is µs-granular so this is lossless, but the *type* would
+  *     differ from DuckDB's, so raw timestamps never appear in output).
+  */
+object Queries {
+
+  /** Cast to the reference's canonical fact-value type NUMBER(38,10)
+    * (reference models/staging/raw_num_table.sql:16). */
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+
+  /** Order-independent sum over doubles: accumulate in DECIMAL(38,10)
+    * (associative — partial-aggregation order can't change the result),
+    * then surface as fixed-point BIGINT cents: round to 2 decimals and
+    * scale by 100. Integral longs are the only numeric type every engine
+    * converts identically (DuckDB's decimal→double cast is not correctly
+    * rounded; doubles summed in float differ by order). */
+  private def decSum(c: Column): Column =
+    (round(sum(dec(c)), 2) * lit(100)).cast("long")
+
+  // ===========================================================================
+  // §2.4 Aggregations
+  // ===========================================================================
+
+  /** A3/A4 grouped SUM (reference balance_sheet_load.sql:37-53,
+    * streamlit_app.py:275) — TPC-H Q1-shaped pricing summary.
+    * Hash aggregate with map-side partial aggregation; no skew risk
+    * (6 groups), shuffle carries only the partial aggregates. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A5 duplicate detector: GROUP BY + COUNT + HAVING count>1
+    * (reference tests/pre_validation/test_unique_identifier.sql:1-8). */
+  def q10DupDetector(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** A1 availability COUNT(*) with partition-prunable predicate
+    * (reference backend/main.py:50-57). */
+  def q13Availability(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1995)
+      .agg(count(lit(1)).as("n_rows"))
+
+  // ===========================================================================
+  // §2.2 Projections / filters
+  // ===========================================================================
+
+  /** P1/P3 typed projection + equality filter; predicate and projection
+    * both push to the parquet scan (verify via PushedFilters/ReadSchema). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P7/P8 null/NaN sanitization (reference backend/main.py:34-40 NaN→null;
+    * ext_zip_convert_into_json_store.py:94-101 NaN→0). */
+  def q18NullSanitize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        coalesce(
+          when(isnan(col("value")) ||
+               col("value") === Double.PositiveInfinity ||
+               col("value") === Double.NegativeInfinity, lit(null))
+            .otherwise(col("value")),
+          lit(0.0)).as("v"))
+      .groupBy("event_type")
+      .agg(decSum(col("v")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // ===========================================================================
+  // §2.3 Joins
+  // ===========================================================================
+
+  /** J1 3-way inner equi-join + filter + sort: the serving statement query
+    * (reference backend/main.py:163-176). customer⋈orders⋈lineitem with
+    * the `stmt`-style equality filters. customer is broadcast-sized; the
+    * orders⋈lineitem join shuffles on orderkey — at 100 TB that shuffle is
+    * the cost center and both sides are already key-partitioned by write
+    * layout, so AQE picks sort-merge with no extra exchange. */
+  def q03ServingStatementQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderstatus") === "F" && col("l_returnflag") === "R")
+      .select(
+        col("o_orderkey"), col("l_linenumber"), col("c_name"),
+        col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  /** J2 fan-out join + aggregate (reference balance_sheet_load.sql:28-33
+    * joins pre without `version` → deliberate fan-out): supplier 1:N
+    * lineitem, then re-aggregate per supplier. */
+  def q04FanoutJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice")).as("total_price"))
+      .orderBy("s_suppkey")
+
+  /** J3 left-anti join: FK-orphan finder (reference
+    * tests/num_validation/test_foreign_key_integrity.sql:1-4) —
+    * customers with no orders. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** J4 broadcast lookup join with UNKNOWN default (reference
+    * ext_zip_convert_into_json_store.py:75-77 ticker probe). nation and
+    * region are the broadcast dims — explicit broadcast() as the 12k-row
+    * ticker table would be at any scale. */
+  def q06BroadcastLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_name"), lit("UNKNOWN")).as("nation"),
+        coalesce(col("r_name"), lit("UNKNOWN")).as("region"))
+      .orderBy("c_custkey")
+
+  /** J5 first-match lookup join (reference
+    * ext_zip_convert_into_json_store.py:107-123 takes `.values[0]` of the
+    * first matching dim row): dedup the dup-prone dim to its first value
+    * per key *before* the join so the probe side never multiplies. */
+  def q07FirstMatchLookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("d_partkey"))
+      .agg(min(col("l_returnflag")).as("first_flag"))
+    Tables.part(spark, dir)
+      .join(dim, col("p_partkey") === col("d_partkey"), "left")
+      .select(col("p_partkey"), col("p_brand"),
+        coalesce(col("first_flag"), lit("UNKNOWN")).as("first_flag"))
+      .orderBy("p_partkey")
+  }
+
+  /** J6 keyed-overwrite MERGE semantics (reference
+    * load_json_data_snowflake.py:165-187): observable result is
+    * last-write-per-key → window row_number dedup, latest event per user.
+    * At scale this is one shuffle on the merge key; no driver state. */
+  def q08LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .orderBy("user_id")
+  }
+
+  // ===========================================================================
+  // §2.5 Window functions
+  // ===========================================================================
+
+  /** W1 DENSE_RANK over partition, desc order (reference
+    * balance_sheet_load.sql:22-26). The reference's window is constant-1
+    * (ddate in both partition and order); this is the *sane* variant the
+    * survey recommends — rank line items by recency within an order. The
+    * faithful constant-1 form is exercised in q21FactBuild. */
+  def q09WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_shipdate").desc)
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", dense_rank().over(w))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("rn"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ===========================================================================
+  // §2.6 Sorts / limits / top-K
+  // ===========================================================================
+
+  /** O3 top-K by aggregate (reference streamlit_app.py:275-278
+    * groupby+nlargest(10)). Catalyst compiles orderBy+limit to
+    * TakeOrderedAndProject — no full sort at scale. */
+  def q11TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(decSum(col("o_totalprice")).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** O1/O2 multi-column sort + LIMIT (reference backend/main.py:175-176,
+    * :95). Sort key is unique → deterministic page. */
+  def q12SortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  // ===========================================================================
+  // §2.8 Scalar functions: JSON, dates, regex, case mapping, doc assembly
+  // ===========================================================================
+
+  /** F7 JSON path extraction + cast (reference
+    * load_json_data_snowflake.py:153-161 `raw_json:"k"::INT`). */
+  def q14JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("user_id")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** F9 struct/array document assembly (reference
+    * ext_zip_convert_into_json_store.py:92-139 builds per-submission docs
+    * by appending to bs/cf/ic buckets). The scalable rewrite: one
+    * groupBy + conditional collect_list instead of a per-entity loop.
+    * Output is flattened to sorted CSV strings so the DuckDB oracle can
+    * express it without nested-type hashing. */
+  def q15DocAssembly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_list(when(col("event_type") === "click",
+          col("event_id").cast("string")))), ",").as("clicks"),
+        array_join(array_sort(collect_list(when(col("event_type") === "purchase",
+          col("event_id").cast("string")))), ",").as("purchases"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** F4 regex/domain validators as a data-quality report (reference
+    * models/staging/schema.yml accepted_values + regex tests; §5). Each
+    * check is a one-row aggregate; union = the violations dashboard. */
+  def q16DomainChecks(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(sum(when(bad, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    val docs = Tables.documents(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    check("lang_domain", docs,
+        !col("lang").isin("en", "fr", "es", "de", "zh"))
+      .unionByName(check("mktsegment_regex", cust,
+        !col("c_mktsegment").rlike("^[A-Z]+$")))
+      .unionByName(check("n_chars_range", docs,
+        col("n_chars") < 1 || col("n_chars") > 100000))
+      .unionByName(check("orderstatus_domain", ords,
+        !col("o_orderstatus").isin("F", "O", "P")))
+      .orderBy("check_name")
+  }
+
+  /** F5/F6 date parse/format + numeric coercion (reference
+    * ext_zip_convert_into_json_store.py:84-86 strptime/strftime). */
+  def q17DateBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total"))
+      .orderBy("order_month")
+
+  /** F10 conditional CASE mapping (reference
+    * ext_zip_convert_into_json_store.py:134-139 stmt→bucket map). */
+  def q19CaseMapping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        when(col("event_type").isin("click", "view"), "engagement")
+          .when(col("event_type") === "purchase", "revenue")
+          .when(col("event_type") === "signup", "growth")
+          .otherwise("ops").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  // ===========================================================================
+  // §2.7 Set ops
+  // ===========================================================================
+
+  /** UNION + DISTINCT (reference has only implied multi-quarter union,
+    * SURVEY §2.7; unionByName is the Spark idiom). */
+  def q20UnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_nationkey")
+      .unionByName(
+        c.filter(col("c_acctbal") > 5000).select("c_custkey", "c_nationkey"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  // ===========================================================================
+  // §3.3 / §7.3 flagship: the dbt fact-table program
+  // ===========================================================================
+
+  /** The flagship fact build (reference
+    * models/fact_data_load/balance_sheet_load.sql:22-53): 3-way join →
+    * DENSE_RANK window → statement filter → grouped SUM. Preserves the
+    * reference's semantic quirks deliberately:
+    *   - the window partitions by the order key *and* orders by it →
+    *     rank ≡ 1 (reference puts ddate in both partition and order);
+    *   - grouping includes `rn` (a no-op, as in the reference).
+    * num=lineitem, sub=orders, pre=part (p_type prefix plays `stmt`). */
+  def q21FactBuild(spark: SparkSession, dir: String): DataFrame = {
+    val num = Tables.lineitem(spark, dir)
+    val sub = Tables.orders(spark, dir)
+    val pre = Tables.part(spark, dir)
+    val joined = num
+      .join(sub, col("l_orderkey") === col("o_orderkey"))
+      .join(pre, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type").startsWith("STANDARD"))
+    val w = Window
+      .partitionBy("o_orderkey", "o_custkey", "p_brand", "l_shipdate")
+      .orderBy(col("l_shipdate").desc)
+    joined
+      .withColumn("rn", dense_rank().over(w))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("p_brand"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("rn"))
+      .agg(decSum(col("l_extendedprice")).as("total_value"),
+        count(lit(1)).as("n_facts"))
+      .orderBy("o_orderkey", "p_brand", "rn")
+  }
+}
