@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Queries
+import graft.operators.{Extensions, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,21 @@ object SparkEntry {
     "q19_case_mapping"     -> (Queries.q19CaseMapping _),
     "q20_union_distinct"   -> (Queries.q20UnionDistinct _),
     "q21_fact_build"       -> (Queries.q21FactBuild _),
+    // Beyond-parity LLM-pipeline operators (graft.operators.Extensions):
+    "q22_exact_dup"        -> (Extensions.q22ExactDup _),
+    "q23_ngram_jaccard"    -> (Extensions.q23NgramJaccard _),
+    "q24_minhash_lsh"      -> (Extensions.q24MinHashLsh _),
+    "q25_simhash"          -> (Extensions.q25SimHash _),
+    "q26_cosine_topk"      -> (Extensions.q26CosineTopK _),
+    "q27_ann_lsh"          -> (Extensions.q27AnnLsh _),
+    "q28_langid"           -> (Extensions.q28LangId _),
+    "q29_text_quality"     -> (Extensions.q29TextQuality _),
+    "q30_token_count"      -> (Extensions.q30TokenCount _),
+    "q31_fingerprint"      -> (Extensions.q31Fingerprint _),
+    "q32_embed_stats"      -> (Extensions.q32EmbedStats _),
+    "q33_multimodal_meta"  -> (Extensions.q33MultimodalMeta _),
+    "q34_winnow"           -> (Extensions.q34Winnow _),
+    "q35_embed_neardup"    -> (Extensions.q35EmbedNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -179,5 +194,92 @@ object SparkEntry {
            JOIN part ON l_partkey = p_partkey
            WHERE p_type LIKE 'STANDARD%')
          GROUP BY 1, 2, 3, 4, 5 ORDER BY o_orderkey, p_brand, rn""",
+    // --- extensions (q24/q25/q27/q34/q35 are Spark-only sketches:
+    // xxhash64-based, no portable SQL twin -> rows-only driver check) ---
+    "q22_exact_dup" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         FROM documents GROUP BY 1 ORDER BY source""",
+    "q23_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2,
+           CAST(round(c * 1.0 / (s1.n + s2.n - c), 6) * 1000000 AS BIGINT) AS jac
+         FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+         JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6 ORDER BY d1, d2""",
+    "q26_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+                * 1000000 AS BIGINT) AS sim
+         FROM embeddings, q WHERE vec_id != 0
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC,
+           vec_id LIMIT 10""",
+    "q28_langid" ->
+      """WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt FROM documents),
+         s AS (SELECT doc_id, lang,
+           CAST((length(pt)-length(replace(pt,' the ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' and ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' of ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' is ','')))/4 AS BIGINT) AS en,
+           CAST((length(pt)-length(replace(pt,' le ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' la ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' et ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' les ','')))/5 AS BIGINT) AS fr,
+           CAST((length(pt)-length(replace(pt,' el ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' los ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' que ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' y ','')))/3 AS BIGINT) AS es,
+           CAST((length(pt)-length(replace(pt,' der ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' und ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' die ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' ist ','')))/5 AS BIGINT) AS de
+           FROM p)
+         SELECT doc_id, lang AS lang_declared,
+           CASE WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+                WHEN fr >= es AND fr >= de THEN 'fr'
+                WHEN es >= de THEN 'es'
+                ELSE 'de' END AS lang_pred,
+           en AS score_en, fr AS score_fr
+         FROM s ORDER BY doc_id""",
+    "q29_text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(floor(length(replace(text, ' ', '')) * 10000.0
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT)
+           AS avg_word_len_e4,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+         FROM documents ORDER BY doc_id""",
+    "q30_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+    "q32_embed_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           CAST(embedding AS DOUBLE[]))), 4) * 10000 AS BIGINT)) AS BIGINT) AS sum_norm
+         FROM embeddings GROUP BY 1 ORDER BY label""",
+    "q33_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS checksum
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators
+  * (dedup, language ID, quality scoring, fingerprinting).
+  *
+  * Everything here is built from codegen'd Spark built-ins and
+  * higher-order array functions — no UDFs — so the expressions stay
+  * inside whole-stage codegen and push work to the executors at any
+  * scale. Where an operator has a DuckDB oracle, the construction is
+  * deliberately restricted to functions with identical cross-engine
+  * semantics (split/regexp/length/md5/floor).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lowercased, trimmed text. Mirrors DuckDB's
+    * `string_split_regex(lower(trim(x)), '\s+')` exactly (both return
+    * [""] for empty input — harmless for shingling, which needs >= n). */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Raw (case-preserving) whitespace tokens. */
+  def rawTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles. Guarded so short docs yield an empty
+    * array (Spark's `sequence(1,0)` would count DOWN, not return empty). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of non-overlapping regex matches (= DuckDB
+    * `len(regexp_extract_all(...))`). */
+  def patternCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("long")
+
+  /** Occurrences of a literal marker substring, via the length/replace
+    * trick — the only substring-count construction with bit-identical
+    * semantics in every SQL engine. */
+  def markerCount(c: Column, marker: String): Column =
+    ((length(c) - length(replace(c, lit(marker), lit("")))) / marker.length)
+      .cast("long")
+
+  /** Language marker words. Scores are marker-occurrence counts over
+    * ' '-padded text; argmax with a fixed precedence order gives the
+    * language ID (n-gram-heuristic langid, reference has none — this is
+    * the beyond-parity text-analysis surface). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "es" -> Seq(" el ", " los ", " que ", " y "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "))
+
+  /** Padded text so markers match at string boundaries too. */
+  def padded(c: Column): Column = concat_ws("", lit(" "), lower(c), lit(" "))
+
+  def langScore(c: Column, lang: String): Column =
+    langMarkers(lang).map(m => markerCount(padded(c), m))
+      .reduce(_ + _)
+
+  /** Argmax over language scores with fixed precedence en>fr>es>de. */
+  def langId(c: Column): Column = {
+    val en = langScore(c, "en"); val fr = langScore(c, "fr")
+    val es = langScore(c, "es"); val de = langScore(c, "de")
+    when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Canonical normalization for content fingerprinting: lowercase,
+    * collapse every non-alphanumeric run to a single space, trim. */
+  def normalizeForFingerprint(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint = md5 of the normalized text: robust to case,
+    * punctuation and whitespace differences. */
+  def fingerprint(c: Column): Column = md5(normalizeForFingerprint(c))
+
+  /** 64-bit rolling (winnowing-style) fingerprints: k-gram xxhash64 over
+    * tokens, keep the minimum hash per window — a compact document
+    * sketch for near-dup screening. Spark-only (no portable SQL twin). */
+  def winnowedFingerprints(toks: Column, k: Int, window: Int): Column = {
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(grams) >= window,
+      array_distinct(transform(
+        sequence(lit(1), size(grams) - lit(window - 1)),
+        i => array_min(slice(grams, i, lit(window))))))
+      .otherwise(array_distinct(grams))
+  }
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), n-gram Jaccard (inverted-index pair join),
+  * MinHash+LSH (band-bucket candidate generation), SimHash (bit-sketch
+  * + hamming ball), embedding-cosine near-dup.
+  *
+  * Scale design (100 TB posture): every method is a bounded number of
+  * shuffles keyed by content hashes — no cross product ever
+  * materializes. The pairwise joins are inverted-index joins: rows meet
+  * only when they share a shingle / band bucket / hyperplane bucket, so
+  * the join fans out proportionally to true collisions, not n².
+  * Hot-shingle frequency caps (`maxDocFreq`) bound worst-case bucket
+  * sizes — the standard guard against degenerate skew at web scale.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------------------
+
+  /** Exact-duplicate statistics per source: hash-groupBy on md5(text).
+    * Map-side partial agg; one shuffle on (source). */
+  def exactDupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy("source")
+
+  /** Keep one representative doc per identical md5(text) — the actual
+    * dedup transform (first by doc_id for determinism). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---------------------------------------------------------------------------
+  // N-gram Jaccard (exact near-dup, inverted index)
+  // ---------------------------------------------------------------------------
+
+  /** Document pairs with word-`n`-gram Jaccard >= `threshold`.
+    *
+    * Inverted-index formulation: explode distinct shingles, self-join on
+    * the shingle (co-occurrence count = |A∩B|), combine with per-doc
+    * shingle counts for |A∪B|. `maxDocFreq` drops shingles occurring in
+    * more than that many docs — stop-shingles contribute little to
+    * Jaccard but dominate join fan-out at scale (0 = keep all, used for
+    * the oracle-checked query). Output jaccard is scaled to integer
+    * millionths for cross-engine hash stability. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxDocFreq: Long = 0): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      wordShingles(tokens(col("text")), n).as("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val filtered =
+      if (maxDocFreq > 0) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("s")
+        exploded.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxDocFreq).drop("df")
+      } else exploded
+    val inter = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("c") * lit(1.0) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"),
+        (round(col("jaccard"), 6) * 1000000).cast("long").as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  // ---------------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------------
+
+  /** Per-doc MinHash signature: `numHashes` permutations approximated by
+    * seeded xxhash64, computed with higher-order array functions in one
+    * narrow projection (no explode, no shuffle). */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    when(size(shingleCol) > 0,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(shingleCol, s => xxhash64(s, i)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Candidate near-dup pairs via banded LSH over MinHash signatures,
+    * verified with the signature-estimated Jaccard.
+    *
+    * bands×rowsPerBand = numHashes; docs collide when any band matches.
+    * One shuffle on (band index, band hash) — bucket join, never n².
+    * Output: (d1, d2, est = matching-minhash fraction in millionths). */
+  def minHashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs
+      .select(col("doc_id"),
+        minHashSignature(wordShingles(tokens(col("text")), n), numHashes)
+          .as("sig"))
+      .filter(size(col("sig")) > 0)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", transform(
+          slice(col("sig"), b * r + 1, r), _.cast("string"))))
+          .as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)
+          * lit(1.0) / lit(numHashes))
+      .filter(col("est") >= threshold)
+      .select(col("d1"), col("d2"),
+        (round(col("est"), 6) * 1000000).cast("long").as("est_jac"))
+      .orderBy("d1", "d2")
+  }
+
+  // ---------------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------------
+
+  /** 64-bit SimHash of a token array: per bit, majority vote of token
+    * hashes; packed into one long. Pure higher-order functions — one
+    * narrow projection per doc. */
+  def simHash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (s, h) => s + (shiftright(h, b).bitwiseAND(1) * 2 - 1)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming.
+    * Candidate generation: split the 64-bit sketch into `maxHamming+1`
+    * 16-bit chunks — by pigeonhole, any pair within hamming<=maxHamming
+    * shares at least one exact chunk (maxHamming <= 3). Bucket-join on
+    * (chunk index, chunk value), then verify with bit_count(xor). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "chunk scheme covers hamming <= 3")
+    val sigs = docs.select(col("doc_id"),
+      simHash(tokens(col("text"))).as("sig"))
+    val chunkStructs = (0 until 4).map { i =>
+      struct(lit(i).as("ci"),
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cv"))
+    }
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array(chunkStructs: _*)).as("ch"))
+      .select(col("doc_id"), col("sig"),
+        col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // ---------------------------------------------------------------------------
+
+  /** Pairs of embeddings with cosine similarity >= threshold, via
+    * hyperplane-LSH bucketing (see [[Similarity.hyperplaneBucket]]) then
+    * exact verification inside buckets. */
+  def embeddingNearDupPairs(embeddings: DataFrame, planes: Int,
+                            threshold: Double): DataFrame = {
+    val b = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"),
+        (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
+      .orderBy("v1", "v2")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Driver-contract wrappers for the beyond-parity LLM-pipeline
+  * operators (dedup / similarity / text analysis / multimodal), fixing
+  * the hyperparameters the oracle SQL mirrors. */
+object Extensions {
+
+  def q22ExactDup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupStats(s, d)
+
+  /** 3-gram Jaccard near-dup pairs at threshold 0.6, no frequency cap
+    * (the capped variant is the at-scale path; uncapped matches SQL). */
+  def q23NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.6)
+
+  /** MinHash 64 perms, 16 bands × 4 rows, est-Jaccard >= 0.5. */
+  def q24MinHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(s, d),
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+
+  /** SimHash near-dups at hamming <= 3. */
+  def q25SimHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, d), maxHamming = 3)
+
+  /** Brute-force cosine top-10 for vec_id=0 (exact baseline). */
+  def q26CosineTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 0, k = 10)
+
+  /** Hyperplane-LSH approximate top-10 (8 planes). */
+  def q27AnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0, k = 10, planes = 8)
+
+  def q28LangId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langIdQuery(s, d)
+
+  def q29TextQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityQuery(s, d)
+
+  def q30TokenCount(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCountQuery(s, d)
+
+  def q31Fingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprintQuery(s, d)
+
+  def q32EmbedStats(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingStats(s, d)
+
+  def q33MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.metadataQuery(s, d)
+
+  /** Winnowed fingerprint sketch sizes (Spark-only sketch). */
+  def q34Winnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowQuery(s, d)
+
+  /** Embedding similar pairs via hyperplane LSH buckets, cosine>=0.3
+    * (the testdata embeddings are near-orthogonal random vectors — max
+    * pairwise cosine ~0.37 — so a true near-dup threshold returns the
+    * empty set; 0.3 exercises the operator end to end). */
+  def q35EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
+      threshold = 0.3)
+}

