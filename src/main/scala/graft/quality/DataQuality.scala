@@ -1,0 +1,100 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's dbt data-quality suite as violation-returning
+  * checks (reference models/staging/schema.yml + tests/, SURVEY §5).
+  *
+  * Contract matches `dbt test --store-failures` at severity `warn`
+  * (run_dbt_pipeline.sh:107-108, dbt_project.yml:44-45): every check
+  * returns the DataFrame of violating rows; [[report]] collects counts
+  * without throwing — violations are recorded, not blocking.
+  */
+object DataQuality {
+
+  final case class Check(name: String, violations: DataFrame)
+
+  /** not_null (schema.yml e.g. :8-10). */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNull)
+
+  /** unique (schema.yml:94-96, sub.adsh). */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** accepted_values (schema.yml:272-274 stmt codes; :50-58 flags). */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[Any]): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(values: _*))
+
+  /** expect_column_values_to_be_between (schema.yml:110-113 sic etc.). */
+  def between(df: DataFrame, c: String, lo: Long, hi: Long): DataFrame =
+    df.filter(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+
+  /** expect_column_values_to_match_regex (schema.yml:118-131 etc.). */
+  def matchesRegex(df: DataFrame, c: String, re: String): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).rlike(re))
+
+  /** expect_column_value_lengths_to_be_between (schema.yml:294-297). */
+  def lengthBetween(df: DataFrame, c: String, lo: Int, hi: Int): DataFrame =
+    df.filter(col(c).isNotNull &&
+      (length(col(c)) < lo || length(col(c)) > hi))
+
+  /** Singular test: 8-digit yyyymmdd ddate
+    * (tests/num_validation/test_date_validity.sql:1-4). */
+  def ddateValid(num: DataFrame): DataFrame =
+    num.filter(col("ddate").isNotNull &&
+      length(col("ddate").cast("string")) =!= 8)
+
+  /** Singular test: FK orphans via left-anti join
+    * (tests/num_validation/test_foreign_key_integrity.sql:1-4). */
+  def fkOrphans(child: DataFrame, parent: DataFrame, key: String): DataFrame =
+    child.join(parent.select(key), Seq(key), "left_anti")
+
+  /** Singular test: composite-key duplicates in pre
+    * (tests/pre_validation/test_unique_identifier.sql:1-8). */
+  def preUniqueIdentifier(pre: DataFrame): DataFrame =
+    unique(pre, Seq("adsh", "report", "line"))
+
+  /** The full suite over one quarter's typed tables; mirrors the
+    * schema.yml + singular tests line items cited per check above. */
+  def secSuite(sub: DataFrame, num: DataFrame, pre: DataFrame,
+               tag: DataFrame): Seq[Check] = Seq(
+    Check("sub_adsh_not_null", notNull(sub, "adsh")),
+    Check("sub_adsh_unique", unique(sub, Seq("adsh"))),
+    Check("sub_wksi_domain", acceptedValues(sub, "wksi", Seq(0, 1))),
+    Check("sub_sic_range", between(sub, "sic", 100, 9999)),
+    Check("sub_fy_range", between(sub, "fy", 1900, 2100)),
+    Check("sub_nciks_min", between(sub, "nciks", 1, Long.MaxValue)),
+    Check("sub_countryba_regex", matchesRegex(sub, "countryba", "^[A-Z]{2}$")),
+    Check("sub_fye_regex",
+      matchesRegex(sub.withColumn("fye_s", col("fye").cast("string")),
+        "fye_s", "^((0?[1-9]|1[0-2])[0-3][0-9])$")),
+    Check("sub_period_regex",
+      matchesRegex(sub.withColumn("period_s", col("period").cast("string")),
+        "period_s", "^[0-9]{8}$")),
+    Check("sub_aciks_regex", matchesRegex(sub, "aciks", "^[0-9 ]*$")),
+    Check("num_adsh_not_null", notNull(num, "adsh")),
+    Check("num_qtrs_min", between(num, "qtrs", 0, Long.MaxValue)),
+    Check("num_ddate_valid", ddateValid(num)),
+    Check("num_fk_sub", fkOrphans(num, sub, "adsh")),
+    Check("pre_stmt_domain", acceptedValues(pre, "stmt",
+      graft.sources.SecSchemas.stmtCodes)),
+    Check("pre_inpth_domain", acceptedValues(pre, "inpth", Seq(0, 1))),
+    Check("pre_plabel_length", lengthBetween(pre, "plabel", 1, 512)),
+    Check("pre_unique_identifier", preUniqueIdentifier(pre)),
+    Check("tag_tag_not_null", notNull(tag, "tag")),
+    Check("tag_version_not_null", notNull(tag, "version")),
+    Check("tag_iord_domain", acceptedValues(tag, "iord", Seq("I", "D"))),
+    Check("tag_crdr_domain", acceptedValues(tag, "crdr", Seq("C", "D"))),
+    Check("tag_datatype_domain", acceptedValues(tag, "datatype",
+      Seq("monetary", "shares", "perShare", "percent", "integer",
+        "decimal", "area", "pure", "mass", "monetaryPerVolume"))),
+    Check("tag_custom_domain", acceptedValues(tag, "custom", Seq(0, 1))),
+    Check("tag_abstract_domain", acceptedValues(tag, "abstract", Seq(0, 1))))
+
+  /** warn-severity report: (check, violation count), never throws. */
+  def report(checks: Seq[Check]): Seq[(String, Long)] =
+    checks.map(c => c.name -> c.violations.count())
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 identical, 2 near-dup of 0 (one word changed),
+  // 3/4 unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "unrelated words forming another document entirely for the test"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps first doc per identical text") {
+    val out = Dedup.exactDedup(docs)
+    assert(out.count() == 4)
+    assert(out.filter($"doc_id" === 1L).count() == 0)
+  }
+
+  test("ngram jaccard finds identical and near-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 1L)).get
+    assert(exact._3 == 1000000L) // identical docs -> jaccard 1.0
+  }
+
+  test("ngram jaccard frequency cap drops hot shingles but keeps exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9,
+      maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("minhash LSH candidates cover the true near-dup pairs (recall)") {
+    val truth = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    val cand = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+      bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cand), s"missing: ${truth.diff(cand)}")
+    val est = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,
+      bands = 16, threshold = 0.4)
+      .filter($"d1" === 0L && $"d2" === 1L)
+      .collect().head.getLong(2)
+    assert(est == 1000000L) // identical docs -> all minhashes equal
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within 3") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val zero = pairs.find(p => (p._1, p._2) == (0L, 1L))
+    assert(zero.exists(_._3 == 0))
+  }
+
+  test("winnowed fingerprints: identical docs share the full sketch") {
+    val fp = docs.select($"doc_id",
+      TextFunctions.winnowedFingerprints(
+        TextFunctions.tokens($"text"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L).intersect(fp(2L)).nonEmpty)
+    assert(fp(0L).intersect(fp(3L)).isEmpty)
+  }
+
+  test("brute-force cosine topk is exact and lsh recall includes top hit") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0, k = 5)
+      .collect().map(_.getLong(0))
+    assert(brute.length == 5)
+    val lsh = Similarity.lshTopK(emb, queryId = 0, k = 5, planes = 4)
+      .collect().map(_.getLong(0))
+    // LSH candidates are a subset of the corpus; sanity: results are
+    // scored identically, so any overlap must preserve brute ordering.
+    assert(lsh.toSet.subsetOf(emb.select("vec_id").as[Long].collect().toSet))
+  }
+
+  test("embedding near-dup pairs ordered and bounded by bucket joins") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val pairs = Dedup.embeddingNearDupPairs(emb, planes = 4, threshold = 0.3)
+    val rows = pairs.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Analytics, Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles handles short and empty docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("id", "t")
+      .select($"id", wordShingles(tokens($"t"), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+    assert(m(3L).isEmpty)
+  }
+
+  test("markerCount counts non-overlapping literal occurrences") {
+    val df = Seq(Tuple1("x the y the z")).toDF("t")
+      .select(markerCount(padded($"t"), " the ").as("n"))
+    assert(df.collect().head.getLong(0) == 2)
+  }
+
+  test("langId picks marker-dominant language with fixed precedence") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is here"),
+      (2L, "le chat et la maison et les amis"),
+      (3L, "el gato y los perros que viven"),
+      (4L, "der hund und die katze ist hier")).toDF("id", "t")
+      .select($"id", langId($"t").as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de"))
+  }
+
+  test("fingerprint is invariant to case, punctuation and spacing") {
+    val df = Seq(("Hello,   World!", "hello world"), ("a-b", "a b"))
+      .toDF("x", "y")
+      .select((fingerprint($"x") === fingerprint($"y")).as("eq"))
+    assert(df.collect().forall(_.getBoolean(0)))
+  }
+
+  test("quality and token queries produce full per-doc coverage") {
+    val q = TextAnalysis.qualityQuery(spark, sf0001)
+    val t = TextAnalysis.tokenCountQuery(spark, sf0001)
+    val docs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(q.count() == docs && t.count() == docs)
+    assert(q.filter($"n_words" <= 0).count() == 0)
+  }
+
+  test("multimodal decode is deterministic and preserves rows") {
+    val a = Multimodal.decodeFeatures(spark, sf0001).collect()
+    val b = Multimodal.decodeFeatures(spark, sf0001).collect()
+    assert(a.length == graft.sources.Tables.documents(spark, sf0001).count())
+    assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq)
+    assert(a.forall(r => r.features.length == 8 && r.width >= 64))
+  }
+
+  test("multimodal byte slices have requested shape") {
+    val s = Multimodal.sampleSlices(spark, sf0001, sliceLen = 16, nSlices = 4)
+    val row = s.collect().head
+    assert(row.getSeq[Array[Byte]](1).length == 4)
+  }
+
+  test("analytics topK + membership filter compose") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val top = Analytics.topKByAggregate(li, "l_suppkey", "l_extendedprice", 5)
+    assert(top.count() == 5)
+    val filtered = Analytics.filterToTopK(li, "l_suppkey", "l_extendedprice", 5)
+    assert(filtered.select("l_suppkey").distinct().count() == 5)
+    val (hi, lo) = Analytics.topAndBottomK(li, "l_extendedprice", "l_orderkey", 3)
+    assert(hi.count() == 3 && lo.count() == 3)
+  }
+}
