@@ -80,18 +80,25 @@ object TextFunctions {
     * punctuation and whitespace differences. */
   def fingerprint(c: Column): Column = md5(normalizeForFingerprint(c))
 
-  /** 64-bit rolling (winnowing-style) fingerprints: k-gram xxhash64 over
-    * tokens, keep the minimum hash per window — a compact document
-    * sketch for near-dup screening. Spark-only (no portable SQL twin). */
-  def winnowedFingerprints(toks: Column, k: Int, window: Int): Column = {
-    val grams = when(size(toks) >= k,
+  /** Rolling k-gram hashes over tokens (stage 1 of winnowing). */
+  def kgramHashes(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - lit(k - 1)),
         i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowing selection (stage 2): minimum hash per sliding window.
+    * `grams` must be a materialized column (HOFs are interpreted; an
+    * inline expression would be re-evaluated per reference). */
+  def winnowMin(grams: Column, window: Int): Column =
     when(size(grams) >= window,
       array_distinct(transform(
         sequence(lit(1), size(grams) - lit(window - 1)),
         i => array_min(slice(grams, i, lit(window))))))
       .otherwise(array_distinct(grams))
-  }
+
+  /** 64-bit rolling (winnowing-style) fingerprints over a materialized
+    * token column — compact near-dup sketch. Spark-only (no SQL twin). */
+  def winnowedFingerprints(toks: Column, k: Int, window: Int): Column =
+    winnowMin(kgramHashes(toks, k), window)
 }

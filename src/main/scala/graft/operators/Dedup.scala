@@ -56,10 +56,15 @@ object Dedup {
     * millionths for cross-engine hash stability. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxDocFreq: Long = 0): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      wordShingles(tokens(col("text")), n).as("shingles"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        wordShingles(tokens(col("text")), n).as("shingles"))
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // shingles are distinct per doc, so set size = exploded row count —
+    // derived from the exploded frame rather than a second shingle
+    // build; the tiny per-doc counts then broadcast into the pair join.
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered =
       if (maxDocFreq > 0) {
         import org.apache.spark.sql.expressions.Window
@@ -89,14 +94,27 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------------
 
-  /** Per-doc MinHash signature: `numHashes` permutations approximated by
-    * seeded xxhash64, computed with higher-order array functions in one
-    * narrow projection (no explode, no shuffle). */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    when(size(shingleCol) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingleCol, s => xxhash64(s, i)))))
-      .otherwise(array().cast("array<bigint>"))
+  /** Per-doc MinHash signatures via explode + codegen'd min-aggregates.
+    *
+    * Each shingle is hashed once (string hash), then the `numHashes`
+    * permutations are seeded hashes OF THAT LONG computed inside a hash
+    * aggregate — whole-stage codegen, map-side partial min, one shuffle
+    * on doc_id. The tempting higher-order-function formulation
+    * (transform over a signature sequence with a nested transform over
+    * shingles) is ~100x slower: HOF lambdas are interpreted per
+    * element, so 64 perms x shingles x rows all pay interpreter
+    * overhead. Returns (doc_id, sig ARRAY<BIGINT>); docs with zero
+    * shingles drop out (they cannot collide anyway). */
+  def minHashSignatures(docsWithShingles: DataFrame, numHashes: Int): DataFrame = {
+    val ex = docsWithShingles
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Candidate near-dup pairs via banded LSH over MinHash signatures,
     * verified with the signature-estimated Jaccard.
@@ -108,11 +126,15 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs
-      .select(col("doc_id"),
-        minHashSignature(wordShingles(tokens(col("text")), n), numHashes)
-          .as("sig"))
-      .filter(size(col("sig")) > 0)
+    // Spread CPU-bound sketching across all cores: a small corpus read
+    // from one parquet file is one partition, which would serialize the
+    // whole signature computation onto a single task.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val sig = minHashSignatures(
+      spread.select(col("doc_id"),
+        wordShingles(tokens(col("text")), n).as("shingles")),
+      numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",", transform(
@@ -146,16 +168,23 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------------
 
-  /** 64-bit SimHash of a token array: per bit, majority vote of token
-    * hashes; packed into one long. Pure higher-order functions — one
-    * narrow projection per doc. */
-  def simHash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { b =>
-      when(aggregate(hashes, lit(0L),
-        (s, h) => s + (shiftright(h, b).bitwiseAND(1) * 2 - 1)) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** 64-bit SimHash from a materialized token-hash array: one aggregate
+    * pass carries a 64-slot vote vector (zip_with against a literal
+    * powers-of-two array; bit-test via bitwiseAND, so no per-bit
+    * re-iteration of the tokens), then votes fold into the packed
+    * sketch. `hashCol` must be a plain column reference — HOFs are
+    * interpreted, so an inline expression would be re-evaluated per
+    * vote slot. Distinct power bits sum without carries, so the final
+    * addition is exactly bitwise OR (bit 63 = Long.MinValue included). */
+  def simHash(hashCol: Column): Column = {
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    val zeros = transform(sequence(lit(0), lit(63)), _ => lit(0L))
+    val votes = aggregate(hashCol, zeros,
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, powers,
+      (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxHamming.
@@ -165,8 +194,12 @@ object Dedup {
     * (chunk index, chunk value), then verify with bit_count(xor). */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "chunk scheme covers hamming <= 3")
-    val sigs = docs.select(col("doc_id"),
-      simHash(tokens(col("text"))).as("sig"))
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val sigs = spread
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => xxhash64(t)).as("hashes"))
+      .select(col("doc_id"), simHash(col("hashes")).as("sig"))
     val chunkStructs = (0 until 4).map { i =>
       struct(lit(i).as("ci"),
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cv"))
@@ -197,8 +230,10 @@ object Dedup {
     * exact verification inside buckets. */
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int,
                             threshold: Double): DataFrame = {
-    val b = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val b = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))

@@ -55,6 +55,7 @@ object Similarity {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     embeddings.filter(col("vec_id") =!= queryId)
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(broadcast(q))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -69,8 +70,10 @@ object Similarity {
     * high because near-parallel vectors agree on most sign bits. */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
               planes: Int): DataFrame = {
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val bucketed = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), planes).as("bucket"))
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
     bucketed.filter(col("vec_id") =!= queryId)

@@ -61,11 +61,16 @@ object TextAnalysis {
         fingerprint(col("text")).as("fp_md5"))
       .orderBy("doc_id")
 
-  /** Winnowed sketch per doc — Spark-only (rows-only driver check). */
+  /** Winnowed sketch per doc — Spark-only (rows-only driver check).
+    * Staged projections keep each interpreted HOF stage evaluated once
+    * per row; repartition spreads the CPU-bound sketch over all cores
+    * (a small single-file corpus is otherwise one task). */
   def winnowQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), kgramHashes(col("toks"), 5).as("grams"))
       .select(col("doc_id"),
-        size(winnowedFingerprints(tokens(col("text")), 5, 4))
-          .cast("long").as("n_fp"))
+        size(winnowMin(col("grams"), 4)).cast("long").as("n_fp"))
       .orderBy("doc_id")
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.Queries
+
+/** Physical-plan assertions: the properties that make these operators
+  * survive a 100x scale-up are locked in here so a refactor can't
+  * silently regress them (filter/projection pushdown to the parquet
+  * scan, broadcast for dimension joins, TakeOrderedAndProject for
+  * top-K instead of a global sort).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes filter and projection into the parquet scan") {
+    val p = planString(Queries.q02FilterProject(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // only the 5 needed columns are read
+    assert(!p.contains("l_tax"), "projection must prune unused columns")
+  }
+
+  test("q06 dimension joins broadcast (no shuffle for nation/region)") {
+    val p = planString(Queries.q06BroadcastLookup(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("q11 top-K compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planString(Queries.q11TopK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregation is partial (map-side) then final") {
+    val p = planString(Queries.q01PricingSummary(spark, sf0001))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "partial aggregation expected:\n" + p)
+  }
+
+  test("q13 availability count reads no data columns (count pushdown shape)") {
+    val p = planString(Queries.q13Availability(spark, sf0001))
+    // only the filter column is materialized from the scan
+    assert(p.contains("l_shipdate"), p)
+    assert(!p.contains("l_extendedprice"), p)
+  }
+
+  test("whole-stage codegen covers the extension projections (no UDFs)") {
+    val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), p.take(2000))
+    assert(!p.toLowerCase.contains("batchevalpython"), p.take(2000))
+  }
+}
