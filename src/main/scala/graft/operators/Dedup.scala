@@ -230,6 +230,7 @@ object Dedup {
     * exact verification inside buckets. */
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int,
                             threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val b = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -18,10 +19,18 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in double —
+    * interpreted HOF formulation, kept as the registration-free
+    * reference implementation (bit-identical to the codegen'd
+    * [[graft.functions.DotProductFloat]]: same sequential order, same
+    * double arithmetic). Hot paths register and use the expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd dot product (requires VectorFunctions.register on the
+    * session — every entry point in this object does it). */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -52,6 +61,7 @@ object Similarity {
     * `queryId`. The query vector is a broadcast-able 1-row frame; the
     * scan is a single narrow pass + TakeOrderedAndProject. */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     embeddings.filter(col("vec_id") =!= queryId)
@@ -70,6 +80,7 @@ object Similarity {
     * high because near-parallel vectors agree on most sign bits. */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
               planes: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
@@ -87,11 +98,13 @@ object Similarity {
 
   /** Per-label embedding statistics (norms accumulated as scaled
     * integers for cross-engine determinism). */
-  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("label"),
         (round(norm(col("embedding")), 4) * 10000).cast("long").as("norm_i"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), sum(col("norm_i")).as("sum_norm"))
       .orderBy("label")
+  }
 }
