@@ -77,4 +77,37 @@ object SecIngest {
   /** Load back with partition pruning available on source_file. */
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** S11: schema-only empty table (the reference materializes empty
+    * typed staging tables via `SELECT CAST(NULL AS T) ... WHERE FALSE`,
+    * models/staging/raw_sub_table.sql:7-45). */
+  def emptyTable(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+
+  /** S13/O5: latest-quarter discovery. The reference lists S3 prefixes
+    * and takes the lexicographic max (load_json_data_snowflake.py:30-59);
+    * here the quarters are values of the partition column, so discovery
+    * is a metadata-only max over the partition values. */
+  def latestQuarter(spark: SparkSession, dir: String): Option[String] =
+    readPartitioned(spark, dir)
+      .select(max(col("source_file")).as("q"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+
+  /** S9: JSON document sink (reference writes one doc per submission to
+    * JSON_Conversion/{Y}/q{q}/, ext_zip_convert_into_json_store.py:
+    * 141-148 — here one JSONL part per partition, same documents). */
+  def writeDocs(docs: DataFrame, dir: String): Unit =
+    docs.write.mode("overwrite").json(dir)
+
+  /** S10: JSON → typed load with pattern filter (reference
+    * `COPY INTO ... PATTERN='.*\\.json'`,
+    * load_json_data_snowflake.py:143-149): explicit schema on read —
+    * never inferSchema — plus pathGlobFilter for the pattern. */
+  def readDocs(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("pathGlobFilter", "*.json")
+      .option("mode", "PERMISSIVE")
+      .json(dir)
 }

@@ -162,6 +162,28 @@ class SecPipelineSpec extends SparkSpec {
     assert(r.collect().map(_.getString(0)).toSeq == Seq("f1", "f2"))
   }
 
+  test("json doc sink + schema'd load roundtrip (S9/S10)") {
+    val docs = SecJsonDocs.buildDocs(num, sub, pre, tag, ticker)
+    val dir = tmpDir("sec_docs_json")
+    SecIngest.writeDocs(docs, dir)
+    val back = SecIngest.readDocs(spark, dir, docs.schema)
+    assert(back.count() == docs.count())
+    // JSON roundtrip normalizes nullability flags; names/types match
+    assert(back.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+    val f1 = back.filter(col("adsh") === "f1").collect().head
+    assert(f1.getAs[String]("symbol") == "acme")
+  }
+
+  test("empty typed table + latest-quarter discovery (S11/S13)") {
+    val empty = SecIngest.emptyTable(spark, graft.sources.SecSchemas.num)
+    assert(empty.count() == 0 && empty.schema == graft.sources.SecSchemas.num)
+    val dir = tmpDir("sec_quarters")
+    SecIngest.writePartitioned(
+      sub.withColumn("source_file", lit("2023Q4"))
+        .unionByName(sub.withColumn("source_file", lit("2024Q1"))), dir)
+    assert(SecIngest.latestQuarter(spark, dir).contains("2024Q1"))
+  }
+
   test("data quality suite reports the planted violations, never throws") {
     val rep = DataQuality.report(DataQuality.secSuite(sub, num, pre, tag))
       .toMap
