@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the 100 TB posture — the techniques that keep
+  * the fact⋈fact joins of SURVEY §2.3 viable when both sides are far
+  * beyond broadcast range.
+  *
+  * - Bucketing: write both sides bucketed (and sorted) by the join key;
+  *   a later sort-merge join on that key needs NO shuffle on either
+  *   side — the dominant cost of a repeated big join amortized into the
+  *   write. This is the Spark analogue of the reference's
+  *   table-per-quarter layout discipline, applied to join keys.
+  * - Salting: for skewed keys (one `adsh`/user owning a large fraction
+  *   of rows), split each hot key into `saltFactor` synthetic sub-keys
+  *   on the large side and replicate the small side across them, so no
+  *   single task owns a whole hot key. AQE's skew-join handles
+  *   moderate skew automatically; salting is the explicit tool for
+  *   degenerate keys.
+  */
+object JoinStrategies {
+
+  /** Write a DataFrame as a bucketed+sorted table: co-locates and
+    * pre-sorts rows by the join key at write time. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — Catalyst
+    * recognizes the matching bucketing and elides both exchanges (and
+    * with sortBy, both sorts). */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Inner equi-join with salting: the large side gets a deterministic
+    * content-derived salt in [0, saltFactor), the small side is
+    * replicated across every salt value, and the join key becomes
+    * (key, salt). Result set is identical to the plain inner join; the
+    * shuffle distributes each hot key over `saltFactor` reducers. */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+                     saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}
