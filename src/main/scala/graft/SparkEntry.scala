@@ -56,6 +56,8 @@ object SparkEntry {
     "q33_multimodal_meta"  -> (Extensions.q33MultimodalMeta _),
     "q34_winnow"           -> (Extensions.q34Winnow _),
     "q35_embed_neardup"    -> (Extensions.q35EmbedNearDup _),
+    "q36_ivf_topk"         -> (Extensions.q36IvfTopK _),
+    "q37_multimodal_decode" -> (Extensions.q37MultimodalDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(

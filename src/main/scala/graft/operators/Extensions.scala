@@ -55,6 +55,21 @@ object Extensions {
   def q34Winnow(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winnowQuery(s, d)
 
+  /** IVF (inverted-file) approximate top-10: 16-cluster k-means coarse
+    * quantizer, probe the 4 nearest lists (~25% of the corpus scanned). */
+  def q36IvfTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 0, k = 10,
+      nClusters = 16, nprobe = 4)
+
+  /** Multimodal batch-decode plumbing (mapPartitions + stub codec):
+    * per-doc decoded dimensions. */
+  def q37MultimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Multimodal.decodeFeatures(s, d).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding similar pairs via hyperplane LSH buckets, cosine>=0.3
     * (the testdata embeddings are near-orthogonal random vectors — max
     * pairwise cosine ~0.37 — so a true near-dup threshold returns the

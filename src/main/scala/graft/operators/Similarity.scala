@@ -96,6 +96,94 @@ object Similarity {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
   }
 
+  // ---------------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path beside hyperplane LSH
+  // ---------------------------------------------------------------------------
+
+  /** Train an IVF coarse quantizer: k-means with deterministic
+    * initialization (the k lowest vec_ids) and a fixed number of Lloyd
+    * iterations, entirely as DataFrame programs — assignment is a
+    * broadcast of the k centroids against every vector (argmin over
+    * codegen'd dot distances), update is one groupBy per iteration.
+    * Returns (cluster_id, centroid ARRAY<DOUBLE>). k and iters are
+    * small constants; each iteration is one broadcast join + one
+    * shuffle on cluster_id — at 100 TB this trains on a sample, then
+    * assignment is a single scan. */
+  def trainIvfCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    var centroids = embeddings.orderBy("vec_id").limit(k)
+      .select(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+        .cast("int").as("cluster_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(embeddings, centroids)
+      centroids = assigned
+        .select(col("cluster_id"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster_id", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster_id"),
+          transform(col("dm"), e => e.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine — the
+    * centroids are means of unit vectors, cosine argmax is the right
+    * metric for normalized embeddings). Centroid set is broadcast. */
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cluster_id").asc)
+    embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        cosineMixed(col("embedding"), col("centroid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .drop("rnk", "cos_c")
+  }
+
+  /** Cosine between a float vector and a double centroid — HOF path
+    * (centroids are tiny; this runs k times per vector, k small). */
+  private def cosineMixed(v: Column, c: Column): Column = {
+    def d(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    d(v, c) / (sqrt(d(v, v)) * sqrt(d(c, c)))
+  }
+
+  /** IVF top-k: score only vectors whose cluster is among the query's
+    * `nprobe` nearest centroids. Scanned fraction ≈ nprobe/k of the
+    * corpus; the cluster assignment is computed once and would be a
+    * stored column in a persisted index. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nClusters: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val centroids = trainIvfCentroids(embeddings, nClusters, iters)
+    val assigned = assignToCentroids(embeddings, centroids)
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probeClusters = centroids.crossJoin(broadcast(qVec))
+      .withColumn("cos_c", cosineMixed(col("q_emb"), col("centroid")))
+      .orderBy(col("cos_c").desc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+    assigned
+      .join(broadcast(probeClusters), "cluster_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"),
+        (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
+  }
+
   /** Per-label embedding statistics (norms accumulated as scaled
     * integers for cross-engine determinism). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {

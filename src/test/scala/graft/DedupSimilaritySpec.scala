@@ -83,6 +83,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.toSet.subsetOf(emb.select("vec_id").as[Long].collect().toSet))
   }
 
+  test("IVF topk probes a cluster subset, deterministic, well-formed") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val a = Similarity.ivfTopK(emb, queryId = 0, k = 5, nClusters = 8,
+      nprobe = 2).collect()
+    val b = Similarity.ivfTopK(emb, queryId = 0, k = 5, nClusters = 8,
+      nprobe = 2).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.length <= 5 && a.nonEmpty)
+    val sims = a.map(_.getLong(1)).toSeq
+    assert(sims == sims.sorted.reverse, "similarities must be descending")
+    // probing ALL clusters must recover the exact brute-force answer
+    val full = Similarity.ivfTopK(emb, queryId = 0, k = 5, nClusters = 8,
+      nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, s"nprobe=k must equal brute force: $full vs $brute")
+  }
+
   test("embedding near-dup pairs ordered and bounded by bucket joins") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val pairs = Dedup.embeddingNearDupPairs(emb, planes = 4, threshold = 0.3)
