@@ -60,10 +60,15 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         wordShingles(tokens(col("text")), n).as("shingles"))
+    // Materialize the inverted index once: it feeds four plan branches
+    // (both self-join sides + two size lookups), and recomputing the
+    // interpreted shingle build per branch dominates the query. At
+    // cluster scale this is where the index would be persisted to
+    // storage; locally localCheckpoint pins it in the block manager.
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .localCheckpoint()
     // shingles are distinct per doc, so set size = exploded row count —
-    // derived from the exploded frame rather than a second shingle
-    // build; the tiny per-doc counts then broadcast into the pair join.
+    // the tiny per-doc counts then broadcast into the pair join.
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered =
       if (maxDocFreq > 0) {

@@ -148,13 +148,14 @@ object Similarity {
       .drop("rnk", "cos_c")
   }
 
-  /** Cosine between a float vector and a double centroid — HOF path
-    * (centroids are tiny; this runs k times per vector, k small). */
+  /** Cosine between a float vector and a double centroid: the centroid
+    * is narrowed to float so the codegen'd dot expression applies —
+    * this runs k times per vector per iteration, and the interpreted
+    * HOF version dominated IVF training time. Float narrowing shifts
+    * scores by ~1e-7 relative, irrelevant for nearest-centroid argmax. */
   private def cosineMixed(v: Column, c: Column): Column = {
-    def d(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    d(v, c) / (sqrt(d(v, v)) * sqrt(d(c, c)))
+    val cf = c.cast("array<float>")
+    dot(v, cf) / (sqrt(dot(v, v)) * sqrt(dot(cf, cf)))
   }
 
   /** IVF top-k: score only vectors whose cluster is among the query's
