@@ -112,9 +112,12 @@ object Similarity {
   def trainIvfCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
+    // constant partition key: the frame is k rows; avoids WindowExec's
+    // empty-partition-spec warning without changing the plan shape
     var centroids = embeddings.orderBy("vec_id").limit(k)
       .select(row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy("vec_id"))
         .cast("int").as("cluster_id"),
         col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 0 until iters) {

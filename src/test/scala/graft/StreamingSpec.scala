@@ -28,6 +28,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("sessionizer advance closes sessions at the gap (pure logic)") {
+    import graft.streaming.EventSessionizer._
+    def ev(id: Long, t: Long) =
+      Event(id, new java.sql.Timestamp(t), 1L, "click", 1.0)
+    val (closed, open) = advance(None,
+      Seq(ev(1, 0), ev(2, 1000), ev(3, 100000)), gapMs = 30000)
+    assert(closed.map(_.nEvents) == Seq(2))
+    assert(open.exists(s => s.nEvents == 1 && s.start == 100000))
+    // events within gap extend the open session
+    val (closed2, open2) = advance(open, Seq(ev(4, 110000)), gapMs = 30000)
+    assert(closed2.isEmpty && open2.exists(_.nEvents == 2))
+  }
+
+  test("streaming sessionization emits closed sessions across batches") {
+    import graft.streaming.EventSessionizer
+    val drop = tmpDir("sess_drop")
+    val ckpt = tmpDir("sess_ckpt")
+    val out = tmpDir("sess_out")
+    // user 7: two events 10s apart (one session), then an event 2h
+    // later -> closes session 1 when it arrives in batch 2
+    writeDrop(drop, "b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":7,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:10Z","user_id":7,"event_type":"view","value":2.0}"""))
+    EventSessionizer.sessionizeAvailableNow(spark, drop, out, ckpt,
+      gapMs = 30 * 60 * 1000)
+    writeDrop(drop, "b2.json", Seq(
+      """{"event_id":3,"ts":"2024-01-01T02:00:00Z","user_id":7,"event_type":"click","value":4.0}"""))
+    EventSessionizer.sessionizeAvailableNow(spark, drop, out, ckpt,
+      gapMs = 30 * 60 * 1000)
+    val rows = spark.read.parquet(out)
+      .select("user_id", "n_events", "sum_value").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows.head.getLong(1) == 2 && rows.head.getDouble(2) == 3.0)
+  }
+
   test("watermarked windowed aggregation groups by event-time minute") {
     val drop = tmpDir("stream_drop2")
     val ckpt = tmpDir("stream_ckpt2")
