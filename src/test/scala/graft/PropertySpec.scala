@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.sources.{SecIngest, SecSchemas}
+
+/** Property-based coverage for the edge cases the reference's
+  * validation notes document (malformed numerics, arbitrary text):
+  * ingest casts must never throw, and shingling must hold its size
+  * invariant for any token count. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic property driver: scalatestplus is not on the
+    * offline classpath, so sample the generator across fixed seeds. */
+  private def forAll[A](gen: Gen[A], trials: Int = 20)(body: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  test("typed ingest never throws: any string either casts or nulls") {
+    val weird = Gen.oneOf(
+      Gen.alphaNumStr, Gen.numStr,
+      Gen.oneOf("", " ", "NaN", "null", "1e999", "-", "0x1F", "12.34.56",
+        "999999999999999999999999999999999999999999", "2023093", "①②③"))
+    forAll(Gen.listOfN(20, weird)) { values =>
+      val raw = values.map(Tuple1(_)).toDF("ddate")
+      val typed = SecIngest.typed(raw, new org.apache.spark.sql.types.StructType()
+        .add("ddate", org.apache.spark.sql.types.IntegerType))
+      // must evaluate without exception; every row survives
+      assert(typed.count() == values.length)
+      // parseable ints round-trip, everything else is null
+      val out = typed.collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      values.zip(out).foreach { case (in, res) =>
+        val expected = scala.util.Try(in.trim.toInt).toOption
+        if (expected.isDefined && expected.get.toString == in.trim)
+          assert(res == expected, s"'$in' should cast")
+      }
+    }
+  }
+
+  test("wordShingles size invariant: max(0, tokens - n + 1) before dedup") {
+    val words = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+    forAll(words) { ws =>
+      val text = ws.mkString(" ")
+      val df = Seq(Tuple1(text)).toDF("t")
+        .select(TextFunctions.wordShingles(
+          TextFunctions.tokens($"t"), 3).as("sh"))
+      val n = df.collect().head.getSeq[String](0).length
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        .filter(_ => text.trim.nonEmpty) match {
+        case s if s.isEmpty && text.trim.isEmpty => Seq("")
+        case s => s
+      }
+      val expectedMax = math.max(0, toks.length - 2)
+      assert(n <= expectedMax, s"'$text': $n > $expectedMax")
+      if (toks.length >= 3 && toks.distinct.length == toks.length)
+        assert(n == expectedMax)
+    }
+  }
+
+  test("fingerprint invariance: any whitespace/punct layout hashes equal") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAll(Gen.listOfN(5, word)) { ws =>
+      val clean = ws.mkString(" ")
+      val noisy = ws.mkString("  ,, ", " .. ", " !")
+      val df = Seq((clean, noisy)).toDF("a", "b")
+        .select((TextFunctions.fingerprint($"a") ===
+          TextFunctions.fingerprint($"b")).as("eq"))
+      assert(df.collect().head.getBoolean(0), s"'$clean' vs '$noisy'")
+    }
+  }
+}
