@@ -136,6 +136,11 @@ object Dedup {
     // whole signature computation onto a single task.
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
+    // NOTE: no localCheckpoint here (unlike the Jaccard inverted
+    // index) — the self-join's two identical aggregation subplans
+    // share their shuffle via ReuseExchange, and checkpointing was
+    // measured slower (it forces an extra materialization the reused
+    // exchange already avoids).
     val sig = minHashSignatures(
       spread.select(col("doc_id"),
         wordShingles(tokens(col("text")), n).as("shingles")),
@@ -146,18 +151,26 @@ object Dedup {
           slice(col("sig"), b * r + 1, r), _.cast("string"))))
           .as("bucket"))
     }
-    val banded = sig.select(col("doc_id"), col("sig"),
+    // The band join and pair-dedup shuffle ONLY (doc, band, bucket) —
+    // never the signature arrays (carrying two 64-element arrays per
+    // candidate row made the shuffle payload the dominant, unstable
+    // cost). Signatures re-attach afterwards via broadcast: the
+    // signature table is docs-sized, tiny relative to candidates.
+    val banded = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a")
+    val candPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand
+    candPairs
+      .join(broadcast(sig.select(col("doc_id").as("d1"),
+        col("sig").as("sig1"))), "d1")
+      .join(broadcast(sig.select(col("doc_id").as("d2"),
+        col("sig").as("sig2"))), "d2")
       .withColumn("est",
         aggregate(zip_with(col("sig1"), col("sig2"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
