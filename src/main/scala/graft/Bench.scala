@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every SparkEntry query on
@@ -8,9 +9,18 @@ import org.apache.spark.sql.SparkSession
   * Methodology: one untimed warm-up action first (JVM/classloader/
   * codegen warm-up otherwise lands on whichever query runs first and
   * distorts it by ~15s), then each query timed on a count() action.
-  * local[32] matches the container's 32 cores; shuffle.partitions=32
-  * keeps one post-shuffle partition per core (200 would create 6x task
+  * Between queries every persistent RDD (the sketch operators'
+  * localCheckpoints) is dropped — the queries are independent; letting
+  * one query's pinned blocks pressure the next one's execution memory
+  * made earlier rounds' numbers non-reproducible. local[32] matches
+  * the container's 32 cores; shuffle.partitions=32 keeps one
+  * post-shuffle partition per core (200 would create 6x task
   * scheduling overhead at this scale); AQE coalesces the rest.
+  *
+  * The metric line is BOTH printed and written to the file named by
+  * SPARK_GRAFT_BENCH_OUT (default ./BENCH_OUT.json): sbt's logger
+  * prefixes stdout with [info], which broke the driver's JSON parse
+  * of round 1/2 benches.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,11 +34,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def dropPinnedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     // Warm-up: exercise scan+shuffle+codegen once, untimed.
     try SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      dropPinnedBlocks()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -36,7 +50,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -196,8 +196,10 @@ object SparkEntry {
            JOIN part ON l_partkey = p_partkey
            WHERE p_type LIKE 'STANDARD%')
          GROUP BY 1, 2, 3, 4, 5 ORDER BY o_orderkey, p_brand, rn""",
-    // --- extensions (q24/q25/q27/q34/q35 are Spark-only sketches:
-    // xxhash64-based, no portable SQL twin -> rows-only driver check) ---
+    // --- extensions (q24/q25/q34 are Spark-only sketches: xxhash64-
+    // based, no portable SQL twin -> rows-only driver check; q27/q35/
+    // q36 are registered in exact-recovery configurations so their
+    // machinery hash-checks against brute-force SQL) ---
     "q22_exact_dup" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
@@ -208,7 +210,9 @@ object SparkEntry {
              range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
              i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
            FROM documents),
-         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         ex AS (SELECT doc_id, s
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+                QUALIFY count(*) OVER (PARTITION BY s) <= 50),
          sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
          inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -227,6 +231,45 @@ object SparkEntry {
          FROM embeddings, q WHERE vec_id != 0
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC,
            vec_id LIMIT 10""",
+    // q27/q36 run in exact-recovery configurations (one LSH bucket /
+    // nprobe = nClusters), so the correct answer IS the brute-force
+    // top-k — the same oracle as q26.
+    "q27_ann_lsh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+                * 1000000 AS BIGINT) AS sim
+         FROM embeddings, q WHERE vec_id != 0
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC,
+           vec_id LIMIT 10""",
+    "q36_ivf_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+                * 1000000 AS BIGINT) AS sim
+         FROM embeddings, q WHERE vec_id != 0
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) DESC,
+           vec_id LIMIT 10""",
+    // q35 runs with planes = 0 (single bucket): candidate set = all
+    // pairs, so the exact all-pairs cosine join is the oracle.
+    "q35_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings)
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(round(list_cosine_similarity(a.emb, b.emb), 6) * 1000000
+                AS BIGINT) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+         ORDER BY v1, v2""",
+    // q37's decode stub keys width/height on md5(payload) so the
+    // decode output is recomputable in SQL (not just row-counted).
+    "q37_multimodal_decode" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(64 + CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % 512 AS INT) AS width,
+         CAST(64 + CAST(('0x' || substr(md5(text), 5, 4)) AS INT) % 512 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
     "q28_langid" ->
       """WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt FROM documents),
          s AS (SELECT doc_id, lang,

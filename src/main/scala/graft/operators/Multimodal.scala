@@ -27,12 +27,16 @@ object Multimodal {
   /** Deterministic fake decoder: real codecs are not available in this
     * environment. Derives stable "dimensions" and a 8-dim "feature
     * vector" from the bytes. Swap for a real codec (e.g. TwelveMonkeys
-    * ImageIO) in production — the pipeline shape does not change. */
+    * ImageIO) in production — the pipeline shape does not change.
+    * Dimensions are keyed on the MD5 of the payload (not a JVM-private
+    * hash) so the driver's DuckDB oracle can recompute them exactly —
+    * the decode output is hash-checked, not just row-counted. */
   object MultimodalCodec {
     def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val width = 64 + math.abs(h % 512)
-      val height = 64 + math.abs((h / 512) % 512)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      val width = 64 + Integer.parseInt(hex.substring(0, 4), 16) % 512
+      val height = 64 + Integer.parseInt(hex.substring(4, 8), 16) % 512
       val feats = Array.tabulate(8) { i =>
         val slice = payload.drop(i * (payload.length / 8 max 1))
           .take(payload.length / 8 max 1)

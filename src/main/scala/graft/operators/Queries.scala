@@ -106,13 +106,17 @@ object Queries {
 
   /** J1 3-way inner equi-join + filter + sort: the serving statement query
     * (reference backend/main.py:163-176). customer⋈orders⋈lineitem with
-    * the `stmt`-style equality filters. customer is broadcast-sized; the
-    * orders⋈lineitem join shuffles on orderkey — at 100 TB that shuffle is
-    * the cost center and both sides are already key-partitioned by write
-    * layout, so AQE picks sort-merge with no extra exchange. */
+    * the `stmt`-style equality filters. No broadcast hint on customer:
+    * it scales with the data (the SEC `sub` analogue grows per quarter),
+    * so a forced broadcast is an OOM at 100× — AQE picks broadcast vs
+    * sort-merge from runtime sizes. Only fixed-cardinality dims
+    * (nation/region-class) get explicit hints elsewhere. The
+    * orders⋈lineitem join shuffles on orderkey — at 100 TB that shuffle
+    * is the cost center and both sides are already key-partitioned by
+    * write layout, so AQE picks sort-merge with no extra exchange. */
   def q03ServingStatementQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("o_orderstatus") === "F" && col("l_returnflag") === "R")

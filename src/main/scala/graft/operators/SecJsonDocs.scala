@@ -46,17 +46,19 @@ object SecJsonDocs {
 
     // J5: first-match dims, deduped before joining so the fact side
     // never fans out (reference takes .values[0] of the first match).
+    // Mapping per reference lines 107-123: label ← tag.doc,
+    // info ← pre.plabel, stmt ← pre.stmt.
     val tagFirst = tag.groupBy("tag")
-      .agg(min(col("doc")).as("info"))
+      .agg(min(col("doc")).as("doc_label"))
     val preFirst = pre.groupBy("adsh", "tag")
       .agg(min(col("plabel")).as("plabel"), min(col("stmt")).as("stmt"))
 
     val facts = num
       .join(tagFirst, Seq("tag"), "left")
       .join(preFirst, Seq("adsh", "tag"), "left")
-      .withColumn("label", coalesce(col("plabel"), lit("Unknown")))
+      .withColumn("label", coalesce(col("doc_label"), lit("Unknown")))
       .withColumn("stmt", coalesce(col("stmt"), lit("UNKNOWN")))
-      .withColumn("info", coalesce(col("info"), lit("Unknown")))
+      .withColumn("info", coalesce(col("plabel"), lit("Unknown")))
       // P8: NaN/null value → 0 (reference line 94-101).
       .withColumn("value",
         coalesce(col("value").cast("double"), lit(0.0)))
@@ -81,15 +83,21 @@ object SecJsonDocs {
       array_sort(collect_list(when(col("bucket") === "ic", col("element"))))
         .as("ic"))
 
+    // Field set mirrors the reference doc exactly (lines 92-102):
+    // quarter = str(fp) (a null fp becomes the string "nan" in pandas —
+    // quirk preserved), year = int(fy) with 0 default, and
+    // startDate == endDate == period (reference lines 84-88).
     subWithSym.join(docsData, Seq("adsh"), "left")
       .select(
         col("adsh"),
         col("symbol"),
         col("name"),
+        coalesce(col("fp").cast("string"), lit("nan")).as("quarter"),
+        coalesce(col("fy"), lit(0L)).cast("int").as("year"),
         coalesce(col("countryma"), lit("UNKNOWN")).as("country"),
         coalesce(col("cityma"), lit("UNKNOWN")).as("city"),
         yyyymmddToIso(col("period")).as("endDate"),
-        yyyymmddToIso(col("period") - 300).as("startDate"),
+        yyyymmddToIso(col("period")).as("startDate"),
         struct(
           coalesce(col("bs"), array().cast("array<struct<label:string,concept:string,info:string,unit:string,value:double>>")).as("bs"),
           coalesce(col("cf"), array().cast("array<struct<label:string,concept:string,info:string,unit:string,value:double>>")).as("cf"),

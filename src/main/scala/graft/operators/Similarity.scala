@@ -47,9 +47,12 @@ object Similarity {
 
   /** LSH bucket id: sign bit per hyperplane, packed to a long.
     * A narrow projection — the expensive part (planes×dims hash+mul)
-    * runs executor-side inside codegen. */
+    * runs executor-side inside codegen. `planes = 0` degenerates to a
+    * single bucket (exact-recovery configuration: every pair becomes a
+    * candidate — used where a downstream check needs full recall). */
   def hyperplaneBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
+    if (planes <= 0) lit(0L)
+    else (0 until planes).map { p =>
       when(aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x.cast("double") * planeComponent(p, i)),
@@ -102,27 +105,25 @@ object Similarity {
 
   /** Train an IVF coarse quantizer: k-means with deterministic
     * initialization (the k lowest vec_ids) and a fixed number of Lloyd
-    * iterations, entirely as DataFrame programs — assignment is a
-    * broadcast of the k centroids against every vector (argmin over
-    * codegen'd dot distances), update is one groupBy per iteration.
-    * Returns (cluster_id, centroid ARRAY<DOUBLE>). k and iters are
-    * small constants; each iteration is one broadcast join + one
-    * shuffle on cluster_id — at 100 TB this trains on a sample, then
-    * assignment is a single scan. */
+    * iterations. The k centroids (a few KB — k and dims are small
+    * constants) live on the DRIVER between iterations, exactly as
+    * MLlib's KMeans iterates: each Lloyd step is then ONE distributed
+    * pass (broadcast-join assignment + per-dimension mean), and the
+    * plan's lineage does not grow with `iters` — the previous
+    * formulation chained iterations lazily, so every downstream
+    * reference re-ran the whole training, the measured source of this
+    * query's bench variance. Returns (cluster_id, centroid
+    * ARRAY<DOUBLE>) as a local-relation frame, free to re-reference.
+    * At 100 TB this trains on a sample; assignment is a single scan. */
   def trainIvfCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
-    val dims = embeddings.select(size(col("embedding"))).first().getInt(0)
-    // constant partition key: the frame is k rows; avoids WindowExec's
-    // empty-partition-spec warning without changing the plan shape
-    var centroids = embeddings.orderBy("vec_id").limit(k)
-      .select(row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0)).orderBy("vec_id"))
-        .cast("int").as("cluster_id"),
-        col("embedding").cast("array<double>").as("centroid"))
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    var cent: Seq[(Int, Seq[Double])] = embeddings.orderBy("vec_id").limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroids(embeddings, centroids)
-      centroids = assigned
+      cent = assignToCentroids(embeddings, centroidFrame(spark, cent))
         .select(col("cluster_id"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cluster_id", "dim")
@@ -131,24 +132,35 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cluster_id"),
           transform(col("dm"), e => e.getField("m")).as("centroid"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
     }
-    centroids
+    centroidFrame(spark, cent)
+  }
+
+  private def centroidFrame(spark: SparkSession,
+                            cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cent.toDF("cluster_id", "centroid")
   }
 
   /** Assign each vector to its nearest centroid (max cosine — the
     * centroids are means of unit vectors, cosine argmax is the right
-    * metric for normalized embeddings). Centroid set is broadcast. */
+    * metric for normalized embeddings). Centroid set is broadcast; the
+    * argmax is a struct-max hash aggregate (map-side partial combine,
+    * so the shuffle carries ≤ one row per vector — a window over
+    * vec_id would sort-shuffle all n×k scored rows instead). */
   def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("cluster_id").asc)
     embeddings
       .crossJoin(broadcast(centroids))
-      .withColumn("cos_c",
-        cosineMixed(col("embedding"), col("centroid")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .drop("rnk", "cos_c")
+      .withColumn("cos_c", cosineMixed(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_c"), (-col("cluster_id")).as("neg_cid"),
+        col("embedding"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.neg_cid")).cast("int").as("cluster_id"),
+        col("best.embedding").as("embedding"))
   }
 
   /** Cosine between a float vector and a double centroid: the centroid

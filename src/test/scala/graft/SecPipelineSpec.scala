@@ -127,12 +127,21 @@ class SecPipelineSpec extends SparkSpec {
     assert(!byAdsh.contains("f3"), "unparseable period must be skipped")
     assert(byAdsh("f1").getAs[String]("symbol") == "acme")
     assert(byAdsh("f1").getAs[String]("endDate") == "2023-09-30")
+    // reference sets start_date = end_date = period (lines 84-88)
+    assert(byAdsh("f1").getAs[String]("startDate") == "2023-09-30")
+    assert(byAdsh("f1").getAs[String]("quarter") == "Q3")
+    assert(byAdsh("f1").getAs[Int]("year") == 2023)
+    // f2 has null fp/fy: reference yields str(nan) and int-default 0
+    assert(byAdsh("f2").getAs[String]("quarter") == "nan")
+    assert(byAdsh("f2").getAs[Int]("year") == 0)
     val data = byAdsh("f1").getStruct(byAdsh("f1").fieldIndex("data"))
     val bs = data.getSeq[org.apache.spark.sql.Row](0)
     val ic = data.getSeq[org.apache.spark.sql.Row](2)
     assert(bs.nonEmpty && ic.nonEmpty)
-    // first-match info: Revenue doc resolves to min(doc) deterministic
-    assert(ic.exists(_.getAs[String]("info") == "Revenue doc 2022"))
+    // label ← tag.doc (first match = min(doc), deterministic);
+    // info ← pre.plabel — the reference's mapping, lines 107-123
+    assert(ic.exists(_.getAs[String]("label") == "Revenue doc 2022"))
+    assert(ic.exists(_.getAs[String]("info") == "Total revenue"))
   }
 
   test("json views explode buckets; company merge dedups by symbol") {
