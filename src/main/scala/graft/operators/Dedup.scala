@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.TextExpressionFunctions.wordShinglesFast
 import graft.sources.Tables
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -56,15 +57,15 @@ object Dedup {
     * millionths for cross-engine hash stability. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxDocFreq: Long = 0): DataFrame = {
+    graft.functions.TextExpressionFunctions.register(docs.sparkSession)
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        wordShingles(tokens(col("text")), n).as("shingles"))
+        wordShinglesFast(tokens(col("text")), n).as("shingles"))
     // Materialize the inverted index once: it feeds four plan branches
-    // (both self-join sides + two size lookups), and recomputing the
-    // interpreted shingle build per branch dominates the query. At
-    // cluster scale this is where the index would be persisted to
-    // storage; locally localCheckpoint pins it in the block manager.
+    // (both self-join sides + two size lookups). At cluster scale this
+    // is where the index would be persisted to storage; locally
+    // localCheckpoint pins it in the block manager.
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .localCheckpoint()
     // shingles are distinct per doc, so set size = exploded row count —
@@ -72,10 +73,16 @@ object Dedup {
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered =
       if (maxDocFreq > 0) {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("s")
-        exploded.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= maxDocFreq).drop("df")
+        // Hot-shingle prune as an anti-join against the (small by
+        // construction at any cap) set of shingles in > maxDocFreq
+        // docs. A `count over (partition by s)` window would
+        // sort-shuffle the ENTIRE inverted index by shingle; the
+        // aggregate is map-side combined and AQE broadcasts the hot
+        // set into a narrow anti-join.
+        val hot = exploded.groupBy("s")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("s")
+        exploded.join(hot, Seq("s"), "left_anti")
       } else exploded
     val inter = filtered.as("a")
       .join(filtered.as("b"),
@@ -134,19 +141,20 @@ object Dedup {
     // Spread CPU-bound sketching across all cores: a small corpus read
     // from one parquet file is one partition, which would serialize the
     // whole signature computation onto a single task.
+    graft.functions.TextExpressionFunctions.register(docs.sparkSession)
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
     // The signature table feeds FOUR plan branches: both sides of the
     // band self-join plus the two broadcast re-attach joins (which have
     // DIFFERENT projections, so ReuseExchange cannot deduplicate them —
-    // relying on it re-ran the interpreted shingle build + 64-way min
-    // aggregate up to 4x, the measured source of this query's run-to-run
+    // relying on it re-ran the shingle build + 64-way min aggregate up
+    // to 4x, the measured source of this query's run-to-run
     // instability). The table itself is tiny (docs x numHashes longs);
     // materialize it once. At cluster scale this is the persisted
     // signature index.
     val sig = minHashSignatures(
       spread.select(col("doc_id"),
-        wordShingles(tokens(col("text")), n).as("shingles")),
+        wordShinglesFast(tokens(col("text")), n).as("shingles")),
       numHashes).localCheckpoint()
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),

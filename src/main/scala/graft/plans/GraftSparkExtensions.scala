@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductFloat, VectorFunctions}
+import graft.functions.{DotProductFloat, TextExpressionFunctions, VectorFunctions, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions available to ANY session (including pure-SQL users)
@@ -23,5 +23,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         VectorFunctions.dotName),
       (children: Seq[Expression]) =>
         DotProductFloat(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(TextExpressionFunctions.shinglesName),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName,
+        TextExpressionFunctions.shinglesName),
+      (children: Seq[Expression]) =>
+        WordShinglesExpr(children(0), children(1))))
   }
 }

@@ -17,6 +17,26 @@ class DedupSimilaritySpec extends SparkSpec {
     (4L, "unrelated words forming another document entirely for the test"))
     .toDF("doc_id", "text")
 
+  test("graft_shingles matches the HOF formulation bit-for-bit") {
+    graft.functions.TextExpressionFunctions.register(spark)
+    for (n <- Seq(2, 3, 5)) {
+      val fast = docs.select($"doc_id",
+        explode(graft.functions.TextExpressionFunctions
+          .wordShinglesFast(TextFunctions.tokens($"text"), n)).as("s"))
+      val hof = docs.select($"doc_id",
+        explode(TextFunctions.wordShingles(
+          TextFunctions.tokens($"text"), n)).as("s"))
+      assert(fast.exceptAll(hof).union(hof.exceptAll(fast)).count() == 0,
+        s"n=$n shingle mismatch")
+    }
+    // short doc guard: fewer tokens than n yields an empty set, not null
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(graft.functions.TextExpressionFunctions
+        .wordShinglesFast(TextFunctions.tokens($"text"), 3).as("sh"))
+      .collect()
+    assert(short.head.getSeq[String](0).isEmpty)
+  }
+
   test("exact dedup keeps first doc per identical text") {
     val out = Dedup.exactDedup(docs)
     assert(out.count() == 4)
