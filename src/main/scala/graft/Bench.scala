@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * codegen warm-up otherwise lands on whichever query runs first and
   * distorts it by ~15s), then each query timed on a count() action;
   * the reported figure is the MIN over SPARK_GRAFT_BENCH_REPS (default
-  * 2) interleaved rounds. Min-of-rounds is deliberate: this container
+  * 3) interleaved rounds. Min-of-rounds is deliberate: this container
   * runs on a host with BURSTY CPU STEAL — /proc/stat shows steal
   * spiking to 60-92% for tens of seconds at a time (measured while the
   * guest was otherwise idle), which stretched individual queries
@@ -50,7 +50,7 @@ object Bench {
     try SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt max 1
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt max 1
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = for (_ <- 1 to reps; name <- names) yield {
       dropPinnedBlocks()

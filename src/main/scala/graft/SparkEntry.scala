@@ -196,10 +196,11 @@ object SparkEntry {
            JOIN part ON l_partkey = p_partkey
            WHERE p_type LIKE 'STANDARD%')
          GROUP BY 1, 2, 3, 4, 5 ORDER BY o_orderkey, p_brand, rn""",
-    // --- extensions (q24/q25/q34 are Spark-only sketches: xxhash64-
-    // based, no portable SQL twin -> rows-only driver check; q27/q35/
-    // q36 are registered in exact-recovery configurations so their
-    // machinery hash-checks against brute-force SQL) ---
+    // --- extensions. Every sketch query is registered in a
+    // configuration DuckDB can recompute exactly: q24/q25/q34 use the
+    // portable md5-prefix hash family (TextFunctions.portableHash60 /
+    // MinHashParams), q27/q35/q36 run in exact-recovery
+    // configurations, so all hash-check rather than rows-only. ---
     "q22_exact_dup" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
@@ -222,6 +223,9 @@ object SparkEntry {
          FROM inter JOIN sizes s1 ON d1 = s1.doc_id
          JOIN sizes s2 ON d2 = s2.doc_id
          WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6 ORDER BY d1, d2""",
+    "q24_minhash_lsh" -> minHashOracleSql,
+    "q25_simhash" -> simHashOracleSql,
+    "q34_winnow" -> winnowOracleSql,
     "q26_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0)
@@ -327,4 +331,95 @@ object SparkEntry {
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
   )
+
+  // --- generated oracle SQL for the portable-hash sketch queries.
+  // The hash family constants come from the SAME Scala object the
+  // Spark expressions use (TextFunctions.MinHashParams), so the two
+  // engines provably evaluate the same functions. ---
+
+  /** `h`: the portable 60-bit md5-prefix hash reduced mod 2^31-1. */
+  private def sqlPortableH(of: String): String =
+    s"CAST(('0x' || substr(md5($of), 1, 15)) AS BIGINT)"
+
+  /** q24: the full MinHash+LSH pipeline — 3-gram shingles, 64
+    * universal-hash min-signatures, 16 band keys, bucket join,
+    * signature-estimated Jaccard >= 0.5 — mirrored in DuckDB. */
+  private lazy val minHashOracleSql: String = {
+    import graft.functions.TextFunctions.MinHashParams.{M, a, b}
+    val sigMins = (0 until 64)
+      .map(i => s"min((${a(i)} * h + ${b(i)}) % $M) AS m$i").mkString(",\n           ")
+    val bandSelects = (0 until 16).map { bd =>
+      val key = (0 until 4).map(j => s"CAST(m${bd * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, $key AS k FROM sig"
+    }.mkString("\n           UNION ALL ")
+    val eqSum = (0 until 64).map(i => s"CAST(s1.m$i = s2.m$i AS INT)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))) AS shingles
+           FROM documents),
+         hx AS (SELECT doc_id, ${sqlPortableH("s")} % $M AS h
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         sig AS (SELECT doc_id,
+           $sigMins
+           FROM hx GROUP BY doc_id),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+         est AS (SELECT d1, d2, ($eqSum) AS cnt
+                 FROM cand JOIN sig s1 ON d1 = s1.doc_id
+                 JOIN sig s2 ON d2 = s2.doc_id)
+         SELECT d1, d2, CAST(round(cnt / 64.0, 6) * 1000000 AS BIGINT) AS est_jac
+         FROM est WHERE cnt / 64.0 >= 0.5 ORDER BY d1, d2"""
+  }
+
+  /** q25: 60-bit portable SimHash — per-bit majority votes over token
+    * hashes, 4×15-bit pigeonhole chunk join, hamming <= 3. */
+  private lazy val simHashOracleSql: String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n           ")
+    val sigSum = (0 until 60)
+      .map(b => s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val chunkSelects = (0 until 4).map(i =>
+      s"SELECT doc_id, sig, $i AS ci, ((sig >> ${i * 15}) & 32767) AS cv FROM sig")
+      .mkString("\n           UNION ALL ")
+    s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+           FROM documents),
+         hx AS (SELECT doc_id, ${sqlPortableH("t")} AS h FROM tok),
+         votes AS (SELECT doc_id,
+           $votes
+           FROM hx GROUP BY doc_id),
+         sig AS (SELECT doc_id, ($sigSum) AS sig FROM votes),
+         chunks AS ($chunkSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                    a.sig AS g1, b.sig AS g2
+                  FROM chunks a JOIN chunks b
+                  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         SELECT d1, d2, CAST(bit_count(xor(g1, g2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(g1, g2)) <= 3 ORDER BY d1, d2"""
+  }
+
+  /** q34: winnowing with portable rolling 5-gram hashes, window 4 —
+    * distinct window minima per doc (all grams when fewer than a
+    * window, 0 when none). */
+  private lazy val winnowOracleSql: String =
+    s"""WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> ${sqlPortableH("array_to_string(toks[i:i+4], ' ')")}) AS grams
+           FROM t)
+         SELECT doc_id,
+           CAST(CASE WHEN len(grams) >= 4 THEN
+             len(list_distinct(list_transform(range(1, len(grams) - 2),
+               i -> list_min(grams[i:i+3]))))
+           ELSE len(list_distinct(grams)) END AS BIGINT) AS n_fp
+         FROM g ORDER BY doc_id"""
 }

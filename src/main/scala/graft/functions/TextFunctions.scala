@@ -71,6 +71,29 @@ object TextFunctions {
       .otherwise("de")
   }
 
+  /** Portable 60-bit string hash: the first 15 hex chars of md5 as a
+    * BIGINT. Chosen because every SQL engine computes the identical
+    * value (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)` in DuckDB), so
+    * sketches built on it are exactly oracle-checkable — unlike
+    * xxhash64, which is JVM-library-specific. ~10x the cost of
+    * xxhash64; the sketch operators default to xxhash64 and take this
+    * only in their portable (oracle-checked) configuration. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Universal-hash MinHash permutation family over the prime
+    * M = 2^31 - 1: perm_i(h) = (a_i * (h % M) + b_i) % M. All values
+    * stay below 2^62, so the arithmetic is exact (and identical) in
+    * any engine with 64-bit integers — no overflow, ANSI-safe. The
+    * constants are deterministic odd multipliers; shared between the
+    * Spark expressions and the generated oracle SQL so both engines
+    * evaluate the same family. */
+  object MinHashParams {
+    val M: Long = 2147483647L // 2^31 - 1, prime
+    def a(i: Int): Long = ((i.toLong * 2654435761L + 1013904223L) % (M - 1)) + 1
+    def b(i: Int): Long = (i.toLong * 97531L * 65537L + 17L) % M
+  }
+
   /** Canonical normalization for content fingerprinting: lowercase,
     * collapse every non-alphanumeric run to a single space, trim. */
   def normalizeForFingerprint(c: Column): Column =

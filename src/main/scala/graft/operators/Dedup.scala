@@ -117,12 +117,20 @@ object Dedup {
     * element, so 64 perms x shingles x rows all pay interpreter
     * overhead. Returns (doc_id, sig ARRAY<BIGINT>); docs with zero
     * shingles drop out (they cannot collide anyway). */
-  def minHashSignatures(docsWithShingles: DataFrame, numHashes: Int): DataFrame = {
+  def minHashSignatures(docsWithShingles: DataFrame, numHashes: Int,
+                        portable: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions.MinHashParams.{M, a, b}
     val ex = docsWithShingles
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      .select(col("doc_id"),
+        (if (portable) portableHash60(col("s")) % M
+         else xxhash64(col("s"))).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      val perm =
+        if (portable) (lit(a(i)) * col("h") + lit(b(i))) % lit(M)
+        else xxhash64(col("h"), lit(i))
+      min(perm).as(s"m$i")
+    }
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -135,7 +143,7 @@ object Dedup {
     * One shuffle on (band index, band hash) — bucket join, never n².
     * Output: (d1, d2, est = matching-minhash fraction in millionths). */
   def minHashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Spread CPU-bound sketching across all cores: a small corpus read
@@ -155,12 +163,15 @@ object Dedup {
     val sig = minHashSignatures(
       spread.select(col("doc_id"),
         wordShinglesFast(tokens(col("text")), n).as("shingles")),
-      numHashes).localCheckpoint()
+      numHashes, portable).localCheckpoint()
+    // Band bucket key: hashed to a long by default (compact shuffle
+    // key); the portable configuration keeps the raw comma-joined
+    // string so the oracle SQL can form the identical key.
     val bandStructs = (0 until bands).map { b =>
+      val joined = concat_ws(",", transform(
+        slice(col("sig"), b * r + 1, r), _.cast("string")))
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", transform(
-          slice(col("sig"), b * r + 1, r), _.cast("string"))))
-          .as("bucket"))
+        (if (portable) joined else xxhash64(joined)).as("bucket"))
     }
     // The band join and pair-dedup shuffle ONLY (doc, band, bucket) —
     // never the signature arrays (carrying two 64-element arrays per
@@ -223,16 +234,18 @@ object Dedup {
     * formulation carries a 64-slot vote array through interpreted
     * lambdas per token — measured ~5x slower and the source of this
     * query's bench variance. Identical output bit-for-bit. */
-  def simHashSignatures(docs: DataFrame): DataFrame = {
+  def simHashSignatures(docs: DataFrame, portable: Boolean = false): DataFrame = {
+    val bits = if (portable) 60 else 64
     val ex = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
+      .select(col("doc_id"),
+        (if (portable) portableHash60(col("t")) else xxhash64(col("t"))).as("h"))
+    val votes = (0 until bits).map(b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(-1L))
         .as(s"v$b"))
     ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
   }
@@ -242,15 +255,20 @@ object Dedup {
     * 16-bit chunks — by pigeonhole, any pair within hamming<=maxHamming
     * shares at least one exact chunk (maxHamming <= 3). Bucket-join on
     * (chunk index, chunk value), then verify with bit_count(xor). */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int,
+                   portable: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "chunk scheme covers hamming <= 3")
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism)
     // Materialized once (docs x 1 long): feeds both self-join sides.
-    val sigs = simHashSignatures(spread).localCheckpoint()
+    val sigs = simHashSignatures(spread, portable).localCheckpoint()
+    // 4 pigeonhole chunks: 16 bits each over the 64-bit sketch, 15
+    // bits each over the 60-bit portable sketch.
+    val chunkBits = if (portable) 15 else 16
+    val chunkMask = (1L << chunkBits) - 1
     val chunkStructs = (0 until 4).map { i =>
       struct(lit(i).as("ci"),
-        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cv"))
+        shiftright(col("sig"), i * chunkBits).bitwiseAND(chunkMask).as("cv"))
     }
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(array(chunkStructs: _*)).as("ch"))
@@ -263,7 +281,8 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.sig").as("s1"), col("b.sig").as("s2"))
       .dropDuplicates("d1", "d2")
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")

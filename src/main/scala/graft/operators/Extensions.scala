@@ -22,14 +22,25 @@ object Extensions {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.6,
       maxDocFreq = 50)
 
-  /** MinHash 64 perms, 16 bands × 4 rows, est-Jaccard >= 0.5. */
+  /** MinHash 64 perms, 16 bands × 4 rows, est-Jaccard >= 0.5 — in the
+    * portable-hash configuration (md5-prefix base hash + universal-
+    * hash permutations mod 2^31-1), which DuckDB computes identically,
+    * so the whole shingle→signature→band→verify pipeline hash-checks
+    * exactly. The xxhash64 configuration (same machinery, ~10x cheaper
+    * hashing — the at-scale default) is asserted in
+    * DedupSimilaritySpec. */
   def q24MinHashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(Tables.documents(s, d),
-      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5, portable = true)
 
-  /** SimHash near-dups at hamming <= 3. */
+  /** SimHash near-dups at hamming <= 3 — portable-hash configuration
+    * (60-bit md5-prefix token hashes, 4×15-bit pigeonhole chunks) so
+    * the sketch is exactly recomputable in the DuckDB oracle. The
+    * 64-bit xxhash64 configuration is the at-scale default, asserted
+    * in DedupSimilaritySpec. */
   def q25SimHash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(Tables.documents(s, d), maxHamming = 3)
+    Dedup.simHashPairs(Tables.documents(s, d), maxHamming = 3,
+      portable = true)
 
   /** Brute-force cosine top-10 for vec_id=0 (exact baseline). */
   def q26CosineTopK(s: SparkSession, d: String): DataFrame =
@@ -62,9 +73,12 @@ object Extensions {
   def q33MultimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.metadataQuery(s, d)
 
-  /** Winnowed fingerprint sketch sizes (Spark-only sketch). */
+  /** Winnowed fingerprint sketch sizes — portable-hash window
+    * formulation so DuckDB recomputes the sketch exactly. The narrow
+    * array formulation with xxhash64 ([[TextAnalysis.winnowQuery]]) is
+    * the at-scale default, asserted in TextAnalysisSpec. */
   def q34Winnow(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.winnowQuery(s, d)
+    TextAnalysis.winnowQueryPortable(s, d)
 
   /** IVF (inverted-file) top-10: 16-cluster k-means coarse quantizer,
     * registered in its exact-recovery configuration (nprobe = nClusters

@@ -73,4 +73,48 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(winnowMin(col("grams"), 4)).cast("long").as("n_fp"))
       .orderBy("doc_id")
+
+  /** Winnowing in its portable (oracle-checked) configuration: rolling
+    * k-gram hashes are [[portableHash60]] (cross-engine md5 prefix) and
+    * the sliding-window minimum runs as window functions over
+    * posexploded tokens — a formulation DuckDB evaluates identically.
+    * Same semantics as [[winnowQuery]]: distinct count of per-window
+    * minima when a doc has >= `window` grams, distinct count of the
+    * grams themselves when it has fewer, 0 when it has none.
+    *
+    * Scale note: this shape shuffles the token stream by doc_id for
+    * the two windows; the array formulation in [[winnowQuery]] is
+    * narrow (no shuffle) and keeps the fast 64-bit hash, so IT is the
+    * 100 TB path — this one exists so the sketch's machinery gets an
+    * exact cross-engine check rather than a rows-only count. */
+  def winnowQueryPortable(spark: SparkSession, dir: String,
+                          k: Int = 5, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val gramParts = col("w") +: (1 until k).map(j => lead(col("w"), j).over(byPos))
+    val grams = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("gram",
+        when(lead(col("w"), k - 1).over(byPos).isNotNull,
+          concat_ws(" ", gramParts: _*)))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos"), portableHash60(col("gram")).as("g"))
+    val winMin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val perDoc = grams
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("winmin", min(col("g")).over(winMin))
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("n_grams") < window ||
+        col("rn") <= col("n_grams") - window + 1)
+      .withColumn("fp", when(col("n_grams") >= window, col("winmin"))
+        .otherwise(col("g")))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+      .orderBy("doc_id")
+  }
 }

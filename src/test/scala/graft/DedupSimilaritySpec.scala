@@ -74,11 +74,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1000000L) // identical docs -> all minhashes equal
   }
 
+  test("portable minhash/simhash: identical docs collide exactly") {
+    val mh = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64, bands = 16,
+      threshold = 0.5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mh((0L, 1L)) == 1000000L) // identical docs: all 64 minima equal
+    val sh = Dedup.simHashPairs(docs, maxHamming = 3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sh((0L, 1L)) == 0L)
+    // portable sigs stay within 60 bits
+    val sigs = Dedup.simHashSignatures(docs, portable = true)
+      .collect().map(_.getLong(1))
+    assert(sigs.forall(s => s >= 0L && s < (1L << 60)))
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within 3") {
     val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val zero = pairs.find(p => (p._1, p._2) == (0L, 1L))
-    assert(zero.exists(_._3 == 0))
+    assert(zero.exists(_._3 == 0L))
   }
 
   test("winnowed fingerprints: identical docs share the full sketch") {

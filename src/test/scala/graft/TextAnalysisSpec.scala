@@ -40,6 +40,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().forall(_.getBoolean(0)))
   }
 
+  test("portable winnow matches array-formulation counts per doc") {
+    // Same hash family makes the two formulations directly comparable:
+    // rebuild the array formulation on portableHash60 and check equal
+    // n_fp per doc against the window formulation.
+    val arr = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        when(size($"toks") >= 5,
+          transform(sequence(lit(1), size($"toks") - lit(4)),
+            i => concat_ws(" ", slice($"toks", i, lit(5)))))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .select($"doc_id",
+        transform($"gs", g => portableHash60(g)).as("grams"))
+      .select($"doc_id",
+        size(winnowMin($"grams", 4)).cast("long").as("n_fp"))
+    val win = TextAnalysis.winnowQueryPortable(spark, sf0001)
+    assert(win.exceptAll(arr).union(arr.exceptAll(win)).count() == 0)
+    assert(win.count() ==
+      graft.sources.Tables.documents(spark, sf0001).count())
+  }
+
   test("quality and token queries produce full per-doc coverage") {
     val q = TextAnalysis.qualityQuery(spark, sf0001)
     val t = TextAnalysis.tokenCountQuery(spark, sf0001)
