@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_embed_neardup"    -> (Extensions.q35EmbedNearDup _),
     "q36_ivf_topk"         -> (Extensions.q36IvfTopK _),
     "q37_multimodal_decode" -> (Extensions.q37MultimodalDecode _),
+    "q38_salted_join"      -> (Queries.q38SaltedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,6 +87,13 @@ object SparkEntry {
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_price
          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
          GROUP BY 1, 2 ORDER BY s_suppkey""",
+    // q38 = q04's join through the explicit salting strategy; salting
+    // must not change the result, so the oracle is the PLAIN join.
+    "q38_salted_join" ->
+      """SELECT s_suppkey AS suppkey, s_name, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_price
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         GROUP BY 1, 2 ORDER BY suppkey""",
     "q05_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

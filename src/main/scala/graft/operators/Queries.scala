@@ -138,6 +138,25 @@ object Queries {
         decSum(col("l_extendedprice")).as("total_price"))
       .orderBy("s_suppkey")
 
+  /** The fan-out join executed through the explicit SALTING strategy
+    * ([[JoinStrategies.saltedEquiJoin]]): the fact side's key is split
+    * over 8 synthetic sub-keys and the dimension side replicated
+    * across them, so no single reducer ever owns a whole hot key —
+    * the 100 TB answer to degenerate key skew that AQE's threshold-
+    * based skew split does not catch. Result set is provably identical
+    * to the plain join, which is exactly what the oracle checks. */
+  def q38SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    JoinStrategies.saltedEquiJoin(li, sup, "suppkey", saltFactor = 8)
+      .groupBy("suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice")).as("total_price"))
+      .orderBy("suppkey")
+  }
+
   /** J3 left-anti join: FK-orphan finder (reference
     * tests/num_validation/test_foreign_key_integrity.sql:1-4) —
     * customers with no orders. */

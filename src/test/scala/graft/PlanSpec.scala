@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_extendedprice"), p)
   }
 
+  test("q03 forces no broadcast: scaling tables are left to AQE") {
+    // customer scales with the data (the SEC `sub` analogue grows per
+    // quarter) — a forced broadcast would OOM at 100x. Only
+    // fixed-cardinality dims may carry hints.
+    val lp = Queries.q03ServingStatementQuery(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), lp.take(1500))
+    // dims (nation/region-class) keep their explicit broadcast in q06
+    val q06 = Queries.q06BroadcastLookup(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(q06.contains("hints=[broadcast]") || planString(
+      Queries.q06BroadcastLookup(spark, sf0001)).contains("BroadcastHashJoin"))
+  }
+
+  test("q38 salted join distributes each key over salt sub-keys") {
+    val p = planString(Queries.q38SaltedJoin(spark, sf0001))
+    assert(p.contains("__salt") || p.contains("pmod"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the extension projections (no UDFs)") {
     val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
     val p = df.queryExecution.explainString(
