@@ -88,7 +88,7 @@ object Extensions {
     * in DedupSimilaritySpec. */
   def q36IvfTopK(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryId = 0, k = 10,
-      nClusters = 16, nprobe = 16)
+      nClusters = 16, nprobe = 16, cacheKey = Some(d))
 
   /** Multimodal batch-decode plumbing (mapPartitions + stub codec):
     * per-doc decoded dimensions. */
