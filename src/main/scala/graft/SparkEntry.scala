@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Extensions, Queries}
+import graft.operators.{Extensions, PrepPipeline, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_ivf_topk"         -> (Extensions.q36IvfTopK _),
     "q37_multimodal_decode" -> (Extensions.q37MultimodalDecode _),
     "q38_salted_join"      -> (Queries.q38SaltedJoin _),
+    "q39_prep_pipeline"    -> ((s, d) => PrepPipeline.prepQuery(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -231,6 +232,39 @@ object SparkEntry {
          FROM inter JOIN sizes s1 ON d1 = s1.doc_id
          JOIN sizes s2 ON d2 = s2.doc_id
          WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6 ORDER BY d1, d2""",
+    // q39 composes quality gate -> language gate -> exact dedup; every
+    // stage is portable by construction, so the composed pipeline
+    // hash-checks end to end.
+    "q39_prep_pipeline" ->
+      """WITH p AS (
+           SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+           FROM documents),
+         s AS (SELECT doc_id, text, n_words,
+           CAST((length(pt)-length(replace(pt,' the ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' and ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' of ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' is ','')))/4 AS BIGINT) AS en,
+           CAST((length(pt)-length(replace(pt,' le ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' la ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' et ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' les ','')))/5 AS BIGINT) AS fr,
+           CAST((length(pt)-length(replace(pt,' el ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' los ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' que ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' y ','')))/3 AS BIGINT) AS es,
+           CAST((length(pt)-length(replace(pt,' der ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' und ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' die ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' ist ','')))/5 AS BIGINT) AS de
+           FROM p WHERE n_words >= 20),
+         gated AS (
+           SELECT doc_id, n_words,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+           FROM s WHERE en >= fr AND en >= es AND en >= de)
+         SELECT doc_id, fp, n_words FROM gated
+         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
     "q24_minhash_lsh" -> minHashOracleSql,
     "q25_simhash" -> simHashOracleSql,
     "q34_winnow" -> winnowOracleSql,

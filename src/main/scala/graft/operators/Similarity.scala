@@ -80,16 +80,30 @@ object Similarity {
   /** Approximate top-k: only candidates in the query's hyperplane bucket
     * are scored. With `planes` bits the expected candidate fraction is
     * 2^-planes of the corpus; recall for high-cosine neighbors stays
-    * high because near-parallel vectors agree on most sign bits. */
+    * high because near-parallel vectors agree on most sign bits.
+    *
+    * `probeFlips` enables multi-probe: also probe the buckets at
+    * hamming distance 1 from the query's (one per flipped plane,
+    * `probeFlips <= planes` of them) — the standard recall/cost dial
+    * for sign-bit LSH. Scanned fraction grows to (1+probeFlips)/2^planes
+    * while recovering neighbors that disagree on exactly one close
+    * hyperplane. The probe set stays a broadcast (tiny) side. */
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
-              planes: Int): DataFrame = {
+              planes: Int, probeFlips: Int = 0): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    val q = bucketed.filter(col("vec_id") === queryId)
+    val q0 = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    val flips = lit(0L) +:
+      (0 until math.min(probeFlips, math.max(planes, 0))).map(p => lit(1L << p))
+    val q = q0.select(col("q_emb"),
+      explode(array(flips.map(f => col("q_bucket").bitwiseXOR(f)): _*))
+        .as("q_bucket"))
+    // no dedup needed: a vector lives in exactly one bucket, and the
+    // probe buckets are distinct, so each candidate matches once
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))

@@ -115,6 +115,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // LSH candidates are a subset of the corpus; sanity: results are
     // scored identically, so any overlap must preserve brute ordering.
     assert(lsh.toSet.subsetOf(emb.select("vec_id").as[Long].collect().toSet))
+    // multi-probe widens the candidate set monotonically (hamming-1
+    // buckets added): with k above every pool size, single-probe
+    // results must be a strict subset of multi-probe results
+    val all = emb.count().toInt + 1
+    val mp = Similarity.lshTopK(emb, queryId = 0, k = all, planes = 4,
+      probeFlips = 4).collect().map(_.getLong(0))
+    val sp = Similarity.lshTopK(emb, queryId = 0, k = all, planes = 4)
+      .collect().map(_.getLong(0))
+    assert(sp.toSet.subsetOf(mp.toSet))
+    assert(mp.length > sp.length, s"multi-probe ${mp.length} vs ${sp.length}")
   }
 
   test("IVF topk probes a cluster subset, deterministic, well-formed") {
