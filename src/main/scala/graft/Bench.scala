@@ -41,6 +41,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; ~39 queries
+      // x several codegen stages evict every class between rounds, so
+      // the wide sketch aggregates (60-64 buffers, seconds of janino
+      // compile each) were recompiling once per round — measured as a
+      // stable +10s on q25 that no profiling of the query alone
+      // reproduced. Static conf: must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def dropPinnedBlocks(): Unit =
