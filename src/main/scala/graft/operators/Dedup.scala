@@ -204,6 +204,30 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** LSH band calibration for [[minHashLshPairs]]: with `b` bands of
+    * `r` rows, a pair of true Jaccard `s` becomes a candidate with
+    * probability 1 - (1 - s^r)^b — an S-curve whose inflection sits
+    * near (1/b)^(1/r). Picking bands is the recall/cost contract: more
+    * bands catch lower similarities but fan out more candidate pairs.
+    * At 100 TB this one knob decides whether the band join produces
+    * millions or trillions of candidates. */
+  object MinHashTuning {
+
+    /** P(pair becomes a candidate | true Jaccard = s). */
+    def collisionProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+    /** The similarity at the S-curve inflection for a configuration. */
+    def curveThreshold(bands: Int, rowsPerBand: Int): Double =
+      math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+    /** The band count (a divisor of `numHashes`) whose S-curve
+      * inflection lands closest to the requested threshold. */
+    def bandsFor(numHashes: Int, threshold: Double): Int =
+      (1 to numHashes).filter(numHashes % _ == 0)
+        .minBy(b => math.abs(curveThreshold(b, numHashes / b) - threshold))
+  }
+
   // ---------------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------------

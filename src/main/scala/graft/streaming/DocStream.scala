@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions.fingerprint
+
+/** Streaming ingest-time deduplication for the training-data pipeline:
+  * the streaming twin of [[graft.operators.Dedup.exactDedup]].
+  *
+  * Batch dedup re-scans the full corpus; at ingest the idiomatic Spark
+  * shape is `dropDuplicatesWithinWatermark` over the content
+  * fingerprint — one stateful operator whose state holds ONE entry per
+  * distinct fingerprint seen within the watermark horizon and is
+  * EVICTED as event time advances, so memory is bounded by the arrival
+  * rate x horizon, not by corpus size. Exactly the posture a 100 TB
+  * corpus needs: duplicates cluster in time (re-crawls, mirror
+  * batches), so a bounded horizon catches them without holding the
+  * full fingerprint set forever; the periodic batch dedup sweeps the
+  * long tail.
+  */
+object DocStream {
+
+  /** Streamed document drops (JSONL): arrival-stamped text rows. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  def readDocStream(spark: SparkSession, dropDir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "16")
+      .json(dropDir)
+
+  /** One row per content fingerprint within the watermark horizon;
+    * duplicate arrivals (same normalized text) are dropped in-flight. */
+  def dedupedDocs(docs: DataFrame, horizon: String): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Drain the drop dir through the dedup into a parquet sink, then
+    * stop (AvailableNow; checkpointed state carries the seen-set
+    * across invocations, so a duplicate arriving in a LATER drain is
+    * still dropped while inside the horizon). */
+  def dedupAvailableNow(spark: SparkSession, dropDir: String, outDir: String,
+                        checkpointDir: String,
+                        horizon: String = "1 hour"): StreamingQuery = {
+    val q = dedupedDocs(readDocStream(spark, dropDir), horizon)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

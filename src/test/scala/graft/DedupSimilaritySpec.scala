@@ -74,6 +74,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1000000L) // identical docs -> all minhashes equal
   }
 
+  test("minhash tuning: S-curve is monotone and bandsFor hits the knee") {
+    import Dedup.MinHashTuning._
+    // monotone in s for any configuration
+    val ss = (1 to 9).map(_ / 10.0)
+    for ((b, r) <- Seq((16, 4), (8, 8), (32, 2)))
+      assert(ss.map(collisionProbability(_, b, r)) ==
+        ss.map(collisionProbability(_, b, r)).sorted)
+    // the engine's registered configuration (16x4) targets ~0.5
+    assert(math.abs(curveThreshold(16, 4) - 0.5) < 0.1)
+    assert(bandsFor(64, 0.5) == 16)
+    // more bands -> higher recall at fixed s
+    assert(collisionProbability(0.4, 32, 2) >
+      collisionProbability(0.4, 8, 8))
+  }
+
   test("portable minhash/simhash: identical docs collide exactly") {
     val mh = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64, bands = 16,
       threshold = 0.5, portable = true)

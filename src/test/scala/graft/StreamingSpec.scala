@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getLong(1) == 2 && rows.head.getDouble(2) == 3.0)
   }
 
+  test("streaming dedup drops duplicate content within the horizon") {
+    import graft.streaming.DocStream
+    val drop = tmpDir("doc_drop")
+    val out = tmpDir("doc_out")
+    val ckpt = tmpDir("doc_ckpt")
+    // b1: docs 1/2 identical content (punctuation differs -> same
+    // fingerprint), doc 3 distinct
+    writeDrop(drop, "b1.json", Seq(
+      """{"doc_id":1,"ts":"2024-01-01T00:00:10Z","text":"Hello, World!","source":"a"}""",
+      """{"doc_id":2,"ts":"2024-01-01T00:00:20Z","text":"hello   world","source":"b"}""",
+      """{"doc_id":3,"ts":"2024-01-01T00:00:30Z","text":"something else","source":"a"}"""))
+    DocStream.dedupAvailableNow(spark, drop, out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+    // b2: another duplicate of doc 1 arrives in a LATER drain, still
+    // within the horizon -> checkpointed state drops it; doc 5 is new
+    writeDrop(drop, "b2.json", Seq(
+      """{"doc_id":4,"ts":"2024-01-01T00:10:00Z","text":"HELLO WORLD","source":"c"}""",
+      """{"doc_id":5,"ts":"2024-01-01T00:10:10Z","text":"fresh content","source":"c"}"""))
+    DocStream.dedupAvailableNow(spark, drop, out, ckpt)
+    val docs = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(docs == Set(1L, 3L, 5L), docs.toSeq.sorted.mkString(","))
+  }
+
   test("watermarked windowed aggregation groups by event-time minute") {
     val drop = tmpDir("stream_drop2")
     val ckpt = tmpDir("stream_ckpt2")
