@@ -62,6 +62,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles kernel equals a naive sliding-window reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "a"))
+    for (n <- Seq(1, 2, 3, 5)) forAll(words) { ws =>
+      val arr = new GenericArrayData(
+        ws.map(w => UTF8String.fromString(w)).toArray[Any])
+      val got = graft.functions.ShingleUtil.shingles(arr, n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val expected = ws.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.distinct
+      assert(got == expected, s"n=$n ws=$ws")
+    }
+  }
+
+  test("portable hash60 matches md5 prefix and stays in [0, 2^60)") {
+    val strs = Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("", " ", "héllo", "a b"))
+    forAll(Gen.listOfN(10, strs)) { values =>
+      val out = values.map(Tuple1(_)).toDF("s")
+        .select(TextFunctions.portableHash60($"s").as("h"),
+          substring(md5($"s"), 1, 15).as("hex"))
+        .collect()
+      out.foreach { r =>
+        val h = r.getLong(0)
+        assert(h >= 0L && h < (1L << 60))
+        assert(h == java.lang.Long.parseLong(r.getString(1), 16),
+          s"hash/hex mismatch: $h vs ${r.getString(1)}")
+      }
+    }
+  }
+
   test("fingerprint invariance: any whitespace/punct layout hashes equal") {
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     forAll(Gen.listOfN(5, word)) { ws =>
