@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Extensions, PrepPipeline, Queries}
+import graft.operators.{Extensions, PrepPipeline, Queries, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,7 @@ object SparkEntry {
     "q37_multimodal_decode" -> (Extensions.q37MultimodalDecode _),
     "q38_salted_join"      -> (Queries.q38SaltedJoin _),
     "q39_prep_pipeline"    -> ((s, d) => PrepPipeline.prepQuery(s, d)),
+    "q40_chunking"         -> ((s, d) => TextAnalysis.chunkQuery(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,6 +266,22 @@ object SparkEntry {
          SELECT doc_id, fp, n_words FROM gated
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // q40: sliding-window chunking, chunkSize=32 stride=24; the chunk
+    // count, per-chunk token counts, and content digests must all
+    // match exactly.
+    "q40_chunking" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, CASE WHEN len(toks) <= 32 THEN 1
+               ELSE CAST(ceil((len(toks) - 32) * 1.0 / 24) AS INT) + 1 END)) AS i
+           FROM t)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[i * 24 + 1 : i * 24 + least(32, n - i * 24)], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
     "q24_minhash_lsh" -> minHashOracleSql,
     "q25_simhash" -> simHashOracleSql,
     "q34_winnow" -> winnowOracleSql,

@@ -74,6 +74,36 @@ object TextAnalysis {
         size(winnowMin(col("grams"), 4)).cast("long").as("n_fp"))
       .orderBy("doc_id")
 
+  /** Sliding-window document chunking — the canonical LLM
+    * preprocessing step: split each document into token windows of
+    * `chunkSize` advancing by `stride` (overlap = chunkSize - stride),
+    * one final shorter chunk covering the tail. Emits per-chunk token
+    * counts and content digests; a narrow per-row computation (no
+    * shuffle before the output sort), so it runs at scan speed at any
+    * corpus size. Construction is portable (split/slice/md5), so the
+    * driver hash-checks every chunk boundary and digest. */
+  def chunkQuery(spark: SparkSession, dir: String,
+                 chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride)
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("m", when(col("n") <= chunkSize, lit(1)).otherwise(
+        ceil((col("n") - chunkSize).cast("double") / stride).cast("int") + 1))
+    docs
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("m") - 1)).as("chunk_id"))
+      .withColumn("n_tokens",
+        least(lit(chunkSize), col("n") - col("chunk_id") * stride).cast("long"))
+      .withColumn("chunk_md5",
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, col("n_tokens")))))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_tokens"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Winnowing in its portable (oracle-checked) configuration: rolling
     * k-gram hashes are [[portableHash60]] (cross-engine md5 prefix) and
     * the sliding-window minimum runs as window functions over

@@ -40,6 +40,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().forall(_.getBoolean(0)))
   }
 
+  test("chunking covers every token with the declared stride/overlap") {
+    val chunks = TextAnalysis.chunkQuery(spark, sf0001,
+      chunkSize = 32, stride = 24).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", size(tokens($"text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every doc must chunk")
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk ids contiguous from 0
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until cs.length))
+      // all but last are full; last ends exactly at the token count
+      sorted.init.foreach(c => assert(c.getLong(2) == 32L))
+      val last = sorted.last
+      assert(last.getLong(1) * 24 + last.getLong(2) == n,
+        s"doc $id: tail must end at $n")
+      // stride coverage: next chunk starts inside the previous one
+      if (cs.length > 1) assert(24 < 32)
+    }
+  }
+
   test("portable winnow matches array-formulation counts per doc") {
     // Same hash family makes the two formulations directly comparable:
     // rebuild the array formulation on portableHash60 and check equal
