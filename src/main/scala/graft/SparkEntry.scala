@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_salted_join"      -> (Queries.q38SaltedJoin _),
     "q39_prep_pipeline"    -> ((s, d) => PrepPipeline.prepQuery(s, d)),
     "q40_chunking"         -> ((s, d) => TextAnalysis.chunkQuery(s, d)),
+    "q41_asof_join"        -> (Extensions.q41AsOfJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,6 +267,26 @@ object SparkEntry {
          SELECT doc_id, fp, n_words FROM gated
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // q41: the window-composed as-of join checked against DuckDB's
+    // NATIVE ASOF JOIN — an independent reference implementation of
+    // the operator's semantics.
+    "q41_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         purch AS (
+           SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                 ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase')
+           WHERE rn = 1)
+         SELECT c.user_id, c.event_id,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS ts_ms,
+           p.value AS last_purchase_value,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ts_ms
+         FROM clicks c ASOF LEFT JOIN purch p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.user_id, c.event_id""",
     // q40: sliding-window chunking, chunkSize=32 stride=24; the chunk
     // count, per-chunk token counts, and content digests must all
     // match exactly.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Driver-contract wrappers for the beyond-parity LLM-pipeline
@@ -97,6 +98,31 @@ object Extensions {
     Multimodal.decodeFeatures(s, d).toDF()
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
       .orderBy("doc_id")
+  }
+
+  /** q41: as-of join over the event stream — each click attached to
+    * the user's most recent purchase at-or-before it (backward
+    * inclusive), null when none precedes. Purchases pre-deduped to
+    * one row per (user, ts) for determinism. DuckDB's native ASOF
+    * JOIN is the oracle, so the composed window formulation is
+    * checked against a reference implementation of the operator. */
+  def q41AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val dedup = Window.partitionBy("user_id", "ts")
+      .orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(dedup)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOfJoin(clicks, purchases, "user_id", "ts",
+      attach = Seq("value", "ts"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("asof_value").as("last_purchase_value"),
+        unix_millis(col("asof_ts")).as("purchase_ts_ms"))
+      .orderBy("user_id", "event_id")
   }
 
   /** Embedding similar pairs at cosine>=0.3, registered in the

@@ -5,6 +5,31 @@ import graft.operators.JoinStrategies
 import graft.sources.Tables
 
 class JoinStrategiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: backward inclusive, null before first build row") {
+    val probe = Seq(
+      (1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 250L), (1L, 13L, 400L),
+      (2L, 20L, 150L)) // user 2 has no purchases at all
+      .toDF("user_id", "event_id", "t")
+    val build = Seq(
+      (1L, 200L, 5.0), // exactly at probe 11's time -> inclusive match
+      (1L, 300L, 7.0)) // between probes 12 and 13
+      .toDF("user_id", "t", "v")
+    val out = graft.operators.AsOfJoin
+      .asOfJoin(probe, build, "user_id", "t", Seq("v", "t"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => r.getLong(1) ->
+        (Option(r.get(r.fieldIndex("asof_v"))),
+          Option(r.get(r.fieldIndex("asof_t")))))
+      .toMap
+    assert(out(10L) == (None, None))            // before any build row
+    assert(out(11L) == (Some(5.0), Some(200L))) // tie is inclusive
+    assert(out(12L) == (Some(5.0), Some(200L)))
+    assert(out(13L) == (Some(7.0), Some(300L))) // picks the LATEST <=
+    assert(out(20L) == (None, None))            // key with no build rows
+  }
 
   test("bucketed join on matching bucketing elides the shuffle") {
     val li = Tables.lineitem(spark, sf0001)
