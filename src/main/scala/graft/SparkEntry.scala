@@ -62,6 +62,7 @@ object SparkEntry {
     "q39_prep_pipeline"    -> ((s, d) => PrepPipeline.prepQuery(s, d)),
     "q40_chunking"         -> ((s, d) => TextAnalysis.chunkQuery(s, d)),
     "q41_asof_join"        -> (Extensions.q41AsOfJoin _),
+    "q42_range_join"       -> (Extensions.q42RangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -267,6 +268,19 @@ object SparkEntry {
          SELECT doc_id, fp, n_words FROM gated
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // q42: the bucketed range join; integer-ms comparisons make the
+    // plain theta join an exact oracle.
+    "q42_range_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id AS click_id, CAST(epoch_ms(ts) AS BIGINT) AS t
+           FROM events WHERE event_type = 'click'),
+         err AS (
+           SELECT user_id, event_id AS err_id, CAST(epoch_ms(ts) AS BIGINT) AS et
+           FROM events WHERE event_type = 'error')
+         SELECT c.user_id, click_id, err_id, (t - et) AS delta_ms
+         FROM clicks c JOIN err e
+           ON c.user_id = e.user_id AND c.t BETWEEN e.et - 600000 AND e.et + 600000
+         ORDER BY c.user_id, click_id, err_id""",
     // q41: the window-composed as-of join checked against DuckDB's
     // NATIVE ASOF JOIN — an independent reference implementation of
     // the operator's semantics.

@@ -125,6 +125,27 @@ object Extensions {
       .orderBy("user_id", "event_id")
   }
 
+  /** q42: bucketed range join over the event stream — every click
+    * within ±10min of an error by the same user (bucket width 20min, so
+    * each window spans ≤ 2 buckets). Times compare as integer epoch
+    * millis on both engines, so the plain theta-join SQL is an exact
+    * oracle for the bucketed formulation. */
+  def q42RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("t"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        (unix_millis(col("ts")) - 600000L).as("w_start"),
+        (unix_millis(col("ts")) + 600000L).as("w_end"))
+    JoinStrategies.rangeJoin(clicks, errors, "user_id", "t",
+      "w_start", "w_end", bucketWidth = 1200000L)
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        (col("t") - col("w_start") - 600000L).as("delta_ms"))
+      .orderBy("user_id", "click_id", "err_id")
+  }
+
   /** Embedding similar pairs at cosine>=0.3, registered in the
     * exact-recovery configuration (planes = 0 → one bucket → all pairs
     * verified) so the driver hash-checks the pair semantics against a

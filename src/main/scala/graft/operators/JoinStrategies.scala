@@ -38,6 +38,37 @@ object JoinStrategies {
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Bucketed range join: points ⋈ intervals on `key` with
+    * `start <= t <= end` — the interval operator Spark would otherwise
+    * plan as a broadcast-nested-loop (every point against every
+    * interval per key). Both sides hash into fixed-width time buckets:
+    * a point lands in one bucket, an interval explodes into the
+    * buckets it overlaps (≤ 1 + duration/bucketWidth), and the
+    * equi-join on (key, bucket) meets only temporally-close pairs —
+    * candidate count tracks true matches, not |points| × |intervals|.
+    * Each true pair meets in exactly one bucket (the point's), so no
+    * dedup pass is needed. `bucketWidth` tunes candidate fan-out: of
+    * the order of the typical interval duration is right; much smaller
+    * explodes long intervals into many buckets, much larger admits
+    * far-apart candidates.
+    *
+    * Time columns must be NUMERIC (e.g. epoch millis) — integer
+    * comparisons are exact and identical across engines, where
+    * timestamp-typed comparisons inherit each engine's precision. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                pointTime: String, start: String, end: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val pb = points.withColumn("__bucket",
+      floor(col(pointTime) / bucketWidth))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(start) / bucketWidth),
+        floor(col(end) / bucketWidth))))
+    pb.join(ib, Seq(key, "__bucket"))
+      .filter(col(pointTime) >= col(start) && col(pointTime) <= col(end))
+      .drop("__bucket")
+  }
+
   /** Inner equi-join with salting: the large side gets a deterministic
     * content-derived salt in [0, saltFactor), the small side is
     * replicated across every salt value, and the join key becomes

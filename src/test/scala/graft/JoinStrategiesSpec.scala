@@ -7,6 +7,28 @@ import graft.sources.Tables
 class JoinStrategiesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bucketed range join equals the naive theta join, bounds inclusive") {
+    val points = Seq(
+      (1L, 100L, 0L), (1L, 101L, 999L), (1L, 102L, 1000L), (1L, 103L, 2500L),
+      (2L, 200L, 500L))
+      .toDF("k", "pid", "t")
+    // interval (1, 10, [1000, 2600]) crosses a 1000-wide bucket border
+    val intervals = Seq(
+      (1L, 10L, 1000L, 2600L), (1L, 11L, 0L, 999L), (2L, 20L, 2000L, 3000L))
+      .toDF("k", "iid", "s", "e")
+    val fast = JoinStrategies.rangeJoin(points, intervals, "k", "t", "s", "e",
+      bucketWidth = 1000L)
+      .select("k", "pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = points.join(intervals, Seq("k"))
+      .filter($"t" >= $"s" && $"t" <= $"e")
+      .select("k", "pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == naive)
+    assert(fast == Set((1L, 100L, 11L), (1L, 101L, 11L), // end inclusive
+      (1L, 102L, 10L), (1L, 103L, 10L)))                 // start inclusive
+  }
+
   test("as-of join: backward inclusive, null before first build row") {
     val probe = Seq(
       (1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 250L), (1L, 13L, 400L),
