@@ -125,15 +125,25 @@ object Dedup {
       .select(col("doc_id"),
         (if (portable) portableHash60(col("s")) % M
          else xxhash64(col("s"))).as("h"))
-    val aggs = (0 until numHashes).map { i =>
-      val perm =
-        if (portable) (lit(a(i)) * col("h") + lit(b(i))) % lit(M)
-        else xxhash64(col("h"), lit(i))
-      min(perm).as(s"m$i")
+    if (portable) {
+      // Universal-hash permutations as composed min-aggregates: every
+      // arithmetic step must be expressible in the oracle SQL, so the
+      // custom aggregate below is not usable here.
+      val aggs = (0 until numHashes).map { i =>
+        min((lit(a(i)) * col("h") + lit(b(i))) % lit(M)).as(s"m$i")
+      }
+      ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    } else {
+      // At-scale path: one TypedImperativeAggregate sketch buffer
+      // instead of numHashes separate min() aggregates (bit-identical
+      // output, constant-size generated class — see MinHashSigAgg).
+      graft.functions.SketchFunctions.register(docsWithShingles.sparkSession)
+      ex.groupBy("doc_id")
+        .agg(graft.functions.SketchFunctions
+          .minHashSig(col("h"), numHashes).as("sig"))
     }
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Candidate near-dup pairs via banded LSH over MinHash signatures,

@@ -74,6 +74,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1000000L) // identical docs -> all minhashes equal
   }
 
+  test("minhash sketch aggregate equals the composed min(xxhash64) form") {
+    graft.functions.TextExpressionFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
+    val ex = docs.select($"doc_id",
+      explode(graft.functions.TextExpressionFunctions
+        .wordShinglesFast(TextFunctions.tokens($"text"), 3)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val viaAgg = ex.groupBy("doc_id")
+      .agg(graft.functions.SketchFunctions.minHashSig($"h", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mins = (0 until 16).map(i => min(xxhash64($"h", lit(i))).as(s"m$i"))
+    val viaComposed = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getLong(_)).toSeq).toMap
+    assert(viaAgg == viaComposed)
+    // SQL surface works too (registered function)
+    docs.createOrReplaceTempView("mh_docs")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(xxhash64(text), 4) AS sig
+         FROM mh_docs GROUP BY doc_id""").collect()
+    assert(sqlRows.length == docs.count())
+  }
+
   test("minhash tuning: S-curve is monotone and bandsFor hits the knee") {
     import Dedup.MinHashTuning._
     // monotone in s for any configuration
