@@ -69,6 +69,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt") || p.contains("pmod"), p.take(2000))
   }
 
+  test("q41 as-of join plans exactly one shuffle before the output sort") {
+    val p = planString(graft.operators.Extensions.q41AsOfJoin(spark, sf0001))
+    // exactly: the purchase-dedup window's (user, ts) exchange, the
+    // as-of window's (user) exchange, and the final orderBy range
+    // exchange — the as-of itself adds ONE shuffle and no join
+    // operator at all (a theta-join formulation would nested-loop)
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).toSeq
+    assert(exchanges.length == 3, s"expected 3 exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "as-of composes windows, not a join")
+  }
+
+  test("q42 range join stays an equi-join (no nested loop)") {
+    val p = planString(graft.operators.Extensions.q42RangeJoin(spark, sf0001))
+    assert(!p.contains("NestedLoopJoin"),
+      "bucketed range join must plan as an equi-join:\n" + p.take(1200))
+  }
+
+  test("minhash sketch aggregate plans as ObjectHashAggregate") {
+    graft.functions.SketchFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SketchFunctions.minHashSig(col("h"), 8))
+    val p = planString(df)
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("partial_"), "map-side partial expected:\n" + p.take(1200))
+  }
+
   test("whole-stage codegen covers the extension projections (no UDFs)") {
     val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
     val p = df.queryExecution.explainString(
