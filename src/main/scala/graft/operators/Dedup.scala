@@ -52,9 +52,17 @@ object Dedup {
     * the shingle (co-occurrence count = |A∩B|), combine with per-doc
     * shingle counts for |A∪B|. `maxDocFreq` drops shingles occurring in
     * more than that many docs — stop-shingles contribute little to
-    * Jaccard but dominate join fan-out at scale (0 = keep all, used for
-    * the oracle-checked query). Output jaccard is scaled to integer
-    * millionths for cross-engine hash stability. */
+    * Jaccard but dominate join fan-out at scale (0 = keep all). Output
+    * jaccard is scaled to integer millionths for cross-engine hash
+    * stability.
+    *
+    * Calibrate `maxDocFreq` ABOVE the expected duplicate-family size:
+    * every shingle of a family of k near-identical docs has doc
+    * frequency >= k, so a cap below k prunes the very shingles that
+    * connect the family (measured: a 10x-replicated corpus under a
+    * cap sized for 1x returns zero pairs). MinHash+LSH has no such
+    * knob-vs-recall coupling — at high duplication rates it is the
+    * safer primary, with Jaccard as the verifier. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxDocFreq: Long = 0): DataFrame = {
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
