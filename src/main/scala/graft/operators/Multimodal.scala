@@ -77,6 +77,31 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+                        thumb: Array[Byte])
+
+  /** Batch "resize" via typed mapPartitions — same shape as
+    * [[decodeFeatures]]: a real pipeline would decode, scale to
+    * (targetW, targetH), and re-encode per partition-initialized codec.
+    * The stub downsamples the payload bytes to a fixed-length thumb
+    * deterministically (every ceil(n/len)-th byte), so output size and
+    * content are stable and testable; swap the body for a real scaler
+    * without touching the plumbing. */
+  def resizeThumbs(spark: SparkSession, dir: String, targetW: Int,
+                   targetH: Int, thumbLen: Int = 64): Dataset[ResizedRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      // (real pipeline: codec + scaler initialized here, per partition)
+      rows.map { r =>
+        val n = r.payload.length
+        val step = math.max(1, n / thumbLen)
+        val thumb = Array.tabulate(math.min(thumbLen, n))(i =>
+          r.payload(math.min(i.toLong * step, (n - 1).toLong).toInt))
+        ResizedRow(r.doc_id, targetW, targetH, thumb)
+      }
+    }
+  }
+
   /** "Frame sampling" analogue over binary payloads: take fixed-offset
     * byte slices (as a video frame sampler takes every k-th frame).
     * Pure built-ins — substring works on BinaryType. */

@@ -106,6 +106,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getSeq[Array[Byte]](1).length == 4)
   }
 
+  test("multimodal resize emits bounded deterministic thumbs per doc") {
+    val t1 = Multimodal.resizeThumbs(spark, sf0001, 128, 96).collect()
+    val t2 = Multimodal.resizeThumbs(spark, sf0001, 128, 96).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(t1.length == docs)
+    assert(t1.forall(r => r.width == 128 && r.height == 96 &&
+      r.thumb.nonEmpty && r.thumb.length <= 64))
+    val m1 = t1.map(r => r.doc_id -> r.thumb.toSeq).toMap
+    val m2 = t2.map(r => r.doc_id -> r.thumb.toSeq).toMap
+    assert(m1 == m2, "resize stub must be deterministic")
+  }
+
   test("analytics topK + membership filter compose") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
     val top = Analytics.topKByAggregate(li, "l_suppkey", "l_extendedprice", 5)
