@@ -63,6 +63,7 @@ object SparkEntry {
     "q40_chunking"         -> ((s, d) => TextAnalysis.chunkQuery(s, d)),
     "q41_asof_join"        -> (Extensions.q41AsOfJoin _),
     "q42_range_join"       -> (Extensions.q42RangeJoin _),
+    "q43_decontaminate"    -> (Extensions.q43Decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -268,6 +269,22 @@ object SparkEntry {
          SELECT doc_id, fp, n_words FROM gated
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // q43: decontamination — the inverted-index overlap count is fully
+    // portable (same shingle construction as q23).
+    "q43_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, source, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
+           FROM documents),
+         ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+         bench AS (SELECT s, doc_id AS bench_id FROM ex WHERE source = 'src0'),
+         corp AS (SELECT doc_id, s FROM ex WHERE source <> 'src0'),
+         ov AS (SELECT doc_id, bench_id, count(*) AS c
+                FROM corp JOIN bench USING (s) GROUP BY 1, 2)
+         SELECT doc_id, max(c) AS max_overlap,
+           CAST(sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminating
+         FROM ov GROUP BY doc_id ORDER BY doc_id""",
     // q42: the bucketed range join; integer-ms comparisons make the
     // plain theta join an exact oracle.
     "q42_range_join" ->

@@ -110,6 +110,37 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Benchmark decontamination: per corpus doc, the n-gram overlap
+    * against a benchmark/eval set — the standard pre-training hygiene
+    * step (training data sharing >= `minOverlap` shingles with an eval
+    * doc leaks the benchmark). Same inverted-index shape as
+    * [[ngramJaccardPairs]], but the join fans out per shingle only to
+    * the BENCHMARK docs containing it, so candidate volume is bounded
+    * by |benchmark| (small by definition) regardless of corpus size —
+    * no frequency cap needed. Returns one row per corpus doc with any
+    * shared shingle: (doc_id, max_overlap with a single bench doc,
+    * n_contaminating bench docs at >= minOverlap). */
+  def benchmarkOverlap(docs: DataFrame, benchSource: String, n: Int,
+                       minOverlap: Long): DataFrame = {
+    graft.functions.TextExpressionFunctions.register(docs.sparkSession)
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(wordShinglesFast(tokens(col("text")), n)).as("s"))
+    val bench = sh.filter(col("source") === benchSource)
+      .select(col("s"), col("doc_id").as("bench_id"))
+    val corpus = sh.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("s"))
+    corpus.join(bench, "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("c")) // shingles are distinct per doc: c = |∩|
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_overlap"),
+        sum(when(col("c") >= minOverlap, 1L).otherwise(0L))
+          .as("n_contaminating"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------

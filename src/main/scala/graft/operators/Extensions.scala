@@ -100,6 +100,13 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q43: benchmark decontamination — 3-gram overlap of every corpus
+    * doc against the `src0` docs standing in as the eval set, flagged
+    * at >= 5 shared shingles. */
+  def q43Decontaminate(s: SparkSession, d: String): DataFrame =
+    Dedup.benchmarkOverlap(Tables.documents(s, d), benchSource = "src0",
+      n = 3, minOverlap = 5L)
+
   /** q41: as-of join over the event stream — each click attached to
     * the user's most recent purchase at-or-before it (backward
     * inclusive), null when none precedes. Purchases pre-deduped to

@@ -74,6 +74,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1000000L) // identical docs -> all minhashes equal
   }
 
+  test("decontamination flags corpus docs overlapping the benchmark") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "bench"),
+      (1L, "the quick brown fox jumps over the lazy dog", "web"), // leaked
+      (2L, "the quick brown fox sleeps all day long now", "web"), // partial
+      (3L, "completely different content about spark engines", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.benchmarkOverlap(d, "bench", n = 3, minOverlap = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (7L, 1L))     // identical: all 7 shingles, flagged
+    assert(out(2L)._1 == 2L)        // "the quick brown","quick brown fox"
+    assert(out(2L)._2 == 0L)        // below threshold -> not contaminating
+    assert(!out.contains(3L))       // no shared shingle -> absent
+    assert(!out.contains(0L))       // bench docs never self-report
+  }
+
   test("minhash sketch aggregate equals the composed min(xxhash64) form") {
     graft.functions.TextExpressionFunctions.register(spark)
     graft.functions.SketchFunctions.register(spark)
