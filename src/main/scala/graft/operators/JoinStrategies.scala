@@ -78,8 +78,8 @@ object JoinStrategies {
                      saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor))
-        .cast("int"))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)),
+        lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
