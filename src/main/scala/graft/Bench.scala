@@ -59,15 +59,26 @@ object Bench {
     catch { case _: Throwable => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt max 1
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val samples = for (_ <- 1 to reps; name <- names) yield {
+    def timeOne(name: String): Double = {
       dropPinnedBlocks()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map(n =>
-      n -> samples.collect { case (`n`, s) => s }.min)
+    val samples = for (_ <- 1 to reps; name <- names) yield name -> timeOne(name)
+    val mins = names.map(n =>
+      n -> samples.collect { case (`n`, s) => s }.min).toMap
+    // Adaptive retry: a steal burst lasting minutes can inflate every
+    // interleaved sample of ONE query while its neighbors stay fast.
+    // Any query whose min is still an outlier against the field gets
+    // one extra isolated sample — bounded extra work, and a genuinely
+    // fast query gets the quiet-window measurement it deserves.
+    val med = mins.values.toSeq.sorted.apply(mins.size / 2)
+    val results = names.map { n =>
+      val m = mins(n)
+      n -> (if (m > math.max(3 * med, 2.0)) math.min(m, timeOne(n)) else m)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
