@@ -64,6 +64,8 @@ object SparkEntry {
     "q41_asof_join"        -> (Extensions.q41AsOfJoin _),
     "q42_range_join"       -> (Extensions.q42RangeJoin _),
     "q43_decontaminate"    -> (Extensions.q43Decontaminate _),
+    "q44_split_assign"     -> ((s, d) => PrepPipeline.splitAssignment(
+      graft.sources.Tables.documents(s, d)).orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -269,6 +271,15 @@ object SparkEntry {
          SELECT doc_id, fp, n_words FROM gated
          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+    // q44: content-hash split assignment (90/5/5) — deterministic and
+    // portable, so the oracle recomputes every bucket and label.
+    "q44_split_assign" ->
+      """SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     // q43: decontamination — the inverted-index overlap count is fully
     // portable (same shingle construction as q23).
     "q43_decontaminate" ->

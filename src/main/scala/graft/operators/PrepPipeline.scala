@@ -23,6 +23,23 @@ import graft.sources.Tables
   */
 object PrepPipeline {
 
+  /** Deterministic train/val/test assignment by CONTENT hash: the
+    * split survives re-crawls, re-sharding, and engine changes (the
+    * portable hash evaluates identically everywhere), and identical
+    * texts always land in the same split — the property that prevents
+    * train/eval leakage through duplicates, which row-number or
+    * random sampling both violate. Thresholds are percent buckets of
+    * `portableHash60(text) % 100`. */
+  def splitAssignment(docs: DataFrame, trainPct: Int = 90,
+                      valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100)
+    val bucket = portableHash60(col("text")) % 100
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** q39: gated + deduped corpus with per-doc metadata. */
   def prepQuery(spark: SparkSession, dir: String,
                 minWords: Long = 20): DataFrame = {

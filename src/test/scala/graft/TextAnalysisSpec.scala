@@ -118,6 +118,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m1 == m2, "resize stub must be deterministic")
   }
 
+  test("split assignment: content-keyed, leak-free for duplicate texts") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other words"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.PrepPipeline.splitAssignment(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // identical content -> identical bucket and split (no leakage)
+    assert(out(1L) == out(2L))
+    assert(out.values.forall { case (b, s) =>
+      b >= 0 && b < 100 &&
+        ((b < 90) == (s == "train")) && ((b >= 95) == (s == "test"))
+    })
+    // full corpus coverage with roughly-proportional buckets
+    val full = graft.operators.PrepPipeline.splitAssignment(
+      graft.sources.Tables.documents(spark, sf0001))
+    val n = full.count()
+    val train = full.filter($"split" === "train").count()
+    assert(n == graft.sources.Tables.documents(spark, sf0001).count())
+    assert(train > n * 7 / 10 && train < n, s"train=$train of $n")
+  }
+
   test("analytics topK + membership filter compose") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
     val top = Analytics.topKByAggregate(li, "l_suppkey", "l_extendedprice", 5)
