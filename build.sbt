@@ -33,6 +33,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the sketch
   // queries' shuffles + pinned blocks ran against ~4.6g of usable
   // block-manager memory, and eviction/GC pressure made bench numbers
-  // non-reproducible round to round. The container has 128g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // non-reproducible round to round. The bench container has 128g,
+  // but hosts with less must still be able to launch the JVM, so the
+  // default is capped at half of MemAvailable (floor 4g, ceiling 32g);
+  // SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val availGiB =
+      try {
+        val meminfo = IO.read(file("/proc/meminfo"))
+        "MemAvailable:\\s+(\\d+) kB".r.findFirstMatchIn(meminfo)
+          .map(_.group(1).toLong / (1024L * 1024L)).getOrElse(32L)
+      } catch { case _: Throwable => 32L }
+    s"${math.max(4L, math.min(32L, availGiB / 2))}g"
+  })}",
 )

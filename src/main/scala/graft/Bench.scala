@@ -59,31 +59,48 @@ object Bench {
     catch { case _: Throwable => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt max 1
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def timeOne(name: String): Double = {
+    // None = the query threw; a crash must NOT contribute a small
+    // positive wall time that makes the bench look healthy.
+    def timeOne(name: String): Option[Double] = {
       dropPinnedBlocks()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     val samples = for (_ <- 1 to reps; name <- names) yield name -> timeOne(name)
-    val mins = names.map(n =>
-      n -> samples.collect { case (`n`, s) => s }.min).toMap
+    // Min over the SUCCESSFUL samples only; a query with zero
+    // successes is reported by name and excluded from the total.
+    val mins = names.flatMap { n =>
+      val ok = samples.collect { case (`n`, Some(s)) => s }
+      if (ok.nonEmpty) Some(n -> ok.min) else None
+    }.toMap
+    val failed = names.filterNot(mins.contains) ++
+      names.filter(n => mins.contains(n) &&
+        samples.exists { case (m, s) => m == n && s.isEmpty })
     // Adaptive retry: a steal burst lasting minutes can inflate every
     // interleaved sample of ONE query while its neighbors stay fast.
     // Any query whose min is still an outlier against the field gets
     // one extra isolated sample — bounded extra work, and a genuinely
     // fast query gets the quiet-window measurement it deserves.
-    val med = mins.values.toSeq.sorted.apply(mins.size / 2)
-    val results = names.map { n =>
+    val med = if (mins.isEmpty) 0.0
+      else mins.values.toSeq.sorted.apply(mins.size / 2)
+    val results = names.filter(mins.contains).map { n =>
       val m = mins(n)
-      n -> (if (m > math.max(3 * med, 2.0)) math.min(m, timeOne(n)) else m)
+      n -> (if (m > math.max(3 * med, 2.0))
+        timeOne(n).fold(m)(math.min(m, _)) else m)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson = failed.distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")

@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -15,6 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * ROW (not per element), tight loops, no lambda binding, no boxing. */
 object ShingleUtil {
   private val SPACE = UTF8String.fromString(" ")
+
+  /** Shared empty result; `def` so the generated Java code can call a
+    * static forwarder. */
+  def emptyArray(): ArrayData = EMPTY
+  private val EMPTY: ArrayData = new GenericArrayData(new Array[Any](0))
 
   /** Distinct word n-grams of a token array, first-occurrence order —
     * same output as `array_distinct(transform(sequence(...), slice...))`
@@ -46,7 +53,12 @@ object ShingleUtil {
   * n-gram-Jaccard and MinHash dedup operators (~8s of a 12s query at
   * sf0.1 for 260k shingles). This expression does the same work in a
   * compiled loop inside whole-stage codegen. Output is bit-identical
-  * to the HOF formulation (asserted in DedupSimilaritySpec).
+  * to the HOF formulation (asserted in DedupSimilaritySpec),
+  * INCLUDING null input: the HOF's `when(size(toks) >= n, ...)
+  * .otherwise(empty)` yields an empty array when `toks` is null
+  * (size(null) -> null -> otherwise branch), so this expression is
+  * null-INTOLERANT-free — null tokens also produce the empty array,
+  * and the expression is never null.
   *
   * `n` must be a foldable integer (a literal in every engine use).
   */
@@ -61,14 +73,28 @@ case class WordShinglesExpr(left: Expression, right: Expression)
         s"$prettyName requires (array<string>, foldable int), got $l and $r")
     }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
 
-  override def nullSafeEval(toks: Any, n: Any): Any =
-    ShingleUtil.shingles(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override def eval(input: InternalRow): Any = {
+    val toks = left.eval(input)
+    if (toks == null) ShingleUtil.emptyArray()
+    else ShingleUtil.shingles(toks.asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[Int])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (toks, n) =>
-      s"${ev.value} = graft.functions.ShingleUtil.shingles($toks, $n);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${leftGen.code}
+      |${rightGen.code}
+      |$javaType ${ev.value} = ${leftGen.isNull}
+      |  ? graft.functions.ShingleUtil.emptyArray()
+      |  : graft.functions.ShingleUtil.shingles(${leftGen.value}, ${rightGen.value});
+      """.stripMargin, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

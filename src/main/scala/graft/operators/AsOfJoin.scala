@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (backward) join — the time-series operator Spark lacks
   * natively: for each probe row, attach the build row with the
@@ -16,13 +17,18 @@ import org.apache.spark.sql.functions._
   * frame; probe rows carry null attach values, so `last` skips them
   * and each probe row reads the latest preceding build value.
   *
+  * All attach columns ride in ONE struct column filled by a single
+  * `last(struct, ignoreNulls)`: a build row whose individual attach
+  * value is null still produces a non-null struct, so the matched
+  * row's nulls are attached as-is (DuckDB ASOF JOIN semantics) rather
+  * than each column independently falling back to an older row.
+  *
   * Scale shape: ONE shuffle+sort of probe+build on `key` — the same
   * cost as a sort-merge join — where the naive theta-join
   * (`p.key = b.key AND b.t <= p.t` + max-per-probe) fans out every
   * probe row against EVERY earlier build row first (quadratic per
   * key). Build rows must be unique per (key, time); pre-dedup
-  * otherwise (a genuinely-null attach value is treated as absent —
-  * `last` skips nulls).
+  * otherwise.
   *
   * Attached columns come back as `asof_<name>` appended to the probe
   * schema.
@@ -32,25 +38,21 @@ object AsOfJoin {
   def asOfJoin(probe: DataFrame, build: DataFrame, key: String,
                time: String, attach: Seq[String]): DataFrame = {
     require(attach.nonEmpty, "attach at least one build column")
-    val pTagged = attach.foldLeft(probe.withColumn("__side", lit(1))) {
-      (df, a) =>
-        df.withColumn(s"__asof_$a",
-          lit(null).cast(build.schema(a).dataType))
-    }
+    val packType = StructType(attach.map(a =>
+      StructField(a, build.schema(a).dataType, nullable = true)))
+    val pTagged = probe.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(packType))
     val bTagged = build.select(
-      col(key) +: col(time) +: lit(0).as("__side") +:
-        attach.map(a => col(a).as(s"__asof_$a")): _*)
+      col(key), col(time), lit(0).as("__side"),
+      struct(attach.map(col): _*).as("__asof"))
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = attach.foldLeft(
-      pTagged.unionByName(bTagged, allowMissingColumns = true)) {
-      (df, a) =>
-        df.withColumn(s"__asof_$a",
-          last(col(s"__asof_$a"), ignoreNulls = true).over(w))
-    }
+    val filled = pTagged.unionByName(bTagged, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1).drop("__side")
     attach.foldLeft(out)((df, a) =>
-      df.withColumnRenamed(s"__asof_$a", s"asof_$a"))
+      df.withColumn(s"asof_$a", col("__asof")(a)))
+      .drop("__asof")
   }
 }

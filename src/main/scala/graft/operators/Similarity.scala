@@ -207,15 +207,22 @@ object Similarity {
     * stored column in a persisted index. With `cacheKey` set, the
     * trained quantizer is reused across calls on the same corpus
     * (train-once/serve-many — the verdict's persisted-index posture);
-    * without it every call trains fresh. */
+    * without it every call trains fresh. The cache key folds in a
+    * cheap corpus fingerprint (row count + max vec_id, one narrow
+    * scan — orders of magnitude cheaper than training), so a corpus
+    * that changes under the same directory retrains instead of
+    * silently serving stale centroids. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nClusters: Int, nprobe: Int, iters: Int = 2,
               cacheKey: Option[String] = None): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val local = cacheKey match {
-      case Some(key) => centroidCache.computeIfAbsent(
-        s"$key|$nClusters|$iters",
-        _ => trainIvfCentroidsLocal(embeddings, nClusters, iters))
+      case Some(key) =>
+        val fp = embeddings
+          .agg(count(lit(1)), max(col("vec_id"))).head()
+        centroidCache.computeIfAbsent(
+          s"$key|${fp.getLong(0)}|${fp.get(1)}|$nClusters|$iters",
+          _ => trainIvfCentroidsLocal(embeddings, nClusters, iters))
       case None => trainIvfCentroidsLocal(embeddings, nClusters, iters)
     }
     val centroids = centroidFrame(embeddings.sparkSession, local)

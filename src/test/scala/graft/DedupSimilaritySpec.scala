@@ -35,6 +35,15 @@ class DedupSimilaritySpec extends SparkSpec {
         .wordShinglesFast(TextFunctions.tokens($"text"), 3).as("sh"))
       .collect()
     assert(short.head.getSeq[String](0).isEmpty)
+    // null tokens: both formulations yield an empty array (the HOF's
+    // otherwise-branch; the expression's explicit null handling)
+    val nulls = Seq((10L, Option.empty[String])).toDF("doc_id", "text")
+    val nFast = nulls.select(graft.functions.TextExpressionFunctions
+      .wordShinglesFast(TextFunctions.tokens($"text"), 3).as("sh")).collect()
+    val nHof = nulls.select(TextFunctions.wordShingles(
+      TextFunctions.tokens($"text"), 3).as("sh")).collect()
+    assert(nFast.head.getSeq[String](0).isEmpty)
+    assert(nHof.head.getSeq[String](0).isEmpty)
   }
 
   test("exact dedup keeps first doc per identical text") {

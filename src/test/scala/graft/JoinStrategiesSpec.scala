@@ -53,6 +53,27 @@ class JoinStrategiesSpec extends SparkSpec {
     assert(out(20L) == (None, None))            // key with no build rows
   }
 
+  test("as-of join: null attach values travel with their matched row") {
+    val probe = Seq((1L, 10L, 250L), (1L, 11L, 350L))
+      .toDF("user_id", "event_id", "t")
+    val build = Seq(
+      (1L, 200L, Some(5.0), Some("a")),
+      (1L, 300L, None, Some("b"))) // newer row has a NULL v
+      .toDF("user_id", "t", "v", "tag")
+    val out = graft.operators.AsOfJoin
+      .asOfJoin(probe, build, "user_id", "t", Seq("v", "tag"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => r.getLong(1) ->
+        (Option(r.get(r.fieldIndex("asof_v"))),
+          Option(r.get(r.fieldIndex("asof_tag")))))
+      .toMap
+    assert(out(10L) == (Some(5.0), Some("a")))
+    // DuckDB ASOF semantics: the matched row (t=300) attaches its own
+    // null v — v must NOT fall back to the older row's 5.0.
+    assert(out(11L) == (None, Some("b")))
+  }
+
   test("bucketed join on matching bucketing elides the shuffle") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
