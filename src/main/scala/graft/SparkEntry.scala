@@ -66,6 +66,7 @@ object SparkEntry {
     "q43_decontaminate"    -> (Extensions.q43Decontaminate _),
     "q44_split_assign"     -> ((s, d) => PrepPipeline.splitAssignment(
       graft.sources.Tables.documents(s, d)).orderBy("doc_id")),
+    "q45_dup_clusters"     -> (Extensions.q45DupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -296,6 +297,42 @@ object SparkEntry {
          SELECT doc_id, max(c) AS max_overlap,
            CAST(sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminating
          FROM ov GROUP BY doc_id ORDER BY doc_id""",
+    // q45: connected components over q23's near-dup pairs; the oracle
+    // recomputes the transitive closure with a recursive CTE (tiny
+    // components at test scale), so cluster ids, sizes, and canonical
+    // flags all hash-check exactly.
+    "q45_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
+           FROM documents),
+         ex AS (SELECT doc_id, s
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+                QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+                   JOIN sizes s1 ON d1 = s1.doc_id
+                   JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id,
+                   coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM lab GROUP BY 1)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+         FROM lab l JOIN sz s USING (cluster_id) ORDER BY l.doc_id""",
     // q42: the bucketed range join; integer-ms comparisons make the
     // plain theta join an exact oracle.
     "q42_range_join" ->

@@ -164,4 +164,16 @@ object Extensions {
   def q35EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 0,
       threshold = 0.3)
+
+  /** q45: dup-cluster connected components — q23's near-dup pairs
+    * collapsed into transitive-closure clusters (min-label propagation
+    * + pointer jumping), every doc labeled with cluster id, size, and
+    * the canonical-survivor flag. The oracle recomputes the closure
+    * with a recursive CTE. */
+  def q45DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
+      maxDocFreq = 50).select("d1", "d2")
+    DupClusters.clusterReport(docs, pairs)
+  }
 }

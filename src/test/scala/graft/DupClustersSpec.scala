@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DupClusters
+
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains collapse, components stay apart") {
+    // {1,2,3} via a chain (1-2, 2-3: near-dup is not transitive, so 1-3
+    // is absent), {10,11}, and 20-20 nothing (absent from pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val cc = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges via pointer jumping") {
+    // a 33-node path: plain min-propagation needs 32 rounds; the
+    // pointer-jump variant must finish inside the 20-round cap
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = DupClusters.connectedComponents(pairs).collect()
+    assert(cc.length == 33)
+    assert(cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connected components: edge direction and duplicates don't matter") {
+    val pairs = Seq((5L, 4L), (4L, 5L), (5L, 4L), (6L, 5L)).toDF("d1", "d2")
+    val cc = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("cluster report labels singletons, sizes, and canonical docs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("d1", "d2")
+    val rep = DupClusters.clusterReport(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rep.toSeq == Seq(
+      (1L, 1L, 1L, 1),
+      (2L, 2L, 3L, 1),
+      (3L, 3L, 1L, 1),
+      (4L, 2L, 3L, 0),
+      (5L, 2L, 3L, 0)))
+  }
+}
