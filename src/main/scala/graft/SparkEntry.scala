@@ -67,6 +67,10 @@ object SparkEntry {
     "q44_split_assign"     -> ((s, d) => PrepPipeline.splitAssignment(
       graft.sources.Tables.documents(s, d)).orderBy("doc_id")),
     "q45_dup_clusters"     -> (Extensions.q45DupClusters _),
+    "q46_sessionize"       -> (Extensions.q46Sessionize _),
+    "q47_tfidf"            -> (Extensions.q47Tfidf _),
+    "q48_repetition"       -> (Extensions.q48Repetition _),
+    "q49_pii_redact"       -> (Extensions.q49Redact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -333,6 +337,79 @@ object SparkEntry {
          SELECT l.doc_id, l.cluster_id, s.cluster_size,
            CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
          FROM lab l JOIN sz s USING (cluster_id) ORDER BY l.doc_id""",
+    // q46: gap-based sessionization — identical window arithmetic on
+    // both engines over epoch-ms integers.
+    "q46_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS t FROM events),
+         s AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         r AS (SELECT user_id, t,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS session_seq
+           FROM s)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(t) AS start_ms, max(t) AS end_ms,
+           max(t) - min(t) AS duration_ms
+         FROM r GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+    // q47: TF-IDF with exact integer rational scores — no ln(), whose
+    // libm rounding differs across engines.
+    "q47_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, term,
+             (tf * 1000000 * n_docs) // df AS score_e6
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, score_e6,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_e6 DESC, term) AS INT) AS term_rank
+         FROM sc QUALIFY term_rank <= 3 ORDER BY doc_id, term_rank""",
+    // q48: repetition signals; bigram lists built with the same
+    // 1-based slice arithmetic, ratios as integer division.
+    "q48_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n,
+             len(list_distinct(toks)) AS nd,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+               range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bi
+           FROM t),
+         bc AS (SELECT doc_id, b, count(*) AS c
+                FROM (SELECT doc_id, unnest(bi) AS b FROM s) GROUP BY 1, 2),
+         agg AS (SELECT doc_id, max(c) AS top, sum(c) AS nbi
+                 FROM bc GROUP BY 1)
+         SELECT s.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(((n - nd) * 1000000) // n AS BIGINT) AS dup_word_frac_e6,
+           CAST((coalesce(top, 0) * 1000000)
+             // greatest(coalesce(nbi, 1), 1) AS BIGINT) AS top_bigram_frac_e6
+         FROM s LEFT JOIN agg USING (doc_id) ORDER BY s.doc_id""",
+    // q49: PII redaction — pattern counts on the raw payload, digest
+    // of the scrubbed payload (emails first, then numeric runs).
+    "q49_pii_redact" ->
+      """WITH u AS (
+           SELECT 'events' AS src, event_id AS rec_id, props AS payload
+           FROM events
+           UNION ALL
+           SELECT 'customer', c_custkey, c_name FROM customer)
+         SELECT src, rec_id,
+           CAST(len(regexp_extract_all(payload, '[0-9]+')) AS BIGINT) AS n_ids,
+           CAST(len(regexp_extract_all(payload,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(regexp_replace(payload,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '#', 'g'),
+             '[0-9]+', '#', 'g')) AS redacted_md5
+         FROM u ORDER BY src, rec_id""",
     // q42: the bucketed range join; integer-ms comparisons make the
     // plain theta join an exact oracle.
     "q42_range_join" ->

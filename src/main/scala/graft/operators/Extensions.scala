@@ -165,6 +165,26 @@ object Extensions {
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 0,
       threshold = 0.3)
 
+  /** q46: gap-based batch sessionization of the event stream
+    * (30-minute inactivity gap): per-session event counts, bounds,
+    * and durations. */
+  def q46Sessionize(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessionQuery(s, d, gapMs = 1800000L)
+
+  /** q47: TF-IDF top-3 terms per document with exact integer rational
+    * scores (tf * 1e6 * N div df). */
+  def q47Tfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfQuery(s, d, topK = 3)
+
+  /** q48: repetition quality signals — duplicate-word fraction and
+    * top-bigram fraction (Gopher-rules style). */
+  def q48Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionQuery(s, d)
+
+  /** q49: PII redaction report over event props + customer names. */
+  def q49Redact(s: SparkSession, d: String): DataFrame =
+    Redaction.redactQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -104,6 +104,70 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** TF-IDF top terms per document — keyword extraction over the
+    * corpus. The score is the exact integer `tf * 1e6 * N div df`
+    * (document frequency from the per-doc term set): rational scoring
+    * instead of a float `ln(N/df)` because `ln` is not guaranteed
+    * bit-identical across engines' libm, and the ranking it induces
+    * is the same. Two shuffles (term stats, per-doc top-k window) over
+    * data that shrinks to distinct (doc, term) pairs after the first
+    * partial aggregation; the corpus-size scalar stays in-plan as a
+    * broadcast one-row aggregate, nothing is collected. */
+  def tfidfQuery(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score_e6").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e6",
+        expr("(tf * 1000000 * n_docs) div df"))
+      .withColumn("term_rank", row_number().over(byScore))
+      .filter(col("term_rank") <= topK)
+      .select(col("doc_id"), col("term"), col("score_e6"),
+        col("term_rank").cast("int").as("term_rank"))
+      .orderBy("doc_id", "term_rank")
+  }
+
+  /** Repetition quality signals (the Gopher-rules family): duplicate
+    * word fraction and most-frequent-bigram fraction per document —
+    * high values flag boilerplate/spam for the quality gate. Bigrams
+    * come from zip_with over two MATERIALIZED slice columns (each
+    * interpreted HOF element then evaluates one cheap concat, not a
+    * re-derived subtree); ratios are exact integer `div`, so the whole
+    * construction is portable. One shuffle (the per-doc bigram
+    * frequency aggregation) on data pre-shrunk to (doc, bigram)
+    * partial counts. */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nd", size(array_distinct(col("toks"))))
+    val bigrams = base
+      .withColumn("heads", slice(col("toks"), lit(1), greatest(col("n") - 1, lit(0))))
+      .withColumn("tails",
+        when(col("n") >= 2, slice(col("toks"), lit(2), col("n") - 1))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        explode(zip_with(col("heads"), col("tails"),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top"), sum(col("c")).as("nbi"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        expr("((n - nd) * 1000000L) div n").as("dup_word_frac_e6"),
+        expr("(coalesce(top, 0L) * 1000000L) div greatest(coalesce(nbi, 1L), 1L)")
+          .as("top_bigram_frac_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing in its portable (oracle-checked) configuration: rolling
     * k-gram hashes are [[portableHash60]] (cross-engine md5 prefix) and
     * the sliding-window minimum runs as window functions over

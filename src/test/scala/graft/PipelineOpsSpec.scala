@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Redaction, Sessionize, TextAnalysis}
+
+/** Specs for the round-4 pipeline operators: sessionization, TF-IDF,
+  * repetition signals, PII redaction. Planted fixtures assert exact
+  * semantics; the driver's oracle checks the same operators against
+  * DuckDB on the shared testdata. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionization splits on gap, counts and bounds sessions") {
+    import org.apache.spark.sql.expressions.Window
+    // user 1: events at 0s, 60s, 45min (gap>30min -> 2nd session);
+    // user 2: single event
+    val ev = Seq(
+      (1L, 10L, 0L), (1L, 11L, 60000L), (1L, 12L, 2700000L),
+      (2L, 20L, 5000L))
+      .toDF("user_id", "event_id", "t")
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val out = ev
+      .withColumn("new_sess",
+        when(lag(col("t"), 1).over(byTime).isNull ||
+          col("t") - lag(col("t"), 1).over(byTime) > 1800000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(byTime))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n"), min("t").as("s"), max("t").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 1L)) == (2L, 0L, 60000L))
+    assert(out((1L, 2L)) == (1L, 2700000L, 2700000L))
+    assert(out((2L, 1L)) == (1L, 5000L, 5000L))
+  }
+
+  test("sessionQuery runs on testdata with positive sessions") {
+    val out = Sessionize.sessionQuery(spark, sf0001)
+    val rows = out.limit(5).collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSeq == Seq("user_id", "session_seq", "n_events",
+      "start_ms", "end_ms", "duration_ms"))
+  }
+
+  test("tf-idf ranks rarer terms above common ones, exact scores") {
+    val out = TextAnalysis.tfidfQuery(spark, sf0001, topK = 2)
+    val first = out.filter(col("term_rank") === 1).limit(3).collect()
+    assert(first.nonEmpty)
+    // exact integer score recomputation for one (doc, term) row
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val r = out.limit(1).collect().head
+    val (docId, term, score) = (r.getLong(0), r.getString(1), r.getLong(2))
+    val toks = docs.filter(col("doc_id") === docId)
+      .select(graft.functions.TextFunctions.tokens(col("text")))
+      .collect().head.getSeq[String](0)
+    val tf = toks.count(_ == term).toLong
+    val df = docs
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("t"))
+      .filter(col("t") === term).count()
+    assert(score == tf * 1000000L * n / df)
+  }
+
+  test("repetition signals: all-same doc maxes out, distinct doc is 0") {
+    // plant via a tiny in-memory frame exercised through the same
+    // column constructions as repetitionQuery
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val base = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nd", size(array_distinct(col("toks"))))
+      .select(col("doc_id"), expr("((n - nd) * 1000000L) div n").as("dupfrac"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base(1L) == 750000L) // 3 of 4 tokens are repeats
+    assert(base(2L) == 0L)
+    val out = TextAnalysis.repetitionQuery(spark, sf0001)
+    val row = out.limit(1).collect().head
+    assert(row.getLong(1) > 0) // n_tokens
+  }
+
+  test("redaction scrubs digit runs and counts patterns") {
+    val out = Redaction.redactQuery(spark, sf0001)
+      .filter(col("src") === "customer").limit(2).collect()
+    assert(out.nonEmpty)
+    // customer names carry exactly one digit run each
+    assert(out.forall(_.getLong(2) == 1L))
+    // scrubbed digests must not equal the raw-name digest
+    val raw = graft.sources.Tables.customer(spark, sf0001)
+      .select(md5(col("c_name"))).limit(1).collect().head.getString(0)
+    assert(out.head.getString(4) != raw)
+  }
+}
