@@ -71,6 +71,10 @@ object SparkEntry {
     "q47_tfidf"            -> (Extensions.q47Tfidf _),
     "q48_repetition"       -> (Extensions.q48Repetition _),
     "q49_pii_redact"       -> (Extensions.q49Redact _),
+    "q50_rollup"           -> (Extensions.q50Rollup _),
+    "q51_pivot"            -> (Extensions.q51Pivot _),
+    "q52_moving_window"    -> (Extensions.q52MovingWindow _),
+    "q53_percentiles"      -> (Extensions.q53Percentiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,6 +414,57 @@ object SparkEntry {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '#', 'g'),
              '[0-9]+', '#', 'g')) AS redacted_md5
          FROM u ORDER BY src, rec_id""",
+    // q50: rollup — GROUPING bit encoding matches Spark's
+    // grouping_id() (1 = column aggregated away), nulls folded to
+    // 'ALL' so ordering is null-free.
+    "q50_rollup" ->
+      """SELECT coalesce(m, 'ALL') AS order_month,
+           coalesce(s, 'ALL') AS o_orderstatus,
+           CAST(GROUPING(m, s) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+             AS BIGINT) AS total_cents
+         FROM (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+                 o_orderstatus AS s, o_totalprice FROM orders)
+         GROUP BY ROLLUP(m, s)
+         ORDER BY gid, order_month, o_orderstatus""",
+    // q51: pivot = conditional aggregation with the same fixed value
+    // list as the Spark pivot.
+    "q51_pivot" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY 1 ORDER BY user_id""",
+    // q52: 3-row moving sum, NaN/Inf-sanitized and decimal-exact.
+    "q52_moving_window" ->
+      """SELECT user_id, event_id,
+           CAST(round(sum(CAST(v AS DECIMAL(38,10))) OVER (
+             PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) * 100
+             AS BIGINT) AS mv_sum_cents
+         FROM (SELECT user_id, event_id,
+                 CAST(epoch_ms(ts) AS BIGINT) AS t,
+                 coalesce(CASE WHEN isnan(value) OR NOT isfinite(value)
+                   THEN NULL ELSE value END, 0.0) AS v
+               FROM events)
+         ORDER BY user_id, event_id""",
+    // q53: discrete percentiles by explicit rank selection — the
+    // doubles are corpus values passed through, never arithmetic.
+    "q53_percentiles" ->
+      """WITH f AS (SELECT event_type, event_id, value FROM events
+                    WHERE NOT isnan(value) AND isfinite(value)),
+         r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM f)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS median_value,
+           min(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95_value
+         FROM r GROUP BY 1 ORDER BY event_type""",
     // q42: the bucketed range join; integer-ms comparisons make the
     // plain theta join an exact oracle.
     "q42_range_join" ->

@@ -185,6 +185,22 @@ object Extensions {
   def q49Redact(s: SparkSession, d: String): DataFrame =
     Redaction.redactQuery(s, d)
 
+  /** q50: month × status rollup with subtotals and grand total. */
+  def q50Rollup(s: SparkSession, d: String): DataFrame =
+    OlapOps.rollupQuery(s, d)
+
+  /** q51: event-type pivot — one count column per type. */
+  def q51Pivot(s: SparkSession, d: String): DataFrame =
+    OlapOps.pivotQuery(s, d)
+
+  /** q52: per-user 3-row moving value sum (decimal-exact). */
+  def q52MovingWindow(s: SparkSession, d: String): DataFrame =
+    OlapOps.movingWindowQuery(s, d)
+
+  /** q53: discrete median/p95 of event values per type. */
+  def q53Percentiles(s: SparkSession, d: String): DataFrame =
+    OlapOps.percentileQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multi-dimensional OLAP operators rounding out the analytics
+  * surface: rollup subtotals, pivot, frame-window running stats, and
+  * discrete percentiles. Each is expressed with the declarative API so
+  * Catalyst plans the standard shapes (Expand for rollup, a single
+  * shuffle per window partitioning), and each output is constructed
+  * portably (decimal-cents sums, selected — not interpolated —
+  * percentile values) so the DuckDB oracle hash-checks exactly. */
+object OlapOps {
+
+  /** Decimal-accumulated sum emitted as BIGINT cents (the oracle
+    * determinism pattern used across the engine). */
+  private def decSumCents(c: Column): Column =
+    (round(sum(c.cast("decimal(38,10)")), 2) * 100).cast("long")
+
+  /** q50: month × order-status rollup with subtotal and grand-total
+    * rows (grouping_id distinguishes levels; dimension nulls on
+    * subtotal rows are folded to 'ALL' so the output is null-free).
+    * Rollup plans as ONE Expand + one aggregation — each input row is
+    * replicated per grouping set map-side and partially aggregated
+    * before the single shuffle, so subtotals do NOT cost extra passes
+    * over the data at scale. */
+  def rollupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.rollup(col("order_month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumCents(col("o_totalprice")).as("total_cents"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("order_month"), lit("ALL")).as("order_month"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("gid"), col("n_orders").cast("long").as("n_orders"),
+        col("total_cents"))
+      .orderBy("gid", "order_month", "o_orderstatus")
+  }
+
+  /** q51: pivot event counts into one column per event type. The
+    * value list is EXPLICIT — with an inferred list Spark first runs a
+    * distinct scan, and the output schema depends on the data; a
+    * fixed list keeps the plan a single groupBy with conditional
+    * aggregation, which is also exactly what the oracle SQL writes. */
+  def pivotQuery(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).cast("long").as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  /** q52: running per-user event-value sum over a 3-row frame (the
+    * moving-window primitive behind rate/trend features). Values are
+    * NaN/Inf-sanitized first (same rule as the q18 sanitize operator)
+    * and accumulated in DECIMAL so the frame sum is order-exact on
+    * both engines. One shuffle: the user_id window partitioning. */
+  def movingWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"),
+        coalesce(when(isnan(col("value")) ||
+          col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("value")), lit(0.0)).as("v"))
+      .select(col("user_id"), col("event_id"),
+        (round(sum(col("v").cast("decimal(38,10)")).over(byTime), 2) * 100)
+          .cast("long").as("mv_sum_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q53: discrete percentiles (median, p95) of event values per
+    * type — SELECTED corpus values, never interpolated arithmetic, so
+    * the doubles pass through bit-identically on both engines.
+    * Formulated as explicit rank selection (row_number vs ceil(p*n))
+    * rather than an engine percentile function, which makes the
+    * semantics portable by construction. Non-finite values are
+    * excluded (their sort order is engine-specific). */
+  def percentileQuery(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val byType = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .filter(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(byType).as("n"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).cast("long").as("n"),
+        min(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+          .as("median_value"),
+        min(when(col("rn") === ceil(col("n") * 0.95), col("value")))
+          .as("p95_value"))
+      .orderBy("event_type")
+  }
+}

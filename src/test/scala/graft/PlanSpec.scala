@@ -81,6 +81,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "as-of composes windows, not a join")
   }
 
+  test("q46 sessionization shares one user_id exchange across windows and agg") {
+    val p = planString(graft.operators.Extensions.q46Sessionize(spark, sf0001))
+    // the gap window, the running-sum window, and the session
+    // aggregation all cluster by user_id: exactly one hash exchange
+    // plus the output sort's range exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashEx.length == 1, s"expected 1 hash exchange:\n${p.take(1200)}")
+  }
+
+  test("q50 rollup plans one Expand + one aggregation pass") {
+    val p = planString(graft.operators.Extensions.q50Rollup(spark, sf0001))
+    assert(p.contains("Expand"), "rollup must plan via Expand:\n" + p.take(800))
+    val scans = "Scan parquet".r.findAllIn(p).toSeq
+    assert(scans.length == 1, "subtotals must not re-scan the input")
+  }
+
+  test("q47 tf-idf broadcasts the corpus-size scalar (no cartesian)") {
+    val p = planString(graft.operators.Extensions.q47Tfidf(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "1-row corpus-size join must broadcast:\n" + p.take(800))
+  }
+
   test("q42 range join stays an equi-join (no nested loop)") {
     val p = planString(graft.operators.Extensions.q42RangeJoin(spark, sf0001))
     assert(!p.contains("NestedLoopJoin"),
