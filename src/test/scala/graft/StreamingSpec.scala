@@ -28,6 +28,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("stream-stream interval join matches the batch join, bounded state") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    val clickDrop = tmpDir("ssj_clicks")
+    val purchDrop = tmpDir("ssj_purch")
+    val out = tmpDir("ssj_out")
+    val ckpt = tmpDir("ssj_ckpt")
+    // user 7: purchase 5 min before click (match), purchase 20 min
+    // before (outside window), purchase AFTER click (no match);
+    // user 8: click with no purchases
+    writeDrop(clickDrop, "c1.json", Seq(
+      """{"event_id":100,"ts":"2024-01-01T01:00:00Z","user_id":7,"event_type":"click","value":0.0}""",
+      """{"event_id":101,"ts":"2024-01-01T01:30:00Z","user_id":8,"event_type":"click","value":0.0}"""))
+    writeDrop(purchDrop, "p1.json", Seq(
+      """{"event_id":200,"ts":"2024-01-01T00:55:00Z","user_id":7,"event_type":"purchase","value":9.5}""",
+      """{"event_id":201,"ts":"2024-01-01T00:40:00Z","user_id":7,"event_type":"purchase","value":1.0}""",
+      """{"event_id":202,"ts":"2024-01-01T01:05:00Z","user_id":7,"event_type":"purchase","value":2.0}"""))
+    val joined = graft.streaming.StreamJoin.clickPurchaseJoin(
+      EventStream.readEventStream(spark, clickDrop),
+      EventStream.readEventStream(spark, purchDrop))
+    val q = joined.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("click_id", "purchase_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((100L, 200L, 9.5)))
+    // the equivalent batch join over the same files agrees
+    val cb = spark.read.schema(EventStream.eventSchema).json(clickDrop)
+    val pb = spark.read.schema(EventStream.eventSchema).json(purchDrop)
+    val batch = cb.as("c").join(pb.as("p"),
+      col("c.user_id") === col("p.user_id") &&
+        col("p.ts") <= col("c.ts") &&
+        col("p.ts") >= col("c.ts") - expr("interval 10 minutes"))
+      .select(col("c.event_id"), col("p.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.toSeq == Seq((100L, 200L)))
+  }
+
   test("sessionizer advance closes sessions at the gap (pure logic)") {
     import graft.streaming.EventSessionizer._
     def ev(id: Long, t: Long) =
