@@ -75,6 +75,7 @@ object SparkEntry {
     "q51_pivot"            -> (Extensions.q51Pivot _),
     "q52_moving_window"    -> (Extensions.q52MovingWindow _),
     "q53_percentiles"      -> (Extensions.q53Percentiles _),
+    "q54_zorder"           -> (Extensions.q54ZOrder _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,6 +515,9 @@ object SparkEntry {
            CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
            md5(array_to_string(toks[i * 24 + 1 : i * 24 + least(32, n - i * 24)], ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_id""",
+    // q54: z-order key arithmetic generated from the same constants
+    // as the Spark expression (shared-construction, like MinHash).
+    "q54_zorder" -> graft.operators.ZOrder.zorderOracleSql,
     "q24_minhash_lsh" -> minHashOracleSql,
     "q25_simhash" -> simHashOracleSql,
     "q34_winnow" -> winnowOracleSql,

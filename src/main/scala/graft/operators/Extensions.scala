@@ -201,6 +201,11 @@ object Extensions {
   def q53Percentiles(s: SparkSession, d: String): DataFrame =
     OlapOps.percentileQuery(s, d)
 
+  /** q54: z-order layout statistics — Morton keys over
+    * (user, time-bucket), per-z-range min/max of both dimensions. */
+  def q54ZOrder(s: SparkSession, d: String): DataFrame =
+    ZOrder.zorderQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

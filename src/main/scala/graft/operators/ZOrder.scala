@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Z-order (Morton) data layout — the multi-dimensional clustering
+  * technique behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the
+  * bits of two dimension keys produces a 1-D sort order in which rows
+  * close in EITHER dimension land in the same file, so min/max file
+  * statistics prune scans for predicates on either column (a plain
+  * sort only prunes its leading column).
+  *
+  * The interleave is built from unrolled shift/mask/add terms over
+  * `functions` built-ins — whole-stage-codegen'd, and the identical
+  * arithmetic is emitted as SQL for the oracle (the same
+  * shared-construction trick as the MinHash permutation family), so
+  * the key computation is verified bit-for-bit cross-engine.
+  *
+  * At scale the layout write is `repartitionByRange(zkey)` +
+  * `sortWithinPartitions(zkey)`: one range shuffle, then each output
+  * file covers a compact z-curve segment. The range partitioner
+  * samples key quantiles, so skewed dimensions still produce
+  * balanced files.
+  */
+object ZOrder {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * longs: x occupies even bit positions, y odd. */
+  def zkey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_ + _).cast("long")
+  }
+
+  /** The same interleave as [[zkey]], rendered as engine-portable SQL
+    * over column expressions `x` and `y` (shift = division/multiply by
+    * powers of two, mask = % 2 — exact in any 64-bit integer engine). */
+  def zkeySql(x: String, y: String, bits: Int = 16): String = {
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        s"((($x // ${1L << i}) % 2) * ${1L << (2 * i)})",
+        s"((($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)})")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Re-layout a frame along the z-curve of two dimension columns:
+    * range-partition by z-key (balanced via quantile sampling), sort
+    * within partitions so every output file is a contiguous z-range. */
+  def zorderLayout(df: DataFrame, colX: String, colY: String,
+                   partitions: Int, bits: Int = 16): DataFrame =
+    df.withColumn("__z", zkey(col(colX), col(colY), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
+  /** q54: the z-key computation over the event stream (user dimension
+    * × coarse time dimension), oracle-checked bit-for-bit, plus the
+    * per-key-range file-statistics view a pruning engine would
+    * consult (min/max of both dimensions per z-bucket — the proof
+    * that z-clustering keeps BOTH dimensions' ranges tight). */
+  def zorderQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 10
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts) div 60000").as("tmin"))
+      // confine both dims to the key width (exact, portable)
+      .withColumn("xd", col("user_id") % (1L << bits))
+      .withColumn("yd", col("tmin") % (1L << bits))
+    ev.withColumn("z", zkey(col("xd"), col("yd"), bits))
+      .withColumn("z_bucket", expr("z div 4096"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("xd")).as("min_x"), max(col("xd")).as("max_x"),
+        min(col("yd")).as("min_y"), max(col("yd")).as("max_y"))
+      .select(col("z_bucket"), col("n").cast("long").as("n"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      .orderBy("z_bucket")
+  }
+
+  /** The DuckDB oracle for [[zorderQuery]] — generated from the same
+    * constants so both engines provably compute the same key. */
+  def zorderOracleSql: String = {
+    val bits = 10
+    val z = zkeySql("xd", "yd", bits)
+    s"""WITH e AS (SELECT event_id,
+           user_id % ${1L << bits} AS xd,
+           (CAST(epoch_ms(ts) AS BIGINT) // 60000) % ${1L << bits} AS yd
+         FROM events),
+       k AS (SELECT event_id, xd, yd, $z AS z FROM e)
+       SELECT (z // 4096) AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         min(xd) AS min_x, max(xd) AS max_x,
+         min(yd) AS min_y, max(yd) AS max_y
+       FROM k GROUP BY 1 ORDER BY z_bucket"""
+  }
+}
