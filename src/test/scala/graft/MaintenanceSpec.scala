@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Maintenance, ZOrder}
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact rewrites many small files into few sized files") {
+    val in = tmpDir("cmp_in")
+    val out = tmpDir("cmp_out")
+    // 64 tiny files
+    (0L until 6400L).toDF("id").repartition(64).write
+      .mode("overwrite").parquet(in)
+    val before = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val after = Maintenance.compact(spark, in, out,
+      targetBytes = 10L * 1024 * 1024)
+    assert(after >= 1 && after <= 4, s"expected few files, got $after")
+    assert(spark.read.parquet(out).count() == 6400L)
+  }
+
+  test("fileStats manifest carries per-file min/max for pruning") {
+    val in = tmpDir("stats_in")
+    // two files with disjoint id ranges (repartitionByRange)
+    (0L until 1000L).toDF("id").repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(in)
+    val stats = Maintenance.fileStats(spark, in, Seq("id")).collect()
+    assert(stats.length == 2)
+    val ranges = stats.map(r =>
+      (r.getLong(r.fieldIndex("min_id")), r.getLong(r.fieldIndex("max_id"))))
+      .sortBy(_._1)
+    // disjoint ranges -> a point predicate prunes one of the two files
+    assert(ranges(0)._2 < ranges(1)._1)
+    assert(stats.map(_.getLong(stats.head.fieldIndex("n_rows"))).sum == 1000L)
+  }
+
+  test("z-ordered layout tightens per-file ranges on BOTH dimensions") {
+    val flat = tmpDir("zcmp_flat")
+    val zed = tmpDir("zcmp_z")
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    // baseline: sort by x only -> y is unconstrained per file
+    grid.repartitionByRange(16, col("x")).write.mode("overwrite").parquet(flat)
+    ZOrder.zorderLayout(grid, "x", "y", partitions = 16, bits = 6)
+      .write.mode("overwrite").parquet(zed)
+    def spans(dir: String): (Double, Double) = {
+      val s = Maintenance.fileStats(spark, dir, Seq("x", "y")).collect()
+      (s.map(r => r.getLong(r.fieldIndex("max_x")) -
+        r.getLong(r.fieldIndex("min_x"))).sum.toDouble / s.length,
+        s.map(r => r.getLong(r.fieldIndex("max_y")) -
+          r.getLong(r.fieldIndex("min_y"))).sum.toDouble / s.length)
+    }
+    val (fx, fy) = spans(flat)
+    val (zx, zy) = spans(zed)
+    // x-sorted: tight x, full-width y. z-order: both bounded.
+    assert(fy > 50, s"x-sorted baseline should leave y wide, got $fy")
+    assert(zx < fy / 2 && zy < fy / 2,
+      s"z-order must bound both dims: zx=$zx zy=$zy baseline fy=$fy")
+  }
+
+  test("mergeSchema read unions evolved file schemas") {
+    val dir = tmpDir("evo")
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(dir + "/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "p"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2"))) // early file null-fills
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+  }
+}
