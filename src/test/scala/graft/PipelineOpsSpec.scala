@@ -44,6 +44,35 @@ class PipelineOpsSpec extends SparkSpec {
       "start_ms", "end_ms", "duration_ms"))
   }
 
+  test("batch sessionization agrees with the streaming sessionizer logic") {
+    import graft.streaming.EventSessionizer
+    // batch: windows over the events table
+    val batch = Sessionize.sessionQuery(spark, sf0001, gapMs = 1800000L)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      }
+    // streaming twin: the same pure advance() the stateful operator
+    // runs per user — closed sessions plus the still-open tail
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => EventSessionizer.Event(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val streaming = events.groupBy(_.user_id).map { case (u, evs) =>
+      val (closed, open) =
+        EventSessionizer.advance(None, evs.toSeq, gapMs = 1800000L)
+      u -> (closed ++ open).sortBy(_.start)
+        .map(s => (s.nEvents, s.start, s.lastTs)).toSeq
+    }
+    assert(batch.keySet == streaming.keySet)
+    batch.foreach { case (u, bs) =>
+      assert(bs == streaming(u), s"user $u sessions diverge")
+    }
+  }
+
   test("tf-idf ranks rarer terms above common ones, exact scores") {
     val out = TextAnalysis.tfidfQuery(spark, sf0001, topK = 2)
     val first = out.filter(col("term_rank") === 1).limit(3).collect()
