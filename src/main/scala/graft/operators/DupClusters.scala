@@ -48,6 +48,15 @@ object DupClusters {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // Convergence probe: labels only ever DECREASE, so the label sum
+    // is strictly monotone until the fixpoint — equality of two
+    // consecutive sums proves convergence with ONE cheap aggregate
+    // per round instead of a change-detection join. Decimal
+    // accumulation cannot overflow at any node-id scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -68,9 +77,9 @@ object DupClusters {
         .select(col("x.node").as("node"),
           coalesce(col("ll"), col("x.lbl")).as("lbl"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old"))
-        .limit(1).isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
