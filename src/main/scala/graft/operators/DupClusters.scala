@@ -54,8 +54,9 @@ object DupClusters {
     // per round instead of a change-detection join. Decimal
     // accumulation cannot overflow at any node-id scale.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head()
+        .getDecimal(0) // coalesce: an empty pair set must not NPE
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -31,6 +31,15 @@ class DupClustersSpec extends SparkSpec {
     assert(cc == Map(4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("empty pair set: every doc is its own singleton cluster") {
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    val rep = DupClusters.clusterReport(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rep.toSeq == Seq((1L, 1L, 1L, 1), (2L, 2L, 1L, 1)))
+  }
+
   test("cluster report labels singletons, sizes, and canonical docs") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((2L, 4L), (4L, 5L)).toDF("d1", "d2")
