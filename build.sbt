@@ -35,15 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // block-manager memory, and eviction/GC pressure made bench numbers
   // non-reproducible round to round. The bench container has 128g,
   // but hosts with less must still be able to launch the JVM, so the
-  // default is capped at half of MemAvailable (floor 4g, ceiling 32g);
-  // SPARK_DRIVER_MEM overrides.
+  // default derives from MemTotal (a quarter, floor 4g, ceiling 32g —
+  // MemTotal rather than MemAvailable so the heap does not wobble
+  // with transient co-tenant load); SPARK_DRIVER_MEM overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
-    val availGiB =
+    val totalGiB =
       try {
         val meminfo = IO.read(file("/proc/meminfo"))
-        "MemAvailable:\\s+(\\d+) kB".r.findFirstMatchIn(meminfo)
-          .map(_.group(1).toLong / (1024L * 1024L)).getOrElse(32L)
-      } catch { case _: Throwable => 32L }
-    s"${math.max(4L, math.min(32L, availGiB / 2))}g"
+        "MemTotal:\\s+(\\d+) kB".r.findFirstMatchIn(meminfo)
+          .map(_.group(1).toLong / (1024L * 1024L)).getOrElse(128L)
+      } catch { case _: Throwable => 128L }
+    s"${math.max(4L, math.min(32L, totalGiB / 4))}g"
   })}",
 )
