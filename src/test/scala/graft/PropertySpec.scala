@@ -62,6 +62,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a union-find reference on random graphs") {
+    // reference: path-compressing union-find with min-id labels
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (a.toLong, b.toLong))
+    } yield (n, es)
+    forAll(edgeGen, trials = 8) { case (n, es) =>
+      if (es.nonEmpty) {
+        val spark2 = spark
+        import spark2.implicits._
+        val cc = graft.operators.DupClusters
+          .connectedComponents(es.toDF("d1", "d2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ref = unionFind(n, es)
+        // only nodes that appear in edges are labeled by the operator
+        val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+        touched.foreach { v =>
+          assert(cc(v) == ref(v), s"node $v: got ${cc(v)}, want ${ref(v)}")
+        }
+      }
+    }
+  }
+
   test("graft_shingles kernel equals a naive sliding-window reference") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
