@@ -76,6 +76,8 @@ object SparkEntry {
     "q52_moving_window"    -> (Extensions.q52MovingWindow _),
     "q53_percentiles"      -> (Extensions.q53Percentiles _),
     "q54_zorder"           -> (Extensions.q54ZOrder _),
+    "q55_packing"          -> ((s, d) => PrepPipeline.packingOffsets(
+      graft.sources.Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -518,6 +520,21 @@ object SparkEntry {
     // q54: z-order key arithmetic generated from the same constants
     // as the Spark expression (shared-construction, like MinHash).
     "q54_zorder" -> graft.operators.ZOrder.zorderOracleSql,
+    // q55: sequence-packing offsets — the oracle's single global
+    // cumsum equals the engine's distributed two-phase prefix sum.
+    "q55_packing" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS global_offset,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+             AS BIGINT) AS pack_id
+         FROM t ORDER BY doc_id""",
     "q24_minhash_lsh" -> minHashOracleSql,
     "q25_simhash" -> simHashOracleSql,
     "q34_winnow" -> winnowOracleSql,

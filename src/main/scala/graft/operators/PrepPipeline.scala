@@ -40,6 +40,49 @@ object PrepPipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Sequence-packing offsets — the concat-then-slice packing step of
+    * LLM training-data assembly: documents are laid out contiguously
+    * in doc_id order and every token gets a global offset, so
+    * training sequences are fixed `seqLen`-token slices of the
+    * concatenated stream (pack_id = start offset div seqLen).
+    *
+    * The global offset is a DISTRIBUTED TWO-PHASE PREFIX SUM, not a
+    * single global window (a naive `Window.orderBy(doc_id)` with no
+    * partitioning sorts the whole corpus in ONE partition — Spark
+    * warns about that plan because it cannot scale): phase 1 is a
+    * per-block running total (block = doc_id div blockSize, so the
+    * window partitions and every block sorts locally); phase 2
+    * prefix-sums the BLOCK SUBTOTALS — corpus/blockSize rows,
+    * metadata-scale, same driver-side posture as the IVF centroids
+    * and Spark's own RangePartitioner sampling — and rejoins them as
+    * a broadcast. `blockSize` bounds the phase-2 size at any corpus
+    * scale. */
+  def packingOffsets(docs: DataFrame, seqLen: Long = 2048L,
+                     blockSize: Long = 100L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withN = docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+    val inBlock = Window.partitionBy("block").orderBy("doc_id")
+    val blockTotals = withN.groupBy("block")
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val blockOffsets = blockTotals.map { case (b, t) =>
+      val o = acc; acc += t; (b, o)
+    }.toSeq.toDF("block", "block_offset")
+    withN
+      .withColumn("in_block_end", sum(col("n_tokens")).over(inBlock))
+      .join(broadcast(blockOffsets), "block")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("block_offset") + col("in_block_end") - col("n_tokens"))
+          .as("global_offset"))
+      .withColumn("pack_id", expr(s"global_offset div $seqLen"))
+      .orderBy("doc_id")
+  }
+
   /** q39: gated + deduped corpus with per-doc metadata. */
   def prepQuery(spark: SparkSession, dir: String,
                 minWords: Long = 20): DataFrame = {

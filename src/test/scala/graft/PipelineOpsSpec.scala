@@ -113,6 +113,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getLong(1) > 0) // n_tokens
   }
 
+  test("packing offsets: two-phase prefix sum equals the global cumsum") {
+    import graft.operators.PrepPipeline
+    // token counts 3,2,4,1,5 across two 2-doc blocks + a tail; seqLen 4
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "a b c d"), (3L, "a"),
+      (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = PrepPipeline.packingOffsets(docs, seqLen = 4L, blockSize = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // offsets: 0, 3, 5, 9, 10; pack = offset div 4
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, 0L), (1L, 2L, 3L, 0L), (2L, 4L, 5L, 1L),
+      (3L, 1L, 9L, 2L), (4L, 5L, 10L, 2L)))
+  }
+
   test("redaction scrubs digit runs and counts patterns") {
     val out = Redaction.redactQuery(spark, sf0001)
       .filter(col("src") === "customer").limit(2).collect()
