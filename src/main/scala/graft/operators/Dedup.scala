@@ -66,8 +66,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxDocFreq: Long = 0): DataFrame = {
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = Partitioning.spread(docs)
       .select(col("doc_id"),
         wordShinglesFast(tokens(col("text")), n).as("shingles"))
     // Materialize the inverted index once: it feeds four plan branches
@@ -123,8 +122,7 @@ object Dedup {
   def benchmarkOverlap(docs: DataFrame, benchSource: String, n: Int,
                        minOverlap: Long): DataFrame = {
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = Partitioning.spread(docs)
       .select(col("doc_id"), col("source"),
         explode(wordShinglesFast(tokens(col("text")), n)).as("s"))
     val bench = sh.filter(col("source") === benchSource)
@@ -195,12 +193,10 @@ object Dedup {
                       threshold: Double, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Spread CPU-bound sketching across all cores: a small corpus read
-    // from one parquet file is one partition, which would serialize the
-    // whole signature computation onto a single task.
+    // Spread CPU-bound sketching across all cores (widen-only — see
+    // Partitioning.spread for why a wide input must not be touched).
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = Partitioning.spread(docs)
     // The signature table feeds FOUR plan branches: both sides of the
     // band self-join plus the two broadcast re-attach joins (which have
     // DIFFERENT projections, so ReuseExchange cannot deduplicate them —
@@ -331,8 +327,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int,
                    portable: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "chunk scheme covers hamming <= 3")
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = Partitioning.spread(docs)
     // Materialized once (docs x 1 long): feeds both self-join sides.
     val sigs = simHashSignatures(spread, portable).localCheckpoint()
     // 4 pigeonhole chunks: 16 bits each over the 64-bit sketch, 15
@@ -373,8 +368,7 @@ object Dedup {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     // Norms computed once per vector, not once per candidate pair —
     // cuts 2/3 of the per-pair arithmetic in dense buckets.
-    val b = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val b = Partitioning.spread(embeddings)
       .select(col("vec_id"), col("embedding"),
         Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"),
         Similarity.norm(col("embedding")).as("nrm"))

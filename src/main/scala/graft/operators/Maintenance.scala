@@ -29,15 +29,19 @@ object Maintenance {
     * (in-place rewrites lose data on job failure). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inDir)).getLength
+    // Each path resolves its OWN filesystem (s3a://, hdfs://, file://
+    // can all differ from the configured default fs — and a lake
+    // compaction job routinely reads one store and writes another).
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = inPath.getFileSystem(conf)
+      .getContentSummary(inPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     spark.read.parquet(inDir)
       .repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(outDir)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+    outPath.getFileSystem(conf).listStatus(outPath)
       .count(s => s.getPath.getName.endsWith(".parquet")).toLong
   }
 

@@ -67,8 +67,7 @@ object Similarity {
     VectorFunctions.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    embeddings.filter(col("vec_id") =!= queryId)
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(embeddings.filter(col("vec_id") =!= queryId))
       .crossJoin(broadcast(q))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -91,8 +90,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryId: Long, k: Int,
               planes: Int, probeFlips: Int = 0): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
-    val bucketed = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val bucketed = Partitioning.spread(embeddings)
       .select(col("vec_id"), col("embedding"),
         hyperplaneBucket(col("embedding"), planes).as("bucket"))
     val q0 = bucketed.filter(col("vec_id") === queryId)
@@ -208,20 +206,25 @@ object Similarity {
     * trained quantizer is reused across calls on the same corpus
     * (train-once/serve-many — the verdict's persisted-index posture);
     * without it every call trains fresh. The cache key folds in a
-    * cheap corpus fingerprint (row count + max vec_id, one narrow
-    * scan — orders of magnitude cheaper than training), so a corpus
-    * that changes under the same directory retrains instead of
-    * silently serving stale centroids. */
+    * corpus CONTENT fingerprint (row count + max vec_id + the sum of a
+    * per-row hash over id AND vector values — one scan, no shuffle,
+    * still orders of magnitude cheaper than the iters× training scans),
+    * so a corpus that changes under the same directory retrains instead
+    * of silently serving stale centroids — including re-generated
+    * embeddings written over unchanged ids. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nClusters: Int, nprobe: Int, iters: Int = 2,
               cacheKey: Option[String] = None): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val local = cacheKey match {
       case Some(key) =>
+        // bit_xor fold: order-independent and overflow-free under ANSI
+        // (a long sum of 2^63-scale hashes throws ARITHMETIC_OVERFLOW)
         val fp = embeddings
-          .agg(count(lit(1)), max(col("vec_id"))).head()
+          .agg(count(lit(1)), max(col("vec_id")),
+            expr("bit_xor(xxhash64(vec_id, embedding))")).head()
         centroidCache.computeIfAbsent(
-          s"$key|${fp.getLong(0)}|${fp.get(1)}|$nClusters|$iters",
+          s"$key|${fp.getLong(0)}|${fp.get(1)}|${fp.get(2)}|$nClusters|$iters",
           _ => trainIvfCentroidsLocal(embeddings, nClusters, iters))
       case None => trainIvfCentroidsLocal(embeddings, nClusters, iters)
     }

@@ -66,8 +66,7 @@ object TextAnalysis {
     * per row; repartition spreads the CPU-bound sketch over all cores
     * (a small single-file corpus is otherwise one task). */
   def winnowQuery(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Partitioning.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), kgramHashes(col("toks"), 5).as("grams"))
       .select(col("doc_id"),
@@ -85,8 +84,7 @@ object TextAnalysis {
   def chunkQuery(spark: SparkSession, dir: String,
                  chunkSize: Int = 32, stride: Int = 24): DataFrame = {
     require(stride > 0 && chunkSize >= stride)
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = Partitioning.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("m", when(col("n") <= chunkSize, lit(1)).otherwise(

@@ -66,9 +66,13 @@ object ZOrder {
     * that z-clustering keeps BOTH dimensions' ranges tight). */
   def zorderQuery(spark: SparkSession, dir: String): DataFrame = {
     val bits = 10
+    // Clamp the epoch to non-negative BEFORE the division: Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors, and the
+    // two only agree for non-negative operands — without the clamp a
+    // pre-1970 timestamp would silently diverge cross-engine.
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-        expr("unix_millis(ts) div 60000").as("tmin"))
+        expr("greatest(unix_millis(ts), 0L) div 60000").as("tmin"))
       // confine both dims to the key width (exact, portable)
       .withColumn("xd", col("user_id") % (1L << bits))
       .withColumn("yd", col("tmin") % (1L << bits))
@@ -90,7 +94,7 @@ object ZOrder {
     val z = zkeySql("xd", "yd", bits)
     s"""WITH e AS (SELECT event_id,
            user_id % ${1L << bits} AS xd,
-           (CAST(epoch_ms(ts) AS BIGINT) // 60000) % ${1L << bits} AS yd
+           (greatest(CAST(epoch_ms(ts) AS BIGINT), 0) // 60000) % ${1L << bits} AS yd
          FROM events),
        k AS (SELECT event_id, xd, yd, $z AS z FROM e)
        SELECT (z // 4096) AS z_bucket, CAST(count(*) AS BIGINT) AS n,

@@ -129,6 +129,31 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 1L, 9L, 2L), (4L, 5L, 10L, 2L)))
   }
 
+  test("packing offsets: phase-2 collect is bounded for a corpus >> blockSize^2") {
+    import graft.operators.PrepPipeline
+    // 200k docs of 3 tokens each — global_offset must equal 3 * doc_id.
+    val docs = spark.range(200000).toDF("doc_id")
+      .withColumn("text", lit("tok tok tok"))
+    // auto mode derives blockSize ~ sqrt(range), clamped so the block
+    // count (= the driver-side collect size) stays under the constant
+    // bound regardless of corpus size
+    val bs = PrepPipeline.derivedBlockSize(0L, 199999L)
+    assert(bs >= 447, s"sqrt-scale block size expected, got $bs")
+    assert((200000L + bs - 1) / bs <= PrepPipeline.PhaseTwoMaxBlocks)
+    val out = PrepPipeline.packingOffsets(docs, seqLen = 1000L)
+      .filter(col("doc_id").isin(0L, 1L, 12345L, 199999L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (0L, 0L))
+    assert(out(1L) == (3L, 0L))
+    assert(out(12345L) == (37035L, 37L))
+    assert(out(199999L) == (599997L, 599L))
+    // an explicit blockSize that would exceed the bound fails loudly
+    // (200k blocks of 1 doc each > 2^16) instead of collecting them
+    intercept[IllegalArgumentException] {
+      PrepPipeline.packingOffsets(docs, seqLen = 1000L, blockSize = 1L)
+    }
+  }
+
   test("redaction scrubs digit runs and counts patterns") {
     val out = Redaction.redactQuery(spark, sf0001)
       .filter(col("src") === "customer").limit(2).collect()

@@ -121,6 +121,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "map-side partial expected:\n" + p.take(1200))
   }
 
+  test("sketch spread is widen-only: a wide input plans no extra Exchange") {
+    import graft.operators.Partitioning
+    // Already at/above defaultParallelism (4 in tests): pass-through,
+    // so by construction no round-robin Exchange is added to the plan.
+    val wide = spark.range(1000).toDF("doc_id").repartition(8)
+    val spreadWide = Partitioning.spread(wide)
+    assert(spreadWide eq wide,
+      "an input at or above defaultParallelism must pass through untouched")
+    val exBefore = "Exchange".r
+      .findAllIn(wide.queryExecution.executedPlan.toString).size
+    val exAfter = "Exchange".r
+      .findAllIn(spreadWide.queryExecution.executedPlan.toString).size
+    assert(exAfter == exBefore, "spread must not add an Exchange")
+    // Narrow input (one partition): widened to the core count.
+    val narrow = spark.range(100).toDF("doc_id").coalesce(1)
+    assert(Partitioning.spread(narrow).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("whole-stage codegen covers the extension projections (no UDFs)") {
     val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
     val p = df.queryExecution.explainString(
