@@ -78,6 +78,8 @@ object SparkEntry {
     "q54_zorder"           -> (Extensions.q54ZOrder _),
     "q55_packing"          -> ((s, d) => PrepPipeline.packingOffsets(
       graft.sources.Tables.documents(s, d))),
+    "q56_ann_portable"     -> (Extensions.q56AnnPortable _),
+    "q57_layout_stats"     -> (Extensions.q57LayoutStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -538,6 +540,14 @@ object SparkEntry {
     "q24_minhash_lsh" -> minHashOracleSql,
     "q25_simhash" -> simHashOracleSql,
     "q34_winnow" -> winnowOracleSql,
+    // q56: the APPROXIMATE ANN configuration (planes=6, 2 probe
+    // flips) — the oracle recomputes the integer bucket assignment
+    // from the same plane constants, then takes the exact top-k
+    // WITHIN the probed buckets.
+    "q56_ann_portable" -> annPortableOracleSql,
+    // q57: layout manifest — z-key arithmetic shared with q54.
+    "q57_layout_stats" ->
+      graft.operators.Maintenance.layoutCompareOracleSql,
     "q26_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0)
@@ -715,6 +725,36 @@ object SparkEntry {
                   ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
          SELECT d1, d2, CAST(bit_count(xor(g1, g2)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(g1, g2)) <= 3 ORDER BY d1, d2"""
+  }
+
+  /** q56: portable approximate ANN — quantized integer hyperplane
+    * buckets (plane constants from [[graft.operators.Similarity
+    * .portablePlaneComponent]], embedded as literals on both engines),
+    * multi-probe at hamming distance <= 2's single-bit flips, exact
+    * cosine top-10 within the probed buckets. */
+  private lazy val annPortableOracleSql: String = {
+    val planes = 6
+    val bits = (0 until planes).map { p =>
+      val cs = (0 until 64)
+        .map(i => graft.operators.Similarity.portablePlaneComponent(p, i))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n           + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+         qv AS (SELECT vec_id, emb,
+           list_transform(emb, x -> CAST(round(x * 1024) AS BIGINT)) AS q
+           FROM e),
+         b AS (SELECT vec_id, emb,
+           $bits AS bucket FROM qv),
+         qb AS (SELECT unnest([bucket, xor(bucket, 1), xor(bucket, 2)])
+                  AS qbucket, emb AS qe
+                FROM b WHERE vec_id = 0)
+       SELECT vec_id,
+         CAST(round(list_cosine_similarity(emb, qe), 6) * 1000000 AS BIGINT)
+           AS sim
+       FROM b JOIN qb ON b.bucket = qb.qbucket WHERE vec_id != 0
+       ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id LIMIT 10"""
   }
 
   /** q34: winnowing with portable rolling 5-gram hashes, window 4 —

@@ -206,6 +206,22 @@ object Extensions {
   def q54ZOrder(s: SparkSession, d: String): DataFrame =
     ZOrder.zorderQuery(s, d)
 
+  /** q56: hyperplane-LSH top-10 in a genuinely APPROXIMATE
+    * configuration — planes = 6 with 2 multi-probe flips, so the
+    * candidate join scans ~3/64 of the corpus — driver-checked
+    * exactly: the bucket assignment is integer arithmetic on the
+    * portable plane family, recomputed verbatim by the oracle SQL
+    * (closing the round-4 gap where only exact-recovery ANN configs
+    * were driver-measured). */
+  def q56AnnPortable(s: SparkSession, d: String): DataFrame =
+    Similarity.portableLshTopK(Tables.embeddings(s, d), queryId = 0,
+      k = 10, planes = 6, probeFlips = 2)
+
+  /** q57: data-skipping manifest of linear vs z-order layouts — the
+    * maintenance toolkit's pruning claim on the query surface. */
+  def q57LayoutStats(s: SparkSession, d: String): DataFrame =
+    Maintenance.layoutCompareQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

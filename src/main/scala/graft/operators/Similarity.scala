@@ -111,6 +111,71 @@ object Similarity {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
   }
 
+  /** Plane component for the PORTABLE hyperplane family: an integer in
+    * [-1000, 1000] derived from the md5 prefix of "p,i" — computed
+    * once driver-side and embedded as a literal in BOTH the Spark
+    * expression and the generated oracle SQL (the same shared-
+    * construction trick as the MinHash permutation family), so the two
+    * engines provably use the same planes without per-row hashing. */
+  private[graft] def portablePlaneComponent(p: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md
+      .digest(s"$p,$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L - 1000L
+  }
+
+  /** Portable hyperplane bucket: sign bits of INTEGER dot products
+    * between the quantized embedding and integer plane vectors. Every
+    * step is exact 64-bit integer arithmetic (|product sum| bounded by
+    * dims·1024·1000 ≈ 2^26), so the bucket assignment is bit-identical
+    * in any engine — unlike [[hyperplaneBucket]]'s float sums (the
+    * xxhash64 at-scale default), whose accumulation order no oracle
+    * can promise to reproduce at the sign boundary. `qv` must be a
+    * MATERIALIZED quantized column (HOFs are interpreted; an inline
+    * expression would re-quantize once per plane). */
+  private def portableBucket(qv: Column, planes: Int, dims: Int): Column =
+    if (planes <= 0) lit(0L)
+    else (0 until planes).map { p =>
+      val cs = array((0 until dims).map(i =>
+        lit(portablePlaneComponent(p, i))): _*)
+      when(aggregate(zip_with(qv, cs, (x, c) => x * c),
+        lit(0L), (s, v) => s + v) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q56: the approximate ANN path in its portable configuration —
+    * genuinely approximate (with `planes` = 6 and 2 probe flips the
+    * join scans ~3/64 of the corpus) yet exactly oracle-checkable,
+    * because the bucket assignment is integer arithmetic on literal
+    * plane constants the oracle SQL recomputes verbatim. Quantization:
+    * qv_i = round(double(x_i) · 1024) — float→double is exact and 1024
+    * is a power of two, so both engines round identical doubles. */
+  def portableLshTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                      planes: Int, probeFlips: Int,
+                      dims: Int = 64): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val bucketed = Partitioning.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"),
+        portableBucket(col("qv"), planes, dims).as("bucket"))
+    val q0 = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    val flips = lit(0L) +:
+      (0 until math.min(probeFlips, math.max(planes, 0))).map(p => lit(1L << p))
+    val q = q0.select(col("q_emb"),
+      explode(array(flips.map(f => col("q_bucket").bitwiseXOR(f)): _*))
+        .as("q_bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"),
+        (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
+  }
+
   // ---------------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path beside hyperplane LSH
   // ---------------------------------------------------------------------------

@@ -190,6 +190,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mp.length > sp.length, s"multi-probe ${mp.length} vs ${sp.length}")
   }
 
+  test("portable ANN buckets candidates and returns results from them") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val out = Similarity.portableLshTopK(emb, queryId = 0, k = 10,
+      planes = 6, probeFlips = 2).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val sims = out.map(_.getLong(1)).toSeq
+    assert(sims == sims.sorted.reverse, "similarities must be descending")
+    // genuinely approximate: the probed buckets hold well under the
+    // full corpus (expected ~3/64), so the result set must differ from
+    // brute force if any true neighbor hashes elsewhere — at minimum,
+    // candidates are a corpus subset and deterministic across runs
+    val again = Similarity.portableLshTopK(emb, queryId = 0, k = 10,
+      planes = 6, probeFlips = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // planes=0 degenerates to a single bucket = exact recovery
+    val exact = Similarity.portableLshTopK(emb, queryId = 0, k = 5,
+      planes = 0, probeFlips = 0).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == brute, s"planes=0 must equal brute force: $exact vs $brute")
+  }
+
   test("IVF topk probes a cluster subset, deterministic, well-formed") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val a = Similarity.ivfTopK(emb, queryId = 0, k = 5, nClusters = 8,

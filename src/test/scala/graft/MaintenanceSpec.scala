@@ -36,6 +36,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(stats.map(_.getLong(stats.head.fieldIndex("n_rows"))).sum == 1000L)
   }
 
+  test("footer-based fileStats matches the scan-based manifest exactly") {
+    val in = tmpDir("fstats_in")
+    spark.range(0, 3000).toDF("id")
+      .withColumn("v", col("id").cast("double") / 7)
+      .withColumn("s", concat(lit("k"), lpad(col("id").cast("string"), 6, "0")))
+      .repartitionByRange(3, col("id"))
+      .write.mode("overwrite").parquet(in)
+    val cols = Seq("id", "v", "s")
+    // input_file_name() renders file:///…, FileStatus file:/… — compare
+    // on the basename, which both carry
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+        .orderBy("file").collect().toSeq.map(_.toSeq)
+    val scan = norm(Maintenance.fileStats(spark, in, cols))
+    val foot = norm(Maintenance.fileStatsFromFooters(spark, in, cols))
+    assert(scan.nonEmpty && scan.length == 3)
+    assert(foot == scan,
+      s"footer manifest must equal the scan manifest:\n$foot\nvs\n$scan")
+  }
+
   test("z-ordered layout tightens per-file ranges on BOTH dimensions") {
     val flat = tmpDir("zcmp_flat")
     val zed = tmpDir("zcmp_z")
@@ -58,6 +78,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(fy > 50, s"x-sorted baseline should leave y wide, got $fy")
     assert(zx < fy / 2 && zy < fy / 2,
       s"z-order must bound both dims: zx=$zx zy=$zy baseline fy=$fy")
+  }
+
+  test("layout manifest: z-buckets bound both dims, linear leaves x wide") {
+    val rows = Maintenance.layoutCompareQuery(spark, sf0001).collect()
+    def avgSpan(layout: String): Double = {
+      val rs = rows.filter(_.getString(0) == layout)
+      rs.map(r => r.getLong(r.fieldIndex("max_x")) -
+        r.getLong(r.fieldIndex("min_x"))).sum.toDouble / rs.length
+    }
+    val (lin, zed) = (avgSpan("linear"), avgSpan("zorder"))
+    // time-sorted layout leaves the event dimension at full width in
+    // every bucket; z-order pins its top bits per bucket
+    assert(lin > 500, s"linear x-span should be wide, got $lin")
+    assert(zed < lin / 2, s"z-order must bound x: zorder=$zed linear=$lin")
   }
 
   test("mergeSchema read unions evolved file schemas") {

@@ -135,6 +135,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join attaches a matched build row's nulls as-is") {
+    import graft.operators.AsOfJoin
+    // Planted distinguishing case for the struct-packed attach: the
+    // matched build row (t=5) carries a NULL value while an OLDER
+    // build row (t=1) has a non-null one. Per-column last(ignoreNulls)
+    // would fall back to 7.0; correct ASOF semantics attach the null.
+    val p = Seq((0L, 1L, 10L)).toDF("pid", "k", "t")
+    val b = Seq((1L, 1L, Some(7.0)), (1L, 5L, None)).toDF("k", "t", "v")
+    val planted = AsOfJoin.asOfJoin(p, b, "k", "t", attach = Seq("v"))
+      .collect().head
+    assert(planted.isNullAt(planted.fieldIndex("asof_v")),
+      "matched build row's NULL must attach as-is, not fall back")
+    // Randomized: compare against a direct per-probe reference.
+    val genCase = for {
+      nKeys <- Gen.choose(1, 3)
+      probes <- Gen.listOfN(12, for {
+        k <- Gen.choose(1, nKeys); t <- Gen.choose(0, 20)
+      } yield (k.toLong, t.toLong))
+      builds <- Gen.listOfN(8, for {
+        k <- Gen.choose(1, nKeys); t <- Gen.choose(0, 20)
+        v <- Gen.option(Gen.choose(1, 99))
+      } yield (k.toLong, t.toLong, v.map(_.toDouble)))
+    } yield (probes, builds.distinctBy(x => (x._1, x._2)))
+    forAll(genCase, trials = 8) { case (probes, builds) =>
+      val probeDf = probes.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("pid", "k", "t")
+      val buildDf = builds.toDF("k", "t", "v")
+      val out = AsOfJoin.asOfJoin(probeDf, buildDf, "k", "t", Seq("v"))
+        .collect().map { r =>
+          r.getLong(0) ->
+            (if (r.isNullAt(r.fieldIndex("asof_v"))) None
+             else Some(r.getDouble(r.fieldIndex("asof_v"))))
+        }.toMap
+      probes.zipWithIndex.foreach { case ((k, t), i) =>
+        val expected = builds.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(_._2).lastOption.flatMap(_._3)
+        assert(out(i.toLong) == expected,
+          s"probe (k=$k,t=$t): got ${out(i.toLong)}, want $expected")
+      }
+    }
+  }
+
   test("fingerprint invariance: any whitespace/punct layout hashes equal") {
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     forAll(Gen.listOfN(5, word)) { ws =>
