@@ -73,15 +73,18 @@ object Bench {
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     val samples = for (_ <- 1 to reps; name <- names) yield name -> timeOne(name)
-    // Min over the SUCCESSFUL samples only; a query with zero
-    // successes is reported by name and excluded from the total.
+    // Min over the SUCCESSFUL samples only. `failed` = zero successful
+    // reps (excluded from the total); `flaky` = failed some reps but
+    // succeeded at least once (its min DOES contribute to the total) —
+    // two distinct keys so a consumer can tell a dead query from an
+    // intermittent one.
     val mins = names.flatMap { n =>
       val ok = samples.collect { case (`n`, Some(s)) => s }
       if (ok.nonEmpty) Some(n -> ok.min) else None
     }.toMap
-    val failed = names.filterNot(mins.contains) ++
-      names.filter(n => mins.contains(n) &&
-        samples.exists { case (m, s) => m == n && s.isEmpty })
+    val failed = names.filterNot(mins.contains)
+    val flaky = names.filter(n => mins.contains(n) &&
+      samples.exists { case (m, s) => m == n && s.isEmpty })
     // Adaptive retry: a steal burst lasting minutes can inflate every
     // interleaved sample of ONE query while its neighbors stay fast.
     // Any query whose min is still an outlier against the field gets
@@ -94,13 +97,34 @@ object Bench {
       n -> (if (m > math.max(3 * med, 2.0))
         timeOne(n).fold(m)(math.min(m, _)) else m)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // At-scale hash configs (xxhash64 instead of the oracle-portable
+    // md5-prefix family) for the sketch queries: min of 2 isolated
+    // samples each, reported under a separate key so every BENCH file
+    // carries the portable-vs-fast delta. SPARK_GRAFT_BENCH_FAST_HASH=0
+    // disables (e.g. for quick local iteration).
+    val fastHash: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_HASH", "1") == "0") Map.empty
+      else SparkEntry.benchFastHashVariants.keys.toSeq.sorted.flatMap { n =>
+        val ts = (1 to 2).flatMap { _ =>
+          dropPinnedBlocks()
+          val t0 = System.nanoTime()
+          try { SparkEntry.benchFastHashVariants(n)(spark, sfDir).count()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] fast-hash $n failed: ${e.getMessage}")
+            None
+          }
+        }
+        ts.minOption.map(n -> _)
+      }.toMap
+    def obj(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val failedJson = failed.distinct.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[String]): String =
+      xs.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")

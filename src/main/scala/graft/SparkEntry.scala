@@ -82,6 +82,26 @@ object SparkEntry {
     "q57_layout_stats"     -> (Extensions.q57LayoutStats _),
   )
 
+  /** Bench-only variants: the AT-SCALE hash configurations of the
+    * sketch operators whose registered queries run portable (oracle-
+    * recomputable) hashing instead. The portable forms pay an accepted
+    * oracle tax (md5-prefix per shingle vs one xxhash64); benching both
+    * each round keeps that tax measured instead of silently assumed.
+    * Not in [[queries]]: same machinery, no independent oracle — the
+    * bit-equivalence of the two configs is asserted in
+    * DedupSimilaritySpec / TextAnalysisSpec. */
+  def benchFastHashVariants: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q24_minhash_lsh" -> ((s, d) => graft.operators.Dedup.minHashLshPairs(
+        graft.sources.Tables.documents(s, d),
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        portable = false)),
+      "q25_simhash" -> ((s, d) => graft.operators.Dedup.simHashPairs(
+        graft.sources.Tables.documents(s, d), maxHamming = 3,
+        portable = false)),
+      "q34_winnow" -> ((s, d) => TextAnalysis.winnowQuery(s, d)),
+    )
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
