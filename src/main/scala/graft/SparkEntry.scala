@@ -80,6 +80,11 @@ object SparkEntry {
       graft.sources.Tables.documents(s, d))),
     "q56_ann_portable"     -> (Extensions.q56AnnPortable _),
     "q57_layout_stats"     -> (Extensions.q57LayoutStats _),
+    "q58_semantic_dedup"   -> (Extensions.q58SemanticDedup _),
+    "q59_stratified_sample" -> (Extensions.q59StratifiedSample _),
+    "q60_mixing_weights"   -> (Extensions.q60MixingWeights _),
+    "q61_quota_select"     -> (Extensions.q61QuotaSelect _),
+    "q62_edit_blocked"     -> (Extensions.q62EditBlocked _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -568,6 +573,16 @@ object SparkEntry {
     // q57: layout manifest — z-key arithmetic shared with q54.
     "q57_layout_stats" ->
       graft.operators.Maintenance.layoutCompareOracleSql,
+    // q58: same plane-constant generation as q56, planes=4.
+    "q58_semantic_dedup" -> semanticDedupOracleSql,
+    "q59_stratified_sample" ->
+      graft.operators.Curation.stratifiedSampleOracleSql,
+    "q60_mixing_weights" ->
+      graft.operators.Curation.mixingWeightsOracleSql,
+    "q61_quota_select" ->
+      graft.operators.Curation.quotaSelectOracleSql(),
+    "q62_edit_blocked" ->
+      graft.operators.Dedup.editBlockedOracleSql(),
     "q26_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0)
@@ -775,6 +790,36 @@ object SparkEntry {
            AS sim
        FROM b JOIN qb ON b.bucket = qb.qbucket WHERE vec_id != 0
        ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id LIMIT 10"""
+  }
+
+  /** q58: semantic dedup oracle — recompute the planes=4 portable
+    * bucket assignment (same integer plane constants as the Spark
+    * side), pair within buckets at cosine >= 0.3, label each vector
+    * with its earliest in-bucket neighbor. */
+  private lazy val semanticDedupOracleSql: String = {
+    val planes = 4
+    val bits = (0 until planes).map { p =>
+      val cs = (0 until 64)
+        .map(i => graft.operators.Similarity.portablePlaneComponent(p, i))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n           + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+         qv AS (SELECT vec_id, emb,
+           list_transform(emb, x -> CAST(round(x * 1024) AS BIGINT)) AS q
+           FROM e),
+         b AS (SELECT vec_id, emb, CAST($bits AS BIGINT) AS bucket FROM qv),
+         d AS (SELECT c.vec_id AS vec_id, min(a.vec_id) AS dup_of
+               FROM b a JOIN b c
+                 ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+               WHERE list_cosine_similarity(a.emb, c.emb) >= 0.3
+               GROUP BY 1)
+       SELECT b.vec_id, b.bucket,
+         coalesce(d.dup_of, b.vec_id) AS keeper,
+         CAST(coalesce(d.dup_of, b.vec_id) != b.vec_id AS BIGINT) AS is_dup
+       FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+       ORDER BY b.vec_id"""
   }
 
   /** q34: winnowing with portable rolling 5-gram hashes, window 4 —

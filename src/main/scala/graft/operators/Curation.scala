@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{patternCount, portableHash60, rawTokens, tokens}
+import graft.sources.Tables
+
+/** Dataset-curation operators — the selection/weighting steps between a
+  * deduplicated corpus and a training run:
+  *
+  *  - [[stratifiedSample]]: deterministic hash-based downsampling to
+  *    balance strata (no RNG, no state — every engine and every re-run
+  *    picks the same rows).
+  *  - [[mixingWeights]]: per-stratum sampling weights to reshape the
+  *    natural token distribution toward a target mixture.
+  *  - [[quotaSelect]]: top-N-per-stratum selection by a quality score
+  *    (curriculum / quota construction).
+  *
+  * All three are aggregate-then-broadcast shapes: the per-stratum state
+  * is a handful of rows regardless of corpus size, so the only
+  * corpus-sized pass is a scan-speed filter or a bounded-partition
+  * window — nothing quadratic, nothing driver-sized.
+  */
+object Curation {
+
+  /** q59: stratified downsampling to the smallest stratum — each
+    * language is sampled at rate `min_count / count` so every stratum
+    * contributes ~the same number of documents (the classic
+    * class-balance step). Selection is deterministic: keep a doc iff
+    * `portableHash60(lang:doc_id) mod 1e6 < rate_e6` — reproducible
+    * across engines/runs, no RNG seed plumbing, and independent
+    * per stratum. Scale shape: one tiny groupBy(lang) agg (map-side
+    * combined), a broadcast join of the 5-row rate table, then a
+    * scan-speed filter; no corpus-sized shuffle at all. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("lang"), expr("min_cnt * 1000000 div cnt").as("rate_e6"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(portableHash60(
+        concat(col("lang"), lit(":"), col("doc_id").cast("string")))
+        % 1000000L < col("rate_e6"))
+      .select(col("doc_id"), col("lang"), col("rate_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** q60: data-mixing weights — how much to up/down-sample each
+    * language so the training mixture hits a UNIFORM target share,
+    * from the natural per-language token mass. `share_e6` is the
+    * observed token share; `weight_e6` is target/observed (1e6 =
+    * leave as-is, >1e6 = oversample). Integer rational arithmetic
+    * throughout (div, not doubles) so the numbers are exact on any
+    * engine. Two tiny aggregations; the corpus is touched once. */
+  def mixingWeights(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = perLang.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("share_e6", expr("n_tokens * 1000000 div total_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share_e6"),
+        expr("(1000000 div n_langs) * 1000000 div greatest(share_e6, 1)")
+          .as("weight_e6"))
+      .orderBy("lang")
+  }
+
+  /** q61: per-stratum quality quota — the top `perLang` documents of
+    * each language by an integer Gopher-style quality score
+    * (words - punctuation - digits: favors clean running text). The
+    * window partitions by language, so at scale each partition is one
+    * stratum's docs — bounded by stratum size, never the corpus — and
+    * the quota filter prunes everything past rank N. */
+  def quotaSelect(docs: DataFrame, perLang: Int = 20): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (size(rawTokens(col("text"))).cast("long")
+        - patternCount(col("text"), "[^A-Za-z0-9\\s]")
+        - patternCount(col("text"), "[0-9]")).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= perLang)
+      .select(col("doc_id"), col("lang"), col("score"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** DuckDB oracles, sharing every constant with the Scala operators. */
+  def stratifiedSampleOracleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+       r AS (SELECT lang, (SELECT min(cnt) FROM c) * 1000000 // cnt AS rate_e6
+             FROM c)
+     SELECT d.doc_id, d.lang, r.rate_e6
+     FROM documents d JOIN r ON d.lang = r.lang
+     WHERE CAST(('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 < r.rate_e6
+     ORDER BY d.doc_id"""
+
+  def mixingWeightsOracleSql: String =
+    """WITH t AS (SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY 1),
+       g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(*) AS n_langs FROM t),
+       s AS (SELECT lang, n_docs, n_tokens,
+               n_tokens * 1000000 // total_tokens AS share_e6, n_langs
+             FROM t, g)
+     SELECT lang, n_docs, n_tokens, share_e6,
+       (1000000 // n_langs) * 1000000 // greatest(share_e6, 1) AS weight_e6
+     FROM s ORDER BY lang"""
+
+  def quotaSelectOracleSql(perLang: Int = 20): String =
+    s"""WITH s AS (SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+             - CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS score
+         FROM documents),
+       r AS (SELECT doc_id, lang, score,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+             FROM s)
+     SELECT doc_id, lang, score, rn FROM r WHERE rn <= $perLang
+     ORDER BY lang, rn"""
+}

@@ -383,4 +383,61 @@ object Dedup {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
       .orderBy("v1", "v2")
   }
+
+  // ---------------------------------------------------------------------------
+  // Edit-distance near-dup (blocked record linkage)
+  // ---------------------------------------------------------------------------
+
+  /** q62: edit-distance near-duplicates via prefix blocking — the
+    * classic record-linkage shape: block on the first `prefixTokens`
+    * (lowercased) tokens, then verify candidate pairs with Levenshtein
+    * distance over the first `prefixChars` characters. Edit distance
+    * catches small in-place edits (typos, number substitutions) that
+    * set-based Jaccard treats as identical-weight token swaps.
+    *
+    * Scale posture mirrors q23: pairs exist only within a block, and a
+    * `maxBlockFreq` cap drops degenerate hot blocks (a boilerplate
+    * prefix shared by millions of docs would otherwise go quadratic)
+    * via an aggregate + anti-join, not a full-index window. The
+    * Levenshtein verify is O(prefixChars^2) per candidate — bounded by
+    * the cap, scan-parallel. Restricted to one language: both engines
+    * count edits in Unicode codepoints, but cross-script text makes
+    * the fixed `maxDist` threshold meaningless, not the arithmetic. */
+  def editBlockedPairs(docs: DataFrame, lang: String = "en",
+                       prefixTokens: Int = 3, prefixChars: Int = 80,
+                       maxDist: Int = 16,
+                       maxBlockFreq: Int = 50): DataFrame = {
+    val base = Partitioning.spread(docs)
+      .filter(col("lang") === lang)
+      .select(col("doc_id"),
+        substring(col("text"), 1, prefixChars).as("head"),
+        concat_ws(" ", slice(tokens(col("text")), 1, prefixTokens)).as("blk"))
+    val hot = base.groupBy("blk").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > maxBlockFreq)
+    val blocked = base.join(hot, Seq("blk"), "left_anti")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("lev"))
+      .filter(col("lev") <= maxDist)
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[editBlockedPairs]] — same blocking key, same
+    * cap (as a QUALIFY window), same verify threshold. */
+  def editBlockedOracleSql(lang: String = "en", prefixTokens: Int = 3,
+                           prefixChars: Int = 80, maxDist: Int = 16,
+                           maxBlockFreq: Int = 50): String =
+    s"""WITH p AS (SELECT doc_id, substr(text, 1, $prefixChars) AS head,
+           array_to_string(list_slice(
+             string_split_regex(trim(lower(text)), '\\s+'), 1, $prefixTokens),
+             ' ') AS blk
+         FROM documents WHERE lang = '$lang'),
+       f AS (SELECT * FROM p
+             QUALIFY count(*) OVER (PARTITION BY blk) <= $maxBlockFreq)
+     SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+     FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
+     WHERE levenshtein(a.head, b.head) <= $maxDist
+     ORDER BY d1, d2"""
 }

@@ -222,6 +222,31 @@ object Extensions {
   def q57LayoutStats(s: SparkSession, d: String): DataFrame =
     Maintenance.layoutCompareQuery(s, d)
 
+  /** q58: SemDeDup-style semantic dedup — portable LSH buckets, then
+    * within-bucket cosine pairs mark later vectors as duplicates of
+    * their earliest neighbor. */
+  def q58SemanticDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d))
+
+  /** q59: deterministic stratified downsampling to the smallest
+    * language stratum. */
+  def q59StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Curation.stratifiedSample(Tables.documents(s, d))
+
+  /** q60: per-language data-mixing weights toward a uniform token
+    * mixture. */
+  def q60MixingWeights(s: SparkSession, d: String): DataFrame =
+    Curation.mixingWeights(Tables.documents(s, d))
+
+  /** q61: top-20-per-language quality quota. */
+  def q61QuotaSelect(s: SparkSession, d: String): DataFrame =
+    Curation.quotaSelect(Tables.documents(s, d))
+
+  /** q62: edit-distance near-dups with prefix blocking + hot-block
+    * cap. */
+  def q62EditBlocked(s: SparkSession, d: String): DataFrame =
+    Dedup.editBlockedPairs(Tables.documents(s, d))
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -176,6 +176,50 @@ object Similarity {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
   }
 
+  /** q58: SemDeDup-style semantic deduplication — partition the corpus
+    * into hyperplane-LSH buckets (the portable integer family, so the
+    * oracle recomputes assignments exactly), then within each bucket
+    * mark every vector that has a LOWER-id neighbor at cosine >= `tau`
+    * as a duplicate of its earliest such neighbor. The scale shape of
+    * the published SemDeDup recipe (cluster, then pairwise only inside
+    * clusters): the quadratic step is bounded per bucket — `planes`
+    * controls the bucket count (2^planes), so at 100 TB you raise
+    * planes until buckets fit the pairwise budget; no all-pairs join
+    * ever materializes. One shuffle on bucket for the pair join, one
+    * keyed agg for the keeper, one join back for the labeling.
+    *
+    * Output per vector: bucket, keeper (the earliest in-bucket vector
+    * within `tau`, or itself when unique), is_dup. */
+  def semanticDedup(embeddings: DataFrame, planes: Int = 4,
+                    tau: Double = 0.3, dims: Int = 64): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    // localCheckpoint: three plan branches (both pair sides + final
+    // labeling join) would otherwise re-run the interpreted
+    // quantize+bucket HOFs — the q24 signature-table lesson.
+    val bucketed = Partitioning.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"),
+        portableBucket(col("qv"), planes, dims).as("bucket"))
+      .localCheckpoint()
+    val a = bucketed.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("bucket"))
+    val keepers = a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_emb"), col("b_emb")) >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    bucketed.select(col("vec_id"), col("bucket"))
+      .join(keepers, Seq("vec_id"), "left")
+      .withColumn("keeper", coalesce(col("dup_of"), col("vec_id")))
+      .select(col("vec_id"), col("bucket"), col("keeper"),
+        (col("keeper") =!= col("vec_id")).cast("long").as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path beside hyperplane LSH
   // ---------------------------------------------------------------------------

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Curation operators: stratified sampling, mixing weights, quality
+  * quotas — semantic invariants beyond the driver's oracle check. */
+class CurationSpec extends SparkSpec {
+
+  test("stratified sample keeps the smallest stratum whole, shrinks the rest") {
+    val docs = Tables.documents(spark, sf0001)
+    val langCounts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = langCounts.minBy(_._2)._1
+    val out = Curation.stratifiedSample(docs)
+    val sampled = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate for the smallest stratum is exactly 1e6 => every doc kept
+    assert(sampled(minLang) == langCounts(minLang),
+      s"min stratum $minLang must be kept whole: $sampled vs $langCounts")
+    // every stratum is sampled, none grows
+    langCounts.foreach { case (l, n) =>
+      assert(sampled.getOrElse(l, 0L) <= n)
+      assert(sampled.getOrElse(l, 0L) > 0, s"stratum $l sampled to zero")
+    }
+    // deterministic: the same rows every run
+    val again = Curation.stratifiedSample(docs)
+    assert(out.collect().map(_.getLong(0)).toSeq ==
+      again.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("mixing weights: shares sum to ~1e6 and weights invert shares") {
+    val rows = Curation.mixingWeights(Tables.documents(spark, sf0001))
+      .collect()
+    assert(rows.length == 5)
+    val shares = rows.map(_.getLong(rows.head.fieldIndex("share_e6")))
+    // integer floor division: sum within n_langs of 1e6
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length * 2)
+    val byShare = rows.sortBy(_.getLong(rows.head.fieldIndex("share_e6")))
+    val weights = byShare.map(_.getLong(rows.head.fieldIndex("weight_e6")))
+    // smaller observed share => larger upsampling weight
+    assert(weights.zip(weights.tail).forall { case (a, b) => a >= b },
+      s"weights must be non-increasing in share: ${weights.toSeq}")
+  }
+
+  test("quota select: per-language quota, ranked by score, bounded") {
+    val out = Curation.quotaSelect(Tables.documents(spark, sf0001), perLang = 7)
+      .collect()
+    val byLang = out.groupBy(_.getString(1))
+    assert(byLang.size == 5)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 7, s"$lang quota exceeded: ${rows.length}")
+      val rns = rows.map(_.getLong(3)).sorted.toSeq
+      assert(rns == (1L to rows.length).toSeq, s"$lang ranks not dense: $rns")
+      val scoresByRn = rows.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(scoresByRn.zip(scoresByRn.tail).forall { case (a, b) => a >= b },
+        s"$lang scores must be non-increasing by rank: $scoresByRn")
+    }
+  }
+}

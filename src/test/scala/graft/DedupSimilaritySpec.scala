@@ -212,6 +212,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact == brute, s"planes=0 must equal brute force: $exact vs $brute")
   }
 
+  test("semantic dedup labels every vector once, keepers precede dups") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val out = Similarity.semanticDedup(emb).collect()
+    assert(out.length == emb.count(), "one label row per vector")
+    val keeperIdx = out.head.fieldIndex("keeper")
+    val dupIdx = out.head.fieldIndex("is_dup")
+    out.foreach { r =>
+      val (v, keeper, isDup) = (r.getLong(0), r.getLong(keeperIdx),
+        r.getLong(dupIdx))
+      assert(keeper <= v, s"keeper $keeper must not be later than $v")
+      assert((isDup == 1L) == (keeper != v))
+    }
+    val nDups = out.count(_.getLong(dupIdx) == 1L)
+    assert(nDups > 0, "corpus has semantic near-dups at tau=0.3")
+    assert(nDups < out.length, "not everything is a dup")
+    // a keeper is never itself marked dup-of-someone-later... it CAN be
+    // a dup of an even-earlier vector; but it must exist in the output
+    val ids = out.map(_.getLong(0)).toSet
+    assert(out.forall(r => ids.contains(r.getLong(keeperIdx))))
+  }
+
+  test("edit-distance blocking finds small-edit pairs, symmetric-free") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val out = Dedup.editBlockedPairs(docs).collect()
+    assert(out.nonEmpty, "en corpus has blocked near-edit pairs")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs emitted once, d1 < d2")
+      assert(r.getLong(2) <= 16, "verify threshold respected")
+    }
+    // tightening the threshold can only shrink the result
+    val tight = Dedup.editBlockedPairs(docs, maxDist = 4).collect()
+    assert(tight.length <= out.length)
+    val loosePairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.forall(r => loosePairs.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("IVF topk probes a cluster subset, deterministic, well-formed") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val a = Similarity.ivfTopK(emb, queryId = 0, k = 5, nClusters = 8,
