@@ -85,6 +85,8 @@ object SparkEntry {
     "q60_mixing_weights"   -> (Extensions.q60MixingWeights _),
     "q61_quota_select"     -> (Extensions.q61QuotaSelect _),
     "q62_edit_blocked"     -> (Extensions.q62EditBlocked _),
+    "q63_funnel"           -> (Extensions.q63Funnel _),
+    "q64_cube"             -> (Extensions.q64Cube _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -583,6 +585,17 @@ object SparkEntry {
       graft.operators.Curation.quotaSelectOracleSql(),
     "q62_edit_blocked" ->
       graft.operators.Dedup.editBlockedOracleSql(),
+    "q63_funnel" -> graft.operators.Sessionize.funnelOracleSql,
+    "q64_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+             AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
     "q26_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0)

@@ -247,6 +247,15 @@ object Extensions {
   def q62EditBlocked(s: SparkSession, d: String): DataFrame =
     Dedup.editBlockedPairs(Tables.documents(s, d))
 
+  /** q63: sequential signup→view→click→purchase funnel in one
+    * groupBy. */
+  def q63Funnel(s: SparkSession, d: String): DataFrame =
+    Sessionize.funnelQuery(s, d)
+
+  /** q64: priority × status CUBE (all grouping sets, one Expand). */
+  def q64Cube(s: SparkSession, d: String): DataFrame =
+    OlapOps.cubeQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

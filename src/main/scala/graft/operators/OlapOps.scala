@@ -40,6 +40,24 @@ object OlapOps {
       .orderBy("gid", "order_month", "o_orderstatus")
   }
 
+  /** q64: priority × status CUBE — all four grouping sets in one pass
+    * (q50's rollup emits only the prefix hierarchy; CUBE adds the
+    * status-only subtotals). Same Expand-based single-aggregation plan
+    * shape as rollup: each input row replicates once per grouping set
+    * map-side, partials combine before the one shuffle — subtotal
+    * depth never costs extra scans. */
+  def cubeQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumCents(col("o_totalprice")).as("total_cents"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("gid"), col("n_orders").cast("long").as("n_orders"),
+        col("total_cents"))
+      .orderBy("gid", "o_orderpriority", "o_orderstatus")
+
   /** q51: pivot event counts into one column per event type. The
     * value list is EXPLICIT — with an inferred list Spark first runs a
     * distinct scan, and the output schema depends on the data; a

@@ -73,6 +73,55 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel counts are monotone and stage order is enforced") {
+    val rows = Sessionize.funnelQuery(spark, sf0001).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+    val users = rows.map(_.getLong(2)).toSeq
+    // each later stage requires all earlier ones: counts never grow
+    assert(users.zip(users.tail).forall { case (a, b) => a >= b },
+      s"funnel must be monotone non-increasing: $users")
+    assert(users.head > 0, "some user signs up in the fixture corpus")
+    // order-enforcement fixture: purchase BEFORE signup must not
+    // count. ts written as epoch-NANOS longs — the on-disk contract
+    // Tables.events expects (TIMESTAMP(NANOS) read nanosAsLong).
+    def nanos(minute: Long): Long = minute * 60L * 1000000000L
+    val ev = Seq(
+      (1L, "purchase", nanos(0)), (1L, "signup", nanos(60)),
+      (2L, "signup", nanos(0)), (2L, "view", nanos(10)),
+      (2L, "click", nanos(20)), (2L, "purchase", nanos(30)))
+      .toDF("user_id", "event_type", "ts")
+    val dir = tmpDir("funnel_fix")
+    // route through the same parquet+reader path as the real table
+    ev.withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val out = Sessionize.funnelQuery(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("signup" -> 2L, "view" -> 1L, "click" -> 1L,
+      "purchase" -> 1L),
+      s"user 1's pre-signup purchase must not complete the funnel: $out")
+  }
+
+  test("cube emits all four grouping sets consistently") {
+    import graft.operators.OlapOps
+    val rows = OlapOps.cubeQuery(spark, sf0001).collect()
+    val byGid = rows.groupBy(_.getInt(2))
+    assert(byGid.keySet == Set(0, 1, 2, 3), s"gids: ${byGid.keySet}")
+    assert(byGid(3).length == 1, "one grand-total row")
+    val total = byGid(3).head.getLong(3)
+    // every grouping set partitions the same row universe
+    (0 to 2).foreach { gid =>
+      assert(byGid(gid).map(_.getLong(3)).sum == total,
+        s"gid=$gid counts must sum to the grand total $total")
+    }
+    // cube adds the status-only set rollup lacks: gid=2 rows keep
+    // status but fold priority to ALL
+    assert(byGid(2).forall(r => r.getString(0) == "ALL"
+      && r.getString(1) != "ALL"))
+  }
+
   test("tf-idf ranks rarer terms above common ones, exact scores") {
     val out = TextAnalysis.tfidfQuery(spark, sf0001, topK = 2)
     val first = out.filter(col("term_rank") === 1).limit(3).collect()
