@@ -140,6 +140,51 @@ class PlanSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("q59 stratified sample: rate table broadcasts, filter is scan-side") {
+    val p = planString(graft.operators.Extensions
+      .q59StratifiedSample(spark, sf0001))
+    // both small sides (min-count scalar and the per-lang rate table)
+    // must broadcast — a sort-merge join would shuffle the corpus to
+    // apply a 5-row rate table
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "rate attach must not shuffle the corpus:\n" + p.take(1500))
+  }
+
+  test("q60 mixing weights: totals broadcast, no cartesian blowup") {
+    val p = planString(graft.operators.Extensions
+      .q60MixingWeights(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "1-row totals join must broadcast:\n" + p.take(1200))
+  }
+
+  test("q63 funnel plans one corpus shuffle (single groupBy, no join cascade)") {
+    val p = planString(graft.operators.Extensions.q63Funnel(spark, sf0001))
+    assert(!p.contains("Join"),
+      "funnel recurrence must be array arithmetic, not per-stage joins")
+    // the user_id aggregation's exchange + the trivial final-agg /
+    // output exchanges; the corpus-sized one is exactly the first
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).toSeq
+    assert(hashEx.length == 1,
+      s"expected exactly 1 user_id exchange:\n${p.take(1500)}")
+  }
+
+  test("q64 cube plans one Expand + a single scan") {
+    val p = planString(graft.operators.Extensions.q64Cube(spark, sf0001))
+    assert(p.contains("Expand"), "cube must plan via Expand:\n" + p.take(800))
+    val scans = "Scan parquet".r.findAllIn(p).toSeq
+    assert(scans.length == 1, "grouping sets must not re-scan the input")
+  }
+
+  test("q62 edit blocking: hot-block cap is an anti-join, pairs an equi-join") {
+    val p = planString(graft.operators.Extensions.q62EditBlocked(spark, sf0001))
+    assert(p.contains("LeftAnti"),
+      "hot-block cap must plan as an anti-join:\n" + p.take(1500))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must stay an equi-join on blk:\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the extension projections (no UDFs)") {
     val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
     val p = df.queryExecution.explainString(
