@@ -105,6 +105,57 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getLong(1) == 2 && rows.head.getDouble(2) == 3.0)
   }
 
+  test("streaming funnel advance equals the batch funnel on the corpus") {
+    import graft.streaming.FunnelStream
+    // batch: per-stage user counts from the oracle-checked query
+    val batch = graft.operators.Sessionize.funnelQuery(spark, sf0001)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // streaming twin: the same pure advance() the stateful operator
+    // runs, folded over each user's full history
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => FunnelStream.Event(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val hits = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+      FunnelStream.advance(FunnelStream.FunnelState(Seq.empty),
+        evs.toSeq, u)._1
+    }
+    val streaming = hits.groupBy(_.step).map { case (s, h) =>
+      s -> h.map(_.user_id).distinct.length.toLong
+    }
+    FunnelStream.stages.foreach { s =>
+      assert(streaming.getOrElse(s, 0L) == batch(s),
+        s"stage $s diverges: streaming=$streaming batch=$batch")
+    }
+  }
+
+  test("streaming funnel completes stages across batches with recovery") {
+    import graft.streaming.FunnelStream
+    val drop = tmpDir("fun_drop")
+    val ckpt = tmpDir("fun_ckpt")
+    val out = tmpDir("fun_out")
+    // batch 1: user 7 signs up and views; user 8 purchases (no signup
+    // -> never counts)
+    writeDrop(drop, "b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":7,"event_type":"signup","value":0.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:05:00Z","user_id":7,"event_type":"view","value":0.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:06:00Z","user_id":8,"event_type":"purchase","value":0.0}"""))
+    FunnelStream.funnelAvailableNow(spark, drop, out, ckpt)
+    // batch 2 (separate invocation -> state rides the checkpoint):
+    // user 7 clicks then purchases
+    writeDrop(drop, "b2.json", Seq(
+      """{"event_id":4,"ts":"2024-01-01T00:10:00Z","user_id":7,"event_type":"click","value":0.0}""",
+      """{"event_id":5,"ts":"2024-01-01T00:15:00Z","user_id":7,"event_type":"purchase","value":0.0}"""))
+    FunnelStream.funnelAvailableNow(spark, drop, out, ckpt)
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getString(r.fieldIndex("step")))).toSet
+    assert(rows == Set((7L, "signup"), (7L, "view"), (7L, "click"),
+      (7L, "purchase")),
+      s"user 7 completes all four stages across two batches: $rows")
+  }
+
   test("streaming dedup drops duplicate content within the horizon") {
     import graft.streaming.DocStream
     val drop = tmpDir("doc_drop")
