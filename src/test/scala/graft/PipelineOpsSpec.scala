@@ -104,6 +104,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"user 1's pre-signup purchase must not complete the funnel: $out")
   }
 
+  test("approx_count_distinct tracks exact distincts within rsd bounds") {
+    // the approximate-aggregate surface: HLL++ sketches merge
+    // associatively across partitions (one map-side sketch per
+    // partition, constant bytes per group — the at-scale shape for
+    // distinct counts over 100 TB, where exact countDistinct forces a
+    // full shuffle of the key universe). Not oracle-checked (DuckDB's
+    // HLL differs); asserted against the exact count instead.
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val rows = ev.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx")).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (e, a) = (r.getLong(1), r.getLong(2))
+      assert(e > 0 && math.abs(a - e).toDouble / e <= 0.15,
+        s"${r.getString(0)}: approx $a vs exact $e drifts past 3x rsd")
+    }
+    // determinism: same data, same sketch, same answer
+    val again = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.05)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(again(r.getString(0)) == r.getLong(2)))
+  }
+
   test("cube emits all four grouping sets consistently") {
     import graft.operators.OlapOps
     val rows = OlapOps.cubeQuery(spark, sf0001).collect()
