@@ -87,6 +87,7 @@ object SparkEntry {
     "q62_edit_blocked"     -> (Extensions.q62EditBlocked _),
     "q63_funnel"           -> (Extensions.q63Funnel _),
     "q64_cube"             -> (Extensions.q64Cube _),
+    "q65_incremental_dedup" -> (Extensions.q65IncrementalDedup _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -586,6 +587,7 @@ object SparkEntry {
     "q62_edit_blocked" ->
       graft.operators.Dedup.editBlockedOracleSql(),
     "q63_funnel" -> graft.operators.Sessionize.funnelOracleSql,
+    "q65_incremental_dedup" -> incrementalDedupOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
@@ -711,10 +713,10 @@ object SparkEntry {
   private def sqlPortableH(of: String): String =
     s"CAST(('0x' || substr(md5($of), 1, 15)) AS BIGINT)"
 
-  /** q24: the full MinHash+LSH pipeline — 3-gram shingles, 64
-    * universal-hash min-signatures, 16 band keys, bucket join,
-    * signature-estimated Jaccard >= 0.5 — mirrored in DuckDB. */
-  private lazy val minHashOracleSql: String = {
+  /** Shared CTE prefix for the MinHash oracles (q24, q65): 3-gram
+    * shingles → portable hashes → 64 universal-hash min-signatures →
+    * 16 banded keys. Ends without a trailing comma. */
+  private lazy val minHashCtePrefix: String = {
     import graft.functions.TextFunctions.MinHashParams.{M, a, b}
     val sigMins = (0 until 64)
       .map(i => s"min((${a(i)} * h + ${b(i)}) % $M) AS m$i").mkString(",\n           ")
@@ -723,9 +725,7 @@ object SparkEntry {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $bd AS band, $key AS k FROM sig"
     }.mkString("\n           UNION ALL ")
-    val eqSum = (0 until 64).map(i => s"CAST(s1.m$i = s2.m$i AS INT)")
-      .mkString(" + ")
-    s"""WITH sh AS (
+    s"""sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 0) + 1),
              i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))) AS shingles
@@ -735,16 +735,48 @@ object SparkEntry {
          sig AS (SELECT doc_id,
            $sigMins
            FROM hx GROUP BY doc_id),
-         bands AS ($bandSelects),
+         bands AS ($bandSelects)"""
+  }
+
+  /** Signature-equality sum between sig aliases s1 and s2. */
+  private lazy val minHashEqSum: String =
+    (0 until 64).map(i => s"CAST(s1.m$i = s2.m$i AS INT)").mkString(" + ")
+
+  /** q24: the full MinHash+LSH pipeline — 3-gram shingles, 64
+    * universal-hash min-signatures, 16 band keys, bucket join,
+    * signature-estimated Jaccard >= 0.5 — mirrored in DuckDB. */
+  private lazy val minHashOracleSql: String =
+    s"""WITH $minHashCtePrefix,
          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                   FROM bands a JOIN bands b
                   ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
-         est AS (SELECT d1, d2, ($eqSum) AS cnt
+         est AS (SELECT d1, d2, ($minHashEqSum) AS cnt
                  FROM cand JOIN sig s1 ON d1 = s1.doc_id
                  JOIN sig s2 ON d2 = s2.doc_id)
          SELECT d1, d2, CAST(round(cnt / 64.0, 6) * 1000000 AS BIGINT) AS est_jac
          FROM est WHERE cnt / 64.0 >= 0.5 ORDER BY d1, d2"""
-  }
+
+  /** q65: incremental dedup — the 20% batch (doc_id % 5 = 4) probes
+    * the remaining 80% corpus's band index; per new doc the lowest-id
+    * verified corpus match and the best estimate. */
+  private lazy val incrementalDedupOracleSql: String =
+    s"""WITH $minHashCtePrefix,
+         nb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+         cb AS (SELECT * FROM bands WHERE doc_id % 5 != 4),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corp_id
+                  FROM nb a JOIN cb b ON a.band = b.band AND a.k = b.k),
+         est AS (SELECT cand.doc_id, cand.corp_id, ($minHashEqSum) AS cnt
+                 FROM cand JOIN sig s1 ON cand.doc_id = s1.doc_id
+                 JOIN sig s2 ON cand.corp_id = s2.doc_id),
+         v AS (SELECT doc_id, min(corp_id) AS matched,
+                 CAST(round(max(cnt) / 64.0, 6) * 1000000 AS BIGINT) AS best_est
+               FROM est WHERE cnt / 64.0 >= 0.5 GROUP BY 1)
+       SELECT d.doc_id, coalesce(v.matched, d.doc_id) AS dup_of,
+         coalesce(v.best_est, 0) AS est_jac,
+         CAST(v.matched IS NOT NULL AS BIGINT) AS is_dup
+       FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+       WHERE d.doc_id % 5 = 4
+       ORDER BY d.doc_id"""
 
   /** q25: 60-bit portable SimHash — per-bit majority votes over token
     * hashes, 4×15-bit pigeonhole chunk join, hamming <= 3. */

@@ -249,6 +249,73 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** q65: INCREMENTAL dedup — dedup a NEW batch of documents against
+    * an EXISTING corpus, the shape production pipelines actually run
+    * (daily ingestion never re-pairs the whole corpus with itself).
+    * Same MinHash/band machinery as [[minHashLshPairs]], but the band
+    * join is asymmetric: new-batch bands probe the corpus band index,
+    * so the work scales with |batch| × collision rate, not |corpus|².
+    * In production `corpus`'s signature/band table is the PERSISTED
+    * index (built once, appended per batch — here it is recomputed
+    * because the driver harness is stateless). Join sides: the
+    * new-batch signatures re-attach by broadcast (a daily batch is
+    * small); the corpus-side signature re-attach stays an unhinted
+    * keyed join for AQE to plan — the index is corpus-sized and must
+    * never broadcast.
+    *
+    * Output, one row per new doc: `dup_of` (lowest-id corpus match at
+    * est-Jaccard >= threshold, or itself when clean), `est_jac` (best
+    * matching estimate, millionths), `is_dup`. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, n: Int,
+                       numHashes: Int, bands: Int, threshold: Double,
+                       portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    graft.functions.TextExpressionFunctions.register(newDocs.sparkSession)
+    def sigs(d: DataFrame) = minHashSignatures(
+      Partitioning.spread(d).select(col("doc_id"),
+        wordShinglesFast(tokens(col("text")), n).as("shingles")),
+      numHashes, portable).localCheckpoint()
+    val newSig = sigs(newDocs)
+    val corpSig = sigs(corpus)
+    def banded(sig: DataFrame) = {
+      val bandStructs = (0 until bands).map { b =>
+        val joined = concat_ws(",", transform(
+          slice(col("sig"), b * r + 1, r), _.cast("string")))
+        struct(lit(b).as("band"),
+          (if (portable) joined else xxhash64(joined)).as("bucket"))
+      }
+      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val cand = banded(newSig).as("a")
+      .join(banded(corpSig).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("corp_id"))
+      .dropDuplicates("doc_id", "corp_id")
+    val verified = cand
+      .join(broadcast(newSig.select(col("doc_id"), col("sig").as("sig1"))),
+        "doc_id")
+      .join(corpSig.select(col("doc_id").as("corp_id"),
+        col("sig").as("sig2")), "corp_id")
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v) * lit(1.0) / lit(numHashes))
+      .filter(col("est") >= threshold)
+      .groupBy("doc_id")
+      .agg(min(col("corp_id")).as("matched"),
+        (round(max(col("est")), 6) * 1000000).cast("long").as("best_est"))
+    newDocs.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("matched"), col("doc_id")).as("dup_of"),
+        coalesce(col("best_est"), lit(0L)).as("est_jac"),
+        col("matched").isNotNull.cast("long").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** LSH band calibration for [[minHashLshPairs]]: with `b` bands of
     * `r` rows, a pair of true Jaccard `s` becomes a candidate with
     * probability 1 - (1 - s^r)^b — an S-curve whose inflection sits

@@ -256,6 +256,17 @@ object Extensions {
   def q64Cube(s: SparkSession, d: String): DataFrame =
     OlapOps.cubeQuery(s, d)
 
+  /** q65: incremental dedup — today's batch (20% of docs by id) probes
+    * the existing corpus's MinHash band index; portable-hash config so
+    * the oracle recomputes every signature. */
+  def q65IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 5 === 4),
+      docs.filter(col("doc_id") % 5 =!= 4),
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5, portable = true)
+  }
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -212,6 +212,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact == brute, s"planes=0 must equal brute force: $exact vs $brute")
   }
 
+  test("incremental dedup flags batch-vs-corpus dups only, asymmetric") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      mk(1, base), mk(2, base), // corpus-internal dup pair: must NOT appear
+      mk(3, "completely different corpus text about spark physical plans and shuffles"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      mk(10, base), // dup of corpus docs 1 and 2 -> dup_of = 1
+      mk(11, "a genuinely novel document with vocabulary shared with nobody else at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, n = 3, numHashes = 64,
+      bands = 16, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(10L, 11L), "one row per NEW doc only")
+    assert(out(10L) == ((1L, 1000000L, 1L)),
+      s"identical batch doc must match lowest corpus id at est 1e6: ${out(10L)}")
+    assert(out(11L) == ((11L, 0L, 0L)),
+      s"novel doc must be clean (dup_of = self): ${out(11L)}")
+  }
+
   test("semantic dedup labels every vector once, keepers precede dups") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val out = Similarity.semanticDedup(emb).collect()
