@@ -43,6 +43,37 @@ object DocStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-STATIC dedup: arriving documents checked against the
+    * persisted corpus fingerprint index — the streaming twin of the
+    * incremental batch dedup (`Dedup.incrementalDedup`), at the exact
+    * level instead of near-dup. The static side is a plain DataFrame
+    * (in production: the corpus index table on disk); Spark plans a
+    * stream-static left join, re-resolving the static side per
+    * micro-batch, with NO streaming state at all — the index is the
+    * state, which is what makes this shape scale: a 100 TB corpus's
+    * fingerprint index joins by key, nothing is held in the state
+    * store. Emits every arrival labeled `is_known_dup`; the in-stream
+    * [[dedupedDocs]] guards against within-horizon repeats, this one
+    * against the historical corpus. */
+  def labelAgainstCorpus(arrivals: DataFrame,
+                         corpusIndex: DataFrame): DataFrame = {
+    val idx = corpusIndex
+      .select(col("fp"), col("doc_id").as("corpus_doc_id"))
+      .groupBy("fp").agg(min(col("corpus_doc_id")).as("corpus_doc_id"))
+    arrivals
+      .withColumn("fp", fingerprint(col("text")))
+      .join(idx, Seq("fp"), "left")
+      .select(col("doc_id"), col("ts"), col("source"), col("fp"),
+        col("corpus_doc_id"),
+        col("corpus_doc_id").isNotNull.cast("long").as("is_known_dup"))
+  }
+
+  /** Corpus fingerprint index for [[labelAgainstCorpus]] — one row per
+    * distinct content fingerprint (in production this parquet table is
+    * maintained incrementally, not rebuilt). */
+  def corpusFingerprintIndex(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
   /** Drain the drop dir through the dedup into a parquet sink, then
     * stop (AvailableNow; checkpointed state carries the seen-set
     * across invocations, so a duplicate arriving in a LATER drain is

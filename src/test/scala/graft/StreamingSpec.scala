@@ -180,6 +180,37 @@ class StreamingSpec extends SparkSpec {
     assert(docs == Set(1L, 3L, 5L), docs.toSeq.sorted.mkString(","))
   }
 
+  test("stream-static join labels arrivals against the corpus index") {
+    import graft.streaming.DocStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val drop = tmpDir("ss_drop")
+    val out = tmpDir("ss_out")
+    val ckpt = tmpDir("ss_ckpt")
+    // static corpus: docs 100/101; fingerprint normalizes case/punct
+    val corpus = Seq((100L, "Hello, World!"), (101L, "existing corpus text"))
+      .toDF("doc_id", "text")
+    val idx = DocStream.corpusFingerprintIndex(corpus)
+    // arrivals: doc 1 duplicates corpus doc 100 (modulo layout),
+    // doc 2 is novel
+    writeDrop(drop, "b1.json", Seq(
+      """{"doc_id":1,"ts":"2024-01-01T00:00:10Z","text":"hello   WORLD","source":"a"}""",
+      """{"doc_id":2,"ts":"2024-01-01T00:00:20Z","text":"never seen before","source":"a"}"""))
+    val q = DocStream.labelAgainstCorpus(
+        DocStream.readDocStream(spark, drop), idx)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("is_known_dup")),
+         if (r.isNullAt(r.fieldIndex("corpus_doc_id"))) -1L
+         else r.getLong(r.fieldIndex("corpus_doc_id")))).toMap
+    assert(rows == Map(1L -> ((1L, 100L)), 2L -> ((0L, -1L))),
+      s"doc 1 must link to corpus doc 100, doc 2 clean: $rows")
+  }
+
   test("watermarked windowed aggregation groups by event-time minute") {
     val drop = tmpDir("stream_drop2")
     val ckpt = tmpDir("stream_ckpt2")
