@@ -97,7 +97,11 @@ object Maintenance {
           StructField(s"max_${f.name}", f.dataType))) :+
         StructField("n_rows", LongType, nullable = false))
     val dirPath = new Path(dir)
-    val files = dirPath.getFileSystem(hadoopConf).listStatus(dirPath)
+    // recursive: a partition-directory layout (k=v subdirs) must yield
+    // the same file set the scan-based manifest sees
+    val it = dirPath.getFileSystem(hadoopConf).listFiles(dirPath, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq
     val conf = new SerializableConfiguration(hadoopConf)

@@ -54,6 +54,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(scan.nonEmpty && scan.length == 3)
     assert(foot == scan,
       s"footer manifest must equal the scan manifest:\n$foot\nvs\n$scan")
+    // partitioned layout: footer listing must recurse into k=v subdirs
+    val part = tmpDir("fstats_part")
+    spark.range(0, 200).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .withColumn("s", col("id").cast("string"))
+      .withColumn("p", col("id") % 2)
+      .write.partitionBy("p").mode("overwrite").parquet(part)
+    val pScan = norm(Maintenance.fileStats(spark, part, cols))
+    val pFoot = norm(Maintenance.fileStatsFromFooters(spark, part, cols))
+    assert(pScan.nonEmpty && pFoot == pScan,
+      s"partitioned footer manifest must equal the scan manifest:\n$pFoot\nvs\n$pScan")
   }
 
   test("z-ordered layout tightens per-file ranges on BOTH dimensions") {
