@@ -100,6 +100,9 @@ object SparkEntry {
     * DedupSimilaritySpec / TextAnalysisSpec. */
   def benchFastHashVariants: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q23_ngram_jaccard" -> ((s, d) => graft.operators.Dedup.ngramJaccardPairs(
+        graft.sources.Tables.documents(s, d),
+        n = 3, threshold = 0.6, maxDocFreq = 50, hashedKeys = true)),
       "q24_minhash_lsh" -> ((s, d) => graft.operators.Dedup.minHashLshPairs(
         graft.sources.Tables.documents(s, d),
         n = 3, numHashes = 64, bands = 16, threshold = 0.5,

@@ -63,8 +63,18 @@ object Dedup {
     * cap sized for 1x returns zero pairs). MinHash+LSH has no such
     * knob-vs-recall coupling — at high duplication rates it is the
     * safer primary, with Jaccard as the verifier. */
+  /** `hashedKeys`: index and join on `xxhash64(shingle)` instead of
+    * the shingle string — the at-scale default, shrinking the
+    * shuffled index key from ~n-gram bytes to 8 bytes (the inverted
+    * index IS this operator's dominant shuffle). Set sizes and
+    * intersection counts are identical up to 64-bit hash collisions
+    * (distinct-per-doc shingles hash to distinct keys with
+    * probability 1 - ~k²/2^65 per doc); the oracle-checked registered
+    * query keeps string keys, and the bench's `fast_hash` line
+    * measures this configuration. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxDocFreq: Long = 0): DataFrame = {
+                        maxDocFreq: Long = 0,
+                        hashedKeys: Boolean = false): DataFrame = {
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
     val sh = Partitioning.spread(docs)
       .select(col("doc_id"),
@@ -73,7 +83,9 @@ object Dedup {
     // (both self-join sides + two size lookups). At cluster scale this
     // is where the index would be persisted to storage; locally
     // localCheckpoint pins it in the block manager.
-    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"),
+        (if (hashedKeys) xxhash64(col("s0")) else col("s0")).as("s"))
       .localCheckpoint()
     // shingles are distinct per doc, so set size = exploded row count —
     // the tiny per-doc counts then broadcast into the pair join.

@@ -212,6 +212,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact == brute, s"planes=0 must equal brute force: $exact vs $brute")
   }
 
+  test("hashed-key ngram index yields identical pairs to string keys") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def pairs(hashed: Boolean) =
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
+        maxDocFreq = 50, hashedKeys = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (str, hsh) = (pairs(false), pairs(true))
+    assert(str.nonEmpty && hsh == str,
+      s"hashed-key index must reproduce the string-key pairs: " +
+        s"${(hsh -- str).take(3)} extra, ${(str -- hsh).take(3)} missing")
+  }
+
   test("incremental dedup flags batch-vs-corpus dups only, asymmetric") {
     import spark.implicits._
     val mk = (id: Long, t: String) => (id, t)
