@@ -88,6 +88,8 @@ object SparkEntry {
     "q63_funnel"           -> (Extensions.q63Funnel _),
     "q64_cube"             -> (Extensions.q64Cube _),
     "q65_incremental_dedup" -> (Extensions.q65IncrementalDedup _),
+    "q66_scd2"             -> (Extensions.q66Scd2 _),
+    "q67_exact_sample"     -> (Extensions.q67ExactSample _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -591,6 +593,9 @@ object SparkEntry {
       graft.operators.Dedup.editBlockedOracleSql(),
     "q63_funnel" -> graft.operators.Sessionize.funnelOracleSql,
     "q65_incremental_dedup" -> incrementalDedupOracleSql,
+    "q66_scd2" -> graft.operators.OlapOps.scd2OracleSql,
+    "q67_exact_sample" ->
+      graft.operators.Curation.exactSampleOracleSql(),
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -88,7 +88,32 @@ object Curation {
       .orderBy("lang", "rn")
   }
 
+  /** q67: reproducible uniform sample of EXACTLY k documents — order
+    * by a content-independent portable hash of the id and take the
+    * first k. The deterministic replacement for rand()-based sampling
+    * (same rows on every engine, every run, any partitioning), and
+    * the plan is TakeOrderedAndProject: each partition keeps its own
+    * top-k candidates and only k rows per partition reach the driver-
+    * side merge — no global sort of the corpus, no shuffle. The
+    * rate-based sibling [[stratifiedSample]] bounds EXPECTED counts;
+    * this one bounds the count exactly (fixed eval budgets). */
+  def exactSample(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        portableHash60(concat(lit("sample:"), col("doc_id").cast("string")))
+          .as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** DuckDB oracles, sharing every constant with the Scala operators. */
+  def exactSampleOracleSql(k: Int = 100): String =
+    s"""SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h
+         FROM documents ORDER BY h, doc_id LIMIT $k)
+       ORDER BY doc_id"""
   def stratifiedSampleOracleSql: String =
     """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
        r AS (SELECT lang, (SELECT min(cnt) FROM c) * 1000000 // cnt AS rate_e6

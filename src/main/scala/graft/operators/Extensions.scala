@@ -256,6 +256,16 @@ object Extensions {
   def q64Cube(s: SparkSession, d: String): DataFrame =
     OlapOps.cubeQuery(s, d)
 
+  /** q66: SCD type-2 validity intervals of each user's event-type
+    * stream (change detection + interval close, one keyed shuffle). */
+  def q66Scd2(s: SparkSession, d: String): DataFrame =
+    OlapOps.scd2Query(s, d)
+
+  /** q67: exactly-100-doc reproducible sample (hash-ordered top-k,
+    * TakeOrderedAndProject — no global sort). */
+  def q67ExactSample(s: SparkSession, d: String): DataFrame =
+    Curation.exactSample(Tables.documents(s, d))
+
   /** q65: incremental dedup — today's batch (20% of docs by id) probes
     * the existing corpus's MinHash band index; portable-hash config so
     * the oracle recomputes every signature. */

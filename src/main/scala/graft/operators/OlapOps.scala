@@ -40,6 +40,47 @@ object OlapOps {
       .orderBy("gid", "order_month", "o_orderstatus")
   }
 
+  /** q66: SCD type-2 interval build — collapse each user's event-type
+    * stream into validity intervals [valid_from, valid_to) with a
+    * version counter, the slowly-changing-dimension shape every
+    * warehouse load needs (track attribute history, not snapshots).
+    * Two window passes over ONE user_id shuffle: change-detection
+    * (lag) filters to transition rows, then lead/row_number over the
+    * survivors close each interval at its successor's start (the open
+    * interval's valid_to stays null). Partition width = one entity's
+    * history — bounded by the hottest key, never the corpus. */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ms"), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .select(col("user_id"), col("event_type"),
+        col("ms").as("valid_from"), col("valid_to"), col("version"))
+      .orderBy("user_id", "version")
+  }
+
+  /** DuckDB oracle for [[scd2Query]]. */
+  def scd2OracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms FROM events),
+       ch AS (SELECT * FROM e
+              QUALIFY lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ms, event_id)
+                IS DISTINCT FROM event_type),
+       iv AS (SELECT user_id, event_type, ms AS valid_from,
+                lead(ms) OVER w2 AS valid_to,
+                CAST(row_number() OVER w2 AS BIGINT) AS version
+              FROM ch
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id))
+     SELECT user_id, event_type, valid_from, valid_to, version FROM iv
+     ORDER BY user_id, version"""
+
   /** q64: priority × status CUBE — all four grouping sets in one pass
     * (q50's rollup emits only the prefix hierarchy; CUBE adds the
     * status-only subtotals). Same Expand-based single-aggregation plan

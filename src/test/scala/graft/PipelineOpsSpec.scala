@@ -104,6 +104,33 @@ class PipelineOpsSpec extends SparkSpec {
       s"user 1's pre-signup purchase must not complete the funnel: $out")
   }
 
+  test("scd2 intervals chain gaplessly per user, versions dense") {
+    import graft.operators.OlapOps
+    val rows = OlapOps.scd2Query(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_.getLong(ivs.head.fieldIndex("version")))
+      // versions 1..n dense
+      assert(sorted.map(_.getLong(sorted.head.fieldIndex("version"))).toSeq ==
+        (1L to sorted.length).toSeq, s"user $u versions not dense")
+      // consecutive intervals chain: valid_to == next valid_from;
+      // only the last interval is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(a.fieldIndex("valid_to")) &&
+            a.getLong(a.fieldIndex("valid_to")) ==
+              b.getLong(b.fieldIndex("valid_from")),
+            s"user $u: interval must close at successor start")
+          // a transition row means the type actually changed
+          assert(a.getString(1) != b.getString(1),
+            s"user $u: consecutive intervals must differ in type")
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")),
+        s"user $u: last interval must be open")
+    }
+  }
+
   test("approx_count_distinct tracks exact distincts within rsd bounds") {
     // the approximate-aggregate surface: HLL++ sketches merge
     // associatively across partitions (one map-side sketch per

@@ -185,6 +185,12 @@ class PlanSpec extends SparkSpec {
       "pair generation must stay an equi-join on blk:\n" + p.take(1500))
   }
 
+  test("q67 exact sample compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planString(graft.operators.Extensions.q67ExactSample(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "hash-ordered top-k must not plan a global sort:\n" + p.take(1200))
+  }
+
   test("whole-stage codegen covers the extension projections (no UDFs)") {
     val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
     val p = df.queryExecution.explainString(
