@@ -60,18 +60,25 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt max 1
     val names = SparkEntry.queries.keys.toSeq.sorted
     // None = the query threw; a crash must NOT contribute a small
-    // positive wall time that makes the bench look healthy.
-    def timeOne(name: String): Option[Double] = {
+    // positive wall time that makes the bench look healthy. One
+    // timing protocol for every measurement in this file — the
+    // portable-vs-fast delta is only meaningful if both sides are
+    // measured identically.
+    def timeFn(label: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
       dropPinnedBlocks()
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
           false
         }
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
+    def timeOne(name: String): Option[Double] =
+      timeFn(name, SparkEntry.queries(name))
     val samples = for (_ <- 1 to reps; name <- names) yield name -> timeOne(name)
     // Min over the SUCCESSFUL samples only. `failed` = zero successful
     // reps (excluded from the total); `flaky` = failed some reps but
@@ -104,19 +111,13 @@ object Bench {
     // disables (e.g. for quick local iteration).
     val fastHash: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_HASH", "1") == "0") Map.empty
-      else SparkEntry.benchFastHashVariants.keys.toSeq.sorted.flatMap { n =>
-        val ts = (1 to 2).flatMap { _ =>
-          dropPinnedBlocks()
-          val t0 = System.nanoTime()
-          try { SparkEntry.benchFastHashVariants(n)(spark, sfDir).count()
-                Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] fast-hash $n failed: ${e.getMessage}")
-            None
-          }
-        }
-        ts.minOption.map(n -> _)
-      }.toMap
+      else {
+        val variants = SparkEntry.benchFastHashVariants
+        variants.keys.toSeq.sorted.flatMap { n =>
+          (1 to 2).flatMap(_ => timeFn(s"fast-hash $n", variants(n)))
+            .minOption.map(n -> _)
+        }.toMap
+      }
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results)

@@ -117,18 +117,25 @@ object Maintenance {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val nRows = blocks.map(_.getRowCount).sum
           val stats = colNames.zip(types).flatMap { case (c, dt) =>
-            // per row group: this column's chunk statistics, skipped
-            // when absent/empty (forces nulls = "cannot prune")
-            val chunkStats = blocks.flatMap(_.getColumns.asScala
-              .find(_.getPath.toDotString == c)
-              .map(_.getStatistics)
-              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue))
-            if (chunkStats.size < blocks.size) Seq(null, null)
+            // Per row group: this column's chunk statistics. A chunk
+            // with NO statistics forces nulls ("cannot prune"); a
+            // chunk whose stats record only nulls contributes no
+            // values but is NOT missing — the scan manifest's
+            // min/max ignore nulls too, so an all-null row group
+            // must not wipe the bounds the other groups provide.
+            val perBlock = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == c).map(_.getStatistics))
+            val missing = perBlock.exists(o =>
+              o.isEmpty || o.get == null || o.get.isEmpty)
+            val withVals =
+              if (missing) Seq.empty
+              else perBlock.flatten.filter(_.hasNonNullValue)
+            if (withVals.isEmpty) Seq(null, null)
             else Seq(
-              chunkStats
+              withVals
                 .map(s => statValue(s.genericGetMin.asInstanceOf[AnyRef], dt))
                 .reduceLeft(lesserOf _),
-              chunkStats
+              withVals
                 .map(s => statValue(s.genericGetMax.asInstanceOf[AnyRef], dt))
                 .reduceLeft(greaterOf _))
           }
@@ -199,17 +206,43 @@ object Maintenance {
        FROM u GROUP BY 1, 2 ORDER BY layout, bucket"""
   }
 
-  /** Parquet statistics value → Spark external type. */
+  /** Parquet statistics value → Spark external type. Parquet stores
+    * smallint/tinyint columns as INT32, so their stats come back as
+    * java.lang.Integer and must narrow to the declared Short/Byte
+    * (createDataFrame rejects an Integer for a ShortType field). */
   private def statValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (b: org.apache.parquet.io.api.Binary, StringType) =>
       b.toStringUsingUTF8
+    case (x: java.lang.Integer, ShortType) => x.shortValue()
+    case (x: java.lang.Integer, ByteType) => x.byteValue()
     case (x, _) => x
   }
 
+  /** Cross-row-group ordering. Strings compare in UTF-8 unsigned byte
+    * order — the order parquet binary statistics and Spark's
+    * UTF8String min/max use; java String.compareTo (UTF-16 code
+    * units) disagrees for supplementary-plane characters, which would
+    * let the footer manifest pick a different file min/max than the
+    * scan-based oracle. */
+  private def cmpStat(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val xa = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xa.length, ya.length)
+      var d = 0
+      while (i < n && d == 0) {
+        d = (xa(i) & 0xff) - (ya(i) & 0xff)
+        i += 1
+      }
+      if (d != 0) d else xa.length - ya.length
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
   private def lesserOf(a: Any, b: Any): Any =
-    if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+    if (cmpStat(a, b) <= 0) a else b
 
   private def greaterOf(a: Any, b: Any): Any =
-    if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+    if (cmpStat(a, b) >= 0) a else b
 }

@@ -53,7 +53,12 @@ object PrepPipeline {
   private[graft] def derivedBlockSize(minId: Long, maxId: Long): Long = {
     val range = math.max(1L, maxId - minId + 1L)
     val bySqrt = math.ceil(math.sqrt(range.toDouble)).toLong
-    val byBound = (range + PhaseTwoMaxBlocks - 1) / PhaseTwoMaxBlocks
+    // Distinct block ids over [minId, maxId] number at most
+    // floor((range-1)/bs) + 2 (block boundaries need not align with
+    // minId), so bounding range/bs alone can yield maxBlocks + 1
+    // blocks and trip packingOffsets' own require in auto mode. This
+    // bs guarantees floor((range-1)/bs) <= maxBlocks - 2.
+    val byBound = (range - 1L) / (PhaseTwoMaxBlocks - 1L) + 1L
     math.max(1L, math.max(bySqrt, byBound))
   }
 

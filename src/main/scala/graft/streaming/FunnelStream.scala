@@ -12,8 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sorted-array recurrence, so the two are testably equivalent).
   *
   * State per user is four optional epoch-ms stamps — constant size, no
-  * event buffering — evicted by event-time timeout once the user has
-  * either completed the funnel or gone quiet past the watermark. The
+  * event buffering — and EVERY kept state arms an event-time timeout
+  * (progress time + quietMs, or the batch's latest event for users who
+  * never complete stage 1), so non-converting users are evicted too
+  * and state is bounded by the active-user set, not the all-time user
+  * set. A completed funnel keeps a tombstone state until the same
+  * timeout so late duplicate events cannot restart the funnel and
+  * double-count stages within the retention window. The
   * only shuffle is the keyed grouping on user_id. Within a micro-batch
   * events are sorted before advancing, so any disorder the watermark
   * admits cannot reorder stages; cross-batch disorder is the watermark
@@ -57,10 +62,12 @@ object FunnelStream {
   }
 
   /** Streaming funnel over an event stream: appends one row per
-    * (user, newly completed stage). State times out and is dropped
-    * once the watermark passes the user's last progress + `quietMs`
-    * (a full funnel is also dropped immediately — nothing more can
-    * complete). */
+    * (user, newly completed stage). State is dropped once the
+    * watermark passes the user's last activity + `quietMs`; until
+    * then a completed funnel's state stays as a tombstone (advance()
+    * is a no-op on it) so a duplicate late event cannot restart the
+    * funnel and emit a second StageHit for a stage the user already
+    * completed. */
   def funnelStages(events: Dataset[Event],
                    quietMs: Long = 3600000L): Dataset[StageHit] = {
     import events.sparkSession.implicits._
@@ -74,15 +81,24 @@ object FunnelStream {
             state.remove()
             Iterator.empty
           } else {
+            val evs = it.toSeq
             val (hits, next) = advance(
               state.getOption.getOrElse(FunnelState(Seq.empty)),
-              it.toSeq, userId)
-            if (next.times.length == stages.length) state.remove()
-            else {
-              state.update(next)
-              if (next.times.nonEmpty)
-                state.setTimeoutTimestamp(next.times.last + quietMs)
-            }
+              evs, userId)
+            state.update(next)
+            // Timeout base: last funnel progress, else the batch's
+            // latest event (users stuck before stage 1 must expire
+            // too or state grows with every user ever seen). Clamped
+            // above the current watermark — setTimeoutTimestamp
+            // throws on a timestamp the watermark already passed
+            // (reachable when a non-advancing event arrives after
+            // the user's progress time has aged past quietMs).
+            val base =
+              if (next.times.nonEmpty) next.times.last
+              else if (evs.nonEmpty) evs.iterator.map(_.ts.getTime).max
+              else state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(base + quietMs, state.getCurrentWatermarkMs() + 1L))
             hits.iterator
           }
       }

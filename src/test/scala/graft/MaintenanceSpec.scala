@@ -67,6 +67,35 @@ class MaintenanceSpec extends SparkSpec {
       s"partitioned footer manifest must equal the scan manifest:\n$pFoot\nvs\n$pScan")
   }
 
+  test("footer fileStats: empty file, narrow ints, all-null column") {
+    // zero row groups (an empty-table write) must yield a null-stats
+    // row with n_rows=0, not crash on an empty reduce
+    val empty = tmpDir("fstats_empty")
+    spark.range(0).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(empty)
+    val er = Maintenance.fileStatsFromFooters(spark, empty, Seq("id"))
+      .collect()
+    assert(er.length == 1)
+    assert(er.head.getLong(er.head.fieldIndex("n_rows")) == 0L)
+    assert(er.head.isNullAt(er.head.fieldIndex("min_id")))
+    // smallint/tinyint stats arrive as java Integer and must narrow to
+    // the declared Short/Byte; an entirely-null column must match the
+    // scan manifest's null min/max instead of failing conversion
+    val in = tmpDir("fstats_narrow")
+    Seq((9.toShort, 5.toByte, Option.empty[String]),
+        (1.toShort, 2.toByte, Option.empty[String]))
+      .toDF("s", "b", "n")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val cols = Seq("s", "b", "n")
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+        .orderBy("file").collect().toSeq.map(_.toSeq)
+    val scan = norm(Maintenance.fileStats(spark, in, cols))
+    val foot = norm(Maintenance.fileStatsFromFooters(spark, in, cols))
+    assert(scan.nonEmpty && foot == scan,
+      s"narrow-int/all-null manifest must match:\n$foot\nvs\n$scan")
+  }
+
   test("z-ordered layout tightens per-file ranges on BOTH dimensions") {
     val flat = tmpDir("zcmp_flat")
     val zed = tmpDir("zcmp_z")

@@ -237,9 +237,22 @@ class PipelineOpsSpec extends SparkSpec {
     // auto mode derives blockSize ~ sqrt(range), clamped so the block
     // count (= the driver-side collect size) stays under the constant
     // bound regardless of corpus size
+    // distinct block ids over [lo, hi]: block boundaries need not
+    // align with lo, so this can exceed range/bs by one
+    def distinctBlocks(lo: Long, hi: Long, b: Long): Long =
+      hi / b - lo / b + 1L
     val bs = PrepPipeline.derivedBlockSize(0L, 199999L)
     assert(bs >= 447, s"sqrt-scale block size expected, got $bs")
-    assert((200000L + bs - 1) / bs <= PrepPipeline.PhaseTwoMaxBlocks)
+    assert(distinctBlocks(0L, 199999L, bs) <= PrepPipeline.PhaseTwoMaxBlocks)
+    // boundary-straddling ranges used to derive maxBlocks + 1 blocks
+    // and trip the auto-mode require with advice to do what the
+    // caller already did
+    for ((lo, hi) <- Seq((1L, 1L << 32), (0L, (1L << 32) - 1L),
+                         (7L, 7L + (1L << 33)), (5L, 5L))) {
+      val b = PrepPipeline.derivedBlockSize(lo, hi)
+      assert(distinctBlocks(lo, hi, b) <= PrepPipeline.PhaseTwoMaxBlocks,
+        s"range [$lo,$hi] bs=$b yields ${distinctBlocks(lo, hi, b)} blocks")
+    }
     val out = PrepPipeline.packingOffsets(docs, seqLen = 1000L)
       .filter(col("doc_id").isin(0L, 1L, 12345L, 199999L))
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap

@@ -154,6 +154,17 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, "signup"), (7L, "view"), (7L, "click"),
       (7L, "purchase")),
       s"user 7 completes all four stages across two batches: $rows")
+    // batch 3: user 7 signs up AGAIN while the completed funnel's
+    // tombstone state is still live — must NOT restart the funnel and
+    // emit a duplicate (7, signup) row (each user counts once per
+    // stage, as in the batch funnel)
+    writeDrop(drop, "b3.json", Seq(
+      """{"event_id":6,"ts":"2024-01-01T00:16:00Z","user_id":7,"event_type":"signup","value":0.0}"""))
+    FunnelStream.funnelAvailableNow(spark, drop, out, ckpt)
+    val signups = spark.read.parquet(out).collect()
+      .count(r => r.getLong(r.fieldIndex("user_id")) == 7L &&
+        r.getString(r.fieldIndex("step")) == "signup")
+    assert(signups == 1, s"duplicate signup must not re-enter the funnel")
   }
 
   test("streaming dedup drops duplicate content within the horizon") {
