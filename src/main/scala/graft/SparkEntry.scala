@@ -90,6 +90,9 @@ object SparkEntry {
     "q65_incremental_dedup" -> (Extensions.q65IncrementalDedup _),
     "q66_scd2"             -> (Extensions.q66Scd2 _),
     "q67_exact_sample"     -> (Extensions.q67ExactSample _),
+    "q68_vocab"            -> (Extensions.q68Vocab _),
+    "q69_winnow_pairs"     -> (Extensions.q69WinnowPairs _),
+    "q70_length_trim"      -> (Extensions.q70LengthTrim _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -596,6 +599,10 @@ object SparkEntry {
     "q66_scd2" -> graft.operators.OlapOps.scd2OracleSql,
     "q67_exact_sample" ->
       graft.operators.Curation.exactSampleOracleSql(),
+    "q68_vocab" -> vocabOracleSql,
+    "q69_winnow_pairs" -> winnowPairsOracleSql,
+    "q70_length_trim" ->
+      graft.operators.Curation.lengthTrimOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
@@ -892,4 +899,44 @@ object SparkEntry {
                i -> list_min(grams[i:i+3]))))
            ELSE len(list_distinct(grams)) END AS BIGINT) AS n_fp
          FROM g ORDER BY doc_id"""
+
+  /** q69: winnow-fingerprint near-dup pairs — q34's per-doc distinct
+    * fingerprint sets (same gram/window constants), unnested into an
+    * inverted index with the same <= 50-doc frequency cap the Spark
+    * side applies, then the a<b pair join with a shared-count floor
+    * of 2. */
+  private lazy val winnowPairsOracleSql: String =
+    s"""WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> ${sqlPortableH("array_to_string(toks[i:i+4], ' ')")}) AS grams
+           FROM t),
+         f AS (SELECT doc_id,
+             CASE WHEN len(grams) >= 4 THEN
+               list_distinct(list_transform(range(1, len(grams) - 2),
+                 i -> list_min(grams[i:i+3])))
+             ELSE list_distinct(grams) END AS fps
+           FROM g),
+         u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         keep AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 50),
+         ix AS (SELECT u.doc_id, u.fp FROM u JOIN keep USING (fp))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+       FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2
+       ORDER BY doc_a, doc_b"""
+
+  /** q68: vocabulary build — min count 3, vocab size 300, ids by
+    * (count DESC, term). */
+  private lazy val vocabOracleSql: String =
+    """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS term FROM documents),
+         c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t
+               GROUP BY 1 HAVING count(*) >= 3),
+         v AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 300)
+       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+           AS vocab_id, term, cnt
+       FROM v ORDER BY vocab_id"""
 }

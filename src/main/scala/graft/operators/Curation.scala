@@ -61,7 +61,11 @@ object Curation {
     val totals = perLang.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_langs"))
     perLang.crossJoin(broadcast(totals))
-      .withColumn("share_e6", expr("n_tokens * 1000000 div total_tokens"))
+      // decimal(38,0) intermediate: n_tokens * 1e6 overflows BIGINT
+      // once one stratum holds > ~9.2e12 tokens (real at 100 TB);
+      // `div` on the decimal still returns an exact BIGINT share
+      .withColumn("share_e6",
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div total_tokens"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("share_e6"),
         expr("(1000000 div n_langs) * 1000000 div greatest(share_e6, 1)")
           .as("weight_e6"))
@@ -137,6 +141,58 @@ object Curation {
      SELECT lang, n_docs, n_tokens, share_e6,
        (1000000 // n_langs) * 1000000 // greatest(share_e6, 1) AS weight_e6
      FROM s ORDER BY lang"""
+
+  /** q70: robust per-language length trim — keep documents whose token
+    * count falls inside the stratum's [p5, p95] (boilerplate stubs and
+    * concatenation monsters are the tails an LLM corpus trims).
+    * Percentiles are exact rank selection (row_number vs ceil(p*n), as
+    * in q53) over INTEGER token counts — portable by construction, no
+    * interpolation, no doubles in the output. The ranking window
+    * partitions by language, so each partition is stratum-bounded,
+    * never corpus-wide; the cutoff table (one row per language)
+    * broadcasts back and the second corpus pass is a scan-speed filter
+    * feeding one map-side-combined aggregate. */
+  def lengthTrim(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val byVal = Window.partitionBy("lang")
+      .orderBy(col("n_toks").asc, col("doc_id").asc)
+    val byLang = Window.partitionBy("lang")
+    val cuts = d
+      .select(col("lang"), col("n_toks"),
+        row_number().over(byVal).as("rn"),
+        count(lit(1)).over(byLang).as("n"))
+      .groupBy("lang")
+      .agg(
+        min(when(col("rn") === ceil(col("n") * 0.05), col("n_toks"))).as("lo"),
+        min(when(col("rn") === ceil(col("n") * 0.95), col("n_toks"))).as("hi"))
+    d.join(broadcast(cuts), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_toks").between(col("lo"), col("hi")), lit(1L))
+          .otherwise(lit(0L))).as("n_kept"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .orderBy("lang")
+  }
+
+  def lengthTrimOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+             AS n_toks
+         FROM documents),
+       r AS (SELECT lang, n_toks,
+           row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n FROM d),
+       c AS (SELECT lang,
+           min(CASE WHEN rn = ceil(n * 0.05) THEN n_toks END) AS lo,
+           min(CASE WHEN rn = ceil(n * 0.95) THEN n_toks END) AS hi
+         FROM r GROUP BY 1)
+     SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.n_toks BETWEEN c.lo AND c.hi
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       min(c.lo) AS lo, min(c.hi) AS hi
+     FROM d JOIN c ON d.lang = c.lang
+     GROUP BY d.lang ORDER BY d.lang"""
 
   def quotaSelectOracleSql(perLang: Int = 20): String =
     s"""WITH s AS (SELECT doc_id, lang,

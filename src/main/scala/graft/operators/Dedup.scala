@@ -121,6 +121,36 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Winnow-fingerprint near-dup pairs — the MOSS shape: docs sharing
+    * >= `minShared` winnowed fingerprints ([[TextAnalysis.winnowFps]]:
+    * per-window minima of rolling k-gram hashes). The point versus
+    * [[ngramJaccardPairs]] is COMPRESSION before the join: winnowing
+    * keeps ~2/(window+1) of the gram stream (guaranteeing any shared
+    * run of >= window+k-1 tokens still collides), so the inverted
+    * index this operator shuffles is a fraction of the full shingle
+    * index at identical detection power for long overlaps. Same
+    * at-scale guards as q23: the fingerprint table materializes once
+    * (it feeds the hot-set aggregate and both self-join sides) and a
+    * hot-fingerprint cap drops boilerplate runs shared by more than
+    * `maxDocFreq` docs via an agg + anti-join, never a full-index
+    * window sort. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, window: Int = 4,
+                  minShared: Long = 2L, maxDocFreq: Long = 50L): DataFrame = {
+    val fps = TextAnalysis.winnowFps(docs, k, window)
+      .distinct()
+      .localCheckpoint()
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("dfq"))
+      .filter(col("dfq") > maxDocFreq).select("fp")
+    val idx = fps.join(hot, Seq("fp"), "left_anti")
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Benchmark decontamination: per corpus doc, the n-gram overlap
     * against a benchmark/eval set — the standard pre-training hygiene
     * step (training data sharing >= `minOverlap` shingles with an eval

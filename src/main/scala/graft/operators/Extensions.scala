@@ -277,6 +277,21 @@ object Extensions {
       n = 3, numHashes = 64, bands = 16, threshold = 0.5, portable = true)
   }
 
+  /** q68: vocabulary build — corpus term frequencies, min-count floor,
+    * contiguous ids by (count DESC, term). */
+  def q68Vocab(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabQuery(s, d)
+
+  /** q69: winnow-fingerprint near-dup pairs (MOSS shape) — the
+    * compressed inverted index, with q23's hot-key cap. */
+  def q69WinnowPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, d))
+
+  /** q70: robust per-language [p5, p95] token-length trim with exact
+    * rank-selected percentiles. */
+  def q70LengthTrim(s: SparkSession, d: String): DataFrame =
+    Curation.lengthTrim(Tables.documents(s, d))
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -181,8 +181,26 @@ object TextAnalysis {
     * exact cross-engine check rather than a rows-only count. */
   def winnowQueryPortable(spark: SparkSession, dir: String,
                           k: Int = 5, window: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    val perDoc = winnowFps(docs, k, window)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Portable winnow fingerprints as (doc_id, fp) rows — the shared
+    * construction behind [[winnowQueryPortable]] (per-doc distinct
+    * counts) and [[Dedup.winnowPairs]] (cross-doc overlap): per-window
+    * minima of rolling k-gram [[portableHash60]]es when a doc has >=
+    * `window` grams, the grams themselves when it has fewer. Rows may
+    * repeat (adjacent windows often share a minimum — that is
+    * winnowing's compression); callers dedupe as their semantics
+    * require. Docs with zero grams emit nothing. */
+  def winnowFps(docs: DataFrame, k: Int = 5, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val gramParts = col("w") +: (1 until k).map(j => lead(col("w"), j).over(byPos))
     val grams = docs
@@ -194,19 +212,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), portableHash60(col("gram")).as("g"))
     val winMin = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, window - 1)
-    val perDoc = grams
+    grams
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("winmin", min(col("g")).over(winMin))
       .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
       .filter(col("n_grams") < window ||
         col("rn") <= col("n_grams") - window + 1)
-      .withColumn("fp", when(col("n_grams") >= window, col("winmin"))
-        .otherwise(col("g")))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("fp")).as("n_fp"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"))
-      .orderBy("doc_id")
+      .select(col("doc_id"),
+        when(col("n_grams") >= window, col("winmin"))
+          .otherwise(col("g")).as("fp"))
+  }
+
+  /** Vocabulary build — the tokenizer-training step of an LLM data
+    * pipeline: corpus-wide term frequencies, a minimum-count floor,
+    * and contiguous ids assigned by (count DESC, term ASC). One
+    * map-side-combined aggregation over the token stream is the only
+    * corpus-sized work; the top-`vocabSize` selection compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort), and
+    * the id-assigning window runs over at most `vocabSize` rows — a
+    * constant, never corpus-scale. */
+  def vocabQuery(spark: SparkSession, dir: String, minCount: Long = 3L,
+                 vocabSize: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+    top
+      .withColumn("vocab_id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term").asc))
+        .cast("long"))
+      .select(col("vocab_id"), col("term"), col("cnt"))
+      .orderBy("vocab_id")
   }
 }

@@ -44,6 +44,22 @@ class CurationSpec extends SparkSpec {
       s"weights must be non-increasing in share: ${weights.toSeq}")
   }
 
+  test("length trim: exact [p5,p95] bounds per language, tails dropped") {
+    import spark.implicits._
+    val docs = ((1 to 20).map(i =>
+        (i.toLong, "en", Seq.fill(i)("w").mkString(" "))) :+
+        (100L, "fr", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.lengthTrim(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: lengths 1..20 -> lo = value at rank ceil(20*.05)=1 -> 1,
+    // hi = rank ceil(20*.95)=19 -> 19, so exactly length-20 is dropped
+    assert(out("en") == ((20L, 19L, 1L, 19L)), s"en: ${out("en")}")
+    // a single-doc stratum keeps its doc (both cutoffs land on it)
+    assert(out("fr") == ((1L, 1L, 3L, 3L)), s"fr: ${out("fr")}")
+  }
+
   test("quota select: per-language quota, ranked by score, bounded") {
     val out = Curation.quotaSelect(Tables.documents(spark, sf0001), perLang = 7)
       .collect()

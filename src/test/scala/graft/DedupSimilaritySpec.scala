@@ -70,6 +70,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("winnow pairs: identical docs share fingerprints, unrelated do not") {
+    val pairs = Dedup.winnowPairs(docs, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"identical docs must pair: $keys")
+    assert(!keys.exists(p => Set(p._1, p._2).exists(Set(3L, 4L))),
+      s"unrelated docs must not pair: $keys")
+    // disjoint first/last windows guarantee >= 2 distinct shared fps
+    // for identical docs
+    val n01 = pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3
+    assert(n01 >= 2L)
+  }
+
   test("minhash LSH candidates cover the true near-dup pairs (recall)") {
     val truth = Set((0L, 1L), (0L, 2L), (1L, 2L))
     val cand = Dedup.minHashLshPairs(docs, n = 3, numHashes = 64,

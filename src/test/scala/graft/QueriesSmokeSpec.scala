@@ -10,7 +10,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q10_dup_detector",   // dup (partkey,suppkey) pairs may not exist
     "q13_availability",   // count row always present actually; keep safe
     "q23_ngram_jaccard", "q24_minhash_lsh", "q25_simhash",
-    "q35_embed_neardup")  // near-dups may not exist at sf0.001
+    "q35_embed_neardup",  // near-dups may not exist at sf0.001
+    "q69_winnow_pairs")   // ditto
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -138,6 +138,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(train > n * 7 / 10 && train < n, s"train=$train of $n")
   }
 
+  test("vocab build: contiguous ids, ordered counts, min-count floor") {
+    val out = graft.operators.TextAnalysis
+      .vocabQuery(spark, sf0001, minCount = 3L, vocabSize = 50).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.map(_.getLong(0)).toSeq == (1L to out.length.toLong),
+      "vocab ids must be contiguous from 1")
+    val ranked = out.map(r => (r.getLong(2), r.getString(1)))
+    assert(ranked.forall(_._1 >= 3L), "min-count floor violated")
+    assert(ranked.sliding(2).forall {
+      case Array((c1, t1), (c2, t2)) => c1 > c2 || (c1 == c2 && t1 < t2)
+      case _ => true
+    }, "vocab order must be (count DESC, term ASC)")
+  }
+
   test("analytics topK + membership filter compose") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
     val top = Analytics.topKByAggregate(li, "l_suppkey", "l_extendedprice", 5)
