@@ -191,6 +191,59 @@ class PlanSpec extends SparkSpec {
       "hash-ordered top-k must not plan a global sort:\n" + p.take(1200))
   }
 
+  test("q68 vocab: top-V selection is TakeOrderedAndProject, agg partial") {
+    val p = planString(graft.operators.TextAnalysis.vocabQuery(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab top-V must not globally sort the term table:\n" + p.take(1500))
+    assert(p.contains("partial_"),
+      "term counting must map-side combine:\n" + p.take(1500))
+  }
+
+  test("q69 winnow pairs: hot-fp cap is an anti-join, pairs an equi-join") {
+    val p = planString(graft.operators.Extensions.q69WinnowPairs(spark, sf0001))
+    assert(p.contains("LeftAnti"),
+      "hot-fingerprint cap must plan as an anti-join:\n" + p.take(1500))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must stay an equi-join on fp:\n" + p.take(1500))
+  }
+
+  test("q70 length trim: cutoff table broadcasts back to the corpus") {
+    val p = planString(graft.operators.Extensions.q70LengthTrim(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-lang cutoffs must broadcast, not shuffle the corpus:\n" + p.take(1500))
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: a selective filter on one join side
+    // plants a bloom filter into the OTHER side's scan — at scale this
+    // is shuffle-volume elision for free, so lock in that our plans
+    // remain eligible (equi-join, no hint in the way). Thresholds are
+    // tuned down because the fixture is KBs, not the 10 GB default.
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = graft.sources.Tables.orders(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = graft.sources.Tables.lineitem(spark, sf0001)
+      val j = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"))
+      val lp = j.queryExecution.optimizedPlan.toString
+      assert(lp.contains("might_contain") || lp.contains("BloomFilter"),
+        "runtime bloom filter must inject into the probe side:\n" + lp.take(2000))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("whole-stage codegen covers the extension projections (no UDFs)") {
     val df = graft.operators.TextAnalysis.qualityQuery(spark, sf0001)
     val p = df.queryExecution.explainString(
