@@ -93,6 +93,8 @@ object SparkEntry {
     "q68_vocab"            -> (Extensions.q68Vocab _),
     "q69_winnow_pairs"     -> (Extensions.q69WinnowPairs _),
     "q70_length_trim"      -> (Extensions.q70LengthTrim _),
+    "q71_span_dedup"       -> (Extensions.q71SpanDup _),
+    "q72_vocab_coverage"   -> (Extensions.q72VocabCoverage _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -603,6 +605,10 @@ object SparkEntry {
     "q69_winnow_pairs" -> winnowPairsOracleSql,
     "q70_length_trim" ->
       graft.operators.Curation.lengthTrimOracleSql,
+    "q71_span_dedup" ->
+      graft.operators.CorpusStats.spanDupOracleSql,
+    "q72_vocab_coverage" ->
+      graft.operators.CorpusStats.vocabCoverageOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** Corpus-level text statistics beyond per-document scoring: cross-doc
+  * duplicated-span mass (the signal behind exact-substring dedup, Lee
+  * et al. 2022 "Deduplicating Training Data Makes Language Models
+  * Better") and truncated-vocabulary coverage (what fraction of the
+  * token stream a top-K vocabulary captures — the go/no-go check before
+  * committing a tokenizer vocab).
+  *
+  * Both are explode → aggregate shapes: the corpus is touched once, the
+  * shuffled keys are tokens/spans (never pairs), and every output
+  * number is integer rational arithmetic so the DuckDB oracle
+  * hash-checks exactly.
+  */
+object CorpusStats {
+
+  /** q71: cross-document duplicated-span report. Text is cut into
+    * NON-overlapping `span`-token pieces (span-aligned exact-substring
+    * dedup — the scalable stand-in for suffix-array substring dedup);
+    * a span is "duplicated" when it occurs in >= 2 distinct documents.
+    * Per doc: span count, duplicated-span instances, and the
+    * duplicated fraction (e6 integer rational).
+    *
+    * Scale shape: one explode pass (corpus/span rows), a span-keyed
+    * aggregation whose unique-span mass is pruned by the `span_df >= 2`
+    * filter BEFORE the re-join, then a doc-keyed count. Nothing
+    * quadratic, no pair join — duplicated mass is charged per
+    * instance, not per pair. `hashedKeys` swaps the span STRING for
+    * its xxhash64 as the shuffle key (the at-scale default shape —
+    * 8 bytes instead of ~50 per key); the registered oracle
+    * configuration keeps strings so DuckDB recomputes them verbatim,
+    * and CorpusStatsSpec asserts the two configs agree. */
+  def spanDupQuery(spark: SparkSession, dir: String, span: Int = 8,
+                   hashedKeys: Boolean = false): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n_spans", floor(size(col("t")) / lit(span)).cast("long"))
+    val sp = toks.filter(col("n_spans") >= 1)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(0L), col("n_spans") - 1),
+          g => concat_ws(" ", slice(col("t"), (g * span + 1).cast("int"),
+            lit(span)))))
+        .as("span_text"))
+      .withColumn("k",
+        if (hashedKeys) xxhash64(col("span_text")) else col("span_text"))
+      .select("doc_id", "k")
+    val dupSpans = sp.groupBy("k")
+      .agg(count_distinct(col("doc_id")).as("span_df"))
+      .filter(col("span_df") >= 2)
+    val perDoc = sp.join(dupSpans, Seq("k"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("coalesce(n_dup, 0) * 1000000 div greatest(n_spans, 1)")
+          .as("dup_frac_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[spanDupQuery]] (span = 8, string keys). */
+  def spanDupOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       sp0 AS (SELECT doc_id, t,
+           unnest(range(CAST(len(t) // 8 AS BIGINT))) AS g FROM toks),
+       sp AS (SELECT doc_id,
+           array_to_string(t[(g*8+1):(g*8+8)], ' ') AS span FROM sp0),
+       d AS (SELECT span, count(DISTINCT doc_id) AS span_df FROM sp
+             GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       per AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+               FROM sp JOIN d USING (span) GROUP BY 1)
+     SELECT t.doc_id, CAST(len(t.t) // 8 AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(coalesce(per.n_dup, 0) * 1000000
+            // greatest(len(t.t) // 8, 1) AS BIGINT) AS dup_frac_e6
+     FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id
+     ORDER BY t.doc_id"""
+
+  /** q72: truncated-vocabulary coverage — per-document out-of-vocab
+    * token mass against the corpus's own top-`vocabSize` vocabulary
+    * (the [[TextAnalysis.vocabQuery]] construction, truncated hard so
+    * the measure discriminates). The vocab is an aggregate over the
+    * token stream (bounded by `vocabSize` after the top-K), broadcast
+    * back to the explode pass, so the corpus is scanned once and the
+    * only corpus-sized shuffle is the doc-keyed count. */
+  def vocabCoverage(spark: SparkSession, dir: String, minCount: Long = 3L,
+                    vocabSize: Int = 12): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tk.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[vocabCoverage]] (minCount 3, vocabSize 12). */
+  def vocabCoverageOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+         FROM documents),
+       c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1
+             HAVING count(*) >= 3),
+       v AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT 12)
+     SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov,
+       CAST(count(*) FILTER (WHERE v.term IS NULL) * 1000000 // count(*)
+            AS BIGINT) AS oov_e6
+     FROM tk LEFT JOIN v ON tk.term = v.term
+     GROUP BY 1 ORDER BY 1"""
+}

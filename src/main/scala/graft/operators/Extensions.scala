@@ -292,6 +292,17 @@ object Extensions {
   def q70LengthTrim(s: SparkSession, d: String): DataFrame =
     Curation.lengthTrim(Tables.documents(s, d))
 
+  /** q71: cross-doc duplicated 8-token-span mass (span-aligned
+    * exact-substring dedup report) — string span keys so the oracle
+    * recomputes them; the xxhash64-keyed at-scale shape is asserted
+    * equal in CorpusStatsSpec. */
+  def q71SpanDup(s: SparkSession, d: String): DataFrame =
+    CorpusStats.spanDupQuery(s, d)
+
+  /** q72: truncated top-12 vocabulary coverage — per-doc OOV mass. */
+  def q72VocabCoverage(s: SparkSession, d: String): DataFrame =
+    CorpusStats.vocabCoverage(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusStats
+
+/** Corpus-statistics operators: span-aligned duplicate mass and
+  * truncated-vocabulary coverage. */
+class CorpusStatsSpec extends SparkSpec {
+
+  test("span dedup: planted duplicate spans are found, unique text is clean") {
+    import spark.implicits._
+    // docs 1 and 2 share their first 8 tokens exactly; doc 3 is unique;
+    // doc 4 is too short to produce any span.
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, shared + " one two three four five six seven eight"),
+      (3L, (21 to 36).map(i => s"u$i").mkString(" ")),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val dir = tmpDir("spandup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusStats.spanDupQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 500000L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 500000L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, 0L)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L)), s"doc4 has no spans: ${out(4L)}")
+  }
+
+  test("span dedup: hashed-key config returns identical rows") {
+    val a = CorpusStats.spanDupQuery(spark, sf0001, hashedKeys = false)
+      .collect().toSeq
+    val b = CorpusStats.spanDupQuery(spark, sf0001, hashedKeys = true)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("vocab coverage: OOV mass is the complement of top-K vocab mass") {
+    val out = CorpusStats.vocabCoverage(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, oov, e6) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(oov <= n && n > 0)
+      assert(e6 == oov * 1000000L / n)
+    }
+    // the truncated vocab is discriminative on the fixture corpus
+    assert(rows.count(_.getLong(2) > 0) > 400)
+  }
+
+  test("vocab coverage: a full-size vocab covers every in-floor token") {
+    // vocabSize >= distinct terms -> only sub-minCount terms are OOV
+    val full = CorpusStats.vocabCoverage(spark, sf0001, minCount = 1L,
+      vocabSize = 100000)
+    assert(full.filter(col("n_oov") > 0).count() == 0)
+  }
+}
