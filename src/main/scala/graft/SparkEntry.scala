@@ -95,6 +95,8 @@ object SparkEntry {
     "q70_length_trim"      -> (Extensions.q70LengthTrim _),
     "q71_span_dedup"       -> (Extensions.q71SpanDup _),
     "q72_vocab_coverage"   -> (Extensions.q72VocabCoverage _),
+    "q73_embed_decontam"   -> (Extensions.q73EmbedDecontam _),
+    "q74_gap_fill"         -> (Extensions.q74GapFill _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -609,6 +611,10 @@ object SparkEntry {
       graft.operators.CorpusStats.spanDupOracleSql,
     "q72_vocab_coverage" ->
       graft.operators.CorpusStats.vocabCoverageOracleSql,
+    "q73_embed_decontam" ->
+      graft.operators.Similarity.embedDecontaminateOracleSql,
+    "q74_gap_fill" ->
+      graft.operators.OlapOps.gapFillOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

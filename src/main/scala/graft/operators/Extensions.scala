@@ -303,6 +303,17 @@ object Extensions {
   def q72VocabCoverage(s: SparkSession, d: String): DataFrame =
     CorpusStats.vocabCoverage(s, d)
 
+  /** q73: embedding-space benchmark decontamination — corpus vectors
+    * whose max cosine against the eval subset (vec_id % 10 == 0)
+    * reaches 0.3, with the best-matching eval id. */
+  def q73EmbedDecontam(s: SparkSession, d: String): DataFrame =
+    Similarity.embedDecontaminate(Tables.embeddings(s, d))
+
+  /** q74: zero-filled hourly event counts per type over the global
+    * hour range (calendar gap-fill). */
+  def q74GapFill(s: SparkSession, d: String): DataFrame =
+    OlapOps.gapFillQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -137,6 +137,60 @@ object OlapOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** q74: calendar gap-fill — zero-filled hourly event counts per type
+    * over the corpus's global [min, max] hour range (the densification
+    * step every time-series feature/chart pipeline needs: a missing
+    * bucket must surface as 0, not as an absent row). The spine is
+    * `sequence(h0, h1, 1 hour) × fixed type list` — metadata-scale
+    * regardless of corpus size (bounded by the time range, not the
+    * event count) — so it broadcasts into a left join against the
+    * one aggregated pass over the events. The type list is explicit
+    * for the same reason as [[pivotQuery]]'s: no distinct pre-scan,
+    * schema independent of data. */
+  def gapFillQuery(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.events(spark, dir),
+      Seq("click", "error", "purchase", "signup", "view"))
+
+  /** [[gapFillQuery]] over an explicit (ts, event_type) frame and type
+    * list — the composable form (and the planted-gap test surface). */
+  def gapFill(events: DataFrame, types: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select(col("ts"), col("event_type"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+      .crossJoin(spark.createDataFrame(
+        types.map(Tuple1(_))).toDF("event_type"))
+    val cnt = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(cnt, Seq("hour", "event_type"), "left")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** DuckDB oracle for [[gapFillQuery]]. */
+  def gapFillOracleSql: String =
+    """WITH b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+           CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1 FROM events),
+       hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+           AS hour FROM b),
+       types AS (SELECT unnest(['click','error','purchase','signup','view'])
+           AS event_type),
+       cnt AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                 event_type, count(*) AS n FROM events GROUP BY 1, 2)
+     SELECT strftime(h.hour, '%Y-%m-%d %H') AS hour,
+       t.event_type AS event_type,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_events
+     FROM hrs h CROSS JOIN types t
+     LEFT JOIN cnt ON cnt.hour = h.hour AND cnt.event_type = t.event_type
+     ORDER BY 1, 2"""
+
   /** q53: discrete percentiles (median, p95) of event values per
     * type — SELECTED corpus values, never interpolated arithmetic, so
     * the doubles pass through bit-identically on both engines.

@@ -357,6 +357,56 @@ object Similarity {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
   }
 
+  /** q73: embedding-space benchmark decontamination — the semantic
+    * sibling of [[Dedup.benchmarkOverlap]] (n-gram overlap catches
+    * verbatim leakage; cosine similarity catches paraphrased leakage).
+    * Every corpus vector is scored against the EVAL set and flagged
+    * with its best-matching eval item when max cosine >= `threshold`.
+    *
+    * Scale shape: the eval side is the benchmark suite — bounded and
+    * small by construction — so it broadcasts and the corpus is
+    * scanned ONCE with a codegen'd dot product per (corpus, eval)
+    * pair; the argmax is a corpus-keyed window over `|eval|` rows per
+    * key. No shuffle of the corpus beyond the window's key exchange,
+    * and an LSH-bucketed variant (share buckets with
+    * [[semanticDedup]]) drops even that for larger eval suites.
+    * Here the fixture eval role is `vec_id % 10 == 0`. */
+  def embedDecontaminate(embeddings: DataFrame, threshold: Double = 0.3)
+      : DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val eval_ = embeddings.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+    val corpus = Partitioning.spread(embeddings.filter(col("vec_id") % 10 =!= 0))
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("sim_e6").desc, col("eval_id").asc)
+    corpus.crossJoin(broadcast(eval_))
+      .select(col("vec_id"), col("eval_id"),
+        (round(cosine(col("embedding"), col("e_emb")), 6) * 1000000)
+          .cast("long").as("sim_e6"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1 &&
+        col("sim_e6") >= (threshold * 1000000).toLong)
+      .select(col("vec_id"), col("eval_id"), col("sim_e6"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[embedDecontaminate]] (threshold 0.3). */
+  def embedDecontaminateOracleSql: String =
+    """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id % 10 = 0),
+       co AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id % 10 != 0),
+       sc AS (SELECT co.vec_id, ev.eval_id,
+                CAST(round(list_cosine_similarity(co.e, ev.e), 6) * 1000000
+                     AS BIGINT) AS sim_e6
+              FROM co CROSS JOIN ev),
+       am AS (SELECT vec_id, eval_id, sim_e6 FROM sc
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim_e6 DESC, eval_id) = 1)
+     SELECT vec_id, eval_id, sim_e6 FROM am
+     WHERE sim_e6 >= 300000 ORDER BY vec_id"""
+
   /** Per-label embedding statistics (norms accumulated as scaled
     * integers for cross-engine determinism). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {

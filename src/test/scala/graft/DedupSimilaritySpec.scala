@@ -320,4 +320,35 @@ class DedupSimilaritySpec extends SparkSpec {
     val rows = pairs.collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("embed decontamination flags a planted eval copy at sim 1e6") {
+    import spark.implicits._
+    // vec 10 is the eval item (10 % 10 == 0); vec 1 copies it exactly,
+    // vec 2 is orthogonal -> only vec 1 is flagged, against eval 10.
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val emb = Seq((10L, a), (1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val out = Similarity.embedDecontaminate(emb, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 1000000L)), out.toSeq.toString)
+  }
+
+  test("embed decontamination argmax picks the best eval match") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val out = Similarity.embedDecontaminate(emb, threshold = 0.3).collect()
+    assert(out.nonEmpty)
+    // flagged rows carry the max over ALL eval items: recompute one
+    // row's score set brute-force and compare
+    val v = out.head.getLong(0)
+    val best = emb.filter(col("vec_id") % 10 === 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === v)
+        .select(col("embedding").as("q"))))
+      .select(col("vec_id"),
+        (round(Similarity.cosine(col("embedding"), col("q")), 6) * 1000000)
+          .cast("long").as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(1)
+      .collect().head
+    assert(best.getLong(1) == out.head.getLong(2))
+    assert(best.getLong(0) == out.head.getLong(1))
+  }
 }

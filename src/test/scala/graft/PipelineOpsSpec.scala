@@ -267,6 +267,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill emits zero rows for every empty hour in the range") {
+    import graft.operators.OlapOps
+    // two events 3 hours apart -> 4 spine hours, 2 empty cells for
+    // type 'a' plus all 4 for 'b' (never occurs)
+    val ev = Seq(
+      (Timestamp.valueOf("2024-03-01 10:15:00"), "a"),
+      (Timestamp.valueOf("2024-03-01 13:05:00"), "a"))
+      .toDF("ts", "event_type")
+    val out = OlapOps.gapFill(ev, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.size == 8)
+    assert(out(("2024-03-01 10", "a")) == 1L)
+    assert(out(("2024-03-01 13", "a")) == 1L)
+    assert(out(("2024-03-01 11", "a")) == 0L)
+    assert(out(("2024-03-01 12", "a")) == 0L)
+    assert(Seq("10", "11", "12", "13").forall(h =>
+      out((s"2024-03-01 $h", "b")) == 0L))
+  }
+
   test("redaction scrubs digit runs and counts patterns") {
     val out = Redaction.redactQuery(spark, sf0001)
       .filter(col("src") === "customer").limit(2).collect()
