@@ -97,6 +97,9 @@ object SparkEntry {
     "q72_vocab_coverage"   -> (Extensions.q72VocabCoverage _),
     "q73_embed_decontam"   -> (Extensions.q73EmbedDecontam _),
     "q74_gap_fill"         -> (Extensions.q74GapFill _),
+    "q75_outlier_fences"   -> (Extensions.q75OutlierFences _),
+    "q76_posting_lists"    -> (Extensions.q76PostingLists _),
+    "q77_transitions"      -> (Extensions.q77Transitions _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -615,6 +618,12 @@ object SparkEntry {
       graft.operators.Similarity.embedDecontaminateOracleSql,
     "q74_gap_fill" ->
       graft.operators.OlapOps.gapFillOracleSql,
+    "q75_outlier_fences" ->
+      graft.operators.OlapOps.outlierFencesOracleSql,
+    "q76_posting_lists" ->
+      graft.operators.CorpusStats.postingListsOracleSql,
+    "q77_transitions" ->
+      graft.operators.Sessionize.transitionsOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -105,6 +105,49 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** q76: inverted-index posting lists for mid-frequency bigram terms
+    * (df in [minDf, maxDf]) — the IR-side surface of the token
+    * pipeline: term, document frequency, and the first `cap` doc ids
+    * of the sorted posting list, comma-joined. The frequency band IS
+    * the scale guard: the df aggregation runs first and only surviving
+    * terms (each with <= maxDf postings) reach the collect, so no
+    * posting list can exceed maxDf entries no matter how hot the term
+    * — stop-word-shaped terms never materialize a list at all. */
+  def postingListsQuery(spark: SparkSession, dir: String, minDf: Long = 5L,
+                        maxDf: Long = 50L, cap: Int = 20): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles(col("t"), 2))
+          .as("term"))
+    val d = bg.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    bg.join(d, Seq("term"))
+      .groupBy("term", "df")
+      .agg(array_join(transform(
+        slice(sort_array(collect_list(col("doc_id"))), 1, cap),
+        x => x.cast("string")), ",").as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
+
+  /** DuckDB oracle for [[postingListsQuery]] (df in [5,50], cap 20). */
+  def postingListsOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       bg0 AS (SELECT doc_id, t,
+           unnest(range(CAST(len(t) - 1 AS BIGINT))) AS i
+         FROM toks WHERE len(t) >= 2),
+       bg AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] AS term
+              FROM bg0),
+       d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM bg
+             GROUP BY 1 HAVING count(*) BETWEEN 5 AND 50)
+     SELECT d.term, d.df,
+       array_to_string(list_sort(list(bg.doc_id))[1:20], ',') AS postings
+     FROM d JOIN bg ON d.term = bg.term
+     GROUP BY 1, 2 ORDER BY 1"""
+
   /** DuckDB oracle for [[vocabCoverage]] (minCount 3, vocabSize 12). */
   def vocabCoverageOracleSql: String =
     """WITH tk AS (SELECT doc_id,

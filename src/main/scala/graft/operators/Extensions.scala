@@ -314,6 +314,20 @@ object Extensions {
   def q74GapFill(s: SparkSession, d: String): DataFrame =
     OlapOps.gapFillQuery(s, d)
 
+  /** q75: Tukey IQR outlier fences + counts per event type, integer
+    * cents throughout. */
+  def q75OutlierFences(s: SparkSession, d: String): DataFrame =
+    OlapOps.outlierFencesQuery(s, d)
+
+  /** q76: posting lists for mid-df bigram terms (df in [5,50], first
+    * 20 sorted doc ids). */
+  def q76PostingLists(s: SparkSession, d: String): DataFrame =
+    CorpusStats.postingListsQuery(s, d)
+
+  /** q77: first-order event-type transition matrix per user stream. */
+  def q77Transitions(s: SparkSession, d: String): DataFrame =
+    Sessionize.transitionsQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -191,6 +191,74 @@ object OlapOps {
      LEFT JOIN cnt ON cnt.hour = h.hour AND cnt.event_type = t.event_type
      ORDER BY 1, 2"""
 
+  /** q75: IQR outlier fences per event type — Tukey's rule with a 1.5
+    * multiplier, computed entirely in integer cents so both engines
+    * agree bit-for-bit: quartiles are SELECTED corpus values (the q53
+    * rank-selection pattern), the fences are integer arithmetic on
+    * them (the 3·IQR/2 division is non-negative, so truncating and
+    * flooring division agree), and the outlier count is an integer
+    * comparison. Two passes over events (rank window + fence count),
+    * both keyed on event_type; the fence table is per-type rows and
+    * broadcasts. */
+  def outlierFencesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.events(spark, dir)
+      .filter(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val byVal = Window.partitionBy("event_type")
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val byType = Window.partitionBy("event_type")
+    val qs = f
+      .select(col("event_type"), col("cents"),
+        row_number().over(byVal).as("rn"),
+        count(lit(1)).over(byType).as("n"))
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n"),
+        min(when(col("rn") === ceil(col("n") * 0.25), col("cents")))
+          .as("q1_cents"),
+        min(when(col("rn") === ceil(col("n") * 0.75), col("cents")))
+          .as("q3_cents"))
+    val fen = qs.select(col("event_type"), col("n"),
+      col("q1_cents"), col("q3_cents"),
+      expr("q1_cents - (3 * (q3_cents - q1_cents)) div 2").as("lo_cents"),
+      expr("q3_cents + (3 * (q3_cents - q1_cents)) div 2").as("hi_cents"))
+    f.join(broadcast(fen), Seq("event_type"))
+      .groupBy("event_type", "n", "q1_cents", "q3_cents",
+        "lo_cents", "hi_cents")
+      .agg(count(when(col("cents") < col("lo_cents") ||
+        col("cents") > col("hi_cents"), 1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[outlierFencesQuery]]. */
+  def outlierFencesOracleSql: String =
+    """WITH f AS (SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events WHERE NOT isnan(value) AND isfinite(value)),
+       r AS (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM f),
+       qs AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                min(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                    THEN cents END) AS q1_cents,
+                min(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                    THEN cents END) AS q3_cents
+              FROM r GROUP BY 1),
+       fen AS (SELECT event_type, n, q1_cents, q3_cents,
+                 q1_cents - (3 * (q3_cents - q1_cents)) // 2 AS lo_cents,
+                 q3_cents + (3 * (q3_cents - q1_cents)) // 2 AS hi_cents
+               FROM qs)
+     SELECT fen.event_type, fen.n, fen.q1_cents, fen.q3_cents,
+       fen.lo_cents, fen.hi_cents,
+       CAST(count(*) FILTER (WHERE f.cents < fen.lo_cents
+            OR f.cents > fen.hi_cents) AS BIGINT) AS n_outliers
+     FROM fen JOIN f ON f.event_type = fen.event_type
+     GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1"""
+
   /** q53: discrete percentiles (median, p95) of event values per
     * type — SELECTED corpus values, never interpolated arithmetic, so
     * the doubles pass through bit-identically on both engines.

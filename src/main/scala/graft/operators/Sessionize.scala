@@ -43,6 +43,36 @@ object Sessionize {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q77: event-type transition matrix — counts of consecutive
+    * (prev, next) event-type pairs within each user's time-ordered
+    * stream (the first-order Markov statistics behind next-action
+    * prediction and anomalous-flow detection). Same single user_id
+    * shuffle as [[sessionQuery]]: the lag window does the pairing,
+    * then a tiny (|types|² rows) aggregation. */
+  def transitionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** DuckDB oracle for [[transitionsQuery]]. */
+  def transitionsOracleSql: String =
+    """WITH p AS (SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+         FROM events)
+     SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+     FROM p WHERE prev_type IS NOT NULL
+     GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** q63: sequential funnel — how many users complete each stage of
     * signup → view → click → purchase IN ORDER (each stage's event
     * must occur at or after the previous stage's completion time; a

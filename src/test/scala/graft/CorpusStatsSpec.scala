@@ -49,6 +49,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.count(_.getLong(2) > 0) > 400)
   }
 
+  test("posting lists: df band enforced, lists sorted and capped") {
+    val rows = CorpusStats.postingListsQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      assert(df >= 5L && df <= 50L, s"df out of band: $df")
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(ids.length == math.min(df, 20L))
+      assert(ids.sameElements(ids.sorted), s"unsorted postings: ${r.getString(2)}")
+    }
+  }
+
   test("vocab coverage: a full-size vocab covers every in-floor token") {
     // vocabSize >= distinct terms -> only sub-minCount terms are OOV
     val full = CorpusStats.vocabCoverage(spark, sf0001, minCount = 1L,

@@ -286,6 +286,29 @@ class PipelineOpsSpec extends SparkSpec {
       out((s"2024-03-01 $h", "b")) == 0L))
   }
 
+  test("outlier fences: quartiles are corpus values, outliers beyond fences") {
+    import graft.operators.OlapOps
+    val rows = OlapOps.outlierFencesQuery(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (q1, q3, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(q1 <= q3)
+      assert(lo == q1 - (3 * (q3 - q1)) / 2)
+      assert(hi == q3 + (3 * (q3 - q1)) / 2)
+      assert(r.getLong(6) >= 0 && r.getLong(6) < r.getLong(1))
+    }
+  }
+
+  test("transition matrix counts pair the ordered stream exactly") {
+    import graft.operators.Sessionize
+    val out = Sessionize.transitionsQuery(spark, sf0001)
+    val total = out.agg(sum("n")).collect().head.getLong(0)
+    // sum over transitions = total events - one first-event per user
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total == expected, s"$total vs $expected")
+  }
+
   test("redaction scrubs digit runs and counts patterns") {
     val out = Redaction.redactQuery(spark, sf0001)
       .filter(col("src") === "customer").limit(2).collect()
