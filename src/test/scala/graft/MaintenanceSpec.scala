@@ -134,6 +134,55 @@ class MaintenanceSpec extends SparkSpec {
     assert(zed < lin / 2, s"z-order must bound x: zorder=$zed linear=$lin")
   }
 
+  test("copy-on-write merge rewrites only touched files, copies the rest") {
+    val in = tmpDir("cow_in")
+    val out = tmpDir("cow_out")
+    // 4 files with disjoint clustered key ranges 0-249, 250-499, ...
+    (0L until 1000L).map(i => (i, s"val$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(in)
+    // updates touch keys 10 and 20 (both in file 1) + a brand-new key
+    val updates = Seq((10L, "NEW10"), (20L, "NEW20"), (5000L, "NEW5000"))
+      .toDF("id", "payload")
+    val (rewritten, copied) =
+      Maintenance.copyOnWriteMerge(spark, in, out, updates, "id")
+    assert(rewritten == 1L, s"one touched file, got $rewritten")
+    assert(copied == 3L, s"three pass-through files, got $copied")
+    // untouched files are byte-identical copies
+    val inFiles = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val copiedFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("copied-"))
+    assert(copiedFiles.length == 3)
+    copiedFiles.foreach { f =>
+      val orig = inFiles(f.getName.stripPrefix("copied-"))
+      assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq == orig,
+        s"${f.getName} not byte-identical")
+    }
+    // merge semantics equal a full-rewrite reference merge
+    val result = spark.read.parquet(out)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = ((0L until 1000L).filterNot(i => i == 10L || i == 20L)
+      .map(i => (i, s"val$i")) ++
+      Seq((10L, "NEW10"), (20L, "NEW20"), (5000L, "NEW5000")))
+      .sortBy(_._1)
+    assert(result.toSeq == expected)
+  }
+
+  test("copy-on-write merge with no matched keys appends only") {
+    val in = tmpDir("cow2_in")
+    val out = tmpDir("cow2_out")
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(in)
+    val updates = Seq((999L, 0L)).toDF("id", "v")
+    val (rewritten, copied) =
+      Maintenance.copyOnWriteMerge(spark, in, out, updates, "id")
+    assert(rewritten == 0L && copied == 2L)
+    assert(spark.read.parquet(out).count() == 101L)
+  }
+
   test("mergeSchema read unions evolved file schemas") {
     val dir = tmpDir("evo")
     Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/p=1")

@@ -191,6 +191,39 @@ class StreamingSpec extends SparkSpec {
     assert(docs == Set(1L, 3L, 5L), docs.toSeq.sorted.mkString(","))
   }
 
+  test("streaming upsert sink maintains latest-per-key across drains") {
+    import graft.streaming.UpsertStream
+    val drop = tmpDir("ups_drop")
+    val root = tmpDir("ups_root")
+    val ckpt = tmpDir("ups_ckpt")
+    // drain 1: docs 1/2, with two versions of doc 1 IN the batch ->
+    // batch-local reduce keeps the later one
+    writeDrop(drop, "b1.json", Seq(
+      """{"doc_id":1,"ts":"2024-01-01T00:00:10Z","text":"v1 of one","source":"a"}""",
+      """{"doc_id":1,"ts":"2024-01-01T00:00:20Z","text":"v2 of one","source":"a"}""",
+      """{"doc_id":2,"ts":"2024-01-01T00:00:30Z","text":"two","source":"a"}"""))
+    UpsertStream.upsertAvailableNow(spark, drop, root, ckpt,
+      key = "doc_id", version = "ts")
+    val t1 = UpsertStream.readTable(spark, root).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(t1 == Map(1L -> "v2 of one", 2L -> "two"), t1.toString)
+    // drain 2: doc 2 updated, doc 3 appended -> next snapshot merges
+    writeDrop(drop, "b2.json", Seq(
+      """{"doc_id":2,"ts":"2024-01-01T00:10:00Z","text":"two updated","source":"b"}""",
+      """{"doc_id":3,"ts":"2024-01-01T00:10:10Z","text":"three","source":"b"}"""))
+    UpsertStream.upsertAvailableNow(spark, drop, root, ckpt,
+      key = "doc_id", version = "ts")
+    val t2 = UpsertStream.readTable(spark, root).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(t2 == Map(1L -> "v2 of one", 2L -> "two updated", 3L -> "three"),
+      t2.toString)
+    // the old snapshot is still intact (readers see a consistent table
+    // until the pointer moves)
+    assert(spark.read.parquet(s"$root/v0").count() == 2L)
+  }
+
   test("stream-static join labels arrivals against the corpus index") {
     import graft.streaming.DocStream
     import org.apache.spark.sql.streaming.Trigger
