@@ -100,6 +100,9 @@ object SparkEntry {
     "q75_outlier_fences"   -> (Extensions.q75OutlierFences _),
     "q76_posting_lists"    -> (Extensions.q76PostingLists _),
     "q77_transitions"      -> (Extensions.q77Transitions _),
+    "q78_containment"      -> (Extensions.q78Containment _),
+    "q79_concurrency"      -> (Extensions.q79Concurrency _),
+    "q80_retention"        -> (Extensions.q80Retention _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -624,6 +627,12 @@ object SparkEntry {
       graft.operators.CorpusStats.postingListsOracleSql,
     "q77_transitions" ->
       graft.operators.Sessionize.transitionsOracleSql,
+    "q78_containment" ->
+      graft.operators.Dedup.containmentOracleSql,
+    "q79_concurrency" ->
+      graft.operators.Sessionize.concurrencyOracleSql,
+    "q80_retention" ->
+      graft.operators.Sessionize.retentionOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -121,6 +121,69 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** q78: ASYMMETRIC containment pairs — overlap / |A's shingle set|,
+    * not Jaccard. Resemblance (q23) misses the quote/excerpt case: a
+    * short doc fully contained in a long one has tiny Jaccard (the
+    * union is dominated by the long doc) but containment ~1. This is
+    * the Broder distinction (resemblance vs containment, "On the
+    * resemblance and containment of documents", 1997), and the reason
+    * dedup pipelines run both: resemblance catches mirrors,
+    * containment catches aggregation/quotation.
+    *
+    * Same capped-inverted-index shape as [[ngramJaccardPairs]] (one
+    * index, hot-shingle anti-join, equi-join pair generation); the
+    * score divides by the FIRST doc's set size only, so each ordered
+    * pair (d1 ⊆? d2) is scored independently — integer rational
+    * (e6 floor division), no float divergence. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Long = 50): DataFrame = {
+    graft.functions.TextExpressionFunctions.register(docs.sparkSession)
+    val sh = Partitioning.spread(docs)
+      .select(col("doc_id"),
+        wordShinglesFast(tokens(col("text")), n).as("shingles"))
+    val exploded = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .localCheckpoint()
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_d1"))
+    val hot = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("s")
+    val filtered = exploded.join(hot, Seq("s"), "left_anti")
+    val thresholdE6 = math.round(threshold * 1000000)
+    filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1"), "d1")
+      .withColumn("containment_e6",
+        expr("n_common * 1000000 div n_d1"))
+      .filter(col("containment_e6") >= thresholdE6)
+      .select(col("d1"), col("d2"), col("n_common"), col("n_d1"),
+        col("containment_e6"))
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[containmentPairs]] (3-grams, 0.8, cap 50). */
+  def containmentOracleSql: String =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
+           i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
+         FROM documents),
+       ex AS (SELECT doc_id, s
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+              QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+       sizes AS (SELECT doc_id, len(shingles) AS n_d1 FROM sh),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+                 GROUP BY 1, 2)
+     SELECT d1, d2, n_common, CAST(sizes.n_d1 AS BIGINT) AS n_d1,
+       n_common * 1000000 // sizes.n_d1 AS containment_e6
+     FROM inter JOIN sizes ON d1 = sizes.doc_id
+     WHERE n_common * 1000000 // sizes.n_d1 >= 800000
+     ORDER BY d1, d2"""
+
   /** Winnow-fingerprint near-dup pairs — the MOSS shape: docs sharing
     * >= `minShared` winnowed fingerprints ([[TextAnalysis.winnowFps]]:
     * per-window minima of rolling k-gram hashes). The point versus

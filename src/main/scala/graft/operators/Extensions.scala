@@ -328,6 +328,21 @@ object Extensions {
   def q77Transitions(s: SparkSession, d: String): DataFrame =
     Sessionize.transitionsQuery(s, d)
 
+  /** q78: asymmetric containment pairs (Broder containment >= 0.8,
+    * 3-gram sets, hot-shingle cap) — the quote/excerpt detector. */
+  def q78Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d))
+
+  /** q79: hourly max concurrent sessions (sweep-line with a
+    * distributed two-phase prefix sum). */
+  def q79Concurrency(s: SparkSession, d: String): DataFrame =
+    Sessionize.concurrencyQuery(s, d)
+
+  /** q80: retention cohorts — first-active-day × day-offset distinct
+    * user counts. */
+  def q80Retention(s: SparkSession, d: String): DataFrame =
+    Sessionize.retentionQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

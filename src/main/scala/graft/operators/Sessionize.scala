@@ -73,6 +73,108 @@ object Sessionize {
      FROM p WHERE prev_type IS NOT NULL
      GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q79: concurrent-sessions curve — per hour, the MAXIMUM number of
+    * simultaneously open sessions (capacity planning's load curve).
+    * Classic sweep-line: each session contributes +1 at its start and
+    * -1 just after its end; the running sum of deltas at each boundary
+    * timestamp is the concurrency there.
+    *
+    * The running sum is the same DISTRIBUTED TWO-PHASE PREFIX SUM as
+    * [[PrepPipeline.packingOffsets]] — a naive global
+    * `Window.orderBy(t)` would sort every boundary point in one
+    * partition (boundary count = 2× sessions = corpus-scale). Phase 1
+    * accumulates within hour blocks (the output grain); phase 2
+    * prefix-sums the per-hour subtotals with a single-partition window
+    * over the BLOCK table — one row per hour in the data's time range,
+    * metadata-scale by construction, and it stays on executors (no
+    * driver collect at all). */
+  def concurrencyQuery(spark: SparkSession, dir: String,
+                       gapMs: Long = 1800000L): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .withColumn("new_s",
+        when(lag(col("t"), 1).over(byTime).isNull ||
+          col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
+      .withColumn("seq", sum(col("new_s")).over(byTime))
+      .groupBy("user_id", "seq")
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val pts = iv.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select((col("t1") + 1).as("t"), lit(-1L).as("delta")))
+    // the delta table feeds BOTH phase-2 branches (block offsets and
+    // the in-block cumsum); pin it so the session build + union runs
+    // once (the multi-branch convention the sketch operators use)
+    val agg = pts.groupBy("t").agg(sum(col("delta")).as("d"))
+      .withColumn("block", expr("t div 3600000"))
+      .localCheckpoint()
+    val inBlock = Window.partitionBy("block").orderBy("t")
+    val blockW = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = agg.groupBy("block").agg(sum(col("d")).as("bt"))
+      .withColumn("offset", coalesce(sum(col("bt")).over(blockW), lit(0L)))
+      .select("block", "offset")
+    agg.withColumn("run_local", sum(col("d")).over(inBlock))
+      .join(broadcast(offsets), Seq("block"))
+      .withColumn("open_s", col("offset") + col("run_local"))
+      .groupBy("block")
+      .agg(max(col("open_s")).cast("long").as("max_open"),
+        count(lit(1)).as("n_points"))
+      .select(col("block").as("hour_id"), col("max_open"),
+        col("n_points").cast("long").as("n_points"))
+      .orderBy("hour_id")
+  }
+
+  /** DuckDB oracle for [[concurrencyQuery]] — single global cumsum
+    * (the oracle may centralize; the engine must not). */
+  def concurrencyOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+       g AS (SELECT user_id, t,
+               CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+                 THEN 1 ELSE 0 END AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       s AS (SELECT user_id, t, sum(new_s) OVER
+               (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS seq FROM g),
+       iv AS (SELECT user_id, seq, min(t) AS t0, max(t) AS t1
+              FROM s GROUP BY 1, 2),
+       pts AS (SELECT t0 AS t, 1 AS delta FROM iv
+               UNION ALL SELECT t1 + 1, -1 FROM iv),
+       agg AS (SELECT t, sum(delta) AS d FROM pts GROUP BY 1),
+       run AS (SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS open_s FROM agg)
+     SELECT t // 3600000 AS hour_id, CAST(max(open_s) AS BIGINT) AS max_open,
+       CAST(count(*) AS BIGINT) AS n_points
+     FROM run GROUP BY 1 ORDER BY 1"""
+
+  /** q80: retention cohorts — users grouped by their FIRST active day,
+    * counted on each subsequent day offset (the activation/retention
+    * triangle). Two aggregations: per-user first day (map-side
+    * combined), then a user-keyed join back — both shuffles keyed on
+    * user_id, so at scale they share one exchange under AQE; the
+    * cohort table is |users| rows, never corpus-sized. */
+  def retentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = d.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    d.join(cohorts, Seq("user_id"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** DuckDB oracle for [[retentionQuery]]. */
+  def retentionOracleSql: String =
+    """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+       c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+     SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(d.day - c.cohort AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+     FROM d JOIN c USING (user_id)
+     GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** q63: sequential funnel — how many users complete each stage of
     * signup → view → click → purchase IN ORDER (each stage's event
     * must occur at or after the previous stage's completion time; a

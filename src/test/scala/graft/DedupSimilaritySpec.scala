@@ -321,6 +321,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("containment catches a quoted excerpt that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 12 tokens; doc 2 = doc 1's text embedded in 60 tokens of
+    // filler -> containment(1 in 2) = 1.0 while Jaccard stays low
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 48).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quoted),
+      (2L, filler + " " + quoted),
+      (3L, (100 to 130).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(cont.contains((1L, 2L)), s"excerpt must be flagged: $cont")
+    assert(cont((1L, 2L)) == 1000000L)
+    assert(!cont.contains((2L, 1L)),
+      "the long doc is NOT contained in the short one")
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
+      maxDocFreq = 50).collect()
+    assert(jac.isEmpty, "resemblance must miss the excerpt pair")
+  }
+
   test("embed decontamination flags a planted eval copy at sim 1e6") {
     import spark.implicits._
     // vec 10 is the eval item (10 % 10 == 0); vec 1 copies it exactly,

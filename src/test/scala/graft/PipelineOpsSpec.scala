@@ -309,6 +309,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(total == expected, s"$total vs $expected")
   }
 
+  test("concurrency curve: two-phase prefix sum equals the global sweep") {
+    import graft.operators.Sessionize
+    val out = Sessionize.concurrencyQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // reference: global single-window sweep on the collected points
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      ts.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, t) => List((t, t))
+        case ((s, e) :: rest, t) =>
+          if (t - e > 1800000L) (t, t) :: (s, e) :: rest
+          else (s, t) :: rest
+      }
+    }.toSeq
+    val pts = (sessions.map(s => (s._1, 1L)) ++
+      sessions.map(s => (s._2 + 1, -1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var open = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    pts.foreach { case (t, d) =>
+      open += d
+      val h = t / 3600000L
+      val (mo, np) = expected.getOrElse(h, (Long.MinValue, 0L))
+      expected(h) = (math.max(mo, open), np + 1)
+    }
+    val got = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected.toMap, s"mismatch: got ${got.size} hours")
+  }
+
+  test("retention: day-0 count equals cohort size, offsets non-negative") {
+    import graft.operators.Sessionize
+    val rows = Sessionize.retentionQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L))
+    // every user is active on their own first day, so for each cohort
+    // the day-0 count must be >= any later offset's count
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L).map(_._3)
+      assert(day0.isDefined, s"cohort $c missing day-0 row")
+      assert(rs.forall(_._3 <= day0.get),
+        s"cohort $c: day-0 must dominate: $rs")
+    }
+  }
+
   test("redaction scrubs digit runs and counts patterns") {
     val out = Redaction.redactQuery(spark, sf0001)
       .filter(col("src") === "customer").limit(2).collect()

@@ -213,6 +213,68 @@ class PlanSpec extends SparkSpec {
       "per-lang cutoffs must broadcast, not shuffle the corpus:\n" + p.take(1500))
   }
 
+  test("q71 span dedup: no pair join, dup filter precedes the re-join") {
+    val p = planString(graft.operators.Extensions.q71SpanDup(spark, sf0001))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "span dedup must never plan a pair join:\n" + p.take(1500))
+    // the span_df >= 2 prune must sit on the aggregate, before the join
+    assert(p.contains("(span_df") || p.contains("span_df#"),
+      "df filter expected in plan:\n" + p.take(1500))
+  }
+
+  test("q72 vocab coverage: vocab joins back by broadcast") {
+    val p = planString(graft.operators.Extensions.q72VocabCoverage(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "bounded vocab must broadcast to the token stream:\n" + p.take(1500))
+  }
+
+  test("q73 embed decontam: eval side broadcasts, corpus scanned once") {
+    val p = planString(graft.operators.Extensions.q73EmbedDecontam(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "eval set must broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle for the eval join:\n" + p.take(1500))
+  }
+
+  test("q75 outlier fences: fence table broadcasts back to events") {
+    val p = planString(graft.operators.Extensions.q75OutlierFences(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type fences must broadcast, not shuffle events:\n" + p.take(1500))
+  }
+
+  test("q76 posting lists: df band filters before the collect join") {
+    val p = planString(graft.operators.Extensions.q76PostingLists(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // band predicate pushed onto the df aggregate's output
+    assert(p.contains("(df#") || p.contains("df#"),
+      "df band filter expected:\n" + p.take(1500))
+    assert(p.contains("partial_"),
+      "df counting must map-side combine:\n" + p.take(1500))
+  }
+
+  test("q78 containment: hot cap is an anti-join, pairs an equi-join") {
+    val p = planString(graft.operators.Extensions.q78Containment(spark, sf0001))
+    assert(p.contains("LeftAnti"),
+      "hot-shingle cap must plan as an anti-join:\n" + p.take(1500))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must stay an equi-join:\n" + p.take(1500))
+  }
+
+  test("q79 concurrency: block offsets broadcast, corpus never globally sorted") {
+    val p = planString(graft.operators.Extensions.q79Concurrency(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "hour-block offsets must broadcast back:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q80 retention: both aggregations keyed on user_id, partial combine") {
+    val p = planString(graft.operators.Extensions.q80Retention(spark, sf0001))
+    assert(p.contains("partial_"),
+      "cohort build must map-side combine:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: a selective filter on one join side
     // plants a bloom filter into the OTHER side's scan — at scale this
