@@ -89,10 +89,15 @@ object Sessionize {
     * metadata-scale by construction, and it stays on executors (no
     * driver collect at all). */
   def concurrencyQuery(spark: SparkSession, dir: String,
-                       gapMs: Long = 1800000L): DataFrame = {
+                       gapMs: Long = 1800000L): DataFrame =
+    concurrencyCurve(Tables.events(spark, dir), gapMs)
+
+  /** [[concurrencyQuery]] over an explicit events frame (user_id,
+    * event_id, ts) — the composable/property-testable form. */
+  def concurrencyCurve(events: DataFrame, gapMs: Long): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("t").asc, col("event_id").asc)
-    val iv = Tables.events(spark, dir)
+    val iv = events
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("t"))
       .withColumn("new_s",

@@ -103,6 +103,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("concurrency two-phase prefix sum equals a global sweep on random events") {
+    val evGen = for {
+      nUsers <- Gen.choose(1, 6)
+      nEv <- Gen.choose(1, 60)
+      es <- Gen.listOfN(nEv, for {
+        u <- Gen.choose(1, nUsers)
+        // spread across ~5 hours so points land in multiple blocks
+        t <- Gen.choose(0L, 5L * 3600000L)
+      } yield (u.toLong, t))
+    } yield es.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+    forAll(evGen, trials = 6) { es =>
+      val gap = 1800000L
+      val df = es.toDF("event_id", "user_id", "t")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("t") * 1000).as("ts"))
+      val got = graft.operators.Sessionize.concurrencyCurve(df, gap)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // reference: sequential global sweep
+      val sessions = es.groupBy(_._2).values.flatMap { rows =>
+        rows.map(r => (r._3, r._1)).sorted.map(_._1)
+          .foldLeft(List.empty[(Long, Long)]) {
+            case (Nil, t) => List((t, t))
+            case ((s, e) :: rest, t) =>
+              if (t - e > gap) (t, t) :: (s, e) :: rest else (s, t) :: rest
+          }
+      }.toSeq
+      val pts = (sessions.map(s => (s._1, 1L)) ++
+        sessions.map(s => (s._2 + 1, -1L)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var open = 0L
+      val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      pts.foreach { case (t, d) =>
+        open += d
+        val h = t / 3600000L
+        val (mo, np) = expected.getOrElse(h, (Long.MinValue, 0L))
+        expected(h) = (math.max(mo, open), np + 1)
+      }
+      assert(got == expected.toMap,
+        s"two-phase sweep diverged on ${es.length} events")
+    }
+  }
+
+  test("containment pairs equal a brute-force set reference on random docs") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(3, 15).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(docGen, trials = 6) { docs =>
+      val cap = 50L
+      val got = graft.operators.Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), n = 3, threshold = 0.8,
+          maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+        .toMap
+      // reference: distinct 3-gram sets, df cap, integer containment
+      val sets = docs.map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val df = sets.values.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val kept = sets.view.mapValues(_.filter(s => df(s) <= cap)).toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, _) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        common = (kept(a) intersect kept(b)).size.toLong
+        if common > 0
+        e6 = common * 1000000L / sa.size
+        if e6 >= 800000L
+      } yield (a, b) -> e6).toMap
+      assert(got == expected, s"containment diverged: got $got want $expected")
+    }
+  }
+
   test("graft_shingles kernel equals a naive sliding-window reference") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
