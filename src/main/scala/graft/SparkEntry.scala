@@ -103,6 +103,7 @@ object SparkEntry {
     "q78_containment"      -> (Extensions.q78Containment _),
     "q79_concurrency"      -> (Extensions.q79Concurrency _),
     "q80_retention"        -> (Extensions.q80Retention _),
+    "q81_ivf_anchors"      -> (Extensions.q81IvfAnchors _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -633,6 +634,10 @@ object SparkEntry {
       graft.operators.Sessionize.concurrencyOracleSql,
     "q80_retention" ->
       graft.operators.Sessionize.retentionOracleSql,
+    // q81: approximate IVF — anchor centroids + rounded-integer argmax
+    // make every routing decision recomputable by the oracle.
+    "q81_ivf_anchors" ->
+      graft.operators.Similarity.ivfAnchorOracleSql(),
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -343,6 +343,14 @@ object Extensions {
   def q80Retention(s: SparkSession, d: String): DataFrame =
     Sessionize.retentionQuery(s, d)
 
+  /** q81: approximate IVF top-10 with deterministic anchor centroids
+    * (8 anchors, nprobe = 2 → ~1/4 of the corpus scored) — the IVF
+    * sibling of q56, giving the second ANN family a driver-checked
+    * approximate registration. */
+  def q81IvfAnchors(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfAnchorTopK(Tables.embeddings(s, d), queryId = 0,
+      k = 10, nAnchors = 8, nprobe = 2)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

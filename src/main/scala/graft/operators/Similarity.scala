@@ -357,6 +357,87 @@ object Similarity {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
   }
 
+  /** q81: the APPROXIMATE IVF path in a driver-checkable configuration
+    * — the IVF sibling of [[portableLshTopK]] (q56), closing the gap
+    * where only the LSH family's approximate path was driver-measured
+    * (q36 registers IVF at nprobe = nClusters, i.e. exact recovery).
+    *
+    * Lloyd iterations average floats, and no oracle can promise to
+    * reproduce a float mean at the argmin boundary — so the checkable
+    * configuration replaces trained centroids with ANCHOR centroids:
+    * the vectors with the `nAnchors` lowest ids (the same deterministic
+    * seeding [[trainIvfCentroids]] starts from, zero iterations). Every
+    * comparison the query makes — cluster assignment argmax, probe
+    * selection, final ranking — happens on ROUNDED integer similarity
+    * (round(cos,6)·1e6, the q73 trick), so the oracle recomputes each
+    * decision exactly. The plan is the real IVF serving shape: anchors
+    * broadcast for one-pass assignment, probe set broadcast, and only
+    * ~nprobe/nAnchors of the corpus is scored against the query. */
+  def ivfAnchorTopK(embeddings: DataFrame, queryId: Long, k: Int,
+                    nAnchors: Int, nprobe: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    def simE6(a: Column, b: Column): Column =
+      (round(cosine(a, b), 6) * 1000000).cast("long")
+    val anchors = embeddings
+      .filter(col("vec_id") >= 1 && col("vec_id") <= nAnchors)
+      .select(col("vec_id").cast("int").as("cluster_id"),
+        col("embedding").as("a_emb"))
+    // struct-max argmax (map-side partial combine): ≤ one shuffled row
+    // per vector; ties on a_sim resolve to the smallest cluster_id.
+    val assigned = Partitioning.spread(embeddings.filter(col("vec_id") =!= queryId))
+      .crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        simE6(col("embedding"), col("a_emb")).as("a_sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("a_sim"), (-col("cluster_id")).as("neg_cid"),
+        col("embedding"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.neg_cid")).cast("int").as("cluster_id"),
+        col("best.embedding").as("embedding"))
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probe = anchors.crossJoin(broadcast(qVec))
+      .select(col("cluster_id"), simE6(col("a_emb"), col("q_emb")).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("cluster_id").asc)
+      .limit(nprobe)
+      .select("cluster_id")
+    assigned.join(broadcast(probe), "cluster_id")
+      .crossJoin(broadcast(qVec))
+      .select(col("vec_id"), col("cluster_id"),
+        simE6(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[ivfAnchorTopK]] — recomputes the anchor
+    * assignment, probe choice, and ranking from the same rounded
+    * integer similarities. */
+  def ivfAnchorOracleSql(nAnchors: Int = 8, nprobe: Int = 2,
+                         k: Int = 10): String =
+    s"""WITH a AS (SELECT CAST(vec_id AS INT) AS cluster_id,
+              CAST(embedding AS DOUBLE[]) AS a_emb
+            FROM embeddings WHERE vec_id BETWEEN 1 AND $nAnchors),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id != 0),
+       q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+             FROM embeddings WHERE vec_id = 0),
+       asg AS (SELECT vec_id, cluster_id, emb FROM (
+           SELECT e.vec_id, a.cluster_id, e.emb,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    CAST(round(list_cosine_similarity(e.emb, a.a_emb), 6)
+                         * 1000000 AS BIGINT) DESC, a.cluster_id) AS rn
+           FROM e CROSS JOIN a)
+         WHERE rn = 1),
+       pr AS (SELECT cluster_id FROM a CROSS JOIN q
+              ORDER BY CAST(round(list_cosine_similarity(a.a_emb, q.q_emb), 6)
+                            * 1000000 AS BIGINT) DESC, cluster_id
+              LIMIT $nprobe)
+     SELECT asg.vec_id, asg.cluster_id,
+            CAST(round(list_cosine_similarity(asg.emb, q.q_emb), 6) * 1000000
+                 AS BIGINT) AS sim
+     FROM asg JOIN pr USING (cluster_id) CROSS JOIN q
+     ORDER BY sim DESC, asg.vec_id LIMIT $k"""
+
   /** q73: embedding-space benchmark decontamination — the semantic
     * sibling of [[Dedup.benchmarkOverlap]] (n-gram overlap catches
     * verbatim leakage; cosine similarity catches paraphrased leakage).

@@ -314,6 +314,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(full == brute, s"nprobe=k must equal brute force: $full vs $brute")
   }
 
+  test("IVF anchor topk: full probe = brute force, nprobe bounds clusters") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // probing every anchor scores the whole corpus -> the top-k rounded
+    // sims must equal brute force's (as a multiset: both pick the k
+    // largest rounded values, whatever the intra-tie order)
+    val full = Similarity.ivfAnchorTopK(emb, queryId = 0, k = 10,
+      nAnchors = 8, nprobe = 8).collect()
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0, k = 10).collect()
+    assert(full.map(_.getLong(2)).sorted.toSeq ==
+      brute.map(_.getLong(1)).sorted.toSeq)
+    // nprobe=1: every returned row sits in ONE cluster
+    val one = Similarity.ivfAnchorTopK(emb, queryId = 0, k = 10,
+      nAnchors = 8, nprobe = 1).collect()
+    assert(one.nonEmpty && one.map(_.getInt(1)).toSet.size == 1)
+    // the approximate registration (nprobe=2) is deterministic and sorted
+    val a = Similarity.ivfAnchorTopK(emb, queryId = 0, k = 10,
+      nAnchors = 8, nprobe = 2).collect()
+    val b = Similarity.ivfAnchorTopK(emb, queryId = 0, k = 10,
+      nAnchors = 8, nprobe = 2).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.map(_.getInt(1)).toSet.size <= 2)
+    val sims = a.map(_.getLong(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("embedding near-dup pairs ordered and bounded by bucket joins") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val pairs = Dedup.embeddingNearDupPairs(emb, planes = 4, threshold = 0.3)
