@@ -104,6 +104,12 @@ object SparkEntry {
     "q79_concurrency"      -> (Extensions.q79Concurrency _),
     "q80_retention"        -> (Extensions.q80Retention _),
     "q81_ivf_anchors"      -> (Extensions.q81IvfAnchors _),
+    "q82_skipgram"         -> (Extensions.q82Skipgram _),
+    "q83_heavy_hitters"    -> (Extensions.q83HeavyHitters _),
+    "q84_setops"           -> (Extensions.q84SetOps _),
+    "q85_deciles"          -> (Extensions.q85Deciles _),
+    "q86_pmi"              -> (Extensions.q86Pmi _),
+    "q87_normalize"        -> (Extensions.q87Normalize _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -638,6 +644,22 @@ object SparkEntry {
     // make every routing decision recomputable by the oracle.
     "q81_ivf_anchors" ->
       graft.operators.Similarity.ivfAnchorOracleSql(),
+    // q82: oracle uses the positions self-join; the engine generates
+    // pairs narrowly from the token array — same pairs, no join.
+    "q82_skipgram" ->
+      graft.operators.TextAnalysis.skipgramOracleSql,
+    "q83_heavy_hitters" ->
+      graft.operators.TextAnalysis.heavyHittersOracleSql,
+    "q84_setops" ->
+      graft.operators.OlapOps.setOpsOracleSql,
+    // q85: oracle ranks with one global window (fine at oracle scale);
+    // the engine uses the blocked two-phase prefix-sum rank.
+    "q85_deciles" ->
+      graft.operators.OlapOps.decileOracleSql,
+    "q86_pmi" ->
+      graft.operators.CorpusStats.pmiOracleSql,
+    "q87_normalize" ->
+      graft.operators.TextAnalysis.normalizeOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

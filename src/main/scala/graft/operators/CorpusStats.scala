@@ -148,6 +148,69 @@ object CorpusStats {
      FROM d JOIN bg ON d.term = bg.term
      GROUP BY 1, 2 ORDER BY 1"""
 
+  /** q86: document-level co-occurrence lift (the integer-rational form
+    * of pointwise mutual information): for mid-frequency term pairs,
+    * lift = P(a,b) / (P(a)·P(b)) scaled to e6 — the association signal
+    * behind collocation extraction and topic seeding. Probabilities
+    * stay exact counts (n_ab·N·1e6 div n_a·n_b), so the oracle
+    * hash-checks without any libm log.
+    *
+    * Scale shape: the df band — CORPUS-RELATIVE, df in [minDfPct%,
+    * maxDfPct%] of documents, so the same configuration transfers
+    * across corpus sizes — is applied BEFORE the pair join (the
+    * q23/q76 hot-key guard): ubiquitous boilerplate terms (> maxDfPct%)
+    * never form pairs and rare typos (< minDfPct%) are pruned, so
+    * per-doc pair fan-out is bounded by the banded-terms-per-doc
+    * square. The pair join is doc-keyed; the count shuffles distinct
+    * pairs only; the band test is integer arithmetic (df·100 vs nd). */
+  def pmiQuery(spark: SparkSession, dir: String, minDfPct: Long = 1L,
+               maxDfPct: Long = 95L, minPair: Long = 3L,
+               topN: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tk = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val d = tk.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 100 >= col("nd") * minDfPct &&
+        col("df") * 100 <= col("nd") * maxDfPct)
+      .select("term", "df")
+    val b = tk.join(d, Seq("term"))
+    val a1 = b.select(col("doc_id"), col("term").as("w1"), col("df").as("n_a"))
+    val a2 = b.select(col("doc_id"), col("term").as("w2"), col("df").as("n_b"))
+    a1.join(a2, Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+      .crossJoin(broadcast(nd))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * nd * 1000000 div (n_a * n_b)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[pmiQuery]] (df band [1%,95%], pairs >= 3). */
+  def pmiOracleSql: String =
+    """WITH tk AS (SELECT DISTINCT doc_id, term FROM (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents)),
+       d0 AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
+       n AS (SELECT count(*) AS nd FROM documents),
+       d AS (SELECT term, df FROM d0, n
+             WHERE df * 100 >= nd AND df * 100 <= nd * 95),
+       b AS (SELECT tk.doc_id, tk.term, d.df FROM tk JOIN d USING (term)),
+       p AS (SELECT a.term AS w1, b2.term AS w2, a.df AS dfa, b2.df AS dfb,
+               count(*) AS n_ab
+             FROM b a JOIN b b2
+               ON a.doc_id = b2.doc_id AND a.term < b2.term
+             GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+     SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(dfa AS BIGINT) AS n_a, CAST(dfb AS BIGINT) AS n_b,
+       CAST(n_ab * nd * 1000000 // (dfa * dfb) AS BIGINT) AS lift_e6
+     FROM p, n ORDER BY lift_e6 DESC, w1, w2 LIMIT 100"""
+
   /** DuckDB oracle for [[vocabCoverage]] (minCount 3, vocabSize 12). */
   def vocabCoverageOracleSql: String =
     """WITH tk AS (SELECT doc_id,

@@ -351,6 +351,33 @@ object Extensions {
     Similarity.ivfAnchorTopK(Tables.embeddings(s, d), queryId = 0,
       k = 10, nAnchors = 8, nprobe = 2)
 
+  /** q82: skip-gram co-occurrence pair counts (window 2, top 100) —
+    * word2vec-style (center, context) training-pair extraction. */
+  def q82Skipgram(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.skipgramQuery(s, d)
+
+  /** q83: per-language top-5 heavy-hitter tokens with rank. */
+  def q83HeavyHitters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyHittersQuery(s, d)
+
+  /** q84: INTERSECT/EXCEPT audience segmentation over order years. */
+  def q84SetOps(s: SparkSession, d: String): DataFrame =
+    OlapOps.setOpsQuery(s, d)
+
+  /** q85: order-total deciles via a distributed two-phase global rank
+    * (no single-partition window). */
+  def q85Deciles(s: SparkSession, d: String): DataFrame =
+    OlapOps.decileQuery(s, d)
+
+  /** q86: co-occurrence lift (integer-rational PMI) for mid-frequency
+    * term pairs. */
+  def q86Pmi(s: SparkSession, d: String): DataFrame =
+    CorpusStats.pmiQuery(s, d)
+
+  /** q87: canonical text normalization with collapse counts. */
+  def q87Normalize(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.normalizeQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -286,4 +286,98 @@ object OlapOps {
           .as("p95_value"))
       .orderBy("event_type")
   }
+
+  /** q84: set-operation audience segmentation — every customer active
+    * in 1994 or 1995 labeled 'both' / 'only_1994' / 'only_1995' via
+    * INTERSECT and EXCEPT (the remaining relational-algebra set ops
+    * after q20's UNION DISTINCT). Each branch plans as a distinct-
+    * aggregate or left-anti shape on the same two year-filtered
+    * distinct sets; the year filter pushes to the scan, so the three
+    * branches share one pruned column read. */
+  def setOpsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val a = o.filter(col("y") === 1994).select("o_custkey").distinct()
+    val b = o.filter(col("y") === 1995).select("o_custkey").distinct()
+    a.intersect(b).withColumn("status", lit("both"))
+      .unionAll(a.except(b).withColumn("status", lit("only_1994")))
+      .unionAll(b.except(a).withColumn("status", lit("only_1995")))
+      .orderBy("o_custkey", "status")
+  }
+
+  /** DuckDB oracle for [[setOpsQuery]]. */
+  def setOpsOracleSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1994),
+       b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1995)
+     SELECT o_custkey, 'both' AS status
+       FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+     UNION ALL
+     SELECT o_custkey, 'only_1994'
+       FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+     UNION ALL
+     SELECT o_custkey, 'only_1995'
+       FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+     ORDER BY o_custkey, status"""
+
+  /** q85: value-decile summary of order totals via a DISTRIBUTED
+    * global rank. A plain `ntile`/`row_number` over an unpartitioned
+    * window is the canonical scale-killer (Spark warns and moves the
+    * whole table to ONE partition); here the global rank is the
+    * two-phase prefix-sum shape the engine already uses for packing
+    * (q55) and sweep-lines (q79): rows rank WITHIN value blocks
+    * (block = cents div 10M — a window partitioned by block), block
+    * COUNTS prefix-sum into offsets over a block-count-sized table,
+    * and the broadcast offsets complete the global rank. Decile
+    * boundaries are integer arithmetic on (rank, N): bucket sizes
+    * follow floor((rn-1)·10/N) — deterministic, oracle-recomputable,
+    * no interpolation. */
+  def decileQuery(spark: SparkSession, dir: String): DataFrame =
+    decileSummary(Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (round(col("o_totalprice").cast("decimal(38,10)"), 2) * 100)
+          .cast("long").as("cents")))
+
+  /** [[decileQuery]] over an explicit (o_orderkey, cents) frame — the
+    * composable/property-testable form. */
+  def decileSummary(rows: DataFrame): DataFrame = {
+    val r = rows.withColumn("block", expr("cents div 10000000"))
+    // ranking DESC: a block's offset is the count of rows in HIGHER
+    // blocks (the block table is ~tens of rows — metadata-scale)
+    val blockW = Window.orderBy(col("block").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = r.groupBy("block").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum(col("bn")).over(blockW), lit(0L)))
+    val total = offsets.agg(sum(col("bn")).as("n_total"))
+    val inBlock = Window.partitionBy("block")
+      .orderBy(col("cents").desc, col("o_orderkey").asc)
+    r.withColumn("rn_local", row_number().over(inBlock))
+      .join(broadcast(offsets.select("block", "offset")), "block")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", col("offset") + col("rn_local"))
+      .withColumn("decile",
+        expr("(rn - 1) * 10 div n_total").cast("int") + 1)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for [[decileQuery]] — a single global window (fine
+    * at oracle scale) with the same floor-division decile rule. */
+  def decileOracleSql: String =
+    """WITH r AS (SELECT o_orderkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(38,10)), 2) * 100
+                AS BIGINT) AS cents FROM orders),
+       rk AS (SELECT cents,
+           row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn,
+           count(*) OVER () AS n_total FROM r)
+     SELECT CAST((rn - 1) * 10 // n_total AS INT) + 1 AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+     FROM rk GROUP BY 1 ORDER BY 1"""
 }

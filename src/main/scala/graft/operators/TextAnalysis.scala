@@ -247,4 +247,119 @@ object TextAnalysis {
       .select(col("vocab_id"), col("term"), col("cnt"))
       .orderBy("vocab_id")
   }
+
+  /** q82: skip-gram co-occurrence counts — the (center, context) pair
+    * table that seeds word2vec/GloVe-style embedding training: for
+    * every token, each of the next `window` tokens becomes a context,
+    * and pairs are counted corpus-wide.
+    *
+    * Scale shape: pair generation is NARROW — pairs come from slicing
+    * the doc's own token array (`window`·len rows per doc via one
+    * explode), never from a positions self-join (which would shuffle
+    * the exploded token table twice and explode skew on long docs).
+    * The only shuffle is the (w1, w2)-keyed count with map-side
+    * partial combine, and the top-N is a TakeOrderedAndProject. The
+    * oracle recomputes with the self-join formulation — different
+    * plan, same pairs. */
+  def skipgramQuery(spark: SparkSession, dir: String, window: Int = 2,
+                    topN: Int = 100): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(flatten(transform(col("t"),
+        (tok, i) => transform(slice(col("t"), i + lit(2), lit(window)),
+          u => struct(tok.as("w1"), u.as("w2")))))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[skipgramQuery]] (window 2, top 100). */
+  def skipgramOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       p AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) AS pos FROM toks)
+     SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n
+     FROM p a JOIN p b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+     GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 100"""
+
+  /** q83: per-language heavy hitters — the top-`k` tokens of every
+    * language stratum with rank. The count is one token-keyed
+    * aggregation with map-side partial combine (the shuffle carries
+    * distinct (lang, term), never the token stream); the per-group
+    * top-k window then sorts only the DISTINCT-term table inside each
+    * language partition. At larger vocabularies the same query drops
+    * in the space-saving sketch ([[graft.functions.SketchAggregates]])
+    * for the exact count — the exact form is the registered oracle
+    * configuration. */
+  def heavyHittersQuery(spark: SparkSession, dir: String,
+                        k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("term").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byLang).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("term"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  /** DuckDB oracle for [[heavyHittersQuery]] (k = 5). */
+  def heavyHittersOracleSql: String =
+    """WITH tk AS (SELECT lang,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+         FROM documents),
+       c AS (SELECT lang, term, count(*) AS cnt FROM tk GROUP BY 1, 2)
+     SELECT lang, CAST(rk AS INT) AS rk, term, CAST(cnt AS BIGINT) AS cnt
+     FROM (SELECT lang, term, cnt, row_number() OVER (PARTITION BY lang
+             ORDER BY cnt DESC, term) AS rk FROM c)
+     WHERE rk <= 5 ORDER BY lang, rk"""
+
+  /** q87: canonical text normalization — the pass every dedup pipeline
+    * runs BEFORE fingerprinting (lowercase, strip non-alphanumerics,
+    * collapse whitespace), reported as per-doc normalized fingerprint
+    * plus before/after size and a changed flag, with the duplicate
+    * count each canonical form collapses to. Pure codegen'd string
+    * expressions (lower/regexp_replace/trim/md5) — narrow scan-side
+    * work; the only shuffle is the canonical-form count, keyed on the
+    * 32-char md5 instead of the normalized text. The character classes
+    * are shared Java-regex/RE2 syntax, so DuckDB's regexp_replace
+    * computes the identical canonical form. */
+  def normalizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+      " +", " "))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(norm).cast("long").as("n_norm"),
+        md5(norm).as("norm_fp"),
+        (md5(norm) =!= md5(col("text"))).cast("int").as("changed"))
+    val dupes = d.groupBy("norm_fp").agg(count(lit(1)).as("n_same"))
+    d.join(dupes, Seq("norm_fp"))
+      .select(col("doc_id"), col("norm_fp"), col("n_raw"), col("n_norm"),
+        col("changed"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[normalizeQuery]]. */
+  def normalizeOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+           CAST(md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) != md5(text)
+             AS INT) AS changed
+         FROM documents)
+     SELECT doc_id, norm_fp, n_raw, n_norm, changed,
+       CAST(count(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS n_same
+     FROM d ORDER BY doc_id"""
 }

@@ -368,4 +368,36 @@ class PipelineOpsSpec extends SparkSpec {
       .select(md5(col("c_name"))).limit(1).collect().head.getString(0)
     assert(out.head.getString(4) != raw)
   }
+
+  test("set ops: branches are disjoint and cover both year sets") {
+    import graft.operators.OlapOps
+    val out = OlapOps.setOpsQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every customer appears in exactly one branch
+    assert(out.map(_._1).distinct.length == out.length)
+    val o = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val a = o.filter(col("y") === 1994).select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val b = o.filter(col("y") === 1995).select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(got.getOrElse("both", Set.empty) == (a intersect b))
+    assert(got.getOrElse("only_1994", Set.empty) == (a diff b))
+    assert(got.getOrElse("only_1995", Set.empty) == (b diff a))
+  }
+
+  test("pmi lift: band is corpus-relative, supports bounded, lift exact") {
+    import graft.operators.CorpusStats
+    val out = CorpusStats.pmiQuery(spark, sf0001).collect()
+    assert(out.nonEmpty, "fixture corpus must produce co-occurring pairs")
+    val nd = graft.sources.Tables.documents(spark, sf0001).count()
+    out.foreach { r =>
+      val (nab, na, nb, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nab <= na && nab <= nb, "support cannot exceed either df")
+      assert(na * 100 >= nd && na * 100 <= nd * 95, "df band violated")
+      assert(lift == nab * nd * 1000000L / (na * nb), "lift formula")
+    }
+  }
 }

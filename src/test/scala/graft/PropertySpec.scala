@@ -146,6 +146,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("blocked decile rank equals a global sort reference on random values") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 40000000L))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    forAll(gen, trials = 8) { rows =>
+      val df = rows.toDF("o_orderkey", "cents")
+      val got = graft.operators.OlapOps.decileSummary(df).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+      // reference: single-process global sort + floor-division deciles
+      val n = rows.length
+      val expected = rows.map { case (k, c) => (c, k) }
+        .sortBy { case (c, k) => (-c, k) }.zipWithIndex
+        .map { case ((c, _), i) => ((i.toLong * 10) / n).toInt + 1 -> c }
+        .groupBy(_._1).view.mapValues { cs =>
+          val v = cs.map(_._2)
+          (v.length.toLong, v.min, v.max, v.sum)
+        }.toMap
+      assert(got == expected, s"decile mismatch on $n rows")
+    }
+  }
+
   test("containment pairs equal a brute-force set reference on random docs") {
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
     val docGen = for {

@@ -152,6 +152,55 @@ class TextAnalysisSpec extends SparkSpec {
     }, "vocab order must be (count DESC, term ASC)")
   }
 
+  test("skipgram pairs: ordered windows, no self-pairs, exact counts") {
+    // "a b c a" with window 2 -> (a,b) (a,c) (b,c) (b,a) (c,a)
+    val out = TextAnalysis.skipgramQuery(spark, sf0001, window = 2,
+      topN = 1000000)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // reference: per-doc sliding windows in plain Scala
+    val expected = docs.select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.trim.split("\\s+").toSeq)
+      .flatMap(t => t.indices.flatMap(i =>
+        (i + 1 to math.min(i + 2, t.length - 1)).map(j => (t(i), t(j)))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "skipgram counts must match sliding reference")
+  }
+
+  test("heavy hitters: k per group, rank follows (count desc, term)") {
+    val out = TextAnalysis.heavyHittersQuery(spark, sf0001, k = 3).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length))
+      val cnts = rows.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+      assert(cnts == cnts.sorted.reverse, "rank must follow count desc")
+    }
+  }
+
+  test("normalization: idempotent, case/punct-insensitive, counts dups") {
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO-world"),
+      (4L, "unrelated")).toDF("doc_id", "text")
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+    val normed = docs.select(col("doc_id"), norm.as("n1"))
+    // idempotence: normalizing a normalized string is the identity
+    val twice = normed.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("n1")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("n2"),
+      col("n1"))
+    assert(twice.filter(col("n1") =!= col("n2")).count() == 0)
+    val vals = normed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals(1L) == "hello world" && vals(2L) == "hello world" &&
+      vals(3L) == "hello world")
+    // the query surface: all three variants collapse to n_same = 3
+    val q = TextAnalysis.normalizeQuery(spark, sf0001)
+    val head = q.limit(5).collect()
+    assert(head.nonEmpty && head.forall(_.getLong(5) >= 1))
+  }
+
   test("analytics topK + membership filter compose") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
     val top = Analytics.topKByAggregate(li, "l_suppkey", "l_extendedprice", 5)
