@@ -110,6 +110,12 @@ object SparkEntry {
     "q85_deciles"          -> (Extensions.q85Deciles _),
     "q86_pmi"              -> (Extensions.q86Pmi _),
     "q87_normalize"        -> (Extensions.q87Normalize _),
+    "q88_unpivot"          -> (Extensions.q88Unpivot _),
+    "q89_listagg"          -> (Extensions.q89ListAgg _),
+    "q90_mode"             -> (Extensions.q90Mode _),
+    "q91_snapshot_diff"    -> (Extensions.q91SnapshotDiff _),
+    "q92_rolling_active"   -> (Extensions.q92RollingActive _),
+    "q93_comoments"        -> (Extensions.q93Comoments _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -660,6 +666,18 @@ object SparkEntry {
       graft.operators.CorpusStats.pmiOracleSql,
     "q87_normalize" ->
       graft.operators.TextAnalysis.normalizeOracleSql,
+    "q88_unpivot" ->
+      graft.operators.OlapOps.unpivotOracleSql,
+    "q89_listagg" ->
+      graft.operators.OlapOps.listAggOracleSql,
+    "q90_mode" ->
+      graft.operators.OlapOps.modeOracleSql,
+    "q91_snapshot_diff" ->
+      graft.operators.ChangeCapture.snapshotDiffOracleSql,
+    "q92_rolling_active" ->
+      graft.operators.Sessionize.rollingActiveOracleSql,
+    "q93_comoments" ->
+      graft.operators.OlapOps.comomentsOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

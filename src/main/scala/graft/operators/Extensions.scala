@@ -378,6 +378,32 @@ object Extensions {
   def q87Normalize(s: SparkSession, d: String): DataFrame =
     TextAnalysis.normalizeQuery(s, d)
 
+  /** q88: unpivot/melt of the lineitem measures via one Expand. */
+  def q88Unpivot(s: SparkSession, d: String): DataFrame =
+    OlapOps.unpivotQuery(s, d)
+
+  /** q89: capped sorted LISTAGG (bounded collect after a shared-key
+    * window cap). */
+  def q89ListAgg(s: SparkSession, d: String): DataFrame =
+    OlapOps.listAggQuery(s, d)
+
+  /** q90: per-segment modal order priority, deterministic tie-break. */
+  def q90Mode(s: SparkSession, d: String): DataFrame =
+    OlapOps.modeQuery(s, d)
+
+  /** q91: snapshot diff (CDC derive): added/removed/changed between
+    * two deterministic versions of orders. */
+  def q91SnapshotDiff(s: SparkSession, d: String): DataFrame =
+    ChangeCapture.snapshotDiffQuery(s, d)
+
+  /** q92: rolling 7-day distinct active users via the expand shape. */
+  def q92RollingActive(s: SparkSession, d: String): DataFrame =
+    Sessionize.rollingActiveQuery(s, d)
+
+  /** q93: one-pass exact co-moment components per return flag. */
+  def q93Comoments(s: SparkSession, d: String): DataFrame =
+    OlapOps.comomentsQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

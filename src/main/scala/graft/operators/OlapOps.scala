@@ -380,4 +380,171 @@ object OlapOps {
        min(cents) AS min_cents, max(cents) AS max_cents,
        CAST(sum(cents) AS BIGINT) AS sum_cents
      FROM rk GROUP BY 1 ORDER BY 1"""
+
+  /** q88: unpivot / melt — the four lineitem money-ish measures
+    * normalized from wide columns into (measure, cents) rows, then
+    * summarized per return flag. Uses the built-in `Dataset.unpivot`,
+    * which plans as ONE Expand over the narrow 5-column projection (no
+    * join, no shuffle until the final small aggregate), so melting a
+    * 100 TB fact table costs a single scan with map-side partial
+    * aggregation. The wide→long step is the standard feature-table →
+    * EAV normalization a training pipeline runs before per-feature
+    * statistics. */
+  def unpivotQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: String) =>
+      (round(col(c).cast("decimal(38,10)"), 2) * 100).cast("long").as(c)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents("l_quantity"),
+        cents("l_extendedprice"), cents("l_discount"), cents("l_tax"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "cents")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .orderBy("l_returnflag", "measure")
+  }
+
+  /** DuckDB oracle for [[unpivotQuery]] — UNION ALL spelling of the
+    * same melt (portable across engines; DuckDB's UNPIVOT would work
+    * too but the UNION ALL form pins the measure labels exactly). */
+  def unpivotOracleSql: String = {
+    val branch = (c: String) =>
+      s"""SELECT l_returnflag, '$c' AS measure,
+            CAST(round(CAST($c AS DECIMAL(38,10)), 2) * 100 AS BIGINT)
+              AS cents FROM lineitem"""
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(branch).mkString(
+        "WITH m AS (", " UNION ALL ",
+        """) SELECT l_returnflag, measure,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+           FROM m GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  /** q89: capped sorted list aggregation (LISTAGG/STRING_AGG) — per
+    * nation, the supplier count and a roster of AT MOST [[ListAggCap]]
+    * alphabetically-first supplier names joined by ','. The cap is
+    * applied with a row_number window BEFORE collect_list, so the
+    * per-group array the aggregate buffers is bounded by the cap — a
+    * group with a billion members costs the same memory as one with
+    * 25. The window and the groupBy share the same partitioning key,
+    * so Catalyst plans ONE exchange for both. The full (uncapped)
+    * member count rides the window's count(*) — no second scan. */
+  val ListAggCap = 25
+
+  def listAggQuery(spark: SparkSession, dir: String): DataFrame =
+    listAgg(Tables.supplier(spark, dir), Tables.nation(spark, dir),
+      ListAggCap)
+
+  /** [[listAggQuery]] over explicit frames — the testable core. */
+  def listAgg(supplier: DataFrame, nation: DataFrame,
+      cap: Int): DataFrame = {
+    val byNation = Window.partitionBy("s_nationkey")
+    val ranked = supplier
+      .select(col("s_nationkey"), col("s_name"),
+        row_number().over(byNation.orderBy(col("s_name").asc)).as("rn"),
+        count(lit(1)).over(byNation).as("n_all"))
+    ranked.filter(col("rn") <= cap)
+      .groupBy("s_nationkey")
+      .agg(max(col("n_all")).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("roster"))
+      .join(nation
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name")),
+        Seq("s_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("roster"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[listAggQuery]] — ordered list + slice. */
+  def listAggOracleSql: String =
+    s"""SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         array_to_string((list(s.s_name ORDER BY s.s_name))[1:$ListAggCap],
+           ',') AS roster
+       FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+       GROUP BY 1 ORDER BY 1"""
+
+  /** q90: per-group mode with a deterministic tie-break — the modal
+    * order priority of each market segment (orders ⋈ customer). The
+    * frequency table shrinks to |segments × priorities| rows in the
+    * first aggregation (partial map-side combine does the heavy
+    * lifting), and the mode is a rank-1 selection over that tiny
+    * table — the window never sees fact-table cardinality. Ties break
+    * to the alphabetically-first priority, making the answer unique
+    * and oracle-recomputable. */
+  def modeQuery(spark: SparkSession, dir: String): DataFrame =
+    groupMode(Tables.orders(spark, dir), Tables.customer(spark, dir))
+
+  /** [[modeQuery]] over explicit frames — the testable core. */
+  def groupMode(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val counts = orders
+      .join(customer
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val rank = Window.partitionBy("c_mktsegment")
+      .orderBy(col("n_orders").desc, col("o_orderpriority").asc)
+    counts.withColumn("rk", row_number().over(rank))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** DuckDB oracle for [[modeQuery]]. */
+  def modeOracleSql: String =
+    """WITH c AS (SELECT c.c_mktsegment, o.o_orderpriority,
+           count(*) AS n_orders
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY n_orders DESC, o_orderpriority) AS rk FROM c)
+     SELECT c_mktsegment, o_orderpriority, CAST(n_orders AS BIGINT)
+       AS n_orders FROM r WHERE rk = 1 ORDER BY c_mktsegment"""
+
+  /** q93: one-pass co-moment components — per return flag, the exact
+    * integer sums (n, Σq, Σd, Σq², Σqd, Σd²) over (quantity units,
+    * price dollars) from which covariance / correlation / an OLS slope
+    * are pure driver-side arithmetic. This is the distributed-moments
+    * pattern: every component is an algebraic aggregate, so Spark
+    * computes all six in ONE scan with map-side partial aggregation —
+    * no second pass against a precomputed mean (the textbook two-pass
+    * formulation), no shuffle beyond the final 3-group combine.
+    * Integer units/dollars keep the check exact; at petabyte scale the
+    * same shape runs on DECIMAL accumulators (documented bound: Σd²
+    * fits a long through ~sf100 at these value ranges). */
+  def comomentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val q = round(col("l_quantity").cast("decimal(38,10)"), 0)
+      .cast("long")
+    val d = round(col("l_extendedprice").cast("decimal(38,10)"), 0)
+      .cast("long")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), q.as("q"), d.as("d"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"), sum(col("d")).as("sum_d"),
+        sum(col("q") * col("q")).as("sum_qq"),
+        sum(col("q") * col("d")).as("sum_qd"),
+        sum(col("d") * col("d")).as("sum_dd"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB oracle for [[comomentsQuery]]. */
+  def comomentsOracleSql: String =
+    """WITH f AS (SELECT l_returnflag,
+           CAST(round(CAST(l_quantity AS DECIMAL(38,10)), 0) AS BIGINT)
+             AS q,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(38,10)), 0)
+             AS BIGINT) AS d
+         FROM lineitem)
+     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(d) AS BIGINT) AS sum_d,
+       CAST(sum(q * q) AS BIGINT) AS sum_qq,
+       CAST(sum(q * d) AS BIGINT) AS sum_qd,
+       CAST(sum(d * d) AS BIGINT) AS sum_dd
+     FROM f GROUP BY 1 ORDER BY 1"""
 }

@@ -246,4 +246,50 @@ object Sessionize {
        UNION ALL SELECT 3, 'click', n3 FROM c
        UNION ALL SELECT 4, 'purchase', n4 FROM c)
      ORDER BY stage"""
+
+  /** q92: rolling 7-day distinct active users (the WAU curve) per
+    * observed day. The naive formulation — count(DISTINCT) over a
+    * RANGE window — is not computable as a frame aggregate, and a
+    * per-day self-join against a ±6-day range re-reads the event table
+    * once per day. This is the scalable EXPAND shape instead: dedup
+    * events to (user, day) pairs once, explode each pair into the ≤ 7
+    * target days it contributes to, and count distinct users per
+    * target day. Total intermediate volume is |distinct user-days| × 7
+    * — linear, partitioned, and independent of how many events share a
+    * user-day (the dedup happens BEFORE the fan-out). Target days are
+    * restricted to observed event days via a broadcast semi-join on
+    * the (tiny) day spine. */
+  def rollingActiveQuery(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame =
+    rollingActive(Tables.events(spark, dir), windowDays)
+
+  /** [[rollingActiveQuery]] over an explicit (user_id, ts) frame —
+    * the testable core. */
+  def rollingActive(events: DataFrame, windowDays: Int): DataFrame = {
+    val pairs = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val spine = pairs.select(col("day").as("wday")).distinct()
+    pairs
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("wday"))
+      .join(broadcast(spine), Seq("wday"), "left_semi")
+      .groupBy("wday")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+        col("active_users"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[rollingActiveQuery]] — the per-day range
+    * formulation (fine at oracle scale): users active in
+    * [day-6, day]. */
+  def rollingActiveOracleSql: String =
+    """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         FROM events),
+       s AS (SELECT DISTINCT day FROM p)
+     SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
+     FROM s JOIN p ON p.day BETWEEN s.day - 6 AND s.day
+     GROUP BY 1 ORDER BY 1"""
 }
