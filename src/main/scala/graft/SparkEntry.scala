@@ -116,6 +116,10 @@ object SparkEntry {
     "q91_snapshot_diff"    -> (Extensions.q91SnapshotDiff _),
     "q92_rolling_active"   -> (Extensions.q92RollingActive _),
     "q93_comoments"        -> (Extensions.q93Comoments _),
+    "q94_histogram"        -> (Extensions.q94Histogram _),
+    "q95_bpe_pairs"        -> (Extensions.q95BpePairs _),
+    "q96_drift_union"      -> (Extensions.q96DriftUnion _),
+    "q97_mad_outliers"     -> (Extensions.q97MadOutliers _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -678,6 +682,14 @@ object SparkEntry {
       graft.operators.Sessionize.rollingActiveOracleSql,
     "q93_comoments" ->
       graft.operators.OlapOps.comomentsOracleSql,
+    "q94_histogram" ->
+      graft.operators.OlapOps.histogramOracleSql,
+    "q95_bpe_pairs" ->
+      graft.operators.TextAnalysis.bpePairsOracleSql,
+    "q96_drift_union" ->
+      graft.operators.ChangeCapture.driftUnionOracleSql,
+    "q97_mad_outliers" ->
+      graft.operators.OlapOps.madOutliersOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

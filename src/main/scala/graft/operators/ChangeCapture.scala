@@ -93,4 +93,61 @@ object ChangeCapture {
            o.cents AS old_cents, n.cents AS new_cents
          FROM v_old o FULL OUTER JOIN v_new n USING (o_orderkey))
      SELECT * FROM d WHERE change IS NOT NULL ORDER BY o_orderkey"""
+
+  /** q96: schema-drift union — combining extracts whose schemas
+    * diverged over time, the ingest-side reality every long-lived
+    * pipeline hits. The "v1 extract" (even event ids) carries a legacy
+    * `amount_cents` column; the "v2 extract" (odd ids) renamed it to
+    * `value_cents` and added a `channel` column. `unionByName` with
+    * `allowMissingColumns = true` aligns by NAME (positional UNION
+    * would silently zip mismatched columns) and null-fills what each
+    * side lacks — a pure metadata operation: no shuffle, the union is
+    * plan-level concatenation and the nulls are literal projections.
+    * The output audits the drift: per event type and schema version,
+    * row counts and how many rows carry each drifted column. */
+  def driftUnionQuery(spark: SparkSession, dir: String): DataFrame = {
+    // non-finite values -> null cents (not filtered: the drift audit
+    // counts them as rows whose drifted column is absent)
+    val finiteCents = when(isnan(col("value")) ||
+        col("value") === Double.PositiveInfinity ||
+        col("value") === Double.NegativeInfinity, lit(null))
+      .otherwise(floor(col("value") * 100).cast("long"))
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("event_type"), finiteCents.as("cents"))
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"),
+        col("cents").as("amount_cents"), lit("v1").as("schema_ver"))
+    val v2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"),
+        col("cents").as("value_cents"),
+        concat(lit("ch-"), col("event_type")).as("channel"),
+        lit("v2").as("schema_ver"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("event_type", "schema_ver")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("amount_cents")).as("n_legacy_amount"),
+        count(col("value_cents")).as("n_value"),
+        count(col("channel")).as("n_channel"))
+      .orderBy("event_type", "schema_ver")
+  }
+
+  /** DuckDB oracle for [[driftUnionQuery]] — UNION ALL BY NAME. */
+  def driftUnionOracleSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+           CASE WHEN isnan(value) OR NOT isfinite(value) THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+         FROM events),
+       u AS (
+         SELECT event_id, event_type, cents AS amount_cents,
+             'v1' AS schema_ver
+           FROM ev WHERE event_id % 2 = 0
+         UNION ALL BY NAME
+         SELECT event_id, event_type, cents AS value_cents,
+             'ch-' || event_type AS channel, 'v2' AS schema_ver
+           FROM ev WHERE event_id % 2 = 1)
+     SELECT event_type, schema_ver, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(amount_cents) AS BIGINT) AS n_legacy_amount,
+       CAST(count(value_cents) AS BIGINT) AS n_value,
+       CAST(count(channel) AS BIGINT) AS n_channel
+     FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -404,6 +404,22 @@ object Extensions {
   def q93Comoments(s: SparkSession, d: String): DataFrame =
     OlapOps.comomentsQuery(s, d)
 
+  /** q94: equi-width histogram with zero-filled empty bins. */
+  def q94Histogram(s: SparkSession, d: String): DataFrame =
+    OlapOps.histogramQuery(s, d)
+
+  /** q95: BPE seed pair counts over the distinct-word freq table. */
+  def q95BpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairsQuery(s, d)
+
+  /** q96: schema-drift unionByName audit (v1/v2 extracts). */
+  def q96DriftUnion(s: SparkSession, d: String): DataFrame =
+    ChangeCapture.driftUnionQuery(s, d)
+
+  /** q97: MAD robust outliers per event type. */
+  def q97MadOutliers(s: SparkSession, d: String): DataFrame =
+    OlapOps.madOutliersQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

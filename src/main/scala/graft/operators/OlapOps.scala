@@ -533,6 +533,127 @@ object OlapOps {
       .orderBy("l_returnflag")
   }
 
+  /** q94: equi-width value histogram WITH empty bins — order totals
+    * bucketed into $25k-wide bins over the observed [min, max] range,
+    * zero-filled so downstream charting/monitoring sees the gaps. The
+    * fact table collapses to per-bin partials in one aggregation; the
+    * bin spine is generated from a 1-row min/max aggregate (sequence +
+    * explode — metadata-scale) and LEFT-joins the counts by broadcast.
+    * Nothing is ever ranked or sorted at corpus cardinality, unlike
+    * the quantile family (q53/q75/q85) — histograms are the O(scan)
+    * distribution sketch. */
+  val HistBinCents = 2500000L // $25,000 per bin
+
+  def histogramQuery(spark: SparkSession, dir: String): DataFrame =
+    histogram(Tables.orders(spark, dir)
+      .select((round(col("o_totalprice").cast("decimal(38,10)"), 2) * 100)
+        .cast("long").as("cents")), HistBinCents)
+
+  /** [[histogramQuery]] over an explicit non-negative `cents` frame —
+    * the testable core. */
+  def histogram(values: DataFrame, widthCents: Long): DataFrame = {
+    // integer div, not `/` (double division would lose exactness past
+    // 2^53 cents); inputs are non-negative so div == floor-div (the
+    // q54 cross-engine parity rule)
+    val bins = values.select(expr(s"cents div ${widthCents}L").as("bin"))
+    val counts = bins.groupBy("bin").agg(count(lit(1)).as("n_orders"))
+    val spine = bins.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin") * widthCents).as("lo_cents"),
+        ((col("bin") + 1) * widthCents - 1).as("hi_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB oracle for [[histogramQuery]]. Totals are non-negative so
+    * truncating and flooring division agree (the q54 div/floor parity
+    * rule). */
+  def histogramOracleSql: String =
+    s"""WITH b AS (SELECT CAST(round(CAST(o_totalprice AS DECIMAL(38,10)),
+             2) * 100 AS BIGINT) // $HistBinCents AS bin FROM orders),
+       c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+       s AS (SELECT unnest(generate_series((SELECT min(bin) FROM b),
+               (SELECT max(bin) FROM b))) AS bin)
+     SELECT s.bin, s.bin * $HistBinCents AS lo_cents,
+       (s.bin + 1) * $HistBinCents - 1 AS hi_cents,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+     FROM s LEFT JOIN c USING (bin) ORDER BY s.bin"""
+
+  /** q97: median-absolute-deviation (MAD) robust outliers per event
+    * type — the rank-selection sibling of the IQR fences (q75): median
+    * via explicit row_number-vs-ceil selection, then the median of the
+    * absolute deviations by the same machinery, then a count of points
+    * beyond 3×MAD. Two windowed passes over per-type partitions plus a
+    * broadcast of the (|event types|-row) fence table back onto the
+    * values — the second pass re-partitions the DEVIATIONS, not a
+    * wider row, and integer cents keep every selected value exact. */
+  def madOutliersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
+      .filter(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    def medianOf(df: DataFrame, valueCol: String,
+        tieCol: String): DataFrame = {
+      val byV = Window.partitionBy("event_type")
+        .orderBy(col(valueCol).asc, col(tieCol).asc)
+      val byT = Window.partitionBy("event_type")
+      df.select(col("event_type"), col(valueCol),
+          row_number().over(byV).as("rn"), count(lit(1)).over(byT).as("n"))
+        .groupBy("event_type")
+        .agg(min(when(col("rn") === ceil(col("n") * 0.5), col(valueCol)))
+          .as(s"med_$valueCol"))
+    }
+    val med = medianOf(vals, "cents", "event_id")
+    val devs = vals.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        col("med_cents"), abs(col("cents") - col("med_cents")).as("dev"))
+    val mad = medianOf(devs, "dev", "event_id")
+    devs.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med_cents")).as("median_cents"),
+        max(col("med_dev")).as("mad_cents"),
+        count(when(col("dev") > lit(3) * col("med_dev"), 1))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[madOutliersQuery]]. */
+  def madOutliersOracleSql: String =
+    """WITH v AS (SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events WHERE NOT isnan(value) AND isfinite(value)),
+       r1 AS (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n FROM v),
+       m1 AS (SELECT event_type,
+               min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                   THEN cents END) AS med_cents
+             FROM r1 GROUP BY 1),
+       d AS (SELECT v.event_type, v.event_id, v.cents, m1.med_cents,
+               abs(v.cents - m1.med_cents) AS dev
+             FROM v JOIN m1 USING (event_type)),
+       r2 AS (SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY dev, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n FROM d),
+       m2 AS (SELECT event_type,
+               min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                   THEN dev END) AS med_dev
+             FROM r2 GROUP BY 1)
+     SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       max(d.med_cents) AS median_cents,
+       max(m2.med_dev) AS mad_cents,
+       CAST(count(*) FILTER (WHERE d.dev > 3 * m2.med_dev) AS BIGINT)
+         AS n_outliers
+     FROM d JOIN m2 USING (event_type)
+     GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

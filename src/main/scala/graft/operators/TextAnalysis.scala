@@ -362,4 +362,49 @@ object TextAnalysis {
      SELECT doc_id, norm_fp, n_raw, n_norm, changed,
        CAST(count(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS n_same
      FROM d ORDER BY doc_id"""
+
+  /** q95: BPE seed statistics — the first byte-pair-encoding merge
+    * iteration: corpus-weighted counts of adjacent character pairs
+    * inside words, the argmax of which IS the first merge a BPE
+    * tokenizer trainer would perform. The scale shape mirrors a real
+    * trainer: the token stream collapses to the DISTINCT-word
+    * frequency table first (one token-keyed aggregation — vocabulary-
+    * sized, not corpus-sized), and the character-pair fan-out runs
+    * over that vocabulary weighted by word frequency, so a 100 TB
+    * corpus costs one token count plus work proportional to |vocab| ×
+    * avg word length. Restricted to ^[a-z0-9]+$ words so pair
+    * extraction is pure ASCII and both engines' substring semantics
+    * agree byte-for-byte. */
+  def bpePairsQuery(spark: SparkSession, dir: String,
+      topN: Int = 20): DataFrame =
+    bpePairs(Tables.documents(spark, dir), topN)
+
+  /** [[bpePairsQuery]] over an explicit docs(text) frame — the
+    * testable core. */
+  def bpePairs(docs: DataFrame, topN: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[bpePairsQuery]] (top 20). */
+  def bpePairsOracleSql: String =
+    """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)),
+           '\s+')) AS w FROM documents),
+       v AS (SELECT w, count(*) AS freq FROM w
+             WHERE regexp_matches(w, '^[a-z0-9]+$') AND length(w) >= 2
+             GROUP BY 1),
+       e AS (SELECT w, freq,
+               unnest(generate_series(1, length(w) - 1)) AS i FROM v),
+       p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq FROM e)
+     SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+     FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""
 }

@@ -156,4 +156,53 @@ class ReconAnalyticsSpec extends SparkSpec {
     assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4),
       s.getLong(5), s.getLong(6)) == ((2L, 5L, 30L, 13L, 80L, 500L)))
   }
+
+  test("histogram zero-fills interior empty bins") {
+    val vals = Seq(5L, 15L, 45L).toDF("cents") // bins 0, 1, 4 at w=10
+    val out = OlapOps.histogram(vals, widthCents = 10L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "spine must be contiguous")
+    assert(out(2L) == ((20L, 29L, 0L)) && out(3L) == ((30L, 39L, 0L)))
+    assert(out(0L) == ((0L, 9L, 1L)) && out(4L) == ((40L, 49L, 1L)))
+  }
+
+  test("histogram mass equals input rows on testdata") {
+    val out = OlapOps.histogramQuery(spark, sf0001)
+    val total = out.agg(sum("n_orders")).collect().head.getLong(0)
+    val orders = graft.sources.Tables.orders(spark, sf0001).count()
+    assert(total == orders)
+  }
+
+  test("bpePairs weights pairs by corpus word frequency") {
+    import graft.operators.TextAnalysis
+    // "ab" appears twice, "abc" once: pair ab = 2 + 1, bc = 1;
+    // "Zz!" fails the ascii-word gate, "x" fails the length gate
+    val docs = Seq("ab ab abc", "Zz! x").toDF("text")
+    val out = TextAnalysis.bpePairs(docs, topN = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 3L, "bc" -> 1L))
+  }
+
+  test("driftUnion null-fills exactly the columns each version lacks") {
+    val out = graft.operators.ChangeCapture.driftUnionQuery(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ver, n, legacy, value, channel) = (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      if (ver == "v1") assert(value == 0L && channel == 0L && legacy <= n)
+      else assert(legacy == 0L && channel == n && value <= n)
+    }
+  }
+
+  test("madOutliers fences are consistent on testdata") {
+    val out = OlapOps.madOutliersQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mad, outliers) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mad >= 0L && outliers >= 0L && outliers < n,
+        "a majority of points can never sit beyond 3 MAD")
+    }
+  }
 }
