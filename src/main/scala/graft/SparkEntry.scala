@@ -120,6 +120,10 @@ object SparkEntry {
     "q95_bpe_pairs"        -> (Extensions.q95BpePairs _),
     "q96_drift_union"      -> (Extensions.q96DriftUnion _),
     "q97_mad_outliers"     -> (Extensions.q97MadOutliers _),
+    "q98_negative_samples" -> (Extensions.q98NegativeSamples _),
+    "q99_mixture"          -> (Extensions.q99MixtureMaterialize _),
+    "q100_pagerank"        -> (Extensions.q100PageRank _),
+    "q101_cms"             -> (Extensions.q101Cms _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -690,6 +694,14 @@ object SparkEntry {
       graft.operators.ChangeCapture.driftUnionOracleSql,
     "q97_mad_outliers" ->
       graft.operators.OlapOps.madOutliersOracleSql,
+    "q98_negative_samples" ->
+      graft.operators.TextAnalysis.negativeSamplesOracleSql,
+    "q99_mixture" ->
+      graft.operators.Curation.mixtureMaterializeOracleSql,
+    "q100_pagerank" ->
+      graft.operators.GraphRank.pageRankOracleSql,
+    "q101_cms" ->
+      graft.operators.CorpusStats.cmsOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

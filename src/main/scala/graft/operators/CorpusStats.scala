@@ -225,4 +225,71 @@ object CorpusStats {
             AS BIGINT) AS oov_e6
      FROM tk LEFT JOIN v ON tk.term = v.term
      GROUP BY 1 ORDER BY 1"""
+
+  /** q101: count-min sketch, oracle-checked — term frequencies
+    * estimated from a d=3 × w=1024 counter grid addressed by the
+    * portable hash family (row r's bucket = h60("r:" ++ term) mod w),
+    * reported next to the exact counts for the top heavy hitters. The
+    * sketch is DETERMINISTIC given the hash family, so the oracle
+    * rebuilds the identical grid and the comparison is exact — and the
+    * CMS guarantee (estimate ≥ truth, overestimate bounded by
+    * collisions) becomes a hash-checked property instead of a unit
+    * assertion. Scale shape: the token stream collapses to the
+    * (term, cnt) vocabulary first; the grid is 3 × 1024 counters
+    * built from vocabulary-sized fan-out (×3) and broadcast back for
+    * the lookups — at 100 TB the sketch costs one token count plus
+    * metadata-scale work, which is exactly why CMS exists. */
+  val CmsRows = 3
+  val CmsWidth = 1024L
+
+  def cmsQuery(spark: SparkSession, dir: String,
+      topN: Int = 20): DataFrame =
+    cms(Tables.documents(spark, dir), topN)
+
+  /** [[cmsQuery]] over an explicit docs(text) frame. */
+  def cms(docs: DataFrame, topN: Int): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val counts = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val rows = array((0 until CmsRows).map(lit): _*)
+    val grid = counts
+      .select(col("cnt"), explode(rows).as("r"),
+        col("term"))
+      .withColumn("bucket",
+        portableHash60(concat(col("r").cast("string"), lit(":"),
+          col("term"))) % CmsWidth)
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("counter"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("term").asc).limit(topN)
+    val est = top
+      .select(col("term"), col("cnt"), explode(rows).as("r"))
+      .withColumn("bucket",
+        portableHash60(concat(col("r").cast("string"), lit(":"),
+          col("term"))) % CmsWidth)
+      .join(broadcast(grid), Seq("r", "bucket"))
+      .groupBy("term", "cnt")
+      .agg(min(col("counter")).as("cms_est"))
+    est.select(col("term"), col("cnt").as("exact_cnt"), col("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("term").asc)
+  }
+
+  /** DuckDB oracle for [[cmsQuery]] (top 20). */
+  def cmsOracleSql: String =
+    s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)),
+           '\\s+')) AS term FROM documents),
+       c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+       f AS (SELECT term, cnt, unnest([0, 1, 2]) AS r FROM c),
+       fb AS (SELECT term, cnt, r,
+               CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term),
+                 1, 15)) AS BIGINT) % $CmsWidth AS bucket FROM f),
+       grid AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS counter
+                FROM fb GROUP BY 1, 2),
+       top AS (SELECT term, cnt FROM c
+               ORDER BY cnt DESC, term LIMIT 20),
+       tb AS (SELECT top.term, top.cnt, fb.r, fb.bucket FROM top
+              JOIN fb ON fb.term = top.term)
+     SELECT tb.term, CAST(tb.cnt AS BIGINT) AS exact_cnt,
+       min(grid.counter) AS cms_est
+     FROM tb JOIN grid ON grid.r = tb.r AND grid.bucket = tb.bucket
+     GROUP BY 1, 2 ORDER BY exact_cnt DESC, term"""
 }

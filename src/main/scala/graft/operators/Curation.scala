@@ -206,4 +206,56 @@ object Curation {
              FROM s)
      SELECT doc_id, lang, score, rn FROM r WHERE rn <= $perLang
      ORDER BY lang, rn"""
+
+  /** q99: mixture MATERIALIZATION — q60 computed how much to up/down-
+    * sample each language; this op actually emits the resampled
+    * corpus: each doc repeated `weight div 1e6` times plus one extra
+    * epoch with probability `weight mod 1e6`, decided by PORTABLE HASH
+    * (not RNG) so the materialized mixture is bit-reproducible across
+    * engines and reruns. Fractional-epoch selection by hash is how a
+    * deterministic trainer repeats data without a shuffle-order
+    * dependency. Repeats are clamped at [[MaxEpochs]] (the standard
+    * guard: beyond a few epochs repetition hurts, and the clamp also
+    * bounds the explode fan-out for a vanishing stratum whose raw
+    * weight would be huge). Output is one row per (doc, epoch). */
+  val MaxEpochs = 5L
+
+  def mixtureMaterialize(docs: DataFrame): DataFrame = {
+    val w = mixingWeights(docs).select(col("lang"), col("weight_e6"))
+    docs.join(broadcast(w), Seq("lang"))
+      .withColumn("extra",
+        (portableHash60(concat(lit("mix:"), col("doc_id").cast("string")))
+          % 1000000L < col("weight_e6") % 1000000L).cast("long"))
+      .withColumn("n_rep",
+        least(expr("weight_e6 div 1000000") + col("extra"), lit(MaxEpochs)))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("lang"), col("n_rep"),
+        explode(sequence(lit(1L), col("n_rep"))).as("rep"))
+      .orderBy("doc_id", "rep")
+  }
+
+  /** DuckDB oracle for [[mixtureMaterialize]]. */
+  def mixtureMaterializeOracleSql: String =
+    s"""WITH t AS (SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+             AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(*) AS n_langs FROM t),
+       wt AS (SELECT lang,
+               (1000000 // n_langs) * 1000000
+                 // greatest(n_tokens * 1000000 // total_tokens, 1)
+                 AS weight_e6
+             FROM t, g),
+       d AS (SELECT doc_id, lang, weight_e6,
+               CASE WHEN CAST(('0x' || substr(md5('mix:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+                   < weight_e6 % 1000000 THEN 1 ELSE 0 END AS extra
+             FROM documents JOIN wt USING (lang)),
+       n AS (SELECT doc_id, lang,
+               least(weight_e6 // 1000000 + extra, $MaxEpochs) AS n_rep
+             FROM d)
+     SELECT doc_id, lang, CAST(n_rep AS BIGINT) AS n_rep,
+       CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep
+     FROM n WHERE n_rep > 0 ORDER BY doc_id, rep"""
 }

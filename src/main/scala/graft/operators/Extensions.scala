@@ -420,6 +420,24 @@ object Extensions {
   def q97MadOutliers(s: SparkSession, d: String): DataFrame =
     OlapOps.madOutliersQuery(s, d)
 
+  /** q98: deterministic hash-drawn negative samples for the top
+    * skip-gram pairs. */
+  def q98NegativeSamples(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.negativeSamplesQuery(s, d)
+
+  /** q99: materialized training mixture (per-doc epoch rows from the
+    * q60 weights, hash-decided fractional epoch). */
+  def q99MixtureMaterialize(s: SparkSession, d: String): DataFrame =
+    Curation.mixtureMaterialize(Tables.documents(s, d))
+
+  /** q100: integer fixed-point PageRank over the co-activity graph. */
+  def q100PageRank(s: SparkSession, d: String): DataFrame =
+    GraphRank.pageRankQuery(s, d)
+
+  /** q101: oracle-checked count-min sketch vs exact heavy hitters. */
+  def q101Cms(s: SparkSession, d: String): DataFrame =
+    CorpusStats.cmsQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

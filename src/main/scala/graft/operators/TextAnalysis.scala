@@ -407,4 +407,64 @@ object TextAnalysis {
        p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq FROM e)
      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""
+
+  /** q98: deterministic negative sampling — for each of the top
+    * skip-gram (center, context) training pairs, `negK` negative
+    * context words drawn from the q68 vocabulary by PORTABLE HASH, not
+    * RNG: neg_k = vocab[h60(w1:w2:k) mod |V|]. This is the word2vec
+    * negative-sampling step made reproducible — same negatives on any
+    * engine, any partitioning, any rerun — which is what a training-
+    * data pipeline actually wants (resumable shards, auditable
+    * samples). The vocabulary is vocabulary-sized (≤ 300 here) and
+    * broadcast twice (size lookup + id→term resolve); the fan-out is
+    * |pairs| × negK rows of pure hash arithmetic. A drawn negative
+    * can collide with the true context (as in the original sampler);
+    * the collision is deterministic and left in, documented. */
+  def negativeSamplesQuery(spark: SparkSession, dir: String,
+      negK: Int = 2, topPairs: Int = 50): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val vocab = vocabQuery(spark, dir)
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    skipgramQuery(spark, dir, window = 2, topN = topPairs)
+      .crossJoin(broadcast(vsize))
+      .select(col("w1"), col("w2"),
+        explode(sequence(lit(1), lit(negK))).as("k"), col("vsize"))
+      .withColumn("neg_vid",
+        portableHash60(concat_ws(":", col("w1"), col("w2"), col("k")))
+          % col("vsize") + 1)
+      .join(broadcast(vocab.select(col("vocab_id").as("neg_vid"),
+        col("term").as("neg_term"))), Seq("neg_vid"))
+      .select(col("w1"), col("w2"), col("k").cast("int").as("k"),
+        col("neg_term"))
+      .orderBy("w1", "w2", "k")
+  }
+
+  /** DuckDB oracle for [[negativeSamplesQuery]] (negK=2, top 50) —
+    * rebuilds the q68 vocabulary and the q82 pair table, then the
+    * identical md5-hash draw. */
+  def negativeSamplesOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS term,
+                      generate_subscripts(t, 1) AS pos FROM tk),
+       vc AS (SELECT term, count(*) AS cnt FROM tok
+              GROUP BY 1 HAVING count(*) >= 3),
+       vt AS (SELECT term, cnt FROM vc ORDER BY cnt DESC, term LIMIT 300),
+       vocab AS (SELECT row_number() OVER (ORDER BY cnt DESC, term)
+                   AS vocab_id, term FROM vt),
+       vs AS (SELECT count(*) AS vsize FROM vocab),
+       pr AS (SELECT a.term AS w1, b.term AS w2, count(*) AS n
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos > a.pos
+                  AND b.pos <= a.pos + 2
+              GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 50),
+       e AS (SELECT w1, w2, unnest([1, 2]) AS k FROM pr),
+       ne AS (SELECT w1, w2, k,
+               CAST(('0x' || substr(md5(w1 || ':' || w2 || ':' ||
+                 CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % (SELECT vsize FROM vs) + 1 AS neg_vid
+              FROM e)
+     SELECT ne.w1, ne.w2, CAST(ne.k AS INT) AS k, vocab.term AS neg_term
+     FROM ne JOIN vocab ON vocab.vocab_id = ne.neg_vid
+     ORDER BY w1, w2, k"""
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusStats, Curation, GraphRank, TextAnalysis}
+
+/** Specs for the round-5 sampling/graph/sketch batch: deterministic
+  * negative sampling, mixture materialization, integer fixed-point
+  * PageRank, and the oracle-checked count-min sketch (q98-q101). */
+class SamplingGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("negative samples are deterministic and drawn from the vocab") {
+    val a = TextAnalysis.negativeSamplesQuery(spark, sf0001).collect()
+    val b = TextAnalysis.negativeSamplesQuery(spark, sf0001).collect()
+    assert(a.nonEmpty && a.sameElements(b), "hash draw must be stable")
+    val vocabTerms = TextAnalysis.vocabQuery(spark, sf0001)
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(a.forall(r => vocabTerms.contains(r.getString(3))))
+    assert(a.forall(r => Set(1, 2).contains(r.getInt(2))))
+  }
+
+  test("mixture clamps a vanishing stratum at MaxEpochs") {
+    // 'rare' holds 1 of 101 tokens -> raw weight ~50 epochs -> clamp 5;
+    // 'big' weight < 1e6 -> 0 or 1 epoch per doc, hash-decided
+    val big = (1 to 10).map(i =>
+      (100L + i, Seq.fill(10)("w").mkString(" "), "big"))
+    val docs = (big :+ ((1L, "rare", "rare")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.mixtureMaterialize(docs)
+      .groupBy("lang", "doc_id").agg(count(lit(1)).as("n"),
+        max("n_rep").as("n_rep"))
+      .collect()
+    val rare = out.filter(_.getString(0) == "rare")
+    assert(rare.length == 1 && rare.head.getLong(2) == Curation.MaxEpochs,
+      "rare stratum must be clamped to exactly MaxEpochs rows")
+    out.filter(_.getString(0) == "big").foreach { r =>
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L,
+        "sub-1e6 weight must yield at most one hash-decided epoch")
+    }
+  }
+
+  test("coActivityEdges links same-cell users and prunes hub cells") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:30:00")
+    // cell h=1: users 1,2 -> one edge; cell h=2: 31 users -> pruned
+    val quiet = Seq((1L, ts(1), "click"), (2L, ts(1), "click"))
+    val crowd = (1L to 31L).map(u => (u, ts(2), "view"))
+    val ev = (quiet ++ crowd).toDF("user_id", "ts", "event_type")
+    val edges = GraphRank.coActivityEdges(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSeq == Seq((1L, 2L)),
+      s"expected only the quiet-cell edge, got ${edges.toSeq}")
+  }
+
+  test("pageRank integer arithmetic matches the hand-unrolled path graph") {
+    // path 1-2-3: ranks after 3 damped integer iterations
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val out = GraphRank.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+  }
+
+  test("cms estimates dominate exact counts (the CMS guarantee)") {
+    val out = CorpusStats.cmsQuery(spark, sf0001).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never underestimate: ${r.getString(0)}")
+    }
+  }
+}
