@@ -557,7 +557,10 @@ object OlapOps {
     // q54 cross-engine parity rule)
     val bins = values.select(expr(s"cents div ${widthCents}L").as("bin"))
     val counts = bins.groupBy("bin").agg(count(lit(1)).as("n_orders"))
-    val spine = bins.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+    // min/max over the aggregated bin table, NOT the raw values — one
+    // scan of the fact table total, and the spine agg reads bin-count
+    // rows (metadata-scale)
+    val spine = counts.agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("bin"))
     spine.join(counts, Seq("bin"), "left")
       .select(col("bin"),
