@@ -270,4 +270,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
     assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
   }
+
+  test("streaming rolling actives match batch on watermark-closed windows") {
+    import graft.streaming.ActiveUsersStream
+    import org.apache.spark.sql.functions._
+    val drop = tmpDir("wau_drop")
+    val out = tmpDir("wau_out")
+    val ckpt = tmpDir("wau_ckpt")
+    def ev(id: Int, day: Int, user: Int) =
+      f"""{"event_id":$id,"ts":"2024-01-$day%02dT12:00:00Z","user_id":$user,"event_type":"click","value":1.0}"""
+    writeDrop(drop, "d.json", Seq(
+      ev(1, 1, 1), ev(2, 1, 2), // day 1: users 1,2
+      ev(3, 1, 1),              // duplicate same-day touch, must dedup
+      ev(4, 3, 1),              // day 3: user 1
+      ev(5, 9, 3),              // day 9: user 3
+      ev(6, 20, 99)))           // day 20: watermark pusher
+    ActiveUsersStream.activeUsersAvailableNow(spark, drop, out, ckpt)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sliding-window semantics: day d counts users active in [d-6, d];
+    // append mode emits only windows the day-20 watermark has closed
+    val expected =
+      (1 to 7).map(d => f"2024-01-$d%02d" -> 2L) ++
+        Seq("2024-01-08" -> 1L, "2024-01-09" -> 2L) ++
+        (10 to 15).map(d => f"2024-01-$d%02d" -> 1L)
+    assert(streamed == expected.toMap,
+      s"streamed windows diverge: $streamed")
+    // the SAME expression tree over a batch read agrees on every
+    // emitted window (batch also sees the not-yet-closed tail)
+    val batch = ActiveUsersStream.activeUsers(
+        spark.read.schema(EventStream.eventSchema).json(drop))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (d, n) => assert(batch(d) == n) }
+    // and the batch q92 operator agrees on its observed-day spine
+    val rolling = graft.operators.Sessionize.rollingActive(
+        spark.read.schema(EventStream.eventSchema).json(drop)
+          .filter(col("user_id") =!= 99), windowDays = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("2024-01-01", "2024-01-03", "2024-01-09").foreach { d =>
+      assert(rolling(d) == streamed(d),
+        s"q92 and the stream disagree on $d")
+    }
+  }
 }
