@@ -124,6 +124,10 @@ object SparkEntry {
     "q99_mixture"          -> (Extensions.q99MixtureMaterialize _),
     "q100_pagerank"        -> (Extensions.q100PageRank _),
     "q101_cms"             -> (Extensions.q101Cms _),
+    "q102_quantile_map"    -> (Extensions.q102QuantileMap _),
+    "q103_weighted_sample" -> (Extensions.q103WeightedSample _),
+    "q104_budget_alloc"    -> (Extensions.q104BudgetAlloc _),
+    "q105_chi_square"      -> (Extensions.q105ChiSquare _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -702,6 +706,14 @@ object SparkEntry {
       graft.operators.GraphRank.pageRankOracleSql,
     "q101_cms" ->
       graft.operators.CorpusStats.cmsOracleSql,
+    "q102_quantile_map" ->
+      graft.operators.OlapOps.quantileMapOracleSql,
+    "q103_weighted_sample" ->
+      graft.operators.Curation.weightedSampleOracleSql(),
+    "q104_budget_alloc" ->
+      graft.operators.OlapOps.budgetAllocOracleSql,
+    "q105_chi_square" ->
+      graft.operators.OlapOps.chiSquareOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -258,4 +258,39 @@ object Curation {
      SELECT doc_id, lang, CAST(n_rep AS BIGINT) AS n_rep,
        CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep
      FROM n WHERE n_rep > 0 ORDER BY doc_id, rep"""
+
+  /** q103: deterministic weighted sampling — k documents drawn with
+    * probability proportional to length, the integer-arithmetic shape
+    * of Efraimidis–Spirakis reservoir sampling: each doc gets priority
+    * h60("wsam:" ++ id) div weight and the k SMALLEST priorities win
+    * (a heavier doc divides its uniform hash by a larger weight, so it
+    * tends toward the front, proportionally). The float E-S form keys
+    * on u^(1/w); the integer u div w form preserves the
+    * weighted-preference ordering while staying exactly recomputable
+    * on any engine — the same determinism trade as every hash draw in
+    * this engine. Plan shape is TakeOrderedAndProject: each partition
+    * forwards only its own k best candidates, nothing corpus-sized
+    * moves. */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      // `div`, never `/`: the 60-bit hash exceeds 2^53, so double
+      // division would round and diverge from the oracle's integer //
+      .selectExpr("doc_id", "lang", "n_chars",
+        """CAST(conv(substring(md5(concat('wsam:',
+             CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+           div greatest(n_chars, 1L) AS priority""")
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[weightedSample]] (k=50). */
+  def weightedSampleOracleSql(k: Int = 50): String =
+    s"""SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+           CAST(('0x' || substr(md5('wsam:' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) // greatest(n_chars, 1) AS priority
+         FROM documents
+         ORDER BY priority, doc_id LIMIT $k)
+       ORDER BY doc_id"""
 }

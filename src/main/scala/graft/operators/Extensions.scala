@@ -438,6 +438,24 @@ object Extensions {
   def q101Cms(s: SparkSession, d: String): DataFrame =
     CorpusStats.cmsQuery(s, d)
 
+  /** q102: quantile calibration of customer balances onto the
+    * supplier distribution (two distributed ranks + integer rank
+    * mapping). */
+  def q102QuantileMap(s: SparkSession, d: String): DataFrame =
+    OlapOps.quantileMapQuery(s, d)
+
+  /** q103: deterministic weighted (length-proportional) sample. */
+  def q103WeightedSample(s: SparkSession, d: String): DataFrame =
+    Curation.weightedSample(Tables.documents(s, d))
+
+  /** q104: largest-remainder token-budget apportionment. */
+  def q104BudgetAlloc(s: SparkSession, d: String): DataFrame =
+    OlapOps.budgetAllocQuery(s, d)
+
+  /** q105: chi-square independence components (segment × priority). */
+  def q105ChiSquare(s: SparkSession, d: String): DataFrame =
+    OlapOps.chiSquareQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -657,6 +657,198 @@ object OlapOps {
      FROM d JOIN m2 USING (event_type)
      GROUP BY 1 ORDER BY 1"""
 
+  /** Distributed ascending global rank over a (`id`, `cents`) frame —
+    * the two-phase prefix-sum shape shared with q55/q79/q85: rows rank
+    * within value blocks (window partitioned by `cents div blockWidth`),
+    * block counts prefix-sum into offsets over the metadata-scale block
+    * table, broadcast offsets complete the rank. Returns the input plus
+    * `rn` (1-based, ties broken by `id` asc) and `n_total`. */
+  def globalRankAsc(rows: DataFrame, blockWidth: Long): DataFrame = {
+    val r = rows.withColumn("block", expr(s"cents div ${blockWidth}L"))
+    val blockW = Window.orderBy(col("block").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = r.groupBy("block").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum(col("bn")).over(blockW), lit(0L)))
+    val total = offsets.agg(sum(col("bn")).as("n_total"))
+    val inBlock = Window.partitionBy("block")
+      .orderBy(col("cents").asc, col("id").asc)
+    r.withColumn("rn_local", row_number().over(inBlock))
+      .join(broadcast(offsets.select("block", "offset")), "block")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", col("offset") + col("rn_local"))
+      .drop("block", "rn_local", "offset")
+  }
+
+  /** q102: quantile calibration — every customer balance mapped to the
+    * SUPPLIER balance at the same quantile (the distribution-mapping
+    * step behind quantile normalization of features and score
+    * calibration across cohorts). Both sides get a distributed global
+    * rank via [[globalRankAsc]] (no single-partition window on either
+    * table), the target rank is pure integer arithmetic
+    * ceil(rn_c·Ns/Nc), and the supplier lookup is a join on rank.
+    * Balances are exact integer cents shifted by +100000 (acctbals can
+    * be negative; the shift keeps the block arithmetic in div==floor
+    * territory, and shifts cancel in the output). */
+  def quantileMapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val shift = 100000L
+    def cents(c: String) =
+      (round(col(c).cast("decimal(38,10)"), 2) * 100).cast("long") + shift
+    val cust = globalRankAsc(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("id"), cents("c_acctbal").as("cents")),
+      blockWidth = 1000000L)
+      .withColumnRenamed("n_total", "nc")
+    val supp = globalRankAsc(
+      Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("id"), cents("s_acctbal").as("cents")),
+      blockWidth = 1000000L)
+      .withColumnRenamed("n_total", "ns")
+      .select(col("rn").as("target_rn"), col("cents").as("calib_cents"),
+        col("ns"))
+    cust
+      .crossJoin(broadcast(supp.select("ns").distinct()))
+      .withColumn("target_rn",
+        expr("(rn * ns + nc - 1) div nc"))
+      .join(supp.drop("ns"), Seq("target_rn"))
+      .select(col("id").as("c_custkey"),
+        (col("cents") - shift).as("bal_cents"),
+        (col("calib_cents") - shift).as("calib_cents"))
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB oracle for [[quantileMapQuery]] — single global windows
+    * (fine at oracle scale), identical rank arithmetic. */
+  def quantileMapOracleSql: String =
+    """WITH c AS (SELECT c_custkey AS id,
+           CAST(round(CAST(c_acctbal AS DECIMAL(38,10)), 2) * 100
+             AS BIGINT) AS cents FROM customer),
+       s AS (SELECT s_suppkey AS id,
+           CAST(round(CAST(s_acctbal AS DECIMAL(38,10)), 2) * 100
+             AS BIGINT) AS cents FROM supplier),
+       cr AS (SELECT id, cents,
+               row_number() OVER (ORDER BY cents, id) AS rn,
+               count(*) OVER () AS nc FROM c),
+       sr AS (SELECT cents AS calib_cents,
+               row_number() OVER (ORDER BY cents, id) AS rn,
+               count(*) OVER () AS ns FROM s)
+     SELECT cr.id AS c_custkey, cr.cents AS bal_cents, sr.calib_cents
+     FROM cr JOIN sr
+       ON sr.rn = (cr.rn * (SELECT max(ns) FROM sr) + cr.nc - 1) // cr.nc
+     ORDER BY c_custkey"""
+
+  /** q104: token-budget apportionment by the largest-remainder
+    * (Hamilton) method — a fixed training budget of [[BudgetTokens]]
+    * split across languages proportionally to token mass, floor quotas
+    * first, the leftover seats going to the largest remainders
+    * (deterministic tie-break on language). The fact table collapses
+    * to per-language mass in one aggregation; everything after is
+    * arithmetic on a |languages|-row table. Exactly-integer, exactly
+    * exhaustive: allocations always sum to the budget, asserted in the
+    * spec and by the oracle. */
+  val BudgetTokens = 1000000L
+
+  def budgetAllocQuery(spark: SparkSession, dir: String): DataFrame =
+    budgetAlloc(Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_toks"))
+      .groupBy("lang").agg(sum(col("n_toks")).as("mass")),
+      BudgetTokens)
+
+  /** [[budgetAllocQuery]] over an explicit (lang, mass) frame. */
+  def budgetAlloc(mass: DataFrame, budget: Long): DataFrame = {
+    val total = mass.agg(sum(col("mass")).as("total"),
+      count(lit(1)).as("n_langs"))
+    val quotas = mass.crossJoin(broadcast(total))
+      // decimal(38,0) intermediates (mass * 1e6 can pass 2^63 at real
+      // corpus scale), cast back to BIGINT so the schema matches the
+      // oracle exactly
+      .withColumn("floor_alloc",
+        expr(s"CAST(mass AS DECIMAL(38,0)) * ${budget}L div total")
+          .cast("long"))
+      .withColumn("rem_num",
+        expr(s"CAST(mass AS DECIMAL(38,0)) * ${budget}L % total")
+          .cast("long"))
+    val leftover = quotas
+      .agg((lit(budget) - sum(col("floor_alloc"))).cast("long")
+        .as("seats"))
+    val byRem = Window.orderBy(col("rem_num").desc, col("lang").asc)
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col("lang"), col("mass"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("seats"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[budgetAllocQuery]]. */
+  def budgetAllocOracleSql: String =
+    s"""WITH m AS (SELECT lang,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+             AS BIGINT) AS mass
+         FROM documents GROUP BY 1),
+       t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM m),
+       q AS (SELECT lang, mass,
+               mass * $BudgetTokens // total AS floor_alloc,
+               mass * $BudgetTokens % total AS rem_num
+             FROM m, t),
+       l AS (SELECT $BudgetTokens - CAST(sum(floor_alloc) AS BIGINT)
+               AS seats FROM q),
+       r AS (SELECT lang, mass, floor_alloc,
+               row_number() OVER (ORDER BY rem_num DESC, lang) AS rk
+             FROM q)
+     SELECT lang, mass,
+       CAST(floor_alloc + CASE WHEN rk <= (SELECT seats FROM l)
+         THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+     FROM r ORDER BY lang"""
+
+  /** q105: chi-square independence components for the market-segment ×
+    * order-priority contingency table — observed counts with exact
+    * integer expectation components (row total, column total, grand
+    * total) and the scaled residual numerator obs·n − rowTot·colTot,
+    * from which the test statistic is driver-side arithmetic. The
+    * contingency table is one aggregation of the joined facts
+    * (|segments × priorities| cells); margins come from window sums
+    * over that tiny table, so independence testing at 100 TB costs
+    * exactly one fact-table pass. */
+  def chiSquareQuery(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+    val byRow = Window.partitionBy("c_mktsegment")
+    val byCol = Window.partitionBy("o_orderpriority")
+    val all = Window.partitionBy()
+    obs
+      .withColumn("row_total", sum(col("obs")).over(byRow))
+      .withColumn("col_total", sum(col("obs")).over(byCol))
+      .withColumn("n", sum(col("obs")).over(all))
+      .withColumn("resid_num",
+        col("obs") * col("n") - col("row_total") * col("col_total"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  /** DuckDB oracle for [[chiSquareQuery]]. */
+  def chiSquareOracleSql: String =
+    """WITH o AS (SELECT c.c_mktsegment, ord.o_orderpriority,
+           count(*) AS obs
+         FROM orders ord JOIN customer c ON c.c_custkey = ord.o_custkey
+         GROUP BY 1, 2)
+     SELECT c_mktsegment, o_orderpriority, CAST(obs AS BIGINT) AS obs,
+       CAST(sum(obs) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+         AS row_total,
+       CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         AS col_total,
+       CAST(sum(obs) OVER () AS BIGINT) AS n,
+       CAST(obs * (sum(obs) OVER ())
+         - (sum(obs) OVER (PARTITION BY c_mktsegment))
+           * (sum(obs) OVER (PARTITION BY o_orderpriority)) AS BIGINT)
+         AS resid_num
+     FROM o ORDER BY 1, 2"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,
