@@ -288,4 +288,71 @@ class PropertySpec extends SparkSpec {
       assert(df.collect().head.getBoolean(0), s"'$clean' vs '$noisy'")
     }
   }
+
+  test("globalRankAsc matches the reference sort for any values and width") {
+    import graft.operators.OlapOps
+    val genCase = for {
+      n <- Gen.choose(1, 30)
+      cents <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      width <- Gen.oneOf(1L, 7L, 100L, 1000000L)
+    } yield (cents, width)
+    forAll(genCase, trials = 12) { case (cents, width) =>
+      val df = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("id", "cents")
+      val got = OlapOps.globalRankAsc(df, width)
+        .select("id", "rn").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = cents.zipWithIndex
+        .map { case (c, i) => (c, i.toLong) }
+        .sortBy { case (c, i) => (c, i) }
+        .zipWithIndex
+        .map { case ((_, id), rank) => id -> (rank + 1L) }.toMap
+      assert(got == expected, s"width=$width cents=$cents")
+    }
+  }
+
+  test("snapshotDiff agrees with a per-key reference classification") {
+    import graft.operators.ChangeCapture
+    val genSnap = Gen.listOf(for {
+      k <- Gen.choose(0L, 15L)
+      v <- Gen.option(Gen.choose(0L, 3L))
+    } yield (k, v)).map(_.distinctBy(_._1))
+    forAll(Gen.zip(genSnap, genSnap), trials = 12) { case (oldS, newS) =>
+      val vOld = oldS.toDF("k", "cents")
+      val vNew = newS.toDF("k", "cents")
+      val got = ChangeCapture.snapshotDiff(vOld, vNew, "k", Seq("cents"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val om = oldS.toMap; val nm = newS.toMap
+      val expected = (om.keySet ++ nm.keySet).flatMap { k =>
+        (om.get(k), nm.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _ => None
+        }
+      }.toMap
+      assert(got == expected, s"old=$oldS new=$newS")
+    }
+  }
+
+  test("rollingActive matches per-day brute force on random activity") {
+    import graft.operators.Sessionize
+    val genAct = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 6L)
+      d <- Gen.choose(1, 25) // day-of-month in 2024-01
+    } yield (u, d))
+    forAll(genAct, trials = 10) { acts =>
+      val ev = acts.map { case (u, d) =>
+        (u, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"))
+      }.toDF("user_id", "ts")
+      val got = Sessionize.rollingActive(ev, windowDays = 7)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = acts.map(_._2).distinct.sorted.map { d =>
+        val users = acts.filter { case (_, ad) => ad >= d - 6 && ad <= d }
+          .map(_._1).distinct
+        f"2024-01-$d%02d" -> users.length.toLong
+      }.toMap
+      assert(got == expected, s"acts=$acts")
+    }
+  }
 }
