@@ -128,6 +128,10 @@ object SparkEntry {
     "q103_weighted_sample" -> (Extensions.q103WeightedSample _),
     "q104_budget_alloc"    -> (Extensions.q104BudgetAlloc _),
     "q105_chi_square"      -> (Extensions.q105ChiSquare _),
+    "q106_session_paths"   -> (Extensions.q106SessionPaths _),
+    "q107_skew_report"     -> (Extensions.q107SkewReport _),
+    "q108_scd2_asof"       -> (Extensions.q108Scd2AsOf _),
+    "q109_temporal_join"   -> (Extensions.q109TemporalJoin _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -714,6 +718,14 @@ object SparkEntry {
       graft.operators.OlapOps.budgetAllocOracleSql,
     "q105_chi_square" ->
       graft.operators.OlapOps.chiSquareOracleSql,
+    "q106_session_paths" ->
+      graft.operators.Sessionize.sessionPathsOracleSql,
+    "q107_skew_report" ->
+      graft.operators.JoinStrategies.skewReportOracleSql,
+    "q108_scd2_asof" ->
+      graft.operators.OlapOps.scd2AsOfOracleSql,
+    "q109_temporal_join" ->
+      graft.operators.OlapOps.temporalJoinOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -456,6 +456,22 @@ object Extensions {
   def q105ChiSquare(s: SparkSession, d: String): DataFrame =
     OlapOps.chiSquareQuery(s, d)
 
+  /** q106: top session paths (ordered event-type journeys). */
+  def q106SessionPaths(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessionPathsQuery(s, d)
+
+  /** q107: join-key skew diagnosis report. */
+  def q107SkewReport(s: SparkSession, d: String): DataFrame =
+    JoinStrategies.skewReportQuery(s, d)
+
+  /** q108: SCD2 point-in-time (time travel) lookup. */
+  def q108Scd2AsOf(s: SparkSession, d: String): DataFrame =
+    OlapOps.scd2AsOfQuery(s, d)
+
+  /** q109: temporal interval join of events to their SCD2 version. */
+  def q109TemporalJoin(s: SparkSession, d: String): DataFrame =
+    OlapOps.temporalJoinQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

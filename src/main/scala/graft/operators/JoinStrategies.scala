@@ -84,4 +84,41 @@ object JoinStrategies {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** q107: join-key skew diagnosis — the observability step BEFORE
+    * reaching for [[saltedEquiJoin]] or AQE skew hints: the hottest
+    * keys of a prospective join column with their corpus share and
+    * their ratio to the mean key frequency (both ×1e6, exact integer
+    * rationals). One key-count aggregation (map-side combined), one
+    * 1-row total, and a TakeOrderedAndProject for the top keys —
+    * diagnosing a 100 TB join costs one pass of the fact table. A
+    * skew_e6 of 1e6 means the key is exactly average; the salting
+    * rule of thumb triggers around ≥ 4e6 with few hot keys. */
+  def skewReportQuery(spark: SparkSession, dir: String,
+      topN: Int = 5): DataFrame = {
+    val counts = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      // decimal intermediates: cnt * n_keys * 1e6 outgrows a long on
+      // a billion-key fact table; div returns the exact integer ratio
+      .select(col("user_id"), col("cnt"),
+        expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 div total")
+          .cast("long").as("share_e6"),
+        expr("CAST(cnt AS DECIMAL(38,0)) * n_keys * 1000000 div total")
+          .cast("long").as("skew_e6"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[skewReportQuery]] (top 5). */
+  def skewReportOracleSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               count(*) AS n_keys FROM c)
+     SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_e6,
+       CAST(cnt * n_keys * 1000000 // total AS BIGINT) AS skew_e6
+     FROM c, t ORDER BY cnt DESC, user_id LIMIT 5"""
 }

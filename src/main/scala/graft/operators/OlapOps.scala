@@ -81,6 +81,91 @@ object OlapOps {
      SELECT user_id, event_type, valid_from, valid_to, version FROM iv
      ORDER BY user_id, version"""
 
+  /** q108: SCD2 point-in-time lookup — the state of every entity AS OF
+    * a fixed instant, read straight off the q66 validity intervals:
+    * the one version per entity whose [valid_from, valid_to) contains
+    * [[AsOfMs]] (2024-01-15T00:00:00Z). This is the time-travel query
+    * the interval build exists to serve; the filter is two scan-side
+    * predicates on the interval table — no window, no join, and at
+    * scale it prunes to interval-table cardinality before anything
+    * shuffles (the ORDER BY is the only exchange). Entities whose
+    * history starts after the instant are absent, as they should be. */
+  val AsOfMs = 1705276800000L // 2024-01-15T00:00:00Z
+
+  def scd2AsOfQuery(spark: SparkSession, dir: String): DataFrame =
+    scd2Query(spark, dir)
+      .filter(col("valid_from") <= AsOfMs &&
+        (col("valid_to").isNull || col("valid_to") > AsOfMs))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from"), col("version"))
+      .orderBy("user_id")
+
+  /** DuckDB oracle for [[scd2AsOfQuery]]. */
+  def scd2AsOfOracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms FROM events),
+       ch AS (SELECT * FROM e
+              QUALIFY lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ms, event_id)
+                IS DISTINCT FROM event_type),
+       iv AS (SELECT user_id, event_type, ms AS valid_from,
+                lead(ms) OVER w2 AS valid_to,
+                CAST(row_number() OVER w2 AS BIGINT) AS version
+              FROM ch
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id))
+     SELECT user_id, event_type AS state, valid_from, version
+     FROM iv
+     WHERE valid_from <= $AsOfMs
+       AND (valid_to IS NULL OR valid_to > $AsOfMs)
+     ORDER BY user_id"""
+
+  /** q109: temporal (interval) dimension join — every event attached
+    * to the dimension VERSION that was active at its event time (the
+    * warehouse pattern for joining facts to an SCD2 dimension), then
+    * rolled up to per-interval occupancy. The join is an equi-join on
+    * the entity key with two range predicates on the interval bounds:
+    * Catalyst plans the equi part as the shuffle key, so each
+    * partition only range-scans ONE entity's (bounded) version list —
+    * the shape that survives a 100 TB fact table, unlike a pure range
+    * join. Intervals here are the q66 output built from the same
+    * events, so every event lands in exactly one interval and the
+    * occupancy counts are the interval run lengths — an invariant the
+    * spec asserts. */
+  def temporalJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val iv = scd2Query(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    ev.join(iv, ev("user_id") === iv("user_id") &&
+        col("ms") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ms") < col("valid_to")))
+      .groupBy(iv("user_id").as("user_id"), col("version"),
+        col("state"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  /** DuckDB oracle for [[temporalJoinQuery]]. */
+  def temporalJoinOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS ms FROM events),
+       ch AS (SELECT * FROM e
+              QUALIFY lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ms, event_id)
+                IS DISTINCT FROM event_type),
+       iv AS (SELECT user_id, event_type AS state, ms AS valid_from,
+                lead(ms) OVER w2 AS valid_to,
+                CAST(row_number() OVER w2 AS BIGINT) AS version
+              FROM ch
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ms, event_id))
+     SELECT iv.user_id, iv.version, iv.state,
+       CAST(count(*) AS BIGINT) AS n_events
+     FROM e JOIN iv ON e.user_id = iv.user_id
+       AND e.ms >= iv.valid_from
+       AND (iv.valid_to IS NULL OR e.ms < iv.valid_to)
+     GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+
   /** q64: priority × status CUBE — all four grouping sets in one pass
     * (q50's rollup emits only the prefix hierarchy; CUBE adds the
     * status-only subtotals). Same Expand-based single-aggregation plan

@@ -292,4 +292,55 @@ object Sessionize {
        CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
      FROM s JOIN p ON p.day BETWEEN s.day - 6 AND s.day
      GROUP BY 1 ORDER BY 1"""
+
+  /** q106: session path mining — the top user journeys, as the
+    * ordered event-type sequence of each gap-defined session (capped
+    * at the first [[PathMaxLen]] steps) counted corpus-wide. Rides the
+    * SAME single user_id shuffle as [[sessionQuery]]: session
+    * assignment (lag + running sum), per-session ordered collect, and
+    * the path string are all inside one partitioning; the only second
+    * shuffle is the path-keyed count, whose keys are capped-length
+    * strings. Per-session arrays are bounded by session length (the
+    * gap bounds them in wall-time; the cap bounds the path either
+    * way), never by a user's full history. */
+  val PathMaxLen = 8
+
+  def sessionPathsQuery(spark: SparkSession, dir: String,
+      gapMs: Long = 1800000L, topN: Int = 10): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+      .withColumn("new_sess",
+        when(lag(col("t"), 1).over(byTime).isNull ||
+          col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(byTime))
+      .groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, PathMaxLen),
+          e => e.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[sessionPathsQuery]] (gap 30 min, top 10). */
+  def sessionPathsOracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS t FROM events),
+       m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id
+               ORDER BY t, event_id)),
+       s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS session_seq FROM m),
+       p AS (SELECT array_to_string(
+               (list(event_type ORDER BY t, event_id))[1:$PathMaxLen],
+               '>') AS path
+             FROM s GROUP BY user_id, session_seq)
+     SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+     FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10"""
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{JoinStrategies, OlapOps, Sessionize}
+
+/** Specs for the round-5 temporal/journey/diagnostic batch: session
+  * paths, skew report, SCD2 point-in-time, temporal interval join
+  * (q106-q109). */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("temporal join assigns every event to exactly one interval") {
+    val out = OlapOps.temporalJoinQuery(spark, sf0001)
+    val joined = out.agg(sum("n_events")).collect().head.getLong(0)
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    assert(joined == total,
+      "interval occupancy must partition the event stream")
+    // occupancy equals the run lengths the SCD2 build collapsed
+    val versions = OlapOps.scd2Query(spark, sf0001).count()
+    assert(out.count() == versions,
+      "every interval must be occupied by at least its opening event")
+  }
+
+  test("SCD2 as-of returns at most one state per entity") {
+    val out = OlapOps.scd2AsOfQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_.getLong(0))
+    assert(byUser.values.forall(_.length == 1),
+      "point-in-time must be unique per entity")
+    out.foreach(r => assert(r.getLong(2) <= OlapOps.AsOfMs,
+      "active version must have opened at or before the instant"))
+  }
+
+  test("session paths split on the gap and cap at PathMaxLen") {
+    // build a drop with one user: 2 events, a >30min gap, then 10
+    // events 1s apart -> paths "view>click" and a capped 8-step path
+    val base = 1700000000000L
+    val head = Seq((1L, base, "view"), (2L, base + 1000, "click"))
+    val tail = (0 until 10).map(i =>
+      (10L + i, base + 3600000L + i * 1000L, "view"))
+    // route through the same nanos-long parquet + reader path as the
+    // real table (PipelineOpsSpec convention)
+    val ev = (head ++ tail).map { case (id, ms, tp) =>
+      (id, ms * 1000000L, 7L, tp, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = tmpDir("paths_in")
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Sessionize.sessionPathsQuery(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view>click" -> 1L,
+      Seq.fill(8)("view").mkString(">") -> 1L),
+      s"got $out")
+  }
+
+  test("skew report's top key matches a direct count, exact rationals") {
+    val out = JoinStrategies.skewReportQuery(spark, sf0001).collect()
+    assert(out.length == 5)
+    val direct = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id").asc)
+      .limit(1).collect().head
+    assert(out.head.getLong(0) == direct.getLong(0) &&
+      out.head.getLong(1) == direct.getLong(1))
+    // skew_e6 of the mean-frequency key would be 1e6; shares < 1e6 each
+    out.foreach { r =>
+      assert(r.getLong(2) < 1000000L && r.getLong(3) >= r.getLong(2)) }
+  }
+}
