@@ -132,6 +132,10 @@ object SparkEntry {
     "q107_skew_report"     -> (Extensions.q107SkewReport _),
     "q108_scd2_asof"       -> (Extensions.q108Scd2AsOf _),
     "q109_temporal_join"   -> (Extensions.q109TemporalJoin _),
+    "q110_trend"           -> (Extensions.q110Trend _),
+    "q111_freq_spectrum"   -> (Extensions.q111FreqSpectrum _),
+    "q112_k_anonymity"     -> (Extensions.q112KAnonymity _),
+    "q113_ivm"             -> (Extensions.q113Ivm _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -726,6 +730,14 @@ object SparkEntry {
       graft.operators.OlapOps.scd2AsOfOracleSql,
     "q109_temporal_join" ->
       graft.operators.OlapOps.temporalJoinOracleSql,
+    "q110_trend" ->
+      graft.operators.OlapOps.trendOracleSql,
+    "q111_freq_spectrum" ->
+      graft.operators.OlapOps.freqSpectrumOracleSql,
+    "q112_k_anonymity" ->
+      graft.operators.OlapOps.kAnonymityOracleSql,
+    "q113_ivm" ->
+      graft.operators.OlapOps.ivmOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -472,6 +472,23 @@ object Extensions {
   def q109TemporalJoin(s: SparkSession, d: String): DataFrame =
     OlapOps.temporalJoinQuery(s, d)
 
+  /** q110: per-type activity trend (exact OLS slope components). */
+  def q110Trend(s: SparkSession, d: String): DataFrame =
+    OlapOps.trendQuery(s, d)
+
+  /** q111: Good-Turing frequency-of-frequencies table. */
+  def q111FreqSpectrum(s: SparkSession, d: String): DataFrame =
+    OlapOps.freqSpectrumQuery(s, d)
+
+  /** q112: k-anonymity audit over (segment, nation) classes. */
+  def q112KAnonymity(s: SparkSession, d: String): DataFrame =
+    OlapOps.kAnonymityQuery(s, d)
+
+  /** q113: incremental view maintenance — partial-merge equals the
+    * oracle's full recompute. */
+  def q113Ivm(s: SparkSession, d: String): DataFrame =
+    OlapOps.ivmQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -934,6 +934,147 @@ object OlapOps {
          AS resid_num
      FROM o ORDER BY 1, 2"""
 
+  /** q110: per-type activity trend — the exact OLS slope components of
+    * daily event counts against the day index, per event type: is
+    * each signal rising or falling, and how fast. Builds on the q93
+    * one-pass moment pattern one level up: the fact table collapses to
+    * (type, day) counts in one aggregation, and the regression sums
+    * (n, Σx, Σy, Σxy, Σx²) over that metadata-scale table yield
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) as an exact integer
+    * numerator/denominator pair — the monitoring query that pages
+    * someone when error events trend up. x is days since the global
+    * min day (broadcast 1-row agg), so the numbers are small and
+    * engine-identical. */
+  def trendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val origin = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(origin))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"))
+      .withColumn("slope_num",
+        col("n_days") * col("sum_xy") - col("sum_x") * col("sum_y"))
+      .withColumn("slope_den",
+        col("n_days") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[trendQuery]]. */
+  def trendOracleSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS y FROM events GROUP BY 1, 2),
+       o AS (SELECT min(day) AS d0 FROM d),
+       x AS (SELECT event_type, CAST(day - d0 AS BIGINT) AS x, y
+             FROM d, o),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(x * y) AS BIGINT) AS sum_xy,
+               CAST(sum(x * x) AS BIGINT) AS sum_xx
+             FROM x GROUP BY 1)
+     SELECT event_type, n_days, sum_x, sum_y, sum_xy, sum_xx,
+       n_days * sum_xy - sum_x * sum_y AS slope_num,
+       n_days * sum_xx - sum_x * sum_x AS slope_den
+     FROM s ORDER BY 1"""
+
+  /** q111: frequency-of-frequencies — the Good-Turing N_k table: how
+    * many distinct tokens occur exactly k times. Two stacked
+    * aggregations (token counts, then count-of-counts), each with
+    * map-side partial combine; the second input is vocabulary-sized.
+    * The head of this table drives smoothing estimates (N_1/N is the
+    * Good-Turing unseen-mass estimate) and its tail is the standard
+    * corpus-health fingerprint (a missing hapax mass flags synthetic
+    * or over-deduplicated text). Capped at the top [[FreqSpectrumCap]]
+    * frequencies by count — the spectrum's useful head. */
+  val FreqSpectrumCap = 30
+
+  def freqSpectrumQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_terms"))
+      .orderBy(col("k").asc)
+      .limit(FreqSpectrumCap)
+
+  /** DuckDB oracle for [[freqSpectrumQuery]]. */
+  def freqSpectrumOracleSql: String =
+    s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)),
+           '\\s+')) AS term FROM documents),
+       c AS (SELECT term, count(*) AS k FROM tk GROUP BY 1)
+     SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_terms
+     FROM c GROUP BY 1 ORDER BY k LIMIT $FreqSpectrumCap"""
+
+  /** q112: k-anonymity audit — for the quasi-identifier pair
+    * (market segment, nation), every equivalence class smaller than
+    * [[AnonK]] members, with its size: the privacy check a dataset
+    * release runs BEFORE publication (classes this small re-identify
+    * individuals when joined to outside data; the PII redaction in
+    * `Redaction` masks direct identifiers, this catches the indirect
+    * ones). One aggregation over the quasi-identifier key, then a
+    * scan-side filter on the class size — the output is at most
+    * |classes| rows, and the query costs one pass at any scale. */
+  val AnonK = 40L
+
+  def kAnonymityQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < AnonK)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("int"),
+        col("class_size"))
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** DuckDB oracle for [[kAnonymityQuery]]. */
+  def kAnonymityOracleSql: String =
+    s"""SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+         CAST(count(*) AS BIGINT) AS class_size
+       FROM customer GROUP BY 1, 2 HAVING count(*) < $AnonK
+       ORDER BY 1, 2"""
+
+  /** q113: incremental materialized-view maintenance — a monthly
+    * revenue aggregate kept up to date by MERGING PARTIALS instead of
+    * recomputing: the "base" view (orders before [[IvmCutover]]) and
+    * the "delta" batch (orders at/after it) are each aggregated
+    * independently, then combined by summing partial counts and
+    * partial cents per group — the algebraic-aggregate property that
+    * makes incremental view maintenance correct, executed explicitly.
+    * The oracle computes the view DIRECTLY over all orders, so the
+    * hash match IS the proof that partial-merge == full recompute.
+    * At scale the base partials are a stored table and only the delta
+    * touches new data — the nightly-load pattern. */
+  val IvmCutover = "1997-01-01"
+
+  def ivmQuery(spark: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumCents(col("o_totalprice")).as("cents"))
+    val orders = Tables.orders(spark, dir)
+    val base = partial(orders.filter(col("o_orderdate") < lit(IvmCutover)))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(IvmCutover)))
+    base.unionByName(delta)
+      .groupBy("month", "o_orderstatus")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .orderBy("month", "o_orderstatus")
+  }
+
+  /** DuckDB oracle for [[ivmQuery]] — the DIRECT full recompute the
+    * partial-merge must equal. */
+  def ivmOracleSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+           AS BIGINT) AS cents
+       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

@@ -74,4 +74,60 @@ class CalibrationSpec extends SparkSpec {
     assert(a.collect().sameElements(b.collect()))
     assert(a.count() == 50)
   }
+
+  test("trend slope components recover a planted linear signal") {
+    // one type, days 0..3 with y = 2x+1 events -> slope exactly 2
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    val rows = (0 until 4).flatMap { d =>
+      (0 until 2 * d + 1).map { i =>
+        (d * 10L + i, (base + d * 86400000L) * 1000000L, 1L, "click",
+          0.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("trend_fix")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = OlapOps.trendQuery(spark, dir).collect().head
+    val (num, den) = (r.getLong(6), r.getLong(7))
+    assert(den != 0 && num == 2 * den, s"slope must be exactly 2: $num/$den")
+  }
+
+  test("frequency spectrum mass identity: sum of k*N_k is the token count") {
+    val out = OlapOps.freqSpectrumQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val ks = out.map(_.getLong(0))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a < b })
+    assert(out.forall(_.getLong(1) > 0))
+    // the synthetic corpus's full spectrum fits under the cap, so the
+    // Good-Turing identity Σ k·N_k == |tokens| must hold exactly
+    val mass = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    val tokens = graft.sources.Tables.documents(spark, sf0001)
+      .select(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n")).agg(sum("n")).collect().head.getLong(0)
+    assert(mass == tokens, s"spectrum mass $mass != token count $tokens")
+  }
+
+  test("k-anonymity flags exactly the sub-threshold classes") {
+    val flagged = OlapOps.kAnonymityQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = graft.sources.Tables.customer(spark, sf0001)
+      .groupBy("c_mktsegment", "c_nationkey").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(flagged == direct.filter(_._2 < OlapOps.AnonK))
+  }
+
+  test("ivm partial-merge equals the direct full recompute") {
+    val merged = OlapOps.ivmQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val direct = graft.sources.Tables.orders(spark, sf0001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("o_totalprice").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(merged == direct)
+  }
 }
