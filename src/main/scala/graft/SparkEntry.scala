@@ -136,6 +136,11 @@ object SparkEntry {
     "q111_freq_spectrum"   -> (Extensions.q111FreqSpectrum _),
     "q112_k_anonymity"     -> (Extensions.q112KAnonymity _),
     "q113_ivm"             -> (Extensions.q113Ivm _),
+    "q114_minmax_scale"    -> (Extensions.q114MinMaxScale _),
+    "q115_funnel_latency"  -> (Extensions.q115FunnelLatency _),
+    "q116_ri_summary"      -> (Extensions.q116RiSummary _),
+    "q117_parent_share"    -> (Extensions.q117ParentShare _),
+    "q118_histogram_cdf"   -> (Extensions.q118HistogramCdf _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -738,6 +743,16 @@ object SparkEntry {
       graft.operators.OlapOps.kAnonymityOracleSql,
     "q113_ivm" ->
       graft.operators.OlapOps.ivmOracleSql,
+    "q114_minmax_scale" ->
+      graft.operators.OlapOps.minMaxScaleOracleSql,
+    "q115_funnel_latency" ->
+      graft.operators.Sessionize.funnelLatencyOracleSql,
+    "q116_ri_summary" ->
+      graft.quality.DataQuality.riSummaryOracleSql,
+    "q117_parent_share" ->
+      graft.operators.OlapOps.parentShareOracleSql,
+    "q118_histogram_cdf" ->
+      graft.operators.OlapOps.histogramCdfOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -489,6 +489,26 @@ object Extensions {
   def q113Ivm(s: SparkSession, d: String): DataFrame =
     OlapOps.ivmQuery(s, d)
 
+  /** q114: per-stratum min-max feature scaling (exact rationals). */
+  def q114MinMaxScale(s: SparkSession, d: String): DataFrame =
+    OlapOps.minMaxScaleQuery(s, d)
+
+  /** q115: funnel time-to-convert latency percentiles. */
+  def q115FunnelLatency(s: SparkSession, d: String): DataFrame =
+    Sessionize.funnelLatencyQuery(s, d)
+
+  /** q116: referential-integrity summary over every FK edge. */
+  def q116RiSummary(s: SparkSession, d: String): DataFrame =
+    graft.quality.DataQuality.riSummaryQuery(s, d)
+
+  /** q117: hierarchical percent-of-parent revenue shares. */
+  def q117ParentShare(s: SparkSession, d: String): DataFrame =
+    OlapOps.parentShareQuery(s, d)
+
+  /** q118: cumulative distribution over the q94 histogram bins. */
+  def q118HistogramCdf(s: SparkSession, d: String): DataFrame =
+    OlapOps.histogramCdfQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

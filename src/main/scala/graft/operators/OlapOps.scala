@@ -1075,6 +1075,143 @@ object OlapOps {
            AS BIGINT) AS cents
        FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q114: min-max feature scaling — event values rescaled to
+    * [0, 1e6] within their event-type stratum, as exact integer
+    * rationals: scaled_e6 = (x − min)·1e6 div (max − min). The
+    * ML-prep normalization pass: per-stratum bounds come from ONE
+    * aggregation (map-side combined) and broadcast back onto the
+    * stream, so the transform is scan-shaped at any scale. The
+    * registered output keeps a deterministic 1-in-97 key sample of
+    * the scaled rows (sampled AFTER scaling, so the bounds reflect
+    * the full data); constant strata scale to 0 by convention. */
+  def minMaxScaleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(spark, dir)
+      .filter(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val bounds = vals.groupBy("event_type")
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    vals.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("scaled_e6",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr("(cents - lo) * 1000000 div (hi - lo)")))
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_type"), col("event_id"), col("cents"),
+        col("scaled_e6"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** DuckDB oracle for [[minMaxScaleQuery]]. */
+  def minMaxScaleOracleSql: String =
+    """WITH v AS (SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events WHERE NOT isnan(value) AND isfinite(value)),
+       b AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+             FROM v GROUP BY 1)
+     SELECT v.event_type, v.event_id, v.cents,
+       CASE WHEN b.hi = b.lo THEN 0
+            ELSE (v.cents - b.lo) * 1000000 // (b.hi - b.lo) END
+         AS scaled_e6
+     FROM v JOIN b USING (event_type)
+     WHERE v.event_id % 97 = 0
+     ORDER BY 1, 2"""
+
+  /** q117: percent-of-parent hierarchical shares — revenue rolled up
+    * the region → nation hierarchy with each nation's share of its
+    * region and each region's share of the total, as exact integer
+    * rationals. The fact table collapses to per-nation cents in one
+    * aggregation (the only fact-sized shuffle); the hierarchy math is
+    * window sums over the |nations|-row table joined to the broadcast
+    * dimensions. The drill-down report every BI layer renders — here
+    * it is one declarative plan. */
+  def parentShareQuery(spark: SparkSession, dir: String): DataFrame = {
+    val natRev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(decSumCents(col("o_totalprice")).as("cents"))
+    val dims = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+        col("n_regionkey"))
+      .join(Tables.region(spark, dir)
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name")),
+        Seq("n_regionkey"))
+    val byRegion = Window.partitionBy("r_name")
+    val all = Window.partitionBy()
+    natRev.join(broadcast(dims), Seq("c_nationkey"))
+      .withColumn("region_cents", sum(col("cents")).over(byRegion))
+      .withColumn("total_cents", sum(col("cents")).over(all))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div region_cents")
+          .cast("long").as("share_of_region_e6"),
+        expr("CAST(region_cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+          .cast("long").as("region_share_e6"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** DuckDB oracle for [[parentShareQuery]]. */
+  def parentShareOracleSql: String =
+    """WITH nr AS (SELECT c.c_nationkey,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+             * 100 AS BIGINT) AS cents
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         GROUP BY 1),
+       d AS (SELECT nr.cents, n.n_name, r.r_name
+             FROM nr JOIN nation n ON n.n_nationkey = nr.c_nationkey
+               JOIN region r ON r.r_regionkey = n.n_regionkey),
+       w AS (SELECT r_name, n_name, cents,
+               sum(cents) OVER (PARTITION BY r_name) AS region_cents,
+               sum(cents) OVER () AS total_cents FROM d)
+     SELECT r_name, n_name, cents,
+       CAST(cents * 1000000 // region_cents AS BIGINT)
+         AS share_of_region_e6,
+       CAST(region_cents * 1000000 // total_cents AS BIGINT)
+         AS region_share_e6
+     FROM w ORDER BY r_name, n_name"""
+
+  /** q118: cumulative distribution over the q94 histogram — running
+    * order counts and cumulative share per equi-width bin (the CDF
+    * companion the histogram feeds: "what fraction of orders sit at or
+    * below this price"). The running sum is a frame window over the
+    * BIN table — metadata-scale, single partition by design and
+    * documented as such, because it runs over tens of rows after the
+    * fact table has already collapsed. */
+  def histogramCdfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bins = histogramQuery(spark, dir)
+    val running = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    bins
+      .withColumn("cum_orders", sum(col("n_orders")).over(running))
+      .withColumn("total", sum(col("n_orders")).over(all))
+      .select(col("bin"), col("lo_cents"), col("hi_cents"),
+        col("n_orders"), col("cum_orders"),
+        expr("cum_orders * 1000000 div total").as("cum_share_e6"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB oracle for [[histogramCdfQuery]]. */
+  def histogramCdfOracleSql: String =
+    s"""WITH b AS (SELECT CAST(round(CAST(o_totalprice AS
+             DECIMAL(38,10)), 2) * 100 AS BIGINT) // $HistBinCents
+             AS bin FROM orders),
+       c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+       s AS (SELECT unnest(generate_series((SELECT min(bin) FROM b),
+               (SELECT max(bin) FROM b))) AS bin),
+       h AS (SELECT s.bin, s.bin * $HistBinCents AS lo_cents,
+               (s.bin + 1) * $HistBinCents - 1 AS hi_cents,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+             FROM s LEFT JOIN c USING (bin)),
+       w AS (SELECT *, CAST(sum(n_orders) OVER (ORDER BY bin) AS BIGINT)
+               AS cum_orders,
+               CAST(sum(n_orders) OVER () AS BIGINT) AS total FROM h)
+     SELECT bin, lo_cents, hi_cents, n_orders, cum_orders,
+       cum_orders * 1000000 // total AS cum_share_e6
+     FROM w ORDER BY bin"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

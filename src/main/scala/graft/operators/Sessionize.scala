@@ -343,4 +343,65 @@ object Sessionize {
              FROM s GROUP BY user_id, session_seq)
      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
      FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10"""
+
+  /** q115: funnel time-to-convert — for users who complete the whole
+    * signup→view→click→purchase funnel (q63's chained recurrence),
+    * the end-to-end latency distribution: completer count plus
+    * rank-selected median and p95 milliseconds. The latency table is
+    * completer-sized, and the percentiles use the DISTRIBUTED
+    * two-phase rank ([[OlapOps.globalRankAsc]]), not a single-
+    * partition window — the same discipline as q85/q102 applied to
+    * the funnel's output. The product question behind it: "how long
+    * does a converting user take?" */
+  def funnelLatencyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val stageArrays = stages.map(s => sort_array(collect_list(
+      when(col("event_type") === s, col("ms")))).as(s"a_$s"))
+    val arrays = ev.groupBy("user_id")
+      .agg(stageArrays.head, stageArrays.tail: _*)
+    val timed = stages.zipWithIndex.foldLeft(arrays) {
+      case (df, (s, 0)) =>
+        df.withColumn(s"t_$s", try_element_at(col(s"a_$s"), lit(1)))
+      case (df, (s, i)) =>
+        val prev = s"t_${stages(i - 1)}"
+        df.withColumn(s"t_$s", try_element_at(
+          filter(col(s"a_$s"), x => x >= col(prev)), lit(1)))
+    }
+    val lat = timed.filter(col("t_purchase").isNotNull)
+      .select(col("user_id").as("id"),
+        (col("t_purchase") - col("t_signup")).as("cents"))
+    OlapOps.globalRankAsc(lat, blockWidth = 86400000L)
+      .agg(max(col("n_total")).as("n_completers"),
+        min(when(col("rn") === ceil(col("n_total") * 0.5), col("cents")))
+          .as("median_ms"),
+        min(when(col("rn") === ceil(col("n_total") * 0.95), col("cents")))
+          .as("p95_ms"))
+  }
+
+  /** DuckDB oracle for [[funnelLatencyQuery]] — the funnel recurrence
+    * plus a single global rank (fine at oracle scale). */
+  def funnelLatencyOracleSql: String =
+    """WITH u AS (SELECT user_id,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'signup')) AS a_signup,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'view')) AS a_view,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'click')) AS a_click,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')) AS a_purchase
+       FROM events GROUP BY 1),
+     s1 AS (SELECT *, a_signup[1] AS t_signup FROM u),
+     s2 AS (SELECT *, (list_filter(a_view, x -> x >= t_signup))[1] AS t_view FROM s1),
+     s3 AS (SELECT *, (list_filter(a_click, x -> x >= t_view))[1] AS t_click FROM s2),
+     s4 AS (SELECT *, (list_filter(a_purchase, x -> x >= t_click))[1] AS t_purchase FROM s3),
+     lat AS (SELECT user_id, t_purchase - t_signup AS ms FROM s4
+             WHERE t_purchase IS NOT NULL),
+     r AS (SELECT ms, row_number() OVER (ORDER BY ms, user_id) AS rn,
+             count(*) OVER () AS n FROM lat)
+     SELECT CAST(max(n) AS BIGINT) AS n_completers,
+       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN ms END)
+         AS median_ms,
+       min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN ms END)
+         AS p95_ms
+     FROM r"""
 }

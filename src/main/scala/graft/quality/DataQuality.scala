@@ -97,4 +97,80 @@ object DataQuality {
   /** warn-severity report: (check, violation count), never throws. */
   def report(checks: Seq[Check]): Seq[(String, Long)] =
     checks.map(c => c.name -> c.violations.count())
+
+  /** q116: referential-integrity summary — every foreign-key edge of
+    * the star schema checked in ONE report: per edge, the child row
+    * count and the orphan count (child keys with no parent), each via
+    * the same left-anti shape as [[fkOrphans]] (reference J3,
+    * generalized to the whole schema). Each edge costs one keyed
+    * anti-join of (child-key) projections — column-pruned to single
+    * columns before any exchange — and the edges are independent
+    * branches of one union, so they parallelize across the cluster.
+    * The dashboard query a warehouse load runs after every batch. */
+  def riSummaryQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.sources.Tables
+    val edges: Seq[(String, DataFrame, DataFrame, String)] = Seq(
+      ("orders.custkey->customer",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("k")), "k"),
+      ("lineitem.orderkey->orders",
+        Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")),
+        Tables.orders(spark, dir).select(col("o_orderkey").as("k")), "k"),
+      ("lineitem.partkey->part",
+        Tables.lineitem(spark, dir).select(col("l_partkey").as("k")),
+        Tables.part(spark, dir).select(col("p_partkey").as("k")), "k"),
+      ("lineitem.suppkey->supplier",
+        Tables.lineitem(spark, dir).select(col("l_suppkey").as("k")),
+        Tables.supplier(spark, dir).select(col("s_suppkey").as("k")), "k"),
+      ("customer.nationkey->nation",
+        Tables.customer(spark, dir)
+          .select(col("c_nationkey").cast("long").as("k")),
+        Tables.nation(spark, dir)
+          .select(col("n_nationkey").cast("long").as("k")), "k"),
+      ("supplier.nationkey->nation",
+        Tables.supplier(spark, dir)
+          .select(col("s_nationkey").cast("long").as("k")),
+        Tables.nation(spark, dir)
+          .select(col("n_nationkey").cast("long").as("k")), "k"),
+      ("nation.regionkey->region",
+        Tables.nation(spark, dir)
+          .select(col("n_regionkey").cast("long").as("k")),
+        Tables.region(spark, dir)
+          .select(col("r_regionkey").cast("long").as("k")), "k"))
+    edges.map { case (name, child, parent, key) =>
+      val orphans = fkOrphans(child, parent, key)
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+    }.reduce(_ unionAll _).orderBy("edge")
+  }
+
+  /** DuckDB oracle for [[riSummaryQuery]]. */
+  def riSummaryOracleSql: String = {
+    val branch = (name: String, child: String, ck: String,
+        parent: String, pk: String) =>
+      s"""SELECT '$name' AS edge,
+            CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+            CAST((SELECT count(*) FROM $child c
+              WHERE NOT EXISTS (SELECT 1 FROM $parent p
+                WHERE p.$pk = c.$ck)) AS BIGINT) AS n_orphans"""
+    Seq(
+      branch("orders.custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      branch("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      branch("lineitem.partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      branch("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      branch("customer.nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      branch("supplier.nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      branch("nation.regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY edge")
+  }
 }

@@ -65,4 +65,49 @@ class TemporalOpsSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getLong(2) < 1000000L && r.getLong(3) >= r.getLong(2)) }
   }
+
+  test("RI summary reports all edges clean on the consistent star schema") {
+    val out = graft.quality.DataQuality.riSummaryQuery(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 7)
+    out.foreach { case (edge, (children, orphans)) =>
+      assert(children > 0, s"$edge child side must be non-empty")
+      assert(orphans == 0L, s"$edge must have no orphans on testdata")
+    }
+    // and the machinery does catch a planted orphan
+    val child = Seq(1L, 2L, 99L).toDF("k")
+    val parent = Seq(1L, 2L).toDF("k")
+    assert(graft.quality.DataQuality.fkOrphans(child, parent, "k")
+      .count() == 1)
+  }
+
+  test("parent shares floor-sum to 1e6 within each region") {
+    val rows = OlapOps.parentShareQuery(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (region, nations) =>
+      val s = nations.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - nations.length,
+        s"$region shares sum $s out of floor tolerance")
+    }
+  }
+
+  test("histogram CDF ends at exactly the full mass") {
+    val rows = OlapOps.histogramCdfQuery(spark, sf0001).collect()
+    val cums = rows.map(_.getLong(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getLong(5) == 1000000L,
+      "the last cumulative share must be exactly 1e6")
+    val orders = graft.sources.Tables.orders(spark, sf0001).count()
+    assert(rows.last.getLong(4) == orders)
+  }
+
+  test("min-max scaling stays in [0, 1e6]; funnel latency is ordered") {
+    val scaled = OlapOps.minMaxScaleQuery(spark, sf0001).collect()
+    assert(scaled.nonEmpty)
+    scaled.foreach { r =>
+      val s = r.getLong(3); assert(s >= 0L && s <= 1000000L) }
+    val lat = Sessionize.funnelLatencyQuery(spark, sf0001).collect().head
+    assert(lat.getLong(0) > 0 && lat.getLong(1) <= lat.getLong(2),
+      "median must not exceed p95")
+  }
 }
