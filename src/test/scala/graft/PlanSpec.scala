@@ -313,4 +313,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), p.take(2000))
     assert(!p.toLowerCase.contains("batchevalpython"), p.take(2000))
   }
+
+  test("temporal join plans on the entity equi-key, never a nested loop") {
+    // the scaladoc's scale claim: the SCD2 range predicates ride the
+    // user_id equi-join; a BroadcastNestedLoopJoin/CartesianProduct
+    // here would be quadratic at corpus scale
+    val p = graft.operators.OlapOps.temporalJoinQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range predicates must ride the equi-join:\n" + p.take(1500))
+  }
+
+  test("session paths reuse one user shuffle for sessions and collect") {
+    // window (lag+sum) and the per-session groupBy share the user_id
+    // partitioning; only the path-count agg adds a second hash exchange
+    val p = graft.operators.Sessionize.sessionPathsQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userEx == 1,
+      s"session assignment and collect must share one user_id exchange, got $userEx:\n" +
+        p.take(1500))
+  }
 }
