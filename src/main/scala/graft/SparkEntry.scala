@@ -141,6 +141,9 @@ object SparkEntry {
     "q116_ri_summary"      -> (Extensions.q116RiSummary _),
     "q117_parent_share"    -> (Extensions.q117ParentShare _),
     "q118_histogram_cdf"   -> (Extensions.q118HistogramCdf _),
+    "q119_weighted_median" -> (Extensions.q119WeightedMedian _),
+    "q120_basket_pairs"    -> (Extensions.q120BasketPairs _),
+    "q121_contiguity"      -> (Extensions.q121Contiguity _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -753,6 +756,12 @@ object SparkEntry {
       graft.operators.OlapOps.parentShareOracleSql,
     "q118_histogram_cdf" ->
       graft.operators.OlapOps.histogramCdfOracleSql,
+    "q119_weighted_median" ->
+      graft.operators.OlapOps.weightedMedianOracleSql,
+    "q120_basket_pairs" ->
+      graft.operators.OlapOps.basketPairsOracleSql,
+    "q121_contiguity" ->
+      graft.operators.OlapOps.contiguityOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

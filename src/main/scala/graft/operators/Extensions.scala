@@ -509,6 +509,18 @@ object Extensions {
   def q118HistogramCdf(s: SparkSession, d: String): DataFrame =
     OlapOps.histogramCdfQuery(s, d)
 
+  /** q119: per-language token-mass weighted median length. */
+  def q119WeightedMedian(s: SparkSession, d: String): DataFrame =
+    OlapOps.weightedMedianQuery(s, d)
+
+  /** q120: market-basket co-ordered part pairs (capped baskets). */
+  def q120BasketPairs(s: SparkSession, d: String): DataFrame =
+    OlapOps.basketPairsQuery(s, d)
+
+  /** q121: line-number contiguity audit (1..n, no gaps/dups). */
+  def q121Contiguity(s: SparkSession, d: String): DataFrame =
+    OlapOps.contiguityQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -1212,6 +1212,125 @@ object OlapOps {
        cum_orders * 1000000 // total AS cum_share_e6
      FROM w ORDER BY bin"""
 
+  /** q119: weighted median — per language, the document length at
+    * which HALF THE TOKEN MASS sits in shorter documents (the "median
+    * document" a reader of the corpus actually experiences, vs the
+    * count-median that over-weights stubs). Rule: the smallest value v
+    * with 2·cumweight(v) ≥ total. The cumulative weight is the
+    * two-phase prefix-sum shape AGAIN (in-block running sums within
+    * (lang, length-block) windows + metadata-scale block offsets), so
+    * no stratum ever sorts in one partition. */
+  def weightedMedianQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id").as("id"),
+        col("n_chars").as("v"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("w"))
+      .withColumn("block", expr("v div 1000"))
+    val blockW = Window.partitionBy("lang").orderBy(col("block").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("lang", "block")
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("offset", coalesce(sum(col("bw")).over(blockW), lit(0L)))
+      .select("lang", "block", "offset")
+    val totals = rows.groupBy("lang").agg(sum(col("w")).as("tw"))
+    val inBlock = Window.partitionBy("lang", "block")
+      .orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("cw_local", sum(col("w")).over(inBlock))
+      .join(broadcast(offsets), Seq("lang", "block"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("cumw", col("offset") + col("cw_local"))
+      .filter(col("cumw") * 2 >= col("tw"))
+      .groupBy("lang")
+      .agg(max(col("tw")).as("total_tokens"),
+        min(col("v")).as("median_chars"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[weightedMedianQuery]] — one window per
+    * stratum (fine at oracle scale), identical median rule. */
+  def weightedMedianOracleSql: String =
+    """WITH r AS (SELECT lang, doc_id AS id, n_chars AS v,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+             AS BIGINT) AS w
+         FROM documents),
+       c AS (SELECT lang, v, w,
+               sum(w) OVER (PARTITION BY lang ORDER BY v, id) AS cumw,
+               sum(w) OVER (PARTITION BY lang) AS tw FROM r)
+     SELECT lang, CAST(max(tw) AS BIGINT) AS total_tokens,
+       CAST(min(v) AS BIGINT) AS median_chars
+     FROM c WHERE cumw * 2 >= tw GROUP BY 1 ORDER BY 1"""
+
+  /** q120: market-basket pair mining — the most co-ordered part pairs
+    * (the support table behind "frequently bought together" and the
+    * first A-priori level). Baskets are deduped to distinct (order,
+    * part) FIRST, capped at [[BasketCap]] items (the hot-group rule:
+    * a pathological mega-order would otherwise emit quadratic pairs),
+    * and pairs come from a self-join keyed on the order — each
+    * shuffle partition holds whole baskets, so pair generation is
+    * local and bounded by cap² per basket. */
+  val BasketCap = 15L
+
+  def basketPairsQuery(spark: SparkSession, dir: String,
+      topN: Int = 20): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sized = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= BasketCap)
+      .select("l_orderkey")
+    val kept = items.join(sized, Seq("l_orderkey"))
+    kept.as("a").join(kept.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1").asc, col("p2").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[basketPairsQuery]] (top 20). */
+  def basketPairsOracleSql: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       keep AS (SELECT l_orderkey FROM it GROUP BY 1
+                HAVING count(*) <= $BasketCap),
+       k AS (SELECT it.* FROM it JOIN keep USING (l_orderkey))
+     SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS support
+     FROM k a JOIN k b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+     GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 20"""
+
+  /** q121: sequence-contiguity audit — per order, the line numbers
+    * must run 1..n with no gaps or duplicates (the dbt-style
+    * structural test generalized to sequences; min==1 ∧ max==n ∧
+    * distinct==n is equivalent to contiguity). One aggregation over
+    * the order key; the report is a single row of totals so a 100 TB
+    * audit ships one number back. */
+  def contiguityQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("l_linenumber")).as("nd"),
+        min(col("l_linenumber")).as("mn"),
+        max(col("l_linenumber")).as("mx"))
+      .select(when(col("mn") === 1 && col("mx") === col("n") &&
+        col("nd") === col("n"), 0L).otherwise(1L).as("bad"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("bad")).as("n_violations"))
+
+  /** DuckDB oracle for [[contiguityQuery]]. */
+  def contiguityOracleSql: String =
+    """WITH g AS (SELECT l_orderkey, count(*) AS n,
+           count(DISTINCT l_linenumber) AS nd,
+           min(l_linenumber) AS mn, max(l_linenumber) AS mx
+         FROM lineitem GROUP BY 1)
+     SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN mn = 1 AND mx = n AND nd = n
+         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+     FROM g"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

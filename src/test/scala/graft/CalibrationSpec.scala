@@ -115,6 +115,56 @@ class CalibrationSpec extends SparkSpec {
     assert(flagged == direct.filter(_._2 < OlapOps.AnonK))
   }
 
+  test("weighted median follows the token mass, not the doc count") {
+    // lang X: a 10-char 1-token doc and a 20-char 9-token doc; half
+    // the mass sits at 20 chars, so the weighted median is 20 (the
+    // count median would average the two)
+    val docs = Seq(
+      (1L, "a", "X", 10L),
+      (2L, Seq.fill(9)("w").mkString(" "), "X", 20L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = tmpDir("wmed_fix")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = OlapOps.weightedMedianQuery(spark, dir).collect().head
+    assert(r.getString(0) == "X" && r.getLong(1) == 10L &&
+      r.getLong(2) == 20L, s"got $r")
+  }
+
+  test("basket pairs count co-orders and prune oversized baskets") {
+    val rows = Seq(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L),
+      3L -> (1L to 16L)) // basket 3 exceeds the cap -> pruned
+      .flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      .toDF("l_orderkey", "l_partkey")
+    val dir = tmpDir("basket_fix")
+    rows.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = OlapOps.basketPairsQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"got $out")
+  }
+
+  test("contiguity audit matches a direct recompute (violations are real)") {
+    // the synthetic lineitem assigns random, duplicated line numbers,
+    // so most orders genuinely violate 1..n contiguity — the audit
+    // must agree with an independent spelling of the rule
+    val r = OlapOps.contiguityQuery(spark, sf0001).collect().head
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val direct = li.groupBy("l_orderkey")
+      .agg(collect_list(col("l_linenumber")).as("ls"))
+      .collect().map { row =>
+        val ls = row.getSeq[Int](1).sorted
+        if (ls == (1 to ls.length).toList) 0L else 1L
+      }
+    assert(r.getLong(0) == direct.length && r.getLong(1) == direct.sum,
+      s"got $r expected (${direct.length}, ${direct.sum})")
+    // and a contiguous planted basket passes
+    val ok = Seq((1L, 1), (1L, 2), (1L, 3)).toDF("l_orderkey", "l_linenumber")
+    val dir = tmpDir("contig_fix")
+    ok.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val clean = OlapOps.contiguityQuery(spark, dir).collect().head
+    assert(clean.getLong(0) == 1L && clean.getLong(1) == 0L)
+  }
+
   test("ivm partial-merge equals the direct full recompute") {
     val merged = OlapOps.ivmQuery(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
