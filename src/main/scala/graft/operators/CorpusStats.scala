@@ -246,19 +246,29 @@ object CorpusStats {
       topN: Int = 20): DataFrame =
     cms(Tables.documents(spark, dir), topN)
 
+  /** The d×w counter grid of a docs(text) frame — the mergeable core:
+    * grids of disjoint corpus slices sum cell-wise into the corpus
+    * grid (the property the streaming sketch maintenance in
+    * [[graft.streaming.SketchStream]] relies on). */
+  def cmsGrid(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val rows = array((0 until CmsRows).map(lit): _*)
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), explode(rows).as("r"), col("term"))
+      .withColumn("bucket",
+        portableHash60(concat(col("r").cast("string"), lit(":"),
+          col("term"))) % CmsWidth)
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("counter"))
+  }
+
   /** [[cmsQuery]] over an explicit docs(text) frame. */
   def cms(docs: DataFrame, topN: Int): DataFrame = {
     import graft.functions.TextFunctions.portableHash60
     val counts = docs.select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val rows = array((0 until CmsRows).map(lit): _*)
-    val grid = counts
-      .select(col("cnt"), explode(rows).as("r"),
-        col("term"))
-      .withColumn("bucket",
-        portableHash60(concat(col("r").cast("string"), lit(":"),
-          col("term"))) % CmsWidth)
-      .groupBy("r", "bucket").agg(sum(col("cnt")).as("counter"))
+    val grid = cmsGrid(docs)
     val top = counts
       .orderBy(col("cnt").desc, col("term").asc).limit(topN)
     val est = top

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.CorpusStats
+
+/** Streaming count-min-sketch maintenance — the incremental twin of
+  * the batch CMS (q101). The sketch's defining property is that grids
+  * of disjoint corpus slices MERGE by cell-wise addition, so a stream
+  * maintains the corpus sketch by writing one partial grid per
+  * micro-batch and merging on read; no micro-batch ever re-reads the
+  * corpus, and the serving estimate is a groupBy-sum over
+  * (batches × d × w) metadata-scale rows.
+  *
+  * Idempotence: each batch's partial lands under `batch=<id>` and is
+  * OVERWRITTEN on replay (foreachBatch re-delivers a batch id after a
+  * crash) — the checkpoint serializes batches, so replays rewrite the
+  * same subdirectory with the same deterministic content instead of
+  * double-counting. The same per-batch-partition idempotent-sink
+  * pattern as a warehouse's staged loads; compaction of old partials
+  * into a base grid is the natural follow-up and reuses
+  * `Maintenance.compact`'s write-new-then-swap argument.
+  */
+object SketchStream {
+
+  /** Drain `dropDir` with AvailableNow, writing one partial CMS grid
+    * per micro-batch under `gridDir/batch=<id>`. */
+  def cmsAvailableNow(spark: SparkSession, dropDir: String,
+      gridDir: String, checkpoint: String): Unit = {
+    val q = DocStream.readDocStream(spark, dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        CorpusStats.cmsGrid(batch)
+          .write.mode("overwrite").parquet(s"$gridDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The merged corpus grid: cell-wise sum of every batch partial. */
+  def mergedGrid(spark: SparkSession, gridDir: String): DataFrame = {
+    val p = new Path(gridDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no grid partials under $gridDir")
+    spark.read.parquet(gridDir)
+      .groupBy("r", "bucket").agg(sum(col("counter")).as("counter"))
+  }
+}

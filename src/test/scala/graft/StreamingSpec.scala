@@ -271,6 +271,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
   }
 
+  test("streaming CMS partials merge to exactly the batch grid") {
+    import graft.streaming.SketchStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val drop = tmpDir("cms_drop")
+    val grid = tmpDir("cms_grid")
+    val ckpt = tmpDir("cms_ckpt")
+    def doc(id: Int, text: String) =
+      s"""{"doc_id":$id,"ts":"2024-01-01T00:0$id:00Z","text":"$text","source":"s"}"""
+    writeDrop(drop, "d1.json", Seq(
+      doc(1, "alpha beta alpha"), doc(2, "beta gamma")))
+    SketchStream.cmsAvailableNow(spark, drop, grid, ckpt)
+    // a second drop arrives -> a second partial, first is untouched
+    writeDrop(drop, "d2.json", Seq(doc(3, "alpha delta delta")))
+    SketchStream.cmsAvailableNow(spark, drop, grid, ckpt)
+    def gridMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = gridMap(SketchStream.mergedGrid(spark, grid))
+    val batch = gridMap(graft.operators.CorpusStats.cmsGrid(
+      Seq("alpha beta alpha", "beta gamma", "alpha delta delta")
+        .toDF("text")))
+    assert(streamed == batch,
+      "cell-wise merge of per-batch partials must equal the corpus grid")
+    // 8 tokens counted once per sketch row (d=3) -> 24 total mass
+    assert(streamed.values.sum == 24L)
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
