@@ -144,6 +144,8 @@ object SparkEntry {
     "q119_weighted_median" -> (Extensions.q119WeightedMedian _),
     "q120_basket_pairs"    -> (Extensions.q120BasketPairs _),
     "q121_contiguity"      -> (Extensions.q121Contiguity _),
+    "q122_stratified_k"    -> (Extensions.q122StratifiedExactK _),
+    "q123_drift_tvd"       -> (Extensions.q123DriftTvd _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -762,6 +764,10 @@ object SparkEntry {
       graft.operators.OlapOps.basketPairsOracleSql,
     "q121_contiguity" ->
       graft.operators.OlapOps.contiguityOracleSql,
+    "q122_stratified_k" ->
+      graft.operators.Curation.stratifiedExactKOracleSql(),
+    "q123_drift_tvd" ->
+      graft.operators.Curation.driftTvdOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -284,6 +284,89 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** q122: per-stratum exact-K sample — exactly [[StratumK]] documents
+    * per language (fewer only if the stratum is smaller), chosen by
+    * portable hash order: the stratified twin of q67's global exact-K.
+    * The rank window partitions by language, so each partition sorts
+    * ONE stratum's hashes (stratum-bounded, never corpus-bounded) and
+    * the filter prunes everything past rank K before any further work.
+    * Deterministic on any engine, any partitioning, any rerun —
+    * rand()-free stratified sampling for reproducible eval sets. */
+  val StratumK = 5
+
+  def stratifiedExactK(docs: DataFrame, k: Int = StratumK): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("lang"),
+        portableHash60(concat(lit("sek:"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("rn", row_number().over(byLang))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** DuckDB oracle for [[stratifiedExactK]] (k=5). */
+  def stratifiedExactKOracleSql(k: Int = StratumK): String =
+    s"""WITH h AS (SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('sek:' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) AS h
+         FROM documents),
+       r AS (SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY h, doc_id) AS BIGINT) AS rn FROM h)
+     SELECT doc_id, lang, rn FROM r WHERE rn <= $k ORDER BY lang, rn"""
+
+  /** q123: distribution drift between corpus snapshots — the
+    * total-variation-distance components between the even-id and
+    * odd-id halves of the corpus (standing in for yesterday's and
+    * today's load), over token-length buckets: per bucket, each
+    * side's share (×1e6) and the absolute share difference, whose
+    * half-sum is the TVD drift score a monitoring pipeline alerts on.
+    * Everything is one aggregation per side at bucket grain plus
+    * arithmetic on the (tiny) bucket table; integer rationals keep it
+    * exact cross-engine (the PSI's log term is the only thing
+    * sacrificed for exactness — the L1 form ranks drift the same
+    * way). */
+  def driftTvdQuery(docs: DataFrame): DataFrame = {
+    val bucketed = docs.select(col("doc_id"),
+      expr("size(split(trim(lower(text)), '\\\\s+')) div 10")
+        .as("bucket"),
+      (col("doc_id") % 2 === 0).as("is_a"))
+    val shares = bucketed.groupBy("bucket")
+      .agg(count(when(col("is_a"), 1)).as("na"),
+        count(when(!col("is_a"), 1)).as("nb"))
+    val totals = shares.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    shares.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("na"), col("nb"),
+        expr("na * 1000000 div ta").as("share_a_e6"),
+        expr("nb * 1000000 div tb").as("share_b_e6"))
+      .withColumn("abs_diff_e6",
+        abs(col("share_a_e6") - col("share_b_e6")))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[driftTvdQuery]]. */
+  def driftTvdOracleSql: String =
+    """WITH b AS (SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) // 10
+             AS bucket,
+           doc_id % 2 = 0 AS is_a
+         FROM documents),
+       s AS (SELECT bucket,
+               count(*) FILTER (WHERE is_a) AS na,
+               count(*) FILTER (WHERE NOT is_a) AS nb
+             FROM b GROUP BY 1),
+       t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+               CAST(sum(nb) AS BIGINT) AS tb FROM s)
+     SELECT bucket, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(na * 1000000 // ta AS BIGINT) AS share_a_e6,
+       CAST(nb * 1000000 // tb AS BIGINT) AS share_b_e6,
+       CAST(abs(na * 1000000 // ta - nb * 1000000 // tb) AS BIGINT)
+         AS abs_diff_e6
+     FROM s, t ORDER BY bucket"""
+
   /** DuckDB oracle for [[weightedSample]] (k=50). */
   def weightedSampleOracleSql(k: Int = 50): String =
     s"""SELECT doc_id, lang, n_chars FROM (

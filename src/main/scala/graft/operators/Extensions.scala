@@ -521,6 +521,14 @@ object Extensions {
   def q121Contiguity(s: SparkSession, d: String): DataFrame =
     OlapOps.contiguityQuery(s, d)
 
+  /** q122: per-stratum exact-K hash sample. */
+  def q122StratifiedExactK(s: SparkSession, d: String): DataFrame =
+    Curation.stratifiedExactK(Tables.documents(s, d))
+
+  /** q123: total-variation drift components between corpus halves. */
+  def q123DriftTvd(s: SparkSession, d: String): DataFrame =
+    Curation.driftTvdQuery(Tables.documents(s, d))
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -165,6 +165,28 @@ class CalibrationSpec extends SparkSpec {
     assert(clean.getLong(0) == 1L && clean.getLong(1) == 0L)
   }
 
+  test("stratified exact-K takes K per language, deterministically") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val out = Curation.stratifiedExactK(docs).collect()
+    val perLang = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    perLang.foreach { case (lang, n) =>
+      assert(n == Curation.StratumK, s"$lang got $n") }
+    assert(out.map(_.getLong(2)).forall(rn =>
+      rn >= 1 && rn <= Curation.StratumK))
+    val again = Curation.stratifiedExactK(docs).collect()
+    assert(out.sameElements(again))
+  }
+
+  test("drift TVD shares floor-sum to 1e6 and halves cover the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val rows = Curation.driftTvdQuery(docs).collect()
+    val (sa, sb) = (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(sa <= 1000000L && sa > 1000000L - rows.length)
+    assert(sb <= 1000000L && sb > 1000000L - rows.length)
+    val mass = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(mass == docs.count())
+  }
+
   test("ivm partial-merge equals the direct full recompute") {
     val merged = OlapOps.ivmQuery(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
