@@ -146,6 +146,8 @@ object SparkEntry {
     "q121_contiguity"      -> (Extensions.q121Contiguity _),
     "q122_stratified_k"    -> (Extensions.q122StratifiedExactK _),
     "q123_drift_tvd"       -> (Extensions.q123DriftTvd _),
+    "q124_conv_decile"     -> (Extensions.q124ConversionDecile _),
+    "q125_freshness"       -> (Extensions.q125Freshness _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -768,6 +770,10 @@ object SparkEntry {
       graft.operators.Curation.stratifiedExactKOracleSql(),
     "q123_drift_tvd" ->
       graft.operators.Curation.driftTvdOracleSql,
+    "q124_conv_decile" ->
+      graft.operators.Sessionize.conversionByDecileOracleSql,
+    "q125_freshness" ->
+      graft.quality.DataQuality.freshnessOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -529,6 +529,14 @@ object Extensions {
   def q123DriftTvd(s: SparkSession, d: String): DataFrame =
     Curation.driftTvdQuery(Tables.documents(s, d))
 
+  /** q124: funnel conversion rate per activity decile. */
+  def q124ConversionDecile(s: SparkSession, d: String): DataFrame =
+    Sessionize.conversionByDecileQuery(s, d)
+
+  /** q125: per-stream data-freshness/staleness audit. */
+  def q125Freshness(s: SparkSession, d: String): DataFrame =
+    graft.quality.DataQuality.freshnessQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

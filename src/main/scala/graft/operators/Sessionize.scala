@@ -404,4 +404,74 @@ object Sessionize {
        min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN ms END)
          AS p95_ms
      FROM r"""
+
+  /** q124: conversion by activity decile — funnel completion rate per
+    * engagement segment: users bucketed into deciles by total event
+    * count (the distributed two-phase rank, as everywhere), joined to
+    * their q63 funnel-completion flag, with the completion rate per
+    * decile as an exact rational. The segmentation join is keyed on
+    * user_id between two USER-sized derived tables — the fact table
+    * was consumed once by each branch — so the analytics composition
+    * costs two fact passes and metadata-scale arithmetic. The answer
+    * to "do heavy users convert more?", deterministically. */
+  def conversionByDecileQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val stageArrays = stages.map(s => sort_array(collect_list(
+      when(col("event_type") === s, col("ms")))).as(s"a_$s"))
+    val timed = stages.zipWithIndex.foldLeft(
+      ev.groupBy("user_id").agg(stageArrays.head, stageArrays.tail: _*)) {
+      case (df, (s, 0)) =>
+        df.withColumn(s"t_$s", try_element_at(col(s"a_$s"), lit(1)))
+      case (df, (s, i)) =>
+        val prev = s"t_${stages(i - 1)}"
+        df.withColumn(s"t_$s", try_element_at(
+          filter(col(s"a_$s"), x => x >= col(prev)), lit(1)))
+    }
+    val converted = timed.select(col("user_id").as("id"),
+      col("t_purchase").isNotNull.cast("long").as("converted"))
+    val activity = ev.groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("cents")) // rank machinery's value column
+    val ranked = OlapOps.globalRankAsc(activity, blockWidth = 100L)
+      .withColumn("decile",
+        expr("(rn - 1) * 10 div n_total").cast("int") + 1)
+    ranked.join(converted, Seq("id"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("rate_e6",
+        expr("n_converted * 1000000 div n_users"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for [[conversionByDecileQuery]]. */
+  def conversionByDecileOracleSql: String =
+    """WITH u AS (SELECT user_id,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'signup')) AS a_signup,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'view')) AS a_view,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'click')) AS a_click,
+         list_sort(list(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')) AS a_purchase
+       FROM events GROUP BY 1),
+     s1 AS (SELECT *, a_signup[1] AS t_signup FROM u),
+     s2 AS (SELECT *, (list_filter(a_view, x -> x >= t_signup))[1] AS t_view FROM s1),
+     s3 AS (SELECT *, (list_filter(a_click, x -> x >= t_view))[1] AS t_click FROM s2),
+     s4 AS (SELECT user_id, CASE WHEN (list_filter(a_purchase,
+              x -> x >= t_click))[1] IS NOT NULL THEN 1 ELSE 0 END
+              AS converted FROM s3),
+     act AS (SELECT user_id AS id, count(*) AS cents FROM events
+             GROUP BY 1),
+     rk AS (SELECT id, cents,
+             row_number() OVER (ORDER BY cents, id) AS rn,
+             count(*) OVER () AS n_total FROM act),
+     d AS (SELECT id, CAST((rn - 1) * 10 // n_total AS INT) + 1
+             AS decile FROM rk)
+     SELECT d.decile, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(s4.converted) AS BIGINT) AS n_converted,
+       CAST(sum(s4.converted) * 1000000 // count(*) AS BIGINT)
+         AS rate_e6
+     FROM d JOIN s4 ON s4.user_id = d.id
+     GROUP BY 1 ORDER BY 1"""
 }

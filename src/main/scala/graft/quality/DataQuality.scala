@@ -147,6 +147,39 @@ object DataQuality {
     }.reduce(_ unionAll _).orderBy("edge")
   }
 
+  /** q125: data-freshness audit — per event stream, the newest event
+    * time and its lag behind the freshest stream in the batch: the
+    * staleness dashboard that catches a silently-stalled upstream
+    * (one type stops arriving; totals still grow, so volume checks
+    * miss it). One max-aggregation over the fact table (map-side
+    * combined to |types| rows) plus a window over that tiny table;
+    * emitted in epoch-ms so no raw timestamps cross the oracle
+    * boundary. */
+  def freshnessQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(max(unix_millis(col("ts"))).as("latest_ms"),
+        count(lit(1)).as("n_events"))
+    latest
+      .withColumn("freshest_ms",
+        max(col("latest_ms")).over(Window.partitionBy()))
+      .select(col("event_type"), col("n_events"), col("latest_ms"),
+        (col("freshest_ms") - col("latest_ms")).as("staleness_ms"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[freshnessQuery]]. */
+  def freshnessOracleSql: String =
+    """WITH l AS (SELECT event_type,
+           max(epoch_ms(ts)) AS latest_ms,
+           count(*) AS n_events
+         FROM events GROUP BY 1)
+     SELECT event_type, CAST(n_events AS BIGINT) AS n_events, latest_ms,
+       CAST(max(latest_ms) OVER () - latest_ms AS BIGINT) AS staleness_ms
+     FROM l ORDER BY event_type"""
+
   /** DuckDB oracle for [[riSummaryQuery]]. */
   def riSummaryOracleSql: String = {
     val branch = (name: String, child: String, ck: String,

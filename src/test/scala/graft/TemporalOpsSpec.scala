@@ -101,6 +101,30 @@ class TemporalOpsSpec extends SparkSpec {
     assert(rows.last.getLong(4) == orders)
   }
 
+  test("conversion deciles cover every user; rates bounded") {
+    val rows = Sessionize.conversionByDecileQuery(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val users = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    rows.foreach { r =>
+      val (n, c, rate) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c <= n && rate >= 0 && rate <= 1000000L)
+      assert(rate == c * 1000000L / n)
+    }
+  }
+
+  test("freshness audit: exactly one stream is the freshest (lag 0)") {
+    val rows = graft.quality.DataQuality.freshnessQuery(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getLong(3) == 0L) >= 1)
+    assert(rows.forall(_.getLong(3) >= 0L))
+    val freshest = rows.map(_.getLong(2)).max
+    rows.foreach(r =>
+      assert(r.getLong(3) == freshest - r.getLong(2)))
+  }
+
   test("min-max scaling stays in [0, 1e6]; funnel latency is ordered") {
     val scaled = OlapOps.minMaxScaleQuery(spark, sf0001).collect()
     assert(scaled.nonEmpty)
