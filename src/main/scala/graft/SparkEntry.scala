@@ -148,6 +148,10 @@ object SparkEntry {
     "q123_drift_tvd"       -> (Extensions.q123DriftTvd _),
     "q124_conv_decile"     -> (Extensions.q124ConversionDecile _),
     "q125_freshness"       -> (Extensions.q125Freshness _),
+    "q126_markov"          -> (Extensions.q126Markov _),
+    "q127_audience"        -> (Extensions.q127AudienceOverlap _),
+    "q128_dispersion"      -> (Extensions.q128PriceDispersion _),
+    "q129_decay_score"     -> (Extensions.q129DecayScore _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -774,6 +778,14 @@ object SparkEntry {
       graft.operators.Sessionize.conversionByDecileOracleSql,
     "q125_freshness" ->
       graft.quality.DataQuality.freshnessOracleSql,
+    "q126_markov" ->
+      graft.operators.Sessionize.markovOracleSql,
+    "q127_audience" ->
+      graft.operators.Sessionize.audienceOverlapOracleSql,
+    "q128_dispersion" ->
+      graft.operators.OlapOps.priceDispersionOracleSql,
+    "q129_decay_score" ->
+      graft.operators.Sessionize.decayScoreOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -537,6 +537,22 @@ object Extensions {
   def q125Freshness(s: SparkSession, d: String): DataFrame =
     graft.quality.DataQuality.freshnessQuery(s, d)
 
+  /** q126: first-order Markov conditional probabilities. */
+  def q126Markov(s: SparkSession, d: String): DataFrame =
+    Sessionize.markovQuery(s, d)
+
+  /** q127: pairwise audience-overlap Jaccard between event types. */
+  def q127AudienceOverlap(s: SparkSession, d: String): DataFrame =
+    Sessionize.audienceOverlapQuery(s, d)
+
+  /** q128: relative price-dispersion top-k per part. */
+  def q128PriceDispersion(s: SparkSession, d: String): DataFrame =
+    OlapOps.priceDispersionQuery(s, d)
+
+  /** q129: integer half-life recency-decayed activity scores. */
+  def q129DecayScore(s: SparkSession, d: String): DataFrame =
+    Sessionize.decayScoreQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

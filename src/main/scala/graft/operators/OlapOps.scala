@@ -1331,6 +1331,43 @@ object OlapOps {
          THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
      FROM g"""
 
+  /** q128: price-dispersion screening — the parts whose line-item
+    * prices vary most, measured as relative spread (max − min)·1e6
+    * div min over exact cents: the pricing-anomaly screen (a part
+    * selling at 3× its own floor is either a data error or a revenue
+    * story). One part-keyed min/max aggregation (map-side combined),
+    * a scan-side spread computation, and a TakeOrderedAndProject for
+    * the top [[DispersionTopN]] — nothing global ever sorts. */
+  val DispersionTopN = 20
+
+  def priceDispersionQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice").cast("decimal(38,10)"), 2) * 100)
+          .cast("long").as("cents"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .filter(col("n_lines") >= 2 && col("min_cents") > 0)
+      .withColumn("spread_e6",
+        expr("(max_cents - min_cents) * 1000000 div min_cents"))
+      .orderBy(col("spread_e6").desc, col("l_partkey").asc)
+      .limit(DispersionTopN)
+
+  /** DuckDB oracle for [[priceDispersionQuery]] (top 20). */
+  def priceDispersionOracleSql: String =
+    s"""WITH c AS (SELECT l_partkey,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(38,10)), 2) * 100
+             AS BIGINT) AS cents FROM lineitem),
+       g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+               min(cents) AS min_cents, max(cents) AS max_cents
+             FROM c GROUP BY 1)
+     SELECT l_partkey, n_lines, min_cents, max_cents,
+       (max_cents - min_cents) * 1000000 // min_cents AS spread_e6
+     FROM g WHERE n_lines >= 2 AND min_cents > 0
+     ORDER BY spread_e6 DESC, l_partkey LIMIT $DispersionTopN"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

@@ -73,6 +73,120 @@ object Sessionize {
      FROM p WHERE prev_type IS NOT NULL
      GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q126: first-order Markov model — the q77 transition counts
+    * row-normalized into conditional probabilities p(next | prev) as
+    * exact rationals (×1e6): the actual language-model / next-action
+    * table the counts exist to feed. The normalization is a window
+    * sum over the |types|² transition matrix — metadata-scale — so
+    * the LM build costs exactly what the counting did. The floor-sum
+    * of each row is ≤ 1e6 with deficit < |types| (the spec pins it). */
+  def markovQuery(spark: SparkSession, dir: String): DataFrame = {
+    val counts = transitionsQuery(spark, dir)
+    val byPrev = Window.partitionBy("prev_type")
+    counts
+      .withColumn("row_total", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div row_total").as("p_e6"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** DuckDB oracle for [[markovQuery]]. */
+  def markovOracleSql: String =
+    """WITH p AS (SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+         FROM events),
+       c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+             WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+     SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type)
+         AS BIGINT) AS p_e6
+     FROM c ORDER BY 1, 2"""
+
+  /** q127: audience overlap — pairwise Jaccard similarity between the
+    * user sets of every event-type pair (which behaviors share an
+    * audience, the segmentation-design input). Set sizes come from one
+    * distinct count per type; intersections from ONE self-join of the
+    * distinct (type, user) table keyed on the user — each partition
+    * intersects one user's type list (≤ |types| wide), so the pair
+    * table never materializes user-set cross products. Union sizes
+    * and Jaccard (×1e6) are arithmetic via inclusion-exclusion. */
+  def audienceOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("sz"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("t1"),
+        col("sz").as("sz1"))), Seq("t1"))
+      .join(broadcast(sizes.select(col("event_type").as("t2"),
+        col("sz").as("sz2"))), Seq("t2"))
+      .select(col("t1"), col("t2"), col("sz1"), col("sz2"), col("n_both"),
+        expr("n_both * 1000000 div (sz1 + sz2 - n_both)")
+          .as("jaccard_e6"))
+      .orderBy("t1", "t2")
+  }
+
+  /** DuckDB oracle for [[audienceOverlapQuery]]. */
+  def audienceOverlapOracleSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       s AS (SELECT event_type, count(*) AS sz FROM tu GROUP BY 1),
+       i AS (SELECT a.event_type AS t1, b.event_type AS t2,
+               count(*) AS n_both
+             FROM tu a JOIN tu b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+             GROUP BY 1, 2)
+     SELECT i.t1, i.t2,
+       CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(i.n_both * 1000000 // (s1.sz + s2.sz - i.n_both) AS BIGINT)
+         AS jaccard_e6
+     FROM i JOIN s s1 ON s1.event_type = i.t1
+       JOIN s s2 ON s2.event_type = i.t2
+     ORDER BY t1, t2"""
+
+  /** q129: recency-decayed activity score — each user's events
+    * weighted by a half-life decay computed in INTEGERS: an event
+    * `w` whole weeks before the corpus max contributes
+    * 1024 >> min(w, 10) points (half-life = one week, floor-halved —
+    * the deterministic stand-in for exp(-λ·age), same ranking
+    * behavior, zero float divergence). One broadcast 1-row max, one
+    * scan to score, one user-keyed sum, TakeOrdered for the top
+    * [[DecayTopN]] — the engagement leaderboard a reactivation
+    * campaign pulls. */
+  val DecayTopN = 20
+
+  def decayScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val maxMs = ev.agg(max(col("ms")).as("max_ms"))
+    ev.crossJoin(broadcast(maxMs))
+      .withColumn("w", expr("(max_ms - ms) div 604800000"))
+      .withColumn("pts",
+        expr("shiftright(1024L, CAST(least(w, 10L) AS INT))"))
+      .groupBy("user_id")
+      .agg(sum(col("pts")).as("score"), count(lit(1)).as("n_events"))
+      .orderBy(col("score").desc, col("user_id").asc)
+      .limit(DecayTopN)
+  }
+
+  /** DuckDB oracle for [[decayScoreQuery]] (top 20). */
+  def decayScoreOracleSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+       m AS (SELECT max(ms) AS max_ms FROM e),
+       p AS (SELECT user_id,
+               1024 >> least((max_ms - ms) // 604800000, 10) AS pts
+             FROM e, m)
+     SELECT user_id, CAST(sum(pts) AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_events
+     FROM p GROUP BY 1
+     ORDER BY score DESC, user_id LIMIT $DecayTopN"""
+
   /** q79: concurrent-sessions curve — per hour, the MAXIMUM number of
     * simultaneously open sessions (capacity planning's load curve).
     * Classic sweep-line: each session contributes +1 at its start and

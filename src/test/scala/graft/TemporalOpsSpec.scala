@@ -125,6 +125,50 @@ class TemporalOpsSpec extends SparkSpec {
       assert(r.getLong(3) == freshest - r.getLong(2)))
   }
 
+  test("markov rows floor-sum to at most 1e6 per prev state") {
+    val rows = Sessionize.markovQuery(spark, sf0001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, nexts) =>
+      val s = nexts.map(_.getLong(3)).sum
+      assert(s <= 1000000L && s > 1000000L - nexts.length,
+        s"$prev row mass $s out of floor tolerance")
+    }
+  }
+
+  test("audience overlap respects set bounds on all type pairs") {
+    val rows = Sessionize.audienceOverlapQuery(spark, sf0001).collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val (s1, s2, both, j) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(both <= math.min(s1, s2) && j >= 0 && j <= 1000000L)
+    }
+  }
+
+  test("decay score halves per whole week, planted") {
+    val base = 1700000000000L
+    val week = 604800000L
+    // user 1: events now and 2 weeks ago -> 1024 + 256; user 2: one
+    // event 12 weeks ago -> clamped at the 10-week floor -> 1
+    val ev = Seq((1L, base), (1L, base - 2 * week), (2L, base - 12 * week))
+      .zipWithIndex.map { case ((u, ms), i) =>
+        (i.toLong, ms * 1000000L, u, "click", 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("decay_fix")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sessionize.decayScoreQuery(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1280L, 2L -> 1L), s"got $out")
+  }
+
+  test("price dispersion is ordered and non-negative") {
+    val rows = OlapOps.priceDispersionQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val spreads = rows.map(_.getLong(4))
+    assert(spreads.zip(spreads.tail).forall { case (a, b) => a >= b })
+    assert(spreads.forall(_ >= 0L))
+    rows.foreach(r => assert(r.getLong(3) >= r.getLong(2)))
+  }
+
   test("min-max scaling stays in [0, 1e6]; funnel latency is ordered") {
     val scaled = OlapOps.minMaxScaleQuery(spark, sf0001).collect()
     assert(scaled.nonEmpty)
