@@ -152,6 +152,10 @@ object SparkEntry {
     "q127_audience"        -> (Extensions.q127AudienceOverlap _),
     "q128_dispersion"      -> (Extensions.q128PriceDispersion _),
     "q129_decay_score"     -> (Extensions.q129DecayScore _),
+    "q130_source_vocab"    -> (Extensions.q130SourceVocab _),
+    "q131_pareto"          -> (Extensions.q131Pareto _),
+    "q132_bounce_rate"     -> (Extensions.q132BounceRate _),
+    "q133_heatmap"         -> (Extensions.q133Heatmap _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -786,6 +790,14 @@ object SparkEntry {
       graft.operators.OlapOps.priceDispersionOracleSql,
     "q129_decay_score" ->
       graft.operators.Sessionize.decayScoreOracleSql,
+    "q130_source_vocab" ->
+      graft.operators.CorpusStats.sourceVocabOverlapOracleSql,
+    "q131_pareto" ->
+      graft.operators.OlapOps.paretoOracleSql,
+    "q132_bounce_rate" ->
+      graft.operators.Sessionize.bounceRateOracleSql,
+    "q133_heatmap" ->
+      graft.operators.OlapOps.heatmapOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

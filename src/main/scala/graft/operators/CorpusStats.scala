@@ -283,6 +283,64 @@ object CorpusStats {
       .orderBy(col("exact_cnt").desc, col("term").asc)
   }
 
+  /** q130: source similarity by vocabulary — pairwise Jaccard between
+    * the top-[[SourceVocabK]] vocabularies of every corpus source (do
+    * two crawls speak the same language, the duplication-risk triage
+    * BEFORE any expensive pairwise doc dedup across them). Per-source
+    * vocabularies are rank-capped windows over the (source, term)
+    * count table (stratum-bounded), the intersection is one term-keyed
+    * self-join of the capped vocabularies (≤ K² per term, K constant),
+    * and Jaccard is inclusion-exclusion arithmetic. */
+  val SourceVocabK = 100
+
+  def sourceVocabOverlapQuery(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCnt = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("term").asc)
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byCnt))
+      .filter(col("rk") <= SourceVocabK)
+      .select("source", "term")
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("source").as("s1"),
+        col("sz").as("sz1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"),
+        col("sz").as("sz2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_both"),
+        expr("n_both * 1000000 div (sz1 + sz2 - n_both)")
+          .as("jaccard_e6"))
+      .orderBy("s1", "s2")
+  }
+
+  /** DuckDB oracle for [[sourceVocabOverlapQuery]] (K=100). */
+  def sourceVocabOverlapOracleSql: String =
+    s"""WITH tk AS (SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         FROM documents),
+       c AS (SELECT source, term, count(*) AS cnt FROM tk GROUP BY 1, 2),
+       v AS (SELECT source, term FROM (
+               SELECT source, term, row_number() OVER (
+                 PARTITION BY source ORDER BY cnt DESC, term) AS rk
+               FROM c) WHERE rk <= $SourceVocabK),
+       sz AS (SELECT source, count(*) AS sz FROM v GROUP BY 1),
+       i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_both
+             FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+             GROUP BY 1, 2)
+     SELECT i.s1, i.s2, CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(i.n_both * 1000000 // (z1.sz + z2.sz - i.n_both) AS BIGINT)
+         AS jaccard_e6
+     FROM i JOIN sz z1 ON z1.source = i.s1
+       JOIN sz z2 ON z2.source = i.s2
+     ORDER BY s1, s2"""
+
   /** DuckDB oracle for [[cmsQuery]] (top 20). */
   def cmsOracleSql: String =
     s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)),

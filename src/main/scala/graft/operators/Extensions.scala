@@ -553,6 +553,22 @@ object Extensions {
   def q129DecayScore(s: SparkSession, d: String): DataFrame =
     Sessionize.decayScoreQuery(s, d)
 
+  /** q130: pairwise source similarity by capped vocabulary Jaccard. */
+  def q130SourceVocab(s: SparkSession, d: String): DataFrame =
+    CorpusStats.sourceVocabOverlapQuery(s, d)
+
+  /** q131: Pareto/ABC revenue classification (blocked running sum). */
+  def q131Pareto(s: SparkSession, d: String): DataFrame =
+    OlapOps.paretoQuery(s, d)
+
+  /** q132: daily session bounce rate. */
+  def q132BounceRate(s: SparkSession, d: String): DataFrame =
+    Sessionize.bounceRateQuery(s, d)
+
+  /** q133: weekday × hour heatmap over the complete zero-filled grid. */
+  def q133Heatmap(s: SparkSession, d: String): DataFrame =
+    OlapOps.heatmapQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

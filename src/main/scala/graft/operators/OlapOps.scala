@@ -1368,6 +1368,102 @@ object OlapOps {
      FROM g WHERE n_lines >= 2 AND min_cents > 0
      ORDER BY spread_e6 DESC, l_partkey LIMIT $DispersionTopN"""
 
+  /** q131: Pareto / ABC classification — parts bucketed A/B/C by
+    * cumulative revenue share (A carries the first 80%, B to 95%, C
+    * the tail): the inventory-policy classifier, and at corpus scale
+    * the "which sources carry the value" triage. The part-revenue
+    * table ranks DESC with the two-phase blocked rank; the cumulative
+    * share needs a running sum over that same ordering, which rides
+    * the identical block decomposition (in-block running sums + block
+    * offsets) — nothing fact-sized sorts in one partition. Class
+    * boundaries compare floor shares (×1e6), so the cut is exact. */
+  def paretoQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice").cast("decimal(38,10)"), 2) * 100)
+          .cast("long").as("c"))
+      .groupBy("l_partkey").agg(sum(col("c")).as("rev"))
+    // descending blocked decomposition: block by NEGATED revenue so
+    // the ascending block machinery yields a descending global order
+    val r = rev.withColumn("block", expr("(-rev) div 10000000"))
+    val blockW = Window.orderBy(col("block").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = r.groupBy("block").agg(sum(col("rev")).as("brev"))
+      .withColumn("cum_before",
+        coalesce(sum(col("brev")).over(blockW), lit(0L)))
+    val total = offsets.agg(sum(col("brev")).as("total"))
+    val inBlock = Window.partitionBy("block")
+      .orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.withColumn("cum_local", sum(col("rev")).over(inBlock))
+      .join(broadcast(offsets.select("block", "cum_before")), "block")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share_e6",
+        expr("(cum_before + cum_local) * 1000000 div total"))
+      .withColumn("clazz",
+        when(col("cum_share_e6") <= 800000L, "A")
+          .when(col("cum_share_e6") <= 950000L, "B").otherwise("C"))
+      .groupBy("clazz")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+      .orderBy("clazz")
+  }
+
+  /** DuckDB oracle for [[paretoQuery]] — one global running sum (fine
+    * at oracle scale), identical boundaries. */
+  def paretoOracleSql: String =
+    """WITH rev AS (SELECT l_partkey,
+           CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(38,10)),
+             2) * 100 AS BIGINT)) AS BIGINT) AS rev
+         FROM lineitem GROUP BY 1),
+       c AS (SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+               sum(rev) OVER () AS total FROM rev),
+       k AS (SELECT rev,
+               CASE WHEN cum * 1000000 // total <= 800000 THEN 'A'
+                    WHEN cum * 1000000 // total <= 950000 THEN 'B'
+                    ELSE 'C' END AS clazz
+             FROM c)
+     SELECT clazz, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_cents
+     FROM k GROUP BY 1 ORDER BY 1"""
+
+  /** q133: weekday × hour activity heatmap — event counts over the
+    * COMPLETE 7×24 grid, zero-filled (the ops-dashboard heatmap; the
+    * missing cells are the signal when a region goes quiet). The fact
+    * table collapses to at most 168 cells in one aggregation; the
+    * spine is a literal cross of two tiny sequences. ISO weekday
+    * numbering pinned explicitly — engines disagree on week start, so
+    * the query uses its own dow arithmetic from the epoch day. */
+  def heatmapQuery(spark: SparkSession, dir: String): DataFrame = {
+    // epoch day 0 = 1970-01-01 = Thursday; iso dow: Mon=1..Sun=7
+    val counts = Tables.events(spark, dir)
+      .select(
+        expr("(unix_millis(ts) div 86400000 + 3) % 7 + 1").as("iso_dow"),
+        hour(col("ts")).cast("long").as("h"))
+      .groupBy("iso_dow", "h").agg(count(lit(1)).as("n_events"))
+    val spine = spark.range(1, 8).toDF("iso_dow")
+      .crossJoin(spark.range(0, 24).toDF("h"))
+    spine.join(counts, Seq("iso_dow", "h"), "left")
+      .select(col("iso_dow"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("iso_dow", "h")
+  }
+
+  /** DuckDB oracle for [[heatmapQuery]]. */
+  def heatmapOracleSql: String =
+    """WITH c AS (SELECT
+           (epoch_ms(ts) // 86400000 + 3) % 7 + 1 AS iso_dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS h,
+           count(*) AS n FROM events GROUP BY 1, 2),
+       s AS (SELECT d.iso_dow, h.h
+             FROM (SELECT unnest(generate_series(1, 7)) AS iso_dow) d,
+                  (SELECT unnest(generate_series(0, 23)) AS h) h)
+     SELECT CAST(s.iso_dow AS BIGINT) AS iso_dow,
+       CAST(s.h AS BIGINT) AS h,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+     FROM s LEFT JOIN c ON c.iso_dow = s.iso_dow AND c.h = s.h
+     ORDER BY 1, 2"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

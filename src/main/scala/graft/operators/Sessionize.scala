@@ -458,6 +458,48 @@ object Sessionize {
      SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
      FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10"""
 
+  /** q132: daily bounce rate — the share of sessions that contain
+    * exactly one event, by the session's start day (the engagement
+    * health metric every product dashboard leads with). Rides the
+    * q46 sessionization (one user shuffle); the daily rollup is a
+    * second aggregation over the SESSION table (already
+    * session-sized, not event-sized), with the rate as an exact
+    * rational. */
+  def bounceRateQuery(spark: SparkSession, dir: String): DataFrame =
+    sessionQuery(spark, dir)
+      .select(
+        date_format(timestamp_millis(col("start_ms")), "yyyy-MM-dd")
+          .as("day"),
+        (col("n_events") === 1).cast("long").as("bounce"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("bounce")).as("n_bounces"))
+      .withColumn("bounce_rate_e6",
+        expr("n_bounces * 1000000 div n_sessions"))
+      .orderBy("day")
+
+  /** DuckDB oracle for [[bounceRateQuery]] (gap 30 min). */
+  def bounceRateOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t
+         FROM events),
+       m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id
+               ORDER BY t, event_id)),
+       s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+               ORDER BY t, event_id) AS session_seq FROM m),
+       g AS (SELECT user_id, session_seq, count(*) AS n_events,
+               min(t) AS start_ms
+             FROM s GROUP BY 1, 2),
+       d AS (SELECT strftime(epoch_ms(start_ms), '%Y-%m-%d') AS day,
+               CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce
+             FROM g)
+     SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(bounce) AS BIGINT) AS n_bounces,
+       CAST(sum(bounce) * 1000000 // count(*) AS BIGINT)
+         AS bounce_rate_e6
+     FROM d GROUP BY 1 ORDER BY 1"""
+
   /** q115: funnel time-to-convert — for users who complete the whole
     * signup→view→click→purchase funnel (q63's chained recurrence),
     * the end-to-end latency distribution: completer count plus

@@ -187,6 +187,52 @@ class CalibrationSpec extends SparkSpec {
     assert(mass == docs.count())
   }
 
+  test("pareto classes partition the parts and conserve revenue") {
+    val rows = OlapOps.paretoQuery(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("A", "B", "C"))
+      && rows.map(_.getString(0)).contains("A"))
+    val totalRev = graft.sources.Tables.lineitem(spark, sf0001)
+      .agg((round(sum(col("l_extendedprice").cast("decimal(38,10)")), 2)
+        * 100).cast("long")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalRev,
+      "class revenue must conserve the corpus total")
+    val nParts = graft.sources.Tables.lineitem(spark, sf0001)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nParts)
+  }
+
+  test("heatmap covers the full 7x24 grid and conserves event mass") {
+    val rows = OlapOps.heatmapQuery(spark, sf0001).collect()
+    assert(rows.length == 168)
+    val mass = rows.map(_.getLong(2)).sum
+    assert(mass == graft.sources.Tables.events(spark, sf0001).count())
+    // Jan 2024 starts on a Monday; dow 1 must carry events at sf0.001
+    assert(rows.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum > 0)
+  }
+
+  test("bounce rate is bounded and counts every session") {
+    import graft.operators.Sessionize
+    val rows = Sessionize.bounceRateQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    val sessions = Sessionize.sessionQuery(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == sessions)
+  }
+
+  test("source vocab overlap: jaccard bounded, pairs at most C(n,2)") {
+    import graft.operators.CorpusStats
+    val rows = CorpusStats.sourceVocabOverlapQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.length <= n * (n - 1) / 2)
+    rows.foreach(r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+  }
+
   test("ivm partial-merge equals the direct full recompute") {
     val merged = OlapOps.ivmQuery(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
