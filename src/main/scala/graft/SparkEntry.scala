@@ -156,6 +156,9 @@ object SparkEntry {
     "q131_pareto"          -> (Extensions.q131Pareto _),
     "q132_bounce_rate"     -> (Extensions.q132BounceRate _),
     "q133_heatmap"         -> (Extensions.q133Heatmap _),
+    "q134_column_profile"  -> (Extensions.q134ColumnProfile _),
+    "q135_ttr"             -> (Extensions.q135Ttr _),
+    "q136_basket_lift"     -> (Extensions.q136BasketLift _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -798,6 +801,12 @@ object SparkEntry {
       graft.operators.Sessionize.bounceRateOracleSql,
     "q133_heatmap" ->
       graft.operators.OlapOps.heatmapOracleSql,
+    "q134_column_profile" ->
+      graft.quality.DataQuality.columnProfileOracleSql,
+    "q135_ttr" ->
+      graft.operators.CorpusStats.typeTokenRatioOracleSql,
+    "q136_basket_lift" ->
+      graft.operators.OlapOps.basketLiftOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

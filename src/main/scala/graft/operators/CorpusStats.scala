@@ -341,6 +341,36 @@ object CorpusStats {
        JOIN sz z2 ON z2.source = i.s2
      ORDER BY s1, s2"""
 
+  /** q135: type-token ratio per source — distinct terms over total
+    * terms (×1e6), the lexical-diversity signal that separates
+    * natural text (high TTR) from boilerplate and template spam (low
+    * TTR); alongside the repetition signals (q48) it is the cheap
+    * first-pass quality gate. One (source, term) aggregation for the
+    * types, one source aggregation for the tokens, a broadcast join
+    * of two source-sized tables. */
+  def typeTokenRatioQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val types = tk.select("source", "term").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_types"))
+    val toks = tk.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    toks.join(broadcast(types), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_e6"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[typeTokenRatioQuery]]. */
+  def typeTokenRatioOracleSql: String =
+    """WITH tk AS (SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+         FROM documents)
+     SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT term) * 1000000 // count(*) AS BIGINT)
+         AS ttr_e6
+     FROM tk GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for [[cmsQuery]] (top 20). */
   def cmsOracleSql: String =
     s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)),

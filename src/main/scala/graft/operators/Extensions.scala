@@ -569,6 +569,18 @@ object Extensions {
   def q133Heatmap(s: SparkSession, d: String): DataFrame =
     OlapOps.heatmapQuery(s, d)
 
+  /** q134: single-pass column-profile report (null/distinct per col). */
+  def q134ColumnProfile(s: SparkSession, d: String): DataFrame =
+    graft.quality.DataQuality.columnProfileQuery(s, d)
+
+  /** q135: lexical type-token ratio per source. */
+  def q135Ttr(s: SparkSession, d: String): DataFrame =
+    CorpusStats.typeTokenRatioQuery(s, d)
+
+  /** q136: basket association lift (independence-normalized q120). */
+  def q136BasketLift(s: SparkSession, d: String): DataFrame =
+    OlapOps.basketLiftQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

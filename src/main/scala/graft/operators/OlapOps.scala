@@ -1290,6 +1290,70 @@ object OlapOps {
       .limit(topN)
   }
 
+  /** q136: basket lift — the q120 pair supports normalized into
+    * association lift: support(p1,p2)·N·1e6 div (s(p1)·s(p2)), lift
+    * > 1e6 meaning the pair co-occurs more than independence
+    * predicts (the actual recommendation signal; raw support just
+    * finds popular items). Item supports ride the same capped-basket
+    * table; the lift arithmetic joins two broadcast item-support
+    * copies onto the pair table. Decimal intermediates: support·N·1e6
+    * outgrows a long at warehouse scale. Registered as the top
+    * [[DispersionTopN]] by lift among pairs with support ≥ 3 (rare
+    * pairs produce degenerate lifts). */
+  def basketLiftQuery(spark: SparkSession, dir: String,
+      topN: Int = 20): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sized = items.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= BasketCap)
+      .select("l_orderkey")
+    // four plan branches (basket count, item supports, both pair
+    // sides) read the capped-basket table — checkpoint it once
+    // instead of re-running the distinct + cap subtree per branch
+    val kept = items.join(sized, Seq("l_orderkey")).localCheckpoint()
+    val nBaskets = kept.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val support = kept.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
+    pairs
+      .join(broadcast(support.select(col("l_partkey").as("p1"),
+        col("s").as("s1"))), Seq("p1"))
+      .join(broadcast(support.select(col("l_partkey").as("p2"),
+        col("s").as("s2"))), Seq("p2"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("p1"), col("p2"), col("support"),
+        expr("""CAST(support AS DECIMAL(38,0)) * n_baskets * 1000000
+                div (s1 * s2)""").cast("long").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("p1").asc, col("p2").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[basketLiftQuery]] (support ≥ 3, top 20). */
+  def basketLiftOracleSql: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       keep AS (SELECT l_orderkey FROM it GROUP BY 1
+                HAVING count(*) <= $BasketCap),
+       k AS (SELECT it.* FROM it JOIN keep USING (l_orderkey)),
+       nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM k),
+       sup AS (SELECT l_partkey, count(*) AS s FROM k GROUP BY 1),
+       p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               count(*) AS support
+             FROM k a JOIN k b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 3)
+     SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+       CAST(p.support * nb.n_baskets * 1000000 // (s1.s * s2.s)
+         AS BIGINT) AS lift_e6
+     FROM p JOIN sup s1 ON s1.l_partkey = p.p1
+       JOIN sup s2 ON s2.l_partkey = p.p2
+       CROSS JOIN nb
+     ORDER BY lift_e6 DESC, p1, p2 LIMIT 20"""
+
   /** DuckDB oracle for [[basketPairsQuery]] (top 20). */
   def basketPairsOracleSql: String =
     s"""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

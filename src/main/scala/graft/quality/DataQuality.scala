@@ -180,6 +180,63 @@ object DataQuality {
        CAST(max(latest_ms) OVER () - latest_ms AS BIGINT) AS staleness_ms
      FROM l ORDER BY event_type"""
 
+  /** q134: column-profile report — per events column: row count,
+    * null count, and exact distinct count (the dataset datasheet
+    * every profiling tool prints). All profiles compute in ONE
+    * aggregation pass over the table (count/count(col)/
+    * count_distinct per column side by side, each map-side partial),
+    * and the single wide row melts to one row per column — the
+    * unpivot shape from q88 applied to metadata. Engine note: value
+    * is profiled through an is-finite normalization (NaN sorts/
+    * groups engine-specifically) and ts through epoch-ms. */
+  def columnProfileQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("value_f",
+        when(isnan(col("value")) ||
+          col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("value")))
+    val cols = Seq("event_id", "ts_ms", "user_id", "event_type",
+      "value_f", "props")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))
+    }
+    val wide = ev.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"))
+      }: _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_null"),
+        col("p.n_distinct"))
+      .orderBy("column")
+  }
+
+  /** DuckDB oracle for [[columnProfileQuery]]. */
+  def columnProfileOracleSql: String = {
+    val cols = Seq("event_id", "ts_ms", "user_id", "event_type",
+      "value_f", "props")
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+            count(*) - count($c) AS n_null,
+            count(DISTINCT $c) AS n_distinct FROM ev"""
+    }
+    s"""WITH ev AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
+           event_type,
+           CASE WHEN isnan(value) OR NOT isfinite(value) THEN NULL
+                ELSE value END AS value_f,
+           props FROM events)
+       SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(n_null AS BIGINT) AS n_null,
+         CAST(n_distinct AS BIGINT) AS n_distinct
+       FROM (${branches.mkString(" UNION ALL ")})
+       ORDER BY "column""""
+  }
+
   /** DuckDB oracle for [[riSummaryQuery]]. */
   def riSummaryOracleSql: String = {
     val branch = (name: String, child: String, ck: String,

@@ -169,6 +169,40 @@ class TemporalOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) >= r.getLong(2)))
   }
 
+  test("column profile: unique key, non-finite values surface as nulls") {
+    val rows = graft.quality.DataQuality.columnProfileQuery(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, idNull, idDistinct) = rows("event_id")
+    assert(idNull == 0L && idDistinct == n, "event_id must be a clean PK")
+    val nonFinite = graft.sources.Tables.events(spark, sf0001)
+      .filter(isnan(col("value")) ||
+        col("value") === Double.PositiveInfinity ||
+        col("value") === Double.NegativeInfinity).count()
+    assert(rows("value_f")._2 == nonFinite,
+      "the profile's null count must equal the non-finite count")
+    rows.values.foreach { case (rn, nn, nd) =>
+      assert(nn <= rn && nd <= rn) }
+  }
+
+  test("type-token ratio is a bounded lexical-diversity rational") {
+    import graft.operators.CorpusStats
+    val rows = CorpusStats.typeTokenRatioQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("basket lift only reports supported pairs, positive lifts") {
+    val rows = OlapOps.basketLiftQuery(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 3L && r.getLong(3) > 0L) }
+    val lifts = rows.map(_.getLong(3))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("min-max scaling stays in [0, 1e6]; funnel latency is ordered") {
     val scaled = OlapOps.minMaxScaleQuery(spark, sf0001).collect()
     assert(scaled.nonEmpty)
