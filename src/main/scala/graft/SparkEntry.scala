@@ -159,6 +159,10 @@ object SparkEntry {
     "q134_column_profile"  -> (Extensions.q134ColumnProfile _),
     "q135_ttr"             -> (Extensions.q135Ttr _),
     "q136_basket_lift"     -> (Extensions.q136BasketLift _),
+    "q137_autocorr"        -> (Extensions.q137Autocorr _),
+    "q138_assertions"      -> (Extensions.q138Assertions _),
+    "q139_rfm"             -> (Extensions.q139Rfm _),
+    "q140_hhi"             -> (Extensions.q140Hhi _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -807,6 +811,14 @@ object SparkEntry {
       graft.operators.CorpusStats.typeTokenRatioOracleSql,
     "q136_basket_lift" ->
       graft.operators.OlapOps.basketLiftOracleSql,
+    "q137_autocorr" ->
+      graft.operators.OlapOps.autocorrOracleSql,
+    "q138_assertions" ->
+      graft.quality.DataQuality.assertionSuiteOracleSql,
+    "q139_rfm" ->
+      graft.operators.OlapOps.rfmOracleSql,
+    "q140_hhi" ->
+      graft.operators.OlapOps.hhiOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

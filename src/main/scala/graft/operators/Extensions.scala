@@ -581,6 +581,22 @@ object Extensions {
   def q136BasketLift(s: SparkSession, d: String): DataFrame =
     OlapOps.basketLiftQuery(s, d)
 
+  /** q137: lag-1 autocorrelation components of daily counts. */
+  def q137Autocorr(s: SparkSession, d: String): DataFrame =
+    OlapOps.autocorrQuery(s, d)
+
+  /** q138: cross-field rule-assertion suite in one scan. */
+  def q138Assertions(s: SparkSession, d: String): DataFrame =
+    graft.quality.DataQuality.assertionSuiteQuery(s, d)
+
+  /** q139: RFM segmentation via three distributed tercile ranks. */
+  def q139Rfm(s: SparkSession, d: String): DataFrame =
+    OlapOps.rfmQuery(s, d)
+
+  /** q140: supplier-concentration HHI per part. */
+  def q140Hhi(s: SparkSession, d: String): DataFrame =
+    OlapOps.hhiQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

@@ -1528,6 +1528,157 @@ object OlapOps {
      FROM s LEFT JOIN c ON c.iso_dow = s.iso_dow AND c.h = s.h
      ORDER BY 1, 2"""
 
+  /** q137: lag-1 autocorrelation components of the daily count series
+    * per event type — the exact integer sums (n, Σy_t, Σy_{t−1},
+    * Σy_t·y_{t−1}, Σy_t², Σy_{t−1}²) over consecutive-day pairs, from
+    * which r₁ is driver-side arithmetic: the "is today like
+    * yesterday" seasonality probe that complements the q110 trend.
+    * The series collapses to |types|×|days| rows first; the lag pairs
+    * come from a self-join on day+1 within each type (equi-keyed, no
+    * window needed), and only CONSECUTIVE days pair — gaps simply
+    * contribute no pair, which the oracle reproduces exactly. */
+  def autocorrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("day"), col("y").as("yt"))
+    val b = daily.select(col("event_type"),
+      date_add(col("day"), 1).as("day"), col("y").as("yp"))
+    a.join(b, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("yt")).as("sum_t"), sum(col("yp")).as("sum_p"),
+        sum(col("yt") * col("yp")).as("sum_tp"),
+        sum(col("yt") * col("yt")).as("sum_tt"),
+        sum(col("yp") * col("yp")).as("sum_pp"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[autocorrQuery]]. */
+  def autocorrOracleSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS y FROM events GROUP BY 1, 2),
+       j AS (SELECT a.event_type, a.y AS yt, b.y AS yp
+             FROM d a JOIN d b ON b.event_type = a.event_type
+               AND b.day + 1 = a.day)
+     SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(yt) AS BIGINT) AS sum_t,
+       CAST(sum(yp) AS BIGINT) AS sum_p,
+       CAST(sum(yt * yp) AS BIGINT) AS sum_tp,
+       CAST(sum(yt * yt) AS BIGINT) AS sum_tt,
+       CAST(sum(yp * yp) AS BIGINT) AS sum_pp
+     FROM j GROUP BY 1 ORDER BY 1"""
+
+  /** q139: RFM segmentation — every customer scored 1-3 on Recency
+    * (days since last order), Frequency (order count), and Monetary
+    * (total spend), then the population of each of the 27 RFM cells:
+    * the classic CRM segmentation, built from three DISTRIBUTED
+    * tercile ranks over the customer-profile table ([[globalRankAsc]]
+    * per dimension — the fact table collapsed to one row per customer
+    * first, so the ranks never see order cardinality). Recency ranks
+    * DESC (most recent = 3) by negating the age; ties everywhere
+    * break on the customer key, making every cell assignment
+    * deterministic. */
+  def rfmQuery(spark: SparkSession, dir: String): DataFrame = {
+    val maxDay = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("max_day"))
+    val profile = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        decSumCents(col("o_totalprice")).as("spend"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("age_days",
+        datediff(col("max_day"), col("last_day")).cast("long"))
+      .localCheckpoint() // three rank branches read this profile
+    val tr = globalRankAsc(profile.select(col("id"),
+        (-col("age_days")).as("cents")), 1000000L)
+      .select(col("id"), (expr("(rn - 1) * 3 div n_total").cast("int") + 1)
+        .as("r_score"))
+    val tf = globalRankAsc(profile.select(col("id"),
+        col("freq").as("cents")), 1000000L)
+      .select(col("id"), (expr("(rn - 1) * 3 div n_total").cast("int") + 1)
+        .as("f_score"))
+    val tm = globalRankAsc(profile.select(col("id"),
+        col("spend").as("cents")), 1000000L)
+      .select(col("id"), (expr("(rn - 1) * 3 div n_total").cast("int") + 1)
+        .as("m_score"))
+    tr.join(tf, Seq("id")).join(tm, Seq("id"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** DuckDB oracle for [[rfmQuery]] — single global windows per
+    * dimension, identical tercile arithmetic. */
+  def rfmOracleSql: String =
+    """WITH p AS (SELECT o_custkey AS id,
+           max(CAST(o_orderdate AS DATE)) AS last_day,
+           count(*) AS freq,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+             AS BIGINT) AS spend
+         FROM orders GROUP BY 1),
+       m AS (SELECT max(last_day) AS max_day FROM p),
+       x AS (SELECT id, freq, spend,
+               -CAST(m.max_day - p.last_day AS BIGINT) AS neg_age
+             FROM p, m),
+       tr AS (SELECT id, CAST((row_number() OVER (ORDER BY neg_age, id)
+                - 1) * 3 // count(*) OVER () AS INT) + 1 AS r_score
+              FROM x),
+       tf AS (SELECT id, CAST((row_number() OVER (ORDER BY freq, id)
+                - 1) * 3 // count(*) OVER () AS INT) + 1 AS f_score
+              FROM x),
+       tm AS (SELECT id, CAST((row_number() OVER (ORDER BY spend, id)
+                - 1) * 3 // count(*) OVER () AS INT) + 1 AS m_score
+              FROM x)
+     SELECT tr.r_score, tf.f_score, tm.m_score,
+       CAST(count(*) AS BIGINT) AS n_customers
+     FROM tr JOIN tf USING (id) JOIN tm USING (id)
+     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** q140: supplier-concentration HHI — per part, the Herfindahl
+    * index of its supply-quantity shares across suppliers (×1e12 via
+    * squared 1e6-shares): the market-concentration screen — HHI near
+    * 1e12 means a single-supplier part (supply-chain risk), near
+    * 1e12/n means evenly split. One (part, supplier) aggregation,
+    * share arithmetic inside the part group via a window sum, squared
+    * shares summed per part, TakeOrdered for the most concentrated
+    * multi-supplier parts. Floor-share quantization is deterministic
+    * and identical cross-engine. */
+  def hhiQuery(spark: SparkSession, dir: String,
+      topN: Int = 20): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity").cast("decimal(38,10)"), 0).cast("long")
+          .as("q"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum(col("q")).as("sq"))
+    val byPart = Window.partitionBy("l_partkey")
+    qty
+      .withColumn("total", sum(col("sq")).over(byPart))
+      .withColumn("share_e6", expr("sq * 1000000 div total"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_e6") * col("share_e6")).as("hhi_e12"))
+      .filter(col("n_suppliers") >= 2)
+      .orderBy(col("hhi_e12").desc, col("l_partkey").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[hhiQuery]] (top 20, multi-supplier parts). */
+  def hhiOracleSql: String =
+    """WITH q AS (SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(round(CAST(l_quantity AS DECIMAL(38,10)), 0)
+             AS BIGINT)) AS BIGINT) AS sq
+         FROM lineitem GROUP BY 1, 2),
+       s AS (SELECT l_partkey,
+               sq * 1000000 // sum(sq) OVER (PARTITION BY l_partkey)
+                 AS share_e6
+             FROM q)
+     SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(share_e6 * share_e6) AS BIGINT) AS hhi_e12
+     FROM s GROUP BY 1 HAVING count(*) >= 2
+     ORDER BY hhi_e12 DESC, l_partkey LIMIT 20"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

@@ -237,6 +237,55 @@ object DataQuality {
        ORDER BY "column""""
   }
 
+  /** q138: rule-assertion suite as ONE query — a battery of cross-
+    * field business rules over the event stream, each counted in a
+    * single shared scan (sum-of-cases side by side, map-side
+    * combined) and melted to one row per rule: the dbt-style test
+    * suite executed as one pass instead of one query per rule, which
+    * is the difference between auditable and affordable at 100 TB.
+    * Rule conditions are spelled with explicit NaN/finite guards so
+    * both engines agree on non-finite values. */
+  val AssertionRules: Seq[(String, String)] = Seq(
+    ("purchase_value_positive",
+      """event_type = 'purchase' AND (value IS NULL OR isnan(value)
+         OR value <= 0.0 OR value > 1e12)"""),
+    ("known_event_type",
+      """event_type NOT IN ('click','view','purchase','signup','error')"""),
+    ("ts_in_2024",
+      """ts_ms < 1704067200000 OR ts_ms >= 1735689600000"""),
+    ("user_id_nonnegative", """user_id < 0"""),
+    ("props_is_object", """props IS NULL OR NOT props LIKE '{%'"""))
+
+  def assertionSuiteQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val aggs = AssertionRules.map { case (name, cond) =>
+      sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END")).as(s"v_$name")
+    }
+    val wide = ev.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select(explode(array(AssertionRules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col("n_rows"),
+          col(s"v_$name").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"))
+      .orderBy("rule")
+  }
+
+  /** DuckDB oracle for [[assertionSuiteQuery]] — same rule SQL. */
+  def assertionSuiteOracleSql: String = {
+    val branches = AssertionRules.map { case (name, cond) =>
+      s"""SELECT '$name' AS rule, count(*) AS n_rows,
+            CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violations FROM ev"""
+    }
+    s"""WITH ev AS (SELECT event_type, value, user_id, props,
+           epoch_ms(ts) AS ts_ms FROM events)
+       SELECT rule, CAST(n_rows AS BIGINT) AS n_rows, n_violations
+       FROM (${branches.mkString(" UNION ALL ")})
+       ORDER BY rule"""
+  }
+
   /** DuckDB oracle for [[riSummaryQuery]]. */
   def riSummaryOracleSql: String = {
     val branch = (name: String, child: String, ck: String,

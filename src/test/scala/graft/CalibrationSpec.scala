@@ -233,6 +233,48 @@ class CalibrationSpec extends SparkSpec {
       assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
   }
 
+  test("autocorrelation sums obey Cauchy-Schwarz per type") {
+    val rows = OlapOps.autocorrQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tp, tt, pp) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(tp * tp <= tt * pp)
+    }
+  }
+
+  test("assertion suite shares one scan and the clean rules hold") {
+    val rows = graft.quality.DataQuality
+      .assertionSuiteQuery(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == graft.quality.DataQuality.AssertionRules.size)
+    val n = rows.values.head._1
+    rows.values.foreach { case (rn, v) =>
+      assert(rn == n && v >= 0 && v <= n) }
+    assert(rows("known_event_type")._2 == 0L)
+    assert(rows("ts_in_2024")._2 == 0L)
+    assert(rows("user_id_nonnegative")._2 == 0L)
+  }
+
+  test("RFM cells cover every customer with scores in 1..3") {
+    val rows = OlapOps.rfmQuery(spark, sf0001).collect()
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(s =>
+        assert(s >= 1 && s <= 3))
+    }
+    val customers = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == customers)
+  }
+
+  test("HHI is bounded by 1e12 and restricted to multi-supplier parts") {
+    val rows = OlapOps.hhiQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L)
+      assert(r.getLong(2) > 0L && r.getLong(2) <= 1000000000000L)
+    }
+  }
+
   test("ivm partial-merge equals the direct full recompute") {
     val merged = OlapOps.ivmQuery(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
