@@ -163,6 +163,8 @@ object SparkEntry {
     "q138_assertions"      -> (Extensions.q138Assertions _),
     "q139_rfm"             -> (Extensions.q139Rfm _),
     "q140_hhi"             -> (Extensions.q140Hhi _),
+    "q141_seasonal"        -> (Extensions.q141Seasonal _),
+    "q142_new_returning"   -> (Extensions.q142NewReturning _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -819,6 +821,10 @@ object SparkEntry {
       graft.operators.OlapOps.rfmOracleSql,
     "q140_hhi" ->
       graft.operators.OlapOps.hhiOracleSql,
+    "q141_seasonal" ->
+      graft.operators.OlapOps.seasonalResidualOracleSql,
+    "q142_new_returning" ->
+      graft.operators.OlapOps.newVsReturningOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -597,6 +597,14 @@ object Extensions {
   def q140Hhi(s: SparkSession, d: String): DataFrame =
     OlapOps.hhiQuery(s, d)
 
+  /** q141: weekday-baseline seasonal residuals (top absolute). */
+  def q141Seasonal(s: SparkSession, d: String): DataFrame =
+    OlapOps.seasonalResidualQuery(s, d)
+
+  /** q142: daily new-vs-returning user split. */
+  def q142NewReturning(s: SparkSession, d: String): DataFrame =
+    OlapOps.newVsReturningQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

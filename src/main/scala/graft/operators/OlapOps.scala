@@ -1679,6 +1679,84 @@ object OlapOps {
      FROM s GROUP BY 1 HAVING count(*) >= 2
      ORDER BY hhi_e12 DESC, l_partkey LIMIT 20"""
 
+  /** q141: seasonal-baseline residuals — each (type, day)'s count
+    * compared against its weekday norm, as the exact rational
+    * residual_num = y·n_dow − dow_sum (positive ⇒ above the weekday
+    * average, scaled by the dow group size so no division happens):
+    * the anomaly signal that survives weekly seasonality, where a raw
+    * day-over-day diff pages on every Monday. Daily counts collapse
+    * first; the weekday norms are a second aggregation of the daily
+    * table (both metadata-scale), broadcast back. The registered
+    * output keeps the top [[SeasonalTopN]] absolute residuals. */
+  val SeasonalTopN = 20
+
+  def seasonalResidualQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        expr("(unix_millis(ts) div 86400000 + 3) % 7 + 1").as("iso_dow"))
+      .groupBy("event_type", "day", "iso_dow")
+      .agg(count(lit(1)).as("y"))
+    val norms = daily.groupBy("event_type", "iso_dow")
+      .agg(count(lit(1)).as("n_dow"), sum(col("y")).as("dow_sum"))
+    daily.join(broadcast(norms), Seq("event_type", "iso_dow"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("iso_dow"), col("y"),
+        (col("y") * col("n_dow") - col("dow_sum")).as("residual_num"),
+        col("n_dow"))
+      .orderBy(abs(col("residual_num")).desc, col("event_type").asc,
+        col("day").asc)
+      .limit(SeasonalTopN)
+  }
+
+  /** DuckDB oracle for [[seasonalResidualQuery]] (top 20). */
+  def seasonalResidualOracleSql: String =
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           (epoch_ms(ts) // 86400000 + 3) % 7 + 1 AS iso_dow,
+           count(*) AS y
+         FROM events GROUP BY 1, 2, 3),
+       n AS (SELECT event_type, iso_dow, count(*) AS n_dow,
+               sum(y) AS dow_sum FROM d GROUP BY 1, 2)
+     SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.iso_dow AS BIGINT) AS iso_dow, CAST(d.y AS BIGINT) AS y,
+       CAST(d.y * n.n_dow - n.dow_sum AS BIGINT) AS residual_num,
+       CAST(n.n_dow AS BIGINT) AS n_dow
+     FROM d JOIN n ON n.event_type = d.event_type
+       AND n.iso_dow = d.iso_dow
+     ORDER BY abs(d.y * n.n_dow - n.dow_sum) DESC, d.event_type, d.day
+     LIMIT $SeasonalTopN"""
+
+  /** q142: new vs returning users per day — each day's active users
+    * split by whether it is their FIRST active day (the growth-
+    * accounting decomposition: activity = acquisition + retention).
+    * First-touch days come from one user-keyed min; the daily split
+    * is a second aggregation of the distinct (user, day) pairs
+    * joined to the broadcast first-touch table. */
+  def newVsReturningQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = pairs.groupBy("user_id").agg(min(col("day")).as("d0"))
+    pairs.join(first, Seq("user_id"))
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(when(col("day") === col("d0"), 1)).as("n_new"),
+        count(when(col("day") =!= col("d0"), 1)).as("n_returning"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[newVsReturningQuery]]. */
+  def newVsReturningOracleSql: String =
+    """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         FROM events),
+       f AS (SELECT user_id, min(day) AS d0 FROM p GROUP BY 1)
+     SELECT strftime(p.day, '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (WHERE p.day = f.d0) AS BIGINT) AS n_new,
+       CAST(count(*) FILTER (WHERE p.day != f.d0) AS BIGINT)
+         AS n_returning
+     FROM p JOIN f USING (user_id)
+     GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for [[comomentsQuery]]. */
   def comomentsOracleSql: String =
     """WITH f AS (SELECT l_returnflag,

@@ -275,6 +275,29 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("seasonal residuals are ordered by magnitude; norms consistent") {
+    val rows = OlapOps.seasonalResidualQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val mags = rows.map(r => math.abs(r.getLong(4)))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(5) >= 1L))
+  }
+
+  test("new vs returning decomposes daily actives; day one is all new") {
+    val rows = OlapOps.newVsReturningQuery(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(2) == 0L,
+      "the first observed day can have no returning users")
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val userDays = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(total == userDays)
+    val newSum = rows.map(_.getLong(1)).sum
+    val users = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(newSum == users, "each user is new exactly once")
+  }
+
   test("ivm partial-merge equals the direct full recompute") {
     val merged = OlapOps.ivmQuery(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
