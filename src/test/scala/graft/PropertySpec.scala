@@ -335,6 +335,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("iso weekday arithmetic matches java.time for random dates") {
+    // the q133/q141 dow rule: (epochDay + 3) % 7 + 1 == ISO dow
+    val days = Gen.choose(0L, 40000L) // 1970..2079
+    forAll(days, trials = 30) { epochDay =>
+      val expected = java.time.LocalDate.ofEpochDay(epochDay)
+        .getDayOfWeek.getValue // ISO: Mon=1..Sun=7
+      val got = ((epochDay + 3) % 7 + 1).toInt
+      assert(got == expected, s"epochDay=$epochDay")
+    }
+  }
+
+  test("weighted median matches a scan reference on random masses") {
+    import graft.operators.Curation
+    val genDocs = Gen.nonEmptyListOf(for {
+      chars <- Gen.choose(1L, 5000L)
+      toks <- Gen.choose(1, 12)
+    } yield (chars, toks))
+    forAll(genDocs, trials = 8) { docs =>
+      val df = docs.zipWithIndex.map { case ((chars, toks), i) =>
+        (i.toLong, Seq.fill(toks)("w").mkString(" "), "L", chars)
+      }.toDF("doc_id", "text", "lang", "n_chars")
+      val dir = java.nio.file.Files
+        .createTempDirectory("wmed_prop").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.OlapOps
+        .weightedMedianQuery(spark, dir).collect().head.getLong(2)
+      // reference: smallest v whose cumulative weight doubles >= total
+      val sorted = docs.zipWithIndex
+        .map { case ((c, t), i) => (c, i.toLong, t.toLong) }
+        .sortBy { case (c, i, _) => (c, i) }
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val expected = sorted.find { case (_, _, w) =>
+        cum += w; 2 * cum >= total }.get._1
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
   test("rollingActive matches per-day brute force on random activity") {
     import graft.operators.Sessionize
     val genAct = Gen.nonEmptyListOf(for {
