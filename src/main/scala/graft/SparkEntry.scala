@@ -165,6 +165,8 @@ object SparkEntry {
     "q140_hhi"             -> (Extensions.q140Hhi _),
     "q141_seasonal"        -> (Extensions.q141Seasonal _),
     "q142_new_returning"   -> (Extensions.q142NewReturning _),
+    "q143_packing_waste"   -> (Extensions.q143PackingWaste _),
+    "q144_dedup_savings"   -> (Extensions.q144DedupSavings _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -825,6 +827,10 @@ object SparkEntry {
       graft.operators.OlapOps.seasonalResidualOracleSql,
     "q142_new_returning" ->
       graft.operators.OlapOps.newVsReturningOracleSql,
+    "q143_packing_waste" ->
+      graft.operators.TextAnalysis.packingWasteOracleSql,
+    "q144_dedup_savings" ->
+      graft.operators.Dedup.dedupSavingsOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

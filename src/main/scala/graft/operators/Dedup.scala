@@ -34,6 +34,45 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_unique"))
       .orderBy("source")
 
+  /** q144: dedup savings projection — what exact (within-source)
+    * dedup would save, in documents and characters, per source:
+    * total mass vs the mass of one representative per identical
+    * md5(text), with the savings share as an exact rational. Rows
+    * sharing an md5 share the text, so the kept mass is
+    * sum-of-min-per-group — one aggregation at (source, fingerprint)
+    * grain, one rollup, no window and no join: the estimate that
+    * justifies (or kills) running the actual dedup at 100 TB. */
+  def dedupSavingsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perFp = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("fp"),
+        col("n_chars"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("kept_chars"))
+    perFp.groupBy("source")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("kept_chars")).as("kept_chars"))
+      .withColumn("savings_e6",
+        expr("(total_chars - kept_chars) * 1000000 div total_chars"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[dedupSavingsQuery]]. */
+  def dedupSavingsOracleSql: String =
+    """WITH g AS (SELECT source, md5(text) AS fp, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(n_chars) AS kept_chars
+         FROM documents GROUP BY 1, 2)
+     SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+       CAST((sum(chars) - sum(kept_chars)) * 1000000 // sum(chars)
+         AS BIGINT) AS savings_e6
+     FROM g GROUP BY 1 ORDER BY 1"""
+
   /** Keep one representative doc per identical md5(text) — the actual
     * dedup transform (first by doc_id for determinism). */
   def exactDedup(docs: DataFrame): DataFrame = {

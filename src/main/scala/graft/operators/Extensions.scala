@@ -605,6 +605,14 @@ object Extensions {
   def q142NewReturning(s: SparkSession, d: String): DataFrame =
     OlapOps.newVsReturningQuery(s, d)
 
+  /** q143: chunking padding-waste audit (closed-form fill). */
+  def q143PackingWaste(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packingWasteQuery(s, d)
+
+  /** q144: within-source exact-dedup savings projection. */
+  def q144DedupSavings(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupSavingsQuery(s, d)
+
   /** q45: dup-cluster connected components — q23's near-dup pairs
     * collapsed into transitive-closure clusters (min-label propagation
     * + pointer jumping), every doc labeled with cluster id, size, and

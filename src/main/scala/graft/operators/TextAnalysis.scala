@@ -408,6 +408,52 @@ object TextAnalysis {
      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""
 
+  /** q143: packing-efficiency audit — how much context-window capacity
+    * the q40 chunking scheme (size 32, stride 24) wastes as padding,
+    * per source. The chunk count and fill have CLOSED FORMS (only the
+    * last window is short: fill = n + 8·(m−1), capacity = 32·m), so
+    * the audit is pure per-doc arithmetic + one aggregation — no
+    * explode, no second pass over the chunks themselves. The number a
+    * training-infra team actually watches: padding share is the GPU
+    * time burned on pad tokens. Integer ceil via (x + d−1) div d. */
+  def packingWasteQuery(spark: SparkSession, dir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("m", when(col("n") <= chunkSize, lit(1L))
+        .otherwise(expr(s"(n - $chunkSize + ${stride - 1}) div $stride")
+          + 1L))
+      .withColumn("fill", col("n") + (col("m") - 1) * (chunkSize - stride))
+      .withColumn("cap", col("m") * chunkSize)
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("n_chunks"),
+        sum(col("cap")).as("capacity_tokens"),
+        sum(col("fill")).as("fill_tokens"))
+      .withColumn("padding_share_e6",
+        expr("(capacity_tokens - fill_tokens) * 1000000 div capacity_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[packingWasteQuery]] (32/24). */
+  def packingWasteOracleSql: String =
+    """WITH d AS (SELECT source,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+             AS BIGINT) AS n
+         FROM documents),
+       f AS (SELECT source, n,
+               CASE WHEN n <= 32 THEN 1
+                    ELSE (n - 32 + 23) // 24 + 1 END AS m FROM d),
+       g AS (SELECT source, n, m, n + (m - 1) * 8 AS fill,
+               m * 32 AS cap FROM f)
+     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(m) AS BIGINT) AS n_chunks,
+       CAST(sum(cap) AS BIGINT) AS capacity_tokens,
+       CAST(sum(fill) AS BIGINT) AS fill_tokens,
+       CAST((sum(cap) - sum(fill)) * 1000000 // sum(cap) AS BIGINT)
+         AS padding_share_e6
+     FROM g GROUP BY 1 ORDER BY 1"""
+
   /** q98: deterministic negative sampling — for each of the top
     * skip-gram (center, context) training pairs, `negK` negative
     * context words drawn from the q68 vocabulary by PORTABLE HASH, not

@@ -203,6 +203,30 @@ class TemporalOpsSpec extends SparkSpec {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("packing-waste closed form matches the materialized q40 chunks") {
+    import graft.operators.TextAnalysis
+    val audited = TextAnalysis.packingWasteQuery(spark, sf0001)
+      .agg(sum("n_chunks"), sum("fill_tokens")).collect().head
+    val chunks = TextAnalysis.chunkQuery(spark, sf0001)
+    assert(audited.getLong(0) == chunks.count(),
+      "closed-form chunk count must equal the exploded chunk table")
+    val fill = chunks.agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(audited.getLong(1) == fill,
+      "closed-form fill must equal the sum of materialized chunk sizes")
+  }
+
+  test("dedup savings agree with the actual dedup transform") {
+    import graft.operators.Dedup
+    val proj = Dedup.dedupSavingsQuery(spark, sf0001)
+      .agg(sum("n_docs"), sum("n_unique"), sum("kept_chars"))
+      .collect().head
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    assert(proj.getLong(0) == docs.count())
+    // within-source dedup: distinct (source, md5) pairs
+    val uniq = docs.select(col("source"), md5(col("text"))).distinct()
+    assert(proj.getLong(1) == uniq.count())
+  }
+
   test("min-max scaling stays in [0, 1e6]; funnel latency is ordered") {
     val scaled = OlapOps.minMaxScaleQuery(spark, sf0001).collect()
     assert(scaled.nonEmpty)
