@@ -373,6 +373,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("budgetAlloc is exhaustive and proportional for random masses") {
+    import graft.operators.OlapOps
+    val genCase = for {
+      n <- Gen.choose(1, 8)
+      masses <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+      budget <- Gen.choose(10L, 100000L)
+    } yield (masses, budget)
+    forAll(genCase, trials = 10) { case (masses, budget) =>
+      val mass = masses.zipWithIndex
+        .map { case (m, i) => (f"l$i%02d", m) }.toDF("lang", "mass")
+      val out = OlapOps.budgetAlloc(mass, budget).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(out.values.sum == budget,
+        s"masses=$masses budget=$budget got $out")
+      // Hamilton quota property: every allocation is within 1 of its
+      // exact proportional share's floor
+      val total = masses.sum
+      masses.zipWithIndex.foreach { case (m, i) =>
+        val floor = m * budget / total
+        val a = out(f"l$i%02d")
+        assert(a == floor || a == floor + 1,
+          s"lang $i alloc $a vs floor $floor")
+      }
+    }
+  }
+
+  test("histogram conserves mass and spans the range on random cents") {
+    import graft.operators.OlapOps
+    val genCase = for {
+      vals <- Gen.nonEmptyListOf(Gen.choose(0L, 900L))
+      width <- Gen.oneOf(7L, 10L, 100L)
+    } yield (vals, width)
+    forAll(genCase, trials = 10) { case (vals, width) =>
+      val out = OlapOps.histogram(vals.toDF("cents"), width).collect()
+      assert(out.map(_.getLong(3)).sum == vals.length)
+      val bins = out.map(_.getLong(0))
+      assert(bins.head == vals.min / width && bins.last == vals.max / width)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a + 1 },
+        "spine must be contiguous")
+    }
+  }
+
   test("rollingActive matches per-day brute force on random activity") {
     import graft.operators.Sessionize
     val genAct = Gen.nonEmptyListOf(for {
