@@ -257,9 +257,14 @@ object DataQuality {
     ("props_is_object", """props IS NULL OR NOT props LIKE '{%'"""))
 
   def assertionSuiteQuery(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val ev = graft.sources.Tables.events(spark, dir)
-      .withColumn("ts_ms", unix_millis(col("ts")))
+      dir: String): DataFrame =
+    assertionSuite(graft.sources.Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts"))))
+
+  /** [[assertionSuiteQuery]] over an explicit events frame carrying
+    * `ts_ms` — the batch core the streaming monitor
+    * ([[graft.streaming.MonitorStream]]) evaluates per micro-batch. */
+  def assertionSuite(ev: DataFrame): DataFrame = {
     val aggs = AssertionRules.map { case (name, cond) =>
       sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END")).as(s"v_$name")
     }

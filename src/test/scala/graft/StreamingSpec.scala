@@ -298,6 +298,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.sum == 24L)
   }
 
+  test("streaming monitor timeline aggregates to the batch rule suite") {
+    import graft.streaming.MonitorStream
+    import org.apache.spark.sql.functions._
+    val drop = tmpDir("mon_drop")
+    val mon = tmpDir("mon_out")
+    val ckpt = tmpDir("mon_ckpt")
+    writeDrop(drop, "m1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:10Z","user_id":7,"event_type":"purchase","value":0.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:00:40Z","user_id":8,"event_type":"click","value":2.5}"""))
+    MonitorStream.monitorAvailableNow(spark, drop, mon, ckpt)
+    // a later drop with a second violation arrives in its own batch
+    writeDrop(drop, "m2.json", Seq(
+      """{"event_id":3,"ts":"2023-06-01T00:00:00Z","user_id":9,"event_type":"view","value":1.0}"""))
+    MonitorStream.monitorAvailableNow(spark, drop, mon, ckpt)
+    val totals = MonitorStream.ruleTotals(spark, mon).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // zero-value purchase + out-of-2024 timestamp, one each
+    assert(totals("purchase_value_positive") == ((3L, 1L)))
+    assert(totals("ts_in_2024") == ((3L, 1L)))
+    assert(totals("known_event_type") == ((3L, 0L)))
+    // and the aggregated timeline equals the batch suite on the union
+    val batch = graft.quality.DataQuality.assertionSuite(
+        MonitorStream.withRuleColumns(
+          spark.read.schema(EventStream.eventSchema).json(drop)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(totals == batch)
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
