@@ -335,4 +335,22 @@ class PlanSpec extends SparkSpec {
       s"session assignment and collect must share one user_id exchange, got $userEx:\n" +
         p.take(1500))
   }
+
+  test("RFM and Pareto avoid unpartitioned fact-table windows") {
+    // both use the blocked two-phase rank; the only Window.orderBy
+    // without a partition key must be over block/offset tables, which
+    // plan as SinglePartition over already-aggregated (tiny) inputs —
+    // no fact-sized global sort may appear
+    for (df <- Seq(graft.operators.OlapOps.rfmQuery(spark, sf0001),
+      graft.operators.OlapOps.paretoQuery(spark, sf0001))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+      // global-sort smell: a rangepartitioning exchange feeding a
+      // Window (vs the final output orderBy) would mean a corpus sort
+      val windowSorts = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(windowSorts <= 1,
+        s"at most the output orderBy may range-partition, got $windowSorts:\n" +
+          p.take(1500))
+    }
+  }
 }
