@@ -57,18 +57,28 @@ object Maintenance {
     * rows whose `key` appears in `updates` are replaced, unmatched
     * update keys are appended, everything else passes through.
     *
-    * The scale property is WHICH bytes move: only files that contain a
-    * matched key are decoded and rewritten; every other file is copied
-    * through byte-for-byte (on an object store, a server-side copy; on
-    * HDFS, a block copy — never decode+encode). The touched-file list
+    * The scale property is WHICH bytes move, and WHERE: only files
+    * that contain a matched key are decoded and rewritten; every other
+    * file is copied through byte-for-byte IN EXECUTOR TASKS — the
+    * untouched-file list is parallelized across the cluster and each
+    * task streams its files executor-to-store, so the driver never
+    * carries data bytes (on a filesystem whose client implements
+    * server-side copy the task degrades to a metadata call; plain
+    * `FileUtil.copy` otherwise streams through the task, which is
+    * still cluster-parallel, not driver-serial). The touched-file list
     * comes from one semi-join of the base scan against the (distinct)
     * update keys — with clustered keys (e.g. a [[ZOrder]] layout) the
     * usual case is a handful of touched files out of thousands. The
-    * driver holds only the FILE LIST (metadata scale), never rows.
+    * driver holds only the FILE LIST (metadata scale), never rows, and
+    * the rewrite filter joins that list back as a BROADCAST semi-join
+    * (constant-size plan regardless of touched-file count, where an
+    * `isin` literal list would grow the expression tree linearly).
     *
     * Snapshot-to-new-directory keeps the operation crash-safe: readers
     * of `inDir` see the old table until a pointer swap, the same
-    * pattern [[compact]] uses. Returns (rewrittenFiles, copiedFiles). */
+    * pattern [[compact]] uses. Returns (rewrittenFiles, copiedFiles);
+    * copiedFiles is read from a task-side accumulator, so it counts
+    * copies that actually ran in executor tasks. */
   def copyOnWriteMerge(spark: SparkSession, inDir: String, outDir: String,
                        updates: DataFrame, key: String): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -83,28 +93,47 @@ object Maintenance {
     val touched = tagged.join(keys, Seq(key), "left_semi")
       .select(element_at(split(col("__cow_file"), "/"), -1))
       .distinct().collect().map(_.getString(0)).toSet
+    val touchedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(touched.toSeq.map(Row(_)), 1),
+      StructType(Seq(StructField("__cow_name", StringType))))
     val rewritten = tagged
-      .filter(element_at(split(col("__cow_file"), "/"), -1)
-        .isin(touched.toSeq: _*))
-      .drop("__cow_file")
+      .withColumn("__cow_name",
+        element_at(split(col("__cow_file"), "/"), -1))
+      .join(broadcast(touchedDf), Seq("__cow_name"), "left_semi")
+      .drop("__cow_name", "__cow_file")
       .join(updates.select(key), Seq(key), "left_anti")
       .select(cols.map(col): _*)
       .unionByName(updates)
     rewritten.write.mode("overwrite").parquet(outDir)
-    // pass untouched files through as raw bytes
+    // pass untouched files through as raw bytes, in executor tasks:
+    // the driver parallelizes the (metadata-scale) path list and each
+    // task opens source + destination filesystems itself
     val inPath = new Path(inDir)
     val fsIn = inPath.getFileSystem(conf)
-    val outPath = new Path(outDir)
-    val fsOut = outPath.getFileSystem(conf)
     val untouched = fsIn.listStatus(inPath)
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .filter(s => !touched.contains(s.getPath.getName))
-    untouched.foreach { s =>
-      org.apache.hadoop.fs.FileUtil.copy(fsIn, s.getPath, fsOut,
-        new Path(outPath, "copied-" + s.getPath.getName),
-        false, false, conf)
+      .map(_.getPath.toString)
+    val copied = spark.sparkContext.longAccumulator("cow_copied_files")
+    if (untouched.nonEmpty) {
+      val serConf = new SerializableConfiguration(conf)
+      val outDirStr = outDir
+      spark.sparkContext
+        .parallelize(untouched.toSeq, math.max(1,
+          math.min(untouched.length,
+            spark.sparkContext.defaultParallelism)))
+        .foreach { src =>
+          val srcPath = new Path(src)
+          val sFs = srcPath.getFileSystem(serConf.value)
+          val dstPath =
+            new Path(new Path(outDirStr), "copied-" + srcPath.getName)
+          val dFs = dstPath.getFileSystem(serConf.value)
+          org.apache.hadoop.fs.FileUtil.copy(sFs, srcPath, dFs, dstPath,
+            false, false, serConf.value)
+          copied.add(1L)
+        }
     }
-    (touched.size.toLong, untouched.length.toLong)
+    (touched.size.toLong, copied.value)
   }
 
   /** Per-file min/max manifest for `cols` over a parquet directory —
@@ -261,6 +290,64 @@ object Maintenance {
          min(yd) AS min_y, max(yd) AS max_y
        FROM u GROUP BY 1, 2 ORDER BY layout, bucket"""
   }
+
+  /** q147: the z-order PRUNING claim proven at the query surface —
+    * how many of each layout's files a selective predicate actually
+    * reads, computed from the q57 manifest's min/max ranges (the
+    * exact skipping decision a pruning engine makes: skip a file iff
+    * the predicate box misses its [min, max] on some constrained
+    * column). Three predicates over the same manifest:
+    *
+    *  - `x_only` (xd in [100, 131]): the case a time-sorted layout
+    *    CANNOT prune — every linear file spans full x width, so
+    *    files_read = all; z-buckets pin the top x-bits, so only the
+    *    matching x-quarter's buckets read.
+    *  - `y_only` (yd in [200, 263]): the linear layout's home turf —
+    *    both layouts prune here.
+    *  - `xy_box` (both): conjunctive pruning, either column's miss
+    *    skips the file.
+    *
+    * One scan building the manifest (the q57 shape), then a 3-way
+    * predicate explode over 32 metadata rows — the proof costs
+    * nothing beyond q57 itself, and the oracle recomputes the same
+    * overlap arithmetic from the same interleave constants. */
+  def pruningProofQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m = layoutCompareQuery(spark, dir)
+    val hitX = col("max_x") >= 100 && col("min_x") <= 131
+    val hitY = col("max_y") >= 200 && col("min_y") <= 263
+    m.select(col("layout"), col("n"), explode(array(
+        struct(lit("x_only").as("pred"), hitX.as("hit")),
+        struct(lit("xy_box").as("pred"), (hitX && hitY).as("hit")),
+        struct(lit("y_only").as("pred"), hitY.as("hit")))).as("p"))
+      .select(col("layout"), col("n"),
+        col("p.pred").as("pred"), col("p.hit").as("hit"))
+      .groupBy("layout", "pred")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("hit").cast("long")).as("files_read"),
+        sum(when(col("hit"), col("n")).otherwise(lit(0L)))
+          .as("rows_read"))
+      .orderBy("layout", "pred")
+  }
+
+  /** DuckDB oracle for [[pruningProofQuery]] — the q57 manifest as a
+    * subquery, the same overlap tests as UNION ALL branches. */
+  def pruningProofOracleSql: String =
+    s"""WITH m AS ($layoutCompareOracleSql),
+       u AS (SELECT layout, 'x_only' AS pred, n,
+               (max_x >= 100 AND min_x <= 131) AS hit FROM m
+             UNION ALL
+             SELECT layout, 'xy_box', n,
+               (max_x >= 100 AND min_x <= 131
+                AND max_y >= 200 AND min_y <= 263) FROM m
+             UNION ALL
+             SELECT layout, 'y_only', n,
+               (max_y >= 200 AND min_y <= 263) FROM m)
+     SELECT layout, pred, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_read,
+       CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT)
+         AS rows_read
+     FROM u GROUP BY 1, 2 ORDER BY layout, pred"""
 
   /** Parquet statistics value → Spark external type. Parquet stores
     * smallint/tinyint columns as INT32, so their stats come back as

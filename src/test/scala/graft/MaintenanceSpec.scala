@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.operators.{Maintenance, ZOrder}
 
@@ -134,6 +135,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(zed < lin / 2, s"z-order must bound x: zorder=$zed linear=$lin")
   }
 
+  test("pruning proof: x-predicate reads fewer z-order files than linear") {
+    val rows = Maintenance.pruningProofQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val (linTotal, linRead) = rows(("linear", "x_only"))
+    val (zTotal, zRead) = rows(("zorder", "x_only"))
+    // time-sorted files span full x width: an x-only predicate reads
+    // every linear file; z-buckets pin the top x-bits
+    assert(linRead == linTotal,
+      s"linear layout cannot prune x: read $linRead of $linTotal")
+    assert(zRead < linRead,
+      s"z-order must prune the x predicate: $zRead vs $linRead")
+    // conjunctive box: z-order prunes at least as well as either alone
+    val (_, zBox) = rows(("zorder", "xy_box"))
+    assert(zBox <= zRead)
+  }
+
   test("copy-on-write merge rewrites only touched files, copies the rest") {
     val in = tmpDir("cow_in")
     val out = tmpDir("cow_out")
@@ -181,6 +199,58 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.copyOnWriteMerge(spark, in, out, updates, "id")
     assert(rewritten == 0L && copied == 2L)
     assert(spark.read.parquet(out).count() == 101L)
+  }
+
+  test("copy-on-write merge distributes pass-through copies across tasks") {
+    val in = tmpDir("cow3_in")
+    val out = tmpDir("cow3_out")
+    // 41 clustered-key files; updates touch exactly one, so 40 files
+    // flow through the pass-through copy path (untouched >> touched)
+    (0L until 4100L).map(i => (i, s"v$i")).toDF("id", "payload")
+      .repartitionByRange(41, col("id"))
+      .write.mode("overwrite").parquet(in)
+    val updates = Seq((1L, "NEW1")).toDF("id", "payload")
+    // collect, per task, the named copy accumulator's task-side update:
+    // a nonzero update in a TASK event is direct evidence the copy ran
+    // inside executor tasks, not a driver loop
+    val copyTasks = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) te.taskInfo.accumulables.foreach { a =>
+          if (a.name.contains("cow_copied_files"))
+            a.update.foreach(u =>
+              if (u.toString.toLong > 0)
+                copyTasks.put(te.taskInfo.taskId, u.toString.toLong))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (rewritten, copied) =
+        Maintenance.copyOnWriteMerge(spark, in, out, updates, "id")
+      assert(rewritten == 1L, s"one touched file, got $rewritten")
+      assert(copied == 40L, s"forty pass-through files, got $copied")
+      // listener delivery is async — poll until the copy tasks land
+      val deadline = System.currentTimeMillis + 20000
+      while (copyTasks.values.asScala.sum < 40L &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(copyTasks.values.asScala.sum == 40L,
+        s"all 40 copies must be task-side accumulator updates, saw $copyTasks")
+      assert(copyTasks.size >= 2,
+        s"copy work must spread across tasks, saw ${copyTasks.size} task(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the copies are still byte-identical
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val copiedFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("copied-"))
+    assert(copiedFiles.length == 40)
+    copiedFiles.foreach { f =>
+      assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq ==
+        inBytes(f.getName.stripPrefix("copied-")),
+        s"${f.getName} not byte-identical")
+    }
   }
 
   test("mergeSchema read unions evolved file schemas") {
