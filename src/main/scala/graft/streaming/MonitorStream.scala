@@ -52,6 +52,71 @@ object MonitorStream {
     spark.read.parquet(monitorDir)
       .groupBy("rule")
       .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("n_violations")).as("n_violations"))
+        sum(col("n_violations")).as("n_violations"),
+        // one timeline row per micro-batch per rule — the batch count
+        // is the proof the totals came through the stream, not one
+        // monolithic pass
+        count(lit(1)).as("n_batches"))
       .orderBy("rule")
+
+  /** q145: the streaming monitor driven end-to-end at the QUERY
+    * surface — the events table is staged as a JSONL drop, drained
+    * through a real `writeStream` (file source, `maxFilesPerTrigger`
+    * forces multiple micro-batches, `foreachBatch` lands one
+    * rule-count row set per batch), and the returned frame is the
+    * batch-timeline aggregate. Because every rule is an algebraic sum,
+    * the totals equal the batch assertion suite over the same events —
+    * which is exactly what the DuckDB oracle recomputes from the raw
+    * table, so the driver's hash check covers the streaming path, not
+    * just the unit-level batch≡stream equivalences.
+    *
+    * The drop carries `ts_ms` (epoch millis) rather than a raw
+    * timestamp so the JSON round-trip is exact-integer; `value`
+    * round-trips via Jackson's shortest-repr doubles. Per-call temp
+    * dirs give the stream a fresh checkpoint, so the full drop is
+    * processed on every invocation. */
+  def monitorTimelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val drop = java.nio.file.Files.createTempDirectory("q145_drop").toString
+    val monitorDir =
+      java.nio.file.Files.createTempDirectory("q145_mon").toString
+    val ck = java.nio.file.Files.createTempDirectory("q145_ck").toString
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("user_id"),
+        col("props"), unix_millis(col("ts")).as("ts_ms"))
+      .repartition(6)
+      .write.mode("overwrite").json(drop)
+    val dropSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("user_id", LongType),
+      StructField("props", StringType),
+      StructField("ts_ms", LongType)))
+    val q = spark.readStream
+      .schema(dropSchema)
+      .option("maxFilesPerTrigger", "2")
+      .json(drop)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DataQuality.assertionSuite(batch)
+          .write.mode("overwrite")
+          .parquet(s"$monitorDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    ruleTotals(spark, monitorDir)
+  }
+
+  /** DuckDB oracle for [[monitorTimelineQuery]]: the batch assertion
+    * suite plus the deterministic micro-batch count — 6 drop files
+    * drained at `maxFilesPerTrigger=2` is exactly 3 batches, so a
+    * hash match certifies both the rule totals AND that the data
+    * arrived through multiple streaming batches. */
+  def monitorTimelineOracleSql: String =
+    """SELECT rule, n_rows, n_violations, CAST(3 AS BIGINT) AS n_batches
+       FROM (""" + DataQuality.assertionSuiteOracleSql + """)
+       ORDER BY rule"""
 }

@@ -327,6 +327,22 @@ class StreamingSpec extends SparkSpec {
     assert(totals == batch)
   }
 
+  test("q145 monitor timeline query streams multi-batch and equals batch suite") {
+    import graft.streaming.MonitorStream
+    val rows = MonitorStream.monitorTimelineQuery(spark, sf0001).collect()
+    val streamed = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.quality.DataQuality.assertionSuiteQuery(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"streamed totals must equal the batch suite: $streamed vs $batch")
+    // the drop really went through in multiple micro-batches: 6 files
+    // at maxFilesPerTrigger=2 -> exactly 3 timeline rows per rule
+    assert(rows.forall(_.getLong(3) == 3L),
+      s"expected 3 micro-batches per rule, got ${rows.map(_.getLong(3)).toSeq}")
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
