@@ -408,6 +408,108 @@ object TextAnalysis {
      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
      FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""
 
+  /** q146: ITERATED byte-pair-encoding training — [[bpePairsQuery]]
+    * (one merge level) extended to the real trainer loop: k rounds of
+    * count-pairs → pick argmax → re-segment every word, emitting the
+    * ordered merge table (round, a, b, corpus-weighted count at merge
+    * time) — the artifact a BPE tokenizer ships.
+    *
+    * Representation: each word's segmentation is a STRING of symbols
+    * joined by a 2-space separator and wrapped in 2-space ends
+    * (`"  a  b  c  "`). A merge of (a, b) is then ONE `replace` of
+    * `" a  b "` with `" ab "`: the single-space anchors are each half
+    * of a 2-space boundary, so consecutive matches share zero
+    * characters and left-to-right `replace` implements exactly BPE's
+    * non-overlapping scan (`a a a` merges to `aa a`, and `a b a b`
+    * merges both pairs) — with IDENTICAL semantics in Spark and
+    * DuckDB, which is what lets the oracle unroll the same k rounds
+    * as SQL CTEs (scalar subqueries select each round's argmax).
+    *
+    * Scale shape (mirrors a real trainer): the corpus collapses to
+    * the distinct-word frequency table once (vocabulary-sized,
+    * localCheckpointed); each round is a pair-count aggregation over
+    * the vocabulary plus one argmax row to the driver (the k-means /
+    * convergence-probe driver-state pattern) and a map-only
+    * re-segmentation, also checkpointed so round r+1 reads
+    * materialized symbols instead of replaying r replaces. Nothing
+    * corpus-sized moves after the initial token count. Ties break by
+    * (count DESC, a ASC, b ASC) in both engines. */
+  def bpeMergesQuery(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame =
+    bpeMerges(spark, Tables.documents(spark, dir), rounds)
+
+  /** [[bpeMergesQuery]] over an explicit docs(text) frame. */
+  def bpeMerges(spark: SparkSession, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    var cur = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  "))
+        .as("s"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val best = cur
+        .select(split(trim(col("s")), "  ").as("arr"), col("freq"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("arr"), col("freq"),
+          explode(sequence(lit(2), size(col("arr")))).as("i"))
+        .select(element_at(col("arr"), col("i") - 1).as("a"),
+          element_at(col("arr"), col("i")).as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).head()
+      val (a, b, n) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, n))
+      // symbols are ^[a-z0-9]+$ so embedding them in the expression
+      // text is literal-safe
+      cur = cur
+        .select(expr(s"replace(s, ' $a  $b ', ' $a$b ')").as("s"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "a", "b", "n").orderBy("round")
+  }
+
+  /** DuckDB oracle for [[bpeMergesQuery]] — the same k rounds
+    * unrolled as CTEs, each round's argmax injected into the next
+    * round's `replace` via scalar subqueries. */
+  def bpeMergesOracleSql(rounds: Int = 4): String = {
+    val roundCte = (r: Int) => {
+      val s = s"s$r"; val p = s"p$r"; val b = s"b$r"
+      s"""x$r AS (SELECT string_split_regex(trim(s), '  ') AS arr, freq
+             FROM $s),
+         y$r AS (SELECT arr, freq,
+               unnest(generate_series(2, len(arr))) AS i
+             FROM x$r WHERE len(arr) >= 2),
+         $p AS (SELECT arr[i-1] AS a, arr[i] AS b,
+               CAST(sum(freq) AS BIGINT) AS n
+             FROM y$r GROUP BY 1, 2),
+         $b AS (SELECT a, b, n FROM $p ORDER BY n DESC, a, b LIMIT 1),
+         s${r + 1} AS (SELECT replace(s,
+               ' ' || (SELECT a FROM $b) || '  ' || (SELECT b FROM $b)
+                 || ' ',
+               ' ' || (SELECT a FROM $b) || (SELECT b FROM $b) || ' ')
+             AS s, freq FROM $s)"""
+    }
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS round, a, b, n FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)),
+           '\\s+')) AS w FROM documents),
+       v AS (SELECT w, count(*) AS freq FROM tk
+             WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) >= 2
+             GROUP BY 1),
+       s1 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
+               freq FROM v),
+       ${(1 to rounds).map(roundCte).mkString(",\n       ")}
+     SELECT CAST(round AS BIGINT) AS round, a, b, n
+     FROM ($unions) ORDER BY round"""
+  }
+
   /** q143: packing-efficiency audit — how much context-window capacity
     * the q40 chunking scheme (size 32, stride 24) wastes as padding,
     * per source. The chunk count and fill have CLOSED FORMS (only the

@@ -84,6 +84,29 @@ class TextAnalysisSpec extends SparkSpec {
       graft.sources.Tables.documents(spark, sf0001).count())
   }
 
+  test("iterated BPE merges follow the hand-computed training trace") {
+    // vocab: abab freq 2, abac freq 1
+    val docs = Seq(Tuple1("abab abab abac")).toDF("text")
+    val out = TextAnalysis.bpeMerges(spark, docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (a,b) 2*2+1=5; r2: (ab,ab) 2; r3 tie at 1 -> (a,c) wins the
+    // (a ASC) tie-break over (ab,a); r4: (ab,ac) 1
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", 5L),
+      (2L, "ab", "ab", 2L),
+      (3L, "a", "c", 1L),
+      (4L, "ab", "ac", 1L)), s"got ${out.toSeq}")
+  }
+
+  test("BPE re-segmentation merges non-overlapping left-to-right") {
+    // 'aaa' must become [aa, a], both pairs of 'abab' must merge
+    val docs = Seq(Tuple1("aaa")).toDF("text")
+    val one = TextAnalysis.bpeMerges(spark, docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(one.toSeq == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)),
+      s"got ${one.toSeq}")
+  }
+
   test("quality and token queries produce full per-doc coverage") {
     val q = TextAnalysis.qualityQuery(spark, sf0001)
     val t = TextAnalysis.tokenCountQuery(spark, sf0001)
