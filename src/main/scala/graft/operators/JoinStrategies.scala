@@ -85,6 +85,44 @@ object JoinStrategies {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Observed-skew salt factor — the [[skewReportQuery]] machinery
+    * reduced to a decision: one key-count aggregation over the large
+    * side (map-side combined, then a 1-row driver fetch) yields the
+    * hottest key's ratio to the mean key frequency.
+    *
+    *  - ratio < [[SkewTriggerRatio]] (the q107 rule of thumb, AQE's
+    *    territory): factor 1 — salting pure overhead, skip it.
+    *  - otherwise: enough sub-keys to bring the hottest key down to
+    *    ~2× the mean, capped at `cap` — the small side's replication
+    *    cost grows linearly with the factor, so an uncapped factor on
+    *    a degenerate key (one key owning the table) would explode the
+    *    broadcast side.
+    *
+    * At 100 TB the key-count pass is the same scan the q107 skew
+    * report already runs — compute the report once per fact table and
+    * feed the factor to every downstream salted join. */
+  val SkewTriggerRatio = 4L
+
+  def deriveSaltFactor(large: DataFrame, key: String,
+                       cap: Int = 64): Int = {
+    val r = large.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("top"), sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      .head()
+    val (top, total, nKeys) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val mean = math.max(1L, total / nKeys)
+    val ratio = top / mean
+    if (ratio < SkewTriggerRatio) 1
+    else math.min(cap.toLong, (ratio + 1L) / 2L).toInt
+  }
+
+  /** [[saltedEquiJoin]] with the factor derived from the observed
+    * skew of `large`'s `key` — factor 1 (a plain-shaped join) on
+    * uniform keys, >1 only when a hot key actually needs splitting. */
+  def saltedEquiJoinAuto(large: DataFrame, small: DataFrame,
+                         key: String, cap: Int = 64): DataFrame =
+    saltedEquiJoin(large, small, key, deriveSaltFactor(large, key, cap))
+
   /** q107: join-key skew diagnosis — the observability step BEFORE
     * reaching for [[saltedEquiJoin]] or AQE skew hints: the hottest
     * keys of a prospective join column with their corpus share and

@@ -139,18 +139,22 @@ object Queries {
       .orderBy("s_suppkey")
 
   /** The fan-out join executed through the explicit SALTING strategy
-    * ([[JoinStrategies.saltedEquiJoin]]): the fact side's key is split
-    * over 8 synthetic sub-keys and the dimension side replicated
-    * across them, so no single reducer ever owns a whole hot key —
-    * the 100 TB answer to degenerate key skew that AQE's threshold-
-    * based skew split does not catch. Result set is provably identical
-    * to the plain join, which is exactly what the oracle checks. */
+    * with the factor DERIVED from observed skew
+    * ([[JoinStrategies.saltedEquiJoinAuto]]): one key-count pass
+    * measures the hottest key's ratio to the mean, picks factor 1 on
+    * uniform keys (salting would be pure overhead — TPC-H suppkeys,
+    * this dataset) and >1 only when a hot key needs splitting, so no
+    * single reducer ever owns a whole hot key — the 100 TB answer to
+    * degenerate key skew that AQE's threshold-based skew split does
+    * not catch. Result set is provably identical to the plain join at
+    * ANY factor, which is exactly what the oracle checks; the
+    * factor-selection behavior is asserted in JoinStrategiesSpec. */
   def q38SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
     val sup = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("suppkey"), col("s_name"))
-    JoinStrategies.saltedEquiJoin(li, sup, "suppkey", saltFactor = 8)
+    JoinStrategies.saltedEquiJoinAuto(li, sup, "suppkey")
       .groupBy("suppkey", "s_name")
       .agg(count(lit(1)).as("n_items"),
         decSum(col("l_extendedprice")).as("total_price"))

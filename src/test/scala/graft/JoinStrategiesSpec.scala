@@ -110,4 +110,24 @@ class JoinStrategiesSpec extends SparkSpec {
       .collect().head
     assert(plain == salted)
   }
+
+  test("derived salt factor: 1 on uniform keys, >1 on a planted hot key") {
+    import spark.implicits._
+    // uniform: 1000 rows over 100 keys — hottest ≈ mean, no salting
+    val uniform = (0L until 1000L).map(i => (i % 100L, i)).toDF("k", "v")
+    assert(JoinStrategies.deriveSaltFactor(uniform, "k") == 1)
+    // planted hot key: one key owns half the table (ratio >> 4x mean)
+    val hot = ((0L until 5000L).map(_ => (0L, 0L)) ++
+      (0L until 5000L).map(i => (1L + i % 99L, i))).toDF("k", "v")
+    val f = JoinStrategies.deriveSaltFactor(hot, "k")
+    assert(f > 1, s"hot key must trigger salting, got $f")
+    assert(f <= 64, s"factor must respect the cap, got $f")
+    // the auto-salted join still equals the plain join on skewed data
+    val dim = (0L until 100L).map(k => (k, s"name$k")).toDF("k", "name")
+    val plain = hot.join(dim, "k").agg(count(lit(1)), sum("v"))
+      .collect().head
+    val auto = JoinStrategies.saltedEquiJoinAuto(hot, dim, "k")
+      .agg(count(lit(1)), sum("v")).collect().head
+    assert(plain == auto)
+  }
 }
