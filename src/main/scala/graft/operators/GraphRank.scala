@@ -56,7 +56,12 @@ object GraphRank {
   /** Fixed-point PageRank over undirected (u, v) edges: rank scale
     * 1e6, damping 85/100, [[Iterations]] rounds, floor division
     * throughout. Returns (user_id, rank_e6) for every graph node. */
-  def pageRank(edges: DataFrame): DataFrame = {
+  def pageRank(edges: DataFrame): DataFrame =
+    pageRank(edges, Iterations)
+
+  /** [[pageRank]] with an explicit round count (q100 keeps the
+    * default [[Iterations]]; the convergence variant reuses this). */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
     // both directions: each undirected edge carries mass both ways.
     // The edge list and degree table feed every iteration (3 plan
     // branches each) — localCheckpoint them ONCE so the edge-build
@@ -70,17 +75,60 @@ object GraphRank {
     val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var ranks = deg.select(col("u"), lit(RankScale).as("rank_e6"))
-    for (_ <- 1 to Iterations) {
-      val contrib = ranks.join(deg, Seq("u"))
-        .select(col("u"), expr("rank_e6 div deg").as("c"))
-      ranks = dir.join(contrib, Seq("u"))
-        .groupBy(col("v").as("u"))
-        .agg(sum(col("c")).as("in_mass"))
-        .select(col("u"),
-          (lit(RankScale * 15 / 100) +
-            expr("85 * in_mass div 100")).as("rank_e6"))
+    for (_ <- 1 to iterations) {
+      ranks = rankRound(dir, deg, ranks)
     }
     ranks
+  }
+
+  /** One PageRank superstep: contribs = ranks ⋈ degrees, then an
+    * edge-keyed shuffle summing incoming mass — O(|E|). */
+  private def rankRound(dir: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ranks.join(deg, Seq("u"))
+      .select(col("u"), expr("rank_e6 div deg").as("c"))
+    dir.join(contrib, Seq("u"))
+      .groupBy(col("v").as("u"))
+      .agg(sum(col("c")).as("in_mass"))
+      .select(col("u"),
+        (lit(RankScale * 15 / 100) +
+          expr("85 * in_mass div 100")).as("rank_e6"))
+  }
+
+  /** PageRank iterated to a FIXED POINT instead of a fixed round
+    * count: after each superstep an L1 delta probe (sum of absolute
+    * rank changes — ONE scalar to the driver, the [[DupClusters]]
+    * convergence-probe pattern applied to rank mass) decides whether
+    * to continue, bounded by `maxRounds`. Because the arithmetic is
+    * integer fixed-point, delta = 0 is an EXACT fixed point — further
+    * rounds reproduce the same ranks bit-for-bit, so a converged run
+    * agrees with any fixed-iteration run of at least as many rounds
+    * (property-tested in SamplingGraphSpec). Each round's ranks are
+    * localCheckpointed: the delta probe and the next round both read
+    * them, and the lineage would otherwise double per round.
+    * Returns (ranks, roundsRun, converged). */
+  def pageRankConverged(edges: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int, Boolean) = {
+    val dir = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("u"), lit(RankScale).as("rank_e6"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = rankRound(dir, deg, ranks).localCheckpoint()
+      val delta = next
+        .join(ranks.withColumnRenamed("rank_e6", "prev_e6"), Seq("u"))
+        .agg(sum(abs(col("rank_e6") - col("prev_e6"))).as("d"))
+        .head().getLong(0)
+      ranks = next
+      round += 1
+      converged = delta == 0L
+    }
+    (ranks, round, converged)
   }
 
   /** q100: top-ranked users of the co-activity graph. */

@@ -60,6 +60,41 @@ class SamplingGraphSpec extends SparkSpec {
     assert(out == Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
   }
 
+  test("converged pageRank is an exact fixed point agreeing with fixed rounds") {
+    // triangle + disjoint edge: non-regular graph whose uniform start
+    // IS the integer fixed point — delta hits exactly 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)).toDF("u", "v")
+    val (ranks, rounds, converged) =
+      GraphRank.pageRankConverged(edges, maxRounds = 40)
+    assert(converged, s"must reach the integer fixed point, ran $rounds")
+    val conv = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // once delta = 0, fixed-iteration runs of >= `rounds` rounds land
+    // on the SAME ranks (further supersteps are bit-identical)
+    val atRounds = GraphRank.pageRank(edges, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val beyond = GraphRank.pageRank(edges, rounds + 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atRounds == conv, s"converged $conv != fixed($rounds) $atRounds")
+    assert(beyond == conv, "a fixed point must be stable under extra rounds")
+  }
+
+  test("non-converging graph is bounded by maxRounds and matches fixed run") {
+    // floor rounding makes this branchy graph oscillate instead of
+    // hitting exact delta = 0: the probe must stop at the bound and
+    // the result must equal the fixed-iteration run of that length
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("u", "v")
+    val (ranks, rounds, converged) =
+      GraphRank.pageRankConverged(edges, maxRounds = 6)
+    assert(rounds == 6)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = GraphRank.pageRank(edges, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fixed,
+      s"bounded run must equal fixed(6): $got vs $fixed")
+    assert(!converged || got == GraphRank.pageRank(edges, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("cms estimates dominate exact counts (the CMS guarantee)") {
     val out = CorpusStats.cmsQuery(spark, sf0001).collect()
     assert(out.length == 20)
