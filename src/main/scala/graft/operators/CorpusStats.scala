@@ -250,11 +250,21 @@ object CorpusStats {
     * grids of disjoint corpus slices sum cell-wise into the corpus
     * grid (the property the streaming sketch maintenance in
     * [[graft.streaming.SketchStream]] relies on). */
-  def cmsGrid(docs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.portableHash60
-    val rows = array((0 until CmsRows).map(lit): _*)
+  def cmsGrid(docs: DataFrame): DataFrame =
+    cmsGridFromCounts(termCounts(docs))
+
+  /** The (term, cnt) vocabulary of a docs(text) frame — the one
+    * corpus-sized explode+aggregate every CMS consumer shares. */
+  def termCounts(docs: DataFrame): DataFrame =
     docs.select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** [[cmsGrid]] from an already-computed (term, cnt) vocabulary —
+    * vocabulary-sized fan-out (×d) and a metadata-scale aggregate. */
+  def cmsGridFromCounts(counts: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val rows = array((0 until CmsRows).map(lit): _*)
+    counts
       .select(col("cnt"), explode(rows).as("r"), col("term"))
       .withColumn("bucket",
         portableHash60(concat(col("r").cast("string"), lit(":"),
@@ -262,13 +272,16 @@ object CorpusStats {
       .groupBy("r", "bucket").agg(sum(col("cnt")).as("counter"))
   }
 
-  /** [[cmsQuery]] over an explicit docs(text) frame. */
+  /** [[cmsQuery]] over an explicit docs(text) frame. The vocabulary
+    * is computed ONCE and localCheckpointed (the q100/q136 pattern):
+    * both the grid and the top-N read the same materialized counts,
+    * so the corpus explode+aggregate subtree executes once per run
+    * instead of twice. */
   def cms(docs: DataFrame, topN: Int): DataFrame = {
     import graft.functions.TextFunctions.portableHash60
-    val counts = docs.select(explode(tokens(col("text"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val counts = termCounts(docs).localCheckpoint()
     val rows = array((0 until CmsRows).map(lit): _*)
-    val grid = cmsGrid(docs)
+    val grid = cmsGridFromCounts(counts)
     val top = counts
       .orderBy(col("cnt").desc, col("term").asc).limit(topN)
     val est = top

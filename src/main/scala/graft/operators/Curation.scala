@@ -164,8 +164,13 @@ object Curation {
         count(lit(1)).over(byLang).as("n"))
       .groupBy("lang")
       .agg(
-        min(when(col("rn") === ceil(col("n") * 0.05), col("n_toks"))).as("lo"),
-        min(when(col("rn") === ceil(col("n") * 0.95), col("n_toks"))).as("hi"))
+        // integer percentile indices: (n+19) div 20 = ceil(n/20),
+        // (19n+19) div 20 = ceil(19n/20) — no IEEE multiply, so
+        // engine and oracle agree by construction
+        min(when(col("rn") === expr("(n + 19) div 20"), col("n_toks")))
+          .as("lo"),
+        min(when(col("rn") === expr("(19 * n + 19) div 20"),
+          col("n_toks"))).as("hi"))
     d.join(broadcast(cuts), Seq("lang"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -184,8 +189,8 @@ object Curation {
            row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS rn,
            count(*) OVER (PARTITION BY lang) AS n FROM d),
        c AS (SELECT lang,
-           min(CASE WHEN rn = ceil(n * 0.05) THEN n_toks END) AS lo,
-           min(CASE WHEN rn = ceil(n * 0.95) THEN n_toks END) AS hi
+           min(CASE WHEN rn = (n + 19) // 20 THEN n_toks END) AS lo,
+           min(CASE WHEN rn = (19 * n + 19) // 20 THEN n_toks END) AS hi
          FROM r GROUP BY 1)
      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN d.n_toks BETWEEN c.lo AND c.hi

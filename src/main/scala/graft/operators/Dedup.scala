@@ -37,18 +37,21 @@ object Dedup {
   /** q144: dedup savings projection — what exact (within-source)
     * dedup would save, in documents and characters, per source:
     * total mass vs the mass of one representative per identical
-    * md5(text), with the savings share as an exact rational. Rows
-    * sharing an md5 share the text, so the kept mass is
-    * sum-of-min-per-group — one aggregation at (source, fingerprint)
-    * grain, one rollup, no window and no join: the estimate that
-    * justifies (or kills) running the actual dedup at 100 TB. */
+    * md5(text), with the savings share as an exact rational. The
+    * representative is `min_by(n_chars, doc_id)` — the SAME
+    * min-doc_id rule [[exactDedup]] applies — so the projection
+    * reports exactly what the transform would keep even if a stored
+    * n_chars ever disagreed across rows with identical text. One
+    * aggregation at (source, fingerprint) grain, one rollup, no
+    * window and no join: the estimate that justifies (or kills)
+    * running the actual dedup at 100 TB. */
   def dedupSavingsQuery(spark: SparkSession, dir: String): DataFrame = {
     val perFp = Tables.documents(spark, dir)
       .select(col("source"), md5(col("text")).as("fp"),
-        col("n_chars"))
+        col("doc_id"), col("n_chars"))
       .groupBy("source", "fp")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
-        min(col("n_chars")).as("kept_chars"))
+        expr("min_by(n_chars, doc_id)").as("kept_chars"))
     perFp.groupBy("source")
       .agg(sum(col("n")).as("n_docs"),
         count(lit(1)).as("n_unique"),
@@ -63,7 +66,7 @@ object Dedup {
   def dedupSavingsOracleSql: String =
     """WITH g AS (SELECT source, md5(text) AS fp, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars,
-           min(n_chars) AS kept_chars
+           min_by(n_chars, doc_id) AS kept_chars
          FROM documents GROUP BY 1, 2)
      SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_unique,

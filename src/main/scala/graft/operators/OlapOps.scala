@@ -301,9 +301,11 @@ object OlapOps {
         count(lit(1)).over(byType).as("n"))
       .groupBy("event_type")
       .agg(max(col("n")).cast("long").as("n"),
-        min(when(col("rn") === ceil(col("n") * 0.25), col("cents")))
+        // (n+3) div 4 = ceil(n/4), (3n+3) div 4 = ceil(3n/4): exact
+        // integer quartile indices, no IEEE multiply
+        min(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
           .as("q1_cents"),
-        min(when(col("rn") === ceil(col("n") * 0.75), col("cents")))
+        min(when(col("rn") === expr("(3 * n + 3) div 4"), col("cents")))
           .as("q3_cents"))
     val fen = qs.select(col("event_type"), col("n"),
       col("q1_cents"), col("q3_cents"),
@@ -328,9 +330,9 @@ object OlapOps {
                count(*) OVER (PARTITION BY event_type) AS n
              FROM f),
        qs AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-                min(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                min(CASE WHEN rn = (n + 3) // 4
                     THEN cents END) AS q1_cents,
-                min(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                min(CASE WHEN rn = (3 * n + 3) // 4
                     THEN cents END) AS q3_cents
               FROM r GROUP BY 1),
        fen AS (SELECT event_type, n, q1_cents, q3_cents,
@@ -347,9 +349,10 @@ object OlapOps {
   /** q53: discrete percentiles (median, p95) of event values per
     * type — SELECTED corpus values, never interpolated arithmetic, so
     * the doubles pass through bit-identically on both engines.
-    * Formulated as explicit rank selection (row_number vs ceil(p*n))
-    * rather than an engine percentile function, which makes the
-    * semantics portable by construction. Non-finite values are
+    * Formulated as explicit rank selection (row_number vs the exact
+    * integer index (n+1) div 2 / (19n+19) div 20) rather than an
+    * engine percentile function, which makes the semantics portable
+    * by construction. Non-finite values are
     * excluded (their sort order is engine-specific). */
   def percentileQuery(spark: SparkSession, dir: String): DataFrame = {
     val byValue = Window.partitionBy("event_type")
@@ -365,9 +368,9 @@ object OlapOps {
       .groupBy("event_type")
       .agg(
         max(col("n")).cast("long").as("n"),
-        min(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+        min(when(col("rn") === expr("(n + 1) div 2"), col("value")))
           .as("median_value"),
-        min(when(col("rn") === ceil(col("n") * 0.95), col("value")))
+        min(when(col("rn") === expr("(19 * n + 19) div 20"), col("value")))
           .as("p95_value"))
       .orderBy("event_type")
   }
@@ -692,7 +695,7 @@ object OlapOps {
       df.select(col("event_type"), col(valueCol),
           row_number().over(byV).as("rn"), count(lit(1)).over(byT).as("n"))
         .groupBy("event_type")
-        .agg(min(when(col("rn") === ceil(col("n") * 0.5), col(valueCol)))
+        .agg(min(when(col("rn") === expr("(n + 1) div 2"), col(valueCol)))
           .as(s"med_$valueCol"))
     }
     val med = medianOf(vals, "cents", "event_id")
@@ -720,7 +723,7 @@ object OlapOps {
                  ORDER BY cents, event_id) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n FROM v),
        m1 AS (SELECT event_type,
-               min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+               min(CASE WHEN rn = (n + 1) // 2
                    THEN cents END) AS med_cents
              FROM r1 GROUP BY 1),
        d AS (SELECT v.event_type, v.event_id, v.cents, m1.med_cents,
@@ -731,7 +734,7 @@ object OlapOps {
                  ORDER BY dev, event_id) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n FROM d),
        m2 AS (SELECT event_type,
-               min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+               min(CASE WHEN rn = (n + 1) // 2
                    THEN dev END) AS med_dev
              FROM r2 GROUP BY 1)
      SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1274,9 +1277,16 @@ object OlapOps {
   val BasketCap = 15L
 
   def basketPairsQuery(spark: SparkSession, dir: String,
-      topN: Int = 20): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      topN: Int = 20): DataFrame =
+    basketPairs(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")), topN)
+
+  /** [[basketPairsQuery]] over an explicit (l_orderkey, l_partkey)
+    * frame — the testable capped core (a planted mega-order must be
+    * pruned BEFORE the self-join, see OlapOpsStressSpec). */
+  def basketPairs(rawItems: DataFrame, topN: Int): DataFrame = {
+    val items = rawItems.select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
     val sized = items.groupBy("l_orderkey")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= BasketCap)
       .select("l_orderkey")

@@ -529,12 +529,19 @@ object Sessionize {
     val lat = timed.filter(col("t_purchase").isNotNull)
       .select(col("user_id").as("id"),
         (col("t_purchase") - col("t_signup")).as("cents"))
-    OlapOps.globalRankAsc(lat, blockWidth = 86400000L)
+    // blockWidth 1 minute: completer latencies are mostly sub-day, so
+    // a day-wide block would put every row in one block and degrade
+    // the two-phase rank to a single partition; minute blocks spread
+    // the distribution across many blocks. Percentile INDICES are
+    // pure integer arithmetic — (n+1) div 2 = ceil(n/2) and
+    // (19n+19) div 20 = ceil(19n/20) — so engine and oracle agree by
+    // construction, not via bit-identical IEEE multiplication.
+    OlapOps.globalRankAsc(lat, blockWidth = 60000L)
       .agg(max(col("n_total")).as("n_completers"),
-        min(when(col("rn") === ceil(col("n_total") * 0.5), col("cents")))
+        min(when(col("rn") === expr("(n_total + 1) div 2"), col("cents")))
           .as("median_ms"),
-        min(when(col("rn") === ceil(col("n_total") * 0.95), col("cents")))
-          .as("p95_ms"))
+        min(when(col("rn") === expr("(19 * n_total + 19) div 20"),
+          col("cents"))).as("p95_ms"))
   }
 
   /** DuckDB oracle for [[funnelLatencyQuery]] — the funnel recurrence
@@ -555,9 +562,9 @@ object Sessionize {
      r AS (SELECT ms, row_number() OVER (ORDER BY ms, user_id) AS rn,
              count(*) OVER () AS n FROM lat)
      SELECT CAST(max(n) AS BIGINT) AS n_completers,
-       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN ms END)
+       min(CASE WHEN rn = (n + 1) // 2 THEN ms END)
          AS median_ms,
-       min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN ms END)
+       min(CASE WHEN rn = (19 * n + 19) // 20 THEN ms END)
          AS p95_ms
      FROM r"""
 

@@ -225,6 +225,15 @@ class TemporalOpsSpec extends SparkSpec {
     // within-source dedup: distinct (source, md5) pairs
     val uniq = docs.select(col("source"), md5(col("text"))).distinct()
     assert(proj.getLong(1) == uniq.count())
+    // kept_chars equals the mass the transform's representative rule
+    // (min doc_id per group) actually keeps
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), md5(col("text"))).orderBy(col("doc_id"))
+    val kept = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(sum("n_chars")).collect().head.getLong(0)
+    assert(proj.getLong(2) == kept,
+      "projection kept_chars must equal the transform's kept mass")
   }
 
   test("min-max scaling stays in [0, 1e6]; funnel latency is ordered") {
