@@ -167,6 +167,12 @@ object SparkEntry {
     "q142_new_returning"   -> (Extensions.q142NewReturning _),
     "q143_packing_waste"   -> (Extensions.q143PackingWaste _),
     "q144_dedup_savings"   -> (Extensions.q144DedupSavings _),
+    "q145_stream_monitor"  ->
+      (graft.streaming.MonitorStream.monitorTimelineQuery _),
+    "q146_bpe_merges"      ->
+      ((s, d) => TextAnalysis.bpeMergesQuery(s, d)),
+    "q147_pruning_proof"   ->
+      (graft.operators.Maintenance.pruningProofQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -577,8 +583,8 @@ object SparkEntry {
                  count(*) OVER (PARTITION BY event_type) AS n
                FROM f)
          SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS median_value,
-           min(CASE WHEN rn = ceil(n * 0.95) THEN value END) AS p95_value
+           min(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_value,
+           min(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95_value
          FROM r GROUP BY 1 ORDER BY event_type""",
     // q42: the bucketed range join; integer-ms comparisons make the
     // plain theta join an exact oracle.
@@ -831,6 +837,16 @@ object SparkEntry {
       graft.operators.TextAnalysis.packingWasteOracleSql,
     "q144_dedup_savings" ->
       graft.operators.Dedup.dedupSavingsOracleSql,
+    // q145 drains events through a real writeStream; its per-batch
+    // rule counts are algebraic sums, so the streamed timeline totals
+    // equal the batch assertion suite the oracle recomputes (plus the
+    // deterministic micro-batch count).
+    "q145_stream_monitor" ->
+      graft.streaming.MonitorStream.monitorTimelineOracleSql,
+    "q146_bpe_merges" ->
+      graft.operators.TextAnalysis.bpeMergesOracleSql(),
+    "q147_pruning_proof" ->
+      graft.operators.Maintenance.pruningProofOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
