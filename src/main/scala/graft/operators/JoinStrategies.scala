@@ -109,6 +109,9 @@ object JoinStrategies {
       .agg(max(col("cnt")).as("top"), sum(col("cnt")).as("total"),
         count(lit(1)).as("n_keys"))
       .head()
+    // an empty large side yields one row of (NULL, NULL, 0): there is
+    // no skew to split, and the join result is empty at any factor
+    if (r.isNullAt(0) || r.getLong(2) == 0L) return 1
     val (top, total, nKeys) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val mean = math.max(1L, total / nKeys)
     val ratio = top / mean

@@ -93,9 +93,10 @@ object Maintenance {
     val touched = tagged.join(keys, Seq(key), "left_semi")
       .select(element_at(split(col("__cow_file"), "/"), -1))
       .distinct().collect().map(_.getString(0)).toSet
-    val touchedDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(touched.toSeq.map(Row(_)), 1),
-      StructType(Seq(StructField("__cow_name", StringType))))
+    val touchedDf = {
+      import spark.implicits._
+      touched.toSeq.toDF("__cow_name")
+    }
     val rewritten = tagged
       .withColumn("__cow_name",
         element_at(split(col("__cow_file"), "/"), -1))
@@ -128,8 +129,12 @@ object Maintenance {
           val dstPath =
             new Path(new Path(outDirStr), "copied-" + srcPath.getName)
           val dFs = dstPath.getFileSystem(serConf.value)
+          // overwrite = true: a retried or speculative task must be
+          // able to re-copy a file its first attempt already landed —
+          // the copy is idempotent (same source bytes), so clobbering
+          // is the correct retry semantics in a task context
           org.apache.hadoop.fs.FileUtil.copy(sFs, srcPath, dFs, dstPath,
-            false, false, serConf.value)
+            false, true, serConf.value)
           copied.add(1L)
         }
     }

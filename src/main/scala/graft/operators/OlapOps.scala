@@ -1283,7 +1283,7 @@ object OlapOps {
 
   /** [[basketPairsQuery]] over an explicit (l_orderkey, l_partkey)
     * frame — the testable capped core (a planted mega-order must be
-    * pruned BEFORE the self-join, see OlapOpsStressSpec). */
+    * pruned BEFORE the self-join, see BoundedScaleSpec). */
   def basketPairs(rawItems: DataFrame, topN: Int): DataFrame = {
     val items = rawItems.select(col("l_orderkey"), col("l_partkey"))
       .distinct()

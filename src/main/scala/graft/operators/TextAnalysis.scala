@@ -449,7 +449,8 @@ object TextAnalysis {
         .as("s"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val best = cur
         .select(split(trim(col("s")), "  ").as("arr"), col("freq"))
         .filter(size(col("arr")) >= 2)
@@ -459,16 +460,27 @@ object TextAnalysis {
           element_at(col("arr"), col("i")).as("b"), col("freq"))
         .groupBy("a", "b").agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1).head()
-      val (a, b, n) =
-        (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r.toLong, a, b, n))
-      // symbols are ^[a-z0-9]+$ so embedding them in the expression
-      // text is literal-safe
-      cur = cur
-        .select(expr(s"replace(s, ' $a  $b ', ' $a$b ')").as("s"),
-          col("freq"))
-        .localCheckpoint()
+        .limit(1).collect().headOption
+      best match {
+        case None =>
+          // every word is a single symbol — no pair left to merge.
+          // The oracle's round-r CTEs are empty past this point (an
+          // empty LIMIT 1 contributes no UNION branch and NULL scalar
+          // subqueries null the segmentation), so stopping here keeps
+          // the two result sets identical: rows only for rounds that
+          // actually merged.
+          exhausted = true
+        case Some(row) =>
+          val (a, b, n) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r.toLong, a, b, n))
+          // symbols are ^[a-z0-9]+$ so embedding them in the
+          // expression text is literal-safe
+          cur = cur
+            .select(expr(s"replace(s, ' $a  $b ', ' $a$b ')").as("s"),
+              col("freq"))
+            .localCheckpoint()
+      }
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "a", "b", "n").orderBy("round")

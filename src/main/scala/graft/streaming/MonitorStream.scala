@@ -75,16 +75,29 @@ object MonitorStream {
     * round-trips via Jackson's shortest-repr doubles. Per-call temp
     * dirs give the stream a fresh checkpoint, so the full drop is
     * processed on every invocation. */
+  /** Drop files and files-per-trigger for [[monitorTimelineQuery]].
+    * The oracle's `n_batches` literal is ceil(DropFiles /
+    * FilesPerTrigger) — [[monitorTimelineOracleSql]] derives it from
+    * these constants, and the query `require`s the actual batch count
+    * so a fixture too small to fill every round-robin partition (an
+    * empty partition writes no JSON file) fails loudly instead of
+    * hash-mismatching. */
+  val DropFiles = 6
+  val FilesPerTrigger = 2
+
   def monitorTimelineQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val drop = java.nio.file.Files.createTempDirectory("q145_drop").toString
+    // monitorDir intentionally outlives the call: the returned frame
+    // reads it lazily. Per-call temp dirs in a short-lived JVM are
+    // reclaimed with the container's temp filesystem.
     val monitorDir =
       java.nio.file.Files.createTempDirectory("q145_mon").toString
     val ck = java.nio.file.Files.createTempDirectory("q145_ck").toString
     graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("user_id"),
         col("props"), unix_millis(col("ts")).as("ts_ms"))
-      .repartition(6)
+      .repartition(DropFiles)
       .write.mode("overwrite").json(drop)
     val dropSchema = StructType(Seq(
       StructField("event_type", StringType),
@@ -94,7 +107,7 @@ object MonitorStream {
       StructField("ts_ms", LongType)))
     val q = spark.readStream
       .schema(dropSchema)
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", FilesPerTrigger.toString)
       .json(drop)
       .writeStream
       .option("checkpointLocation", ck)
@@ -107,16 +120,40 @@ object MonitorStream {
       }
       .start()
     q.awaitTermination()
+    // the returned frame reads only monitorDir; the staged drop and
+    // the checkpoint are dead once the stream has drained — delete
+    // them so repeated bench/verify runs don't accumulate staged
+    // copies of the events table in the temp filesystem
+    for (d <- Seq(drop, ck)) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    val expectedBatches =
+      (DropFiles + FilesPerTrigger - 1) / FilesPerTrigger
+    val got = spark.read.parquet(monitorDir)
+      .select("rule").distinct().count()
+    val batches = new java.io.File(monitorDir).listFiles()
+      .count(_.getName.startsWith("batch="))
+    require(got > 0 && batches == expectedBatches,
+      s"q145 staged $DropFiles drop files but streamed $batches " +
+        s"micro-batches (expected $expectedBatches) — fixture too " +
+        "small to fill every drop partition?")
     ruleTotals(spark, monitorDir)
   }
 
   /** DuckDB oracle for [[monitorTimelineQuery]]: the batch assertion
-    * suite plus the deterministic micro-batch count — 6 drop files
-    * drained at `maxFilesPerTrigger=2` is exactly 3 batches, so a
-    * hash match certifies both the rule totals AND that the data
-    * arrived through multiple streaming batches. */
-  def monitorTimelineOracleSql: String =
-    """SELECT rule, n_rows, n_violations, CAST(3 AS BIGINT) AS n_batches
+    * suite plus the deterministic micro-batch count —
+    * ceil([[DropFiles]] / [[FilesPerTrigger]]) batches, derived from
+    * the same constants the query stages with (and `require`d against
+    * the actual stream), so a hash match certifies both the rule
+    * totals AND that the data arrived through multiple streaming
+    * batches. */
+  def monitorTimelineOracleSql: String = {
+    val nBatches = (DropFiles + FilesPerTrigger - 1) / FilesPerTrigger
+    s"""SELECT rule, n_rows, n_violations,
+         CAST($nBatches AS BIGINT) AS n_batches
        FROM (""" + DataQuality.assertionSuiteOracleSql + """)
        ORDER BY rule"""
+  }
 }

@@ -122,6 +122,9 @@ class JoinStrategiesSpec extends SparkSpec {
     val f = JoinStrategies.deriveSaltFactor(hot, "k")
     assert(f > 1, s"hot key must trigger salting, got $f")
     assert(f <= 64, s"factor must respect the cap, got $f")
+    // an empty or fully-filtered fact table has no skew to measure
+    assert(JoinStrategies.deriveSaltFactor(
+      uniform.filter(col("k") < 0), "k") == 1)
     // the auto-salted join still equals the plain join on skewed data
     val dim = (0L until 100L).map(k => (k, s"name$k")).toDF("k", "name")
     val plain = hot.join(dim, "k").agg(count(lit(1)), sum("v"))

@@ -107,6 +107,15 @@ class TextAnalysisSpec extends SparkSpec {
       s"got ${one.toSeq}")
   }
 
+  test("BPE stops when the vocabulary is fully merged, like the oracle") {
+    // 'aaa' exhausts after 2 merges; rounds=5 must emit exactly the 2
+    // merge rows (the oracle's empty LIMIT-1 CTEs contribute no rows
+    // past exhaustion), not throw on the empty argmax
+    val docs = Seq(Tuple1("aaa")).toDF("text")
+    val out = TextAnalysis.bpeMerges(spark, docs, rounds = 5).collect()
+    assert(out.length == 2, s"expected 2 merge rows, got ${out.length}")
+  }
+
   test("quality and token queries produce full per-doc coverage") {
     val q = TextAnalysis.qualityQuery(spark, sf0001)
     val t = TextAnalysis.tokenCountQuery(spark, sf0001)
