@@ -173,6 +173,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.bpeMergesQuery(s, d)),
     "q147_pruning_proof"   ->
       (graft.operators.Maintenance.pruningProofQuery _),
+    "q148_bpe_segments"    ->
+      ((s, d) => TextAnalysis.bpeSegmentStatsQuery(s, d)),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -847,6 +849,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.bpeMergesOracleSql(),
     "q147_pruning_proof" ->
       graft.operators.Maintenance.pruningProofOracleSql,
+    "q148_bpe_segments" ->
+      graft.operators.TextAnalysis.bpeSegmentStatsOracleSql(),
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -441,6 +441,17 @@ object TextAnalysis {
   /** [[bpeMergesQuery]] over an explicit docs(text) frame. */
   def bpeMerges(spark: SparkSession, docs: DataFrame,
       rounds: Int): DataFrame = {
+    import spark.implicits._
+    bpeTrain(docs, rounds)._1
+      .toDF("round", "a", "b", "n").orderBy("round")
+  }
+
+  /** The shared training loop: runs up to `rounds` merge rounds and
+    * returns (merge list, final segmentation table) — [[bpeMerges]]
+    * reports the former, [[bpeSegmentStats]] aggregates the latter.
+    * Stops early when no pair remains (every word one symbol). */
+  private[operators] def bpeTrain(docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var cur = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
@@ -482,14 +493,17 @@ object TextAnalysis {
             .localCheckpoint()
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "a", "b", "n").orderBy("round")
+    (merges.toSeq, cur)
   }
 
-  /** DuckDB oracle for [[bpeMergesQuery]] — the same k rounds
-    * unrolled as CTEs, each round's argmax injected into the next
-    * round's `replace` via scalar subqueries. */
-  def bpeMergesOracleSql(rounds: Int = 4): String = {
+  /** The shared WITH-body for the BPE oracles: vocabulary build plus
+    * `rounds` unrolled merge CTEs, each round's argmax injected into
+    * the next round's `replace` via scalar subqueries. The `replace`
+    * is wrapped in `coalesce(…, s)` so an EXHAUSTED round (empty
+    * argmax → NULL pattern → NULL replace result) keeps the previous
+    * segmentation instead of null-poisoning every later round —
+    * exactly the engine's early-stop behavior. */
+  private def bpeOracleCtes(rounds: Int): String = {
     val roundCte = (r: Int) => {
       val s = s"s$r"; val p = s"p$r"; val b = s"b$r"
       s"""x$r AS (SELECT string_split_regex(trim(s), '  ') AS arr, freq
@@ -501,26 +515,74 @@ object TextAnalysis {
                CAST(sum(freq) AS BIGINT) AS n
              FROM y$r GROUP BY 1, 2),
          $b AS (SELECT a, b, n FROM $p ORDER BY n DESC, a, b LIMIT 1),
-         s${r + 1} AS (SELECT replace(s,
+         s${r + 1} AS (SELECT coalesce(replace(s,
                ' ' || (SELECT a FROM $b) || '  ' || (SELECT b FROM $b)
                  || ' ',
-               ' ' || (SELECT a FROM $b) || (SELECT b FROM $b) || ' ')
-             AS s, freq FROM $s)"""
+               ' ' || (SELECT a FROM $b) || (SELECT b FROM $b) || ' '),
+             s) AS s, freq FROM $s)"""
     }
-    val unions = (1 to rounds)
-      .map(r => s"SELECT $r AS round, a, b, n FROM b$r")
-      .mkString(" UNION ALL ")
-    s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)),
+    s"""tk AS (SELECT unnest(string_split_regex(lower(trim(text)),
            '\\s+')) AS w FROM documents),
        v AS (SELECT w, count(*) AS freq FROM tk
              WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) >= 2
              GROUP BY 1),
        s1 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
                freq FROM v),
-       ${(1 to rounds).map(roundCte).mkString(",\n       ")}
+       ${(1 to rounds).map(roundCte).mkString(",\n       ")}"""
+  }
+
+  /** DuckDB oracle for [[bpeMergesQuery]]. */
+  def bpeMergesOracleSql(rounds: Int = 4): String = {
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS round, a, b, n FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeOracleCtes(rounds)}
      SELECT CAST(round AS BIGINT) AS round, a, b, n
      FROM ($unions) ORDER BY round"""
   }
+
+  /** q148: the APPLY half of tokenizer training — the corpus
+    * vocabulary segmented by the q146 merge table, reported as the
+    * symbols-per-word distribution: for each post-merge symbol count,
+    * how many distinct words land there, their corpus frequency mass,
+    * and their frequency-weighted character mass (chars are invariant
+    * under merging — the property PropertySpec pins — so chars_mass
+    * over the distribution equals the raw corpus's alnum word chars,
+    * while the symbol mass is what shrinks: the compression the
+    * tokenizer buys). Scale shape: the training loop's vocabulary-
+    * sized work plus ONE more vocabulary-sized aggregation — nothing
+    * corpus-sized after the initial token count. */
+  def bpeSegmentStatsQuery(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame =
+    bpeSegmentStats(Tables.documents(spark, dir), rounds)
+
+  /** [[bpeSegmentStatsQuery]] over an explicit docs(text) frame. */
+  def bpeSegmentStats(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, segmented) = bpeTrain(docs, rounds)
+    segmented
+      .select(size(split(trim(col("s")), "  ")).cast("long")
+          .as("n_symbols"),
+        length(regexp_replace(col("s"), " ", "")).cast("long")
+          .as("n_chars"),
+        col("freq"))
+      .groupBy("n_symbols")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("freq_mass"),
+        sum(col("freq") * col("n_chars")).as("chars_mass"))
+      .orderBy("n_symbols")
+  }
+
+  /** DuckDB oracle for [[bpeSegmentStatsQuery]] — the same unrolled
+    * training CTEs, aggregating the final segmentation table. */
+  def bpeSegmentStatsOracleSql(rounds: Int = 4): String =
+    s"""WITH ${bpeOracleCtes(rounds)}
+     SELECT CAST(len(string_split_regex(trim(s), '  ')) AS BIGINT)
+         AS n_symbols,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS freq_mass,
+       CAST(sum(freq * length(replace(s, ' ', ''))) AS BIGINT)
+         AS chars_mass
+     FROM s${rounds + 1} GROUP BY 1 ORDER BY 1"""
 
   /** q143: packing-efficiency audit — how much context-window capacity
     * the q40 chunking scheme (size 32, stride 24) wastes as padding,

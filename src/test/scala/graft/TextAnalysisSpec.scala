@@ -107,6 +107,28 @@ class TextAnalysisSpec extends SparkSpec {
       s"got ${one.toSeq}")
   }
 
+  test("BPE segment stats: hand-computed distribution, char mass invariant") {
+    // vocab after 2 rounds on 'abab abab abac': abab -> [abab] (1
+    // symbol), abac -> [ab, a, c] (3 symbols)
+    val docs = Seq(Tuple1("abab abab abac")).toDF("text")
+    val out = TextAnalysis.bpeSegmentStats(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 2L, 8L), (3L, 1L, 1L, 4L)),
+      s"got ${out.toSeq}")
+    // merging never changes character content: chars_mass across the
+    // distribution is invariant in the round count (rounds=0 is the
+    // raw character-level segmentation)
+    def charsMass(rounds: Int): Long =
+      TextAnalysis.bpeSegmentStats(docs, rounds).agg(sum("chars_mass"))
+        .collect().head.getLong(0)
+    assert(charsMass(0) == charsMass(2) && charsMass(2) == charsMass(5))
+    // symbol mass is what compression shrinks, monotonically
+    def symMass(rounds: Int): Long =
+      TextAnalysis.bpeSegmentStats(docs, rounds)
+        .agg(sum(expr("n_symbols * freq_mass"))).collect().head.getLong(0)
+    assert(symMass(0) > symMass(1) && symMass(1) > symMass(2))
+  }
+
   test("BPE stops when the vocabulary is fully merged, like the oracle") {
     // 'aaa' exhausts after 2 merges; rounds=5 must emit exactly the 2
     // merge rows (the oracle's empty LIMIT-1 CTEs contribute no rows
