@@ -175,6 +175,8 @@ object SparkEntry {
       (graft.operators.Maintenance.pruningProofQuery _),
     "q148_bpe_segments"    ->
       ((s, d) => TextAnalysis.bpeSegmentStatsQuery(s, d)),
+    "q149_ingest_sessions" ->
+      (graft.streaming.EventStream.ingestSessionQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -199,6 +201,23 @@ object SparkEntry {
         portable = false)),
       "q34_winnow" -> ((s, d) => TextAnalysis.winnowQuery(s, d)),
     )
+
+  private val sessionizeOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS t FROM events),
+       s AS (SELECT user_id, event_id, t,
+           CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       r AS (SELECT user_id, t,
+           sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY t, event_id) AS session_seq
+         FROM s)
+       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(t) AS start_ms, max(t) AS end_ms,
+         max(t) - min(t) AS duration_ms
+       FROM r GROUP BY 1, 2 ORDER BY user_id, session_seq"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -465,23 +484,12 @@ object SparkEntry {
            CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
          FROM lab l JOIN sz s USING (cluster_id) ORDER BY l.doc_id""",
     // q46: gap-based sessionization — identical window arithmetic on
-    // both engines over epoch-ms integers.
-    "q46_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id,
-             CAST(epoch_ms(ts) AS BIGINT) AS t FROM events),
-         s AS (SELECT user_id, event_id, t,
-             CASE WHEN lag(t) OVER w IS NULL
-                    OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-         r AS (SELECT user_id, t,
-             sum(new_sess) OVER (PARTITION BY user_id
-               ORDER BY t, event_id) AS session_seq
-           FROM s)
-         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-           CAST(count(*) AS BIGINT) AS n_events,
-           min(t) AS start_ms, max(t) AS end_ms,
-           max(t) - min(t) AS duration_ms
-         FROM r GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+    // both engines over epoch-ms integers. q149 shares the oracle:
+    // its input is the SAME events, round-tripped through the
+    // streaming parquet file sink, so a hash match proves the ingest
+    // path lossless.
+    "q46_sessionize" -> sessionizeOracleSql,
+    "q149_ingest_sessions" -> sessionizeOracleSql,
     // q47: TF-IDF with exact integer rational scores — no ln(), whose
     // libm rounding differs across engines.
     "q47_tfidf" ->

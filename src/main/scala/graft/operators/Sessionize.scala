@@ -23,12 +23,18 @@ object Sessionize {
   /** Per-session summary: event count, start/end epoch-ms, duration.
     * `session_seq` numbers a user's sessions from 1 in time order. */
   def sessionQuery(spark: SparkSession, dir: String,
-                   gapMs: Long = 1800000L): DataFrame = {
+                   gapMs: Long = 1800000L): DataFrame =
+    sessionsFromMs(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t")), gapMs)
+
+  /** [[sessionQuery]] over an explicit (user_id, event_id, t) frame
+    * with epoch-ms times — the core the streaming-ingest q149 runs
+    * against a table a parquet file sink just landed. */
+  def sessionsFromMs(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("t").asc, col("event_id").asc)
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("t"))
+    ev
       .withColumn("new_sess",
         when(lag(col("t"), 1).over(byTime).isNull ||
           col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))

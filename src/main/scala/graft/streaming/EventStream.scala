@@ -61,6 +61,56 @@ object EventStream {
     q
   }
 
+  /** q149: the exactly-once PARQUET FILE SINK ingest path driven to a
+    * hash-checked answer — the events table is staged as a JSONL drop
+    * (epoch-ms times, exact-integer round-trip), drained through a
+    * real `writeStream.format("parquet")` with AvailableNow (multiple
+    * micro-batches via `maxFilesPerTrigger`; the sink's
+    * `_spark_metadata` commit log is what makes replayed batches
+    * invisible to readers), and the LANDED table — read back in batch
+    * mode through that commit log — is sessionized. The result must
+    * equal q46's gap-sessionization oracle over the raw events, so a
+    * hash match certifies the whole ingest path: staging, streaming
+    * file sink, commit-log read-back, and the session arithmetic —
+    * complementing q145, which covers the foreachBatch sink family.
+    *
+    * Temp dirs are per-call (fresh checkpoint → full drop processed
+    * every run); the drop and checkpoint are deleted once the stream
+    * has drained, the sunk table outlives the call for the returned
+    * lazy frame. */
+  def ingestSessionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val drop = java.nio.file.Files.createTempDirectory("q149_drop").toString
+    val sunk = java.nio.file.Files.createTempDirectory("q149_sunk").toString
+    val ck = java.nio.file.Files.createTempDirectory("q149_ck").toString
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .repartition(6)
+      .write.mode("overwrite").json(drop)
+    val dropSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("t", LongType)))
+    val q = spark.readStream
+      .schema(dropSchema)
+      .option("maxFilesPerTrigger", "2")
+      .json(drop)
+      .writeStream
+      .format("parquet")
+      .option("path", sunk)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    for (d <- Seq(drop, ck)) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    graft.operators.Sessionize.sessionsFromMs(spark.read.parquet(sunk))
+  }
+
   /** Windowed aggregate to an in-memory sink, AvailableNow — used by
     * tests and as the pattern for a live dashboard feed. */
   def aggregateAvailableNow(spark: SparkSession, dropDir: String,

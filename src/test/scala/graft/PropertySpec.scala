@@ -415,6 +415,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE training matches an independent list-based reference on random corpora") {
+    import graft.operators.TextAnalysis
+    // Independent reference: symbol LISTS and an explicit left-to-right
+    // merge scan — no string encoding — so the engine's 2-space
+    // separator replace trick is validated against a different
+    // formulation of the same algorithm on arbitrary inputs.
+    def mergeScan(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def refBpe(words: Seq[String], rounds: Int)
+        : (Seq[(Long, String, String, Long)], Seq[(List[String], Long)]) = {
+      var segs = words
+        .filter(w => w.matches("^[a-z0-9]+$") && w.length >= 2)
+        .groupBy(identity).toSeq
+        .map { case (w, ws) => (w.map(_.toString).toList, ws.size.toLong) }
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        for ((syms, f) <- segs; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), n) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }.head
+          merges += ((r.toLong, a, b, n))
+          segs = segs.map { case (syms, f) => (mergeScan(syms, a, b), f) }
+        }
+        r += 1
+      }
+      (merges.toSeq, segs)
+    }
+    val genWords = Gen.nonEmptyListOf(
+      Gen.oneOf("ab", "abc", "aab", "bba", "abab", "ba", "cab", "aa",
+        "x", "abcabc", "baba"))
+    forAll(genWords, trials = 6) { words =>
+      val docs = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      val rounds = 3
+      val (refMerges, refSegs) = refBpe(words, rounds)
+      val gotMerges = TextAnalysis.bpeMerges(spark, docs, rounds).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(gotMerges.toSeq == refMerges, s"words=$words")
+      val gotStats = TextAnalysis.bpeSegmentStats(docs, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val refStats = refSegs.groupBy(_._1.length).toSeq
+        .map { case (ns, g) =>
+          (ns.toLong, g.size.toLong, g.map(_._2).sum,
+            g.map { case (syms, f) => f * syms.map(_.length).sum }.sum)
+        }.sortBy(_._1)
+      assert(gotStats.toSeq == refStats, s"words=$words")
+    }
+  }
+
   test("rollingActive matches per-day brute force on random activity") {
     import graft.operators.Sessionize
     val genAct = Gen.nonEmptyListOf(for {

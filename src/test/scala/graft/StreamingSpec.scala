@@ -343,6 +343,16 @@ class StreamingSpec extends SparkSpec {
       s"expected 3 micro-batches per rule, got ${rows.map(_.getLong(3)).toSeq}")
   }
 
+  test("q149 parquet-sink ingest round-trips sessions losslessly") {
+    val streamed = graft.streaming.EventStream
+      .ingestSessionQuery(spark, sf0001).collect().map(_.toSeq)
+    val batch = graft.operators.Sessionize
+      .sessionQuery(spark, sf0001).collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "sessions over the sunk table must equal sessions over raw events")
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
