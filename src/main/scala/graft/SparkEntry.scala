@@ -177,6 +177,8 @@ object SparkEntry {
       ((s, d) => TextAnalysis.bpeSegmentStatsQuery(s, d)),
     "q149_ingest_sessions" ->
       (graft.streaming.EventStream.ingestSessionQuery _),
+    "q150_ann_recall"      ->
+      ((s, d) => graft.operators.Similarity.annRecallQuery(s, d)),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -859,6 +861,8 @@ object SparkEntry {
       graft.operators.Maintenance.pruningProofOracleSql,
     "q148_bpe_segments" ->
       graft.operators.TextAnalysis.bpeSegmentStatsOracleSql(),
+    "q150_ann_recall" ->
+      graft.operators.Similarity.annRecallOracleSql(),
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -176,6 +176,131 @@ object Similarity {
         (round(col("cos"), 6) * 1000000).cast("long").as("sim"))
   }
 
+  /** q150: the ANN RECALL report — the measurement that decides
+    * whether an approximate index is good enough to serve: for a
+    * deterministic sample of query vectors, the exact brute-force
+    * top-k is compared against the multi-probe portable-LSH top-k
+    * (the q56 configuration), reporting per-query candidate volume,
+    * hits, and recall. This is how recall is measured at ANY corpus
+    * size: the exact side is inherently a brute-force pass, so it is
+    * bounded by the QUERY SAMPLE (nQueries constant), never run
+    * corpus×corpus — one broadcast of the sample against one corpus
+    * scan for the exact side, one bucket-join for the approximate
+    * side, and the per-query rank windows partition by query id over
+    * sample-bounded row counts. Everything downstream of the cosine
+    * ranks is exact integer arithmetic, and the bucket assignment is
+    * the portable integer family, so the oracle recomputes the whole
+    * report. */
+  def annRecallQuery(spark: SparkSession, dir: String,
+      nQueries: Int = 4, k: Int = 10, planes: Int = 6,
+      probeFlips: Int = 2, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(spark)
+    val bucketed = Partitioning.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"),
+        portableBucket(col("qv"), planes, dims).as("bucket"))
+      .localCheckpoint()
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val byCos = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = bucketed
+      .join(broadcast(queries.select("qid", "q_emb")),
+        col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
+    val flips = lit(0L) +:
+      (0 until math.min(probeFlips, math.max(planes, 0)))
+        .map(p => lit(1L << p))
+    val probes = queries.select(col("qid"), col("q_emb"),
+      explode(array(flips.map(f => col("q_bucket").bitwiseXOR(f)): _*))
+        .as("pb"))
+    val cand = bucketed
+      .join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+    val approx = cand
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("a_vec"))
+    val candCounts = cand.groupBy("qid")
+      .agg(count(lit(1)).as("n_candidates"))
+    exact
+      .join(approx.withColumnRenamed("qid", "a_qid"),
+        col("qid") === col("a_qid") && col("vec_id") === col("a_vec"),
+        "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      .join(exact.groupBy("qid").agg(count(lit(1)).as("n_true")), Seq("qid"),
+        "right")
+      .join(candCounts, Seq("qid"), "left")
+      .select(col("qid"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        expr("coalesce(n_hits, 0) * 100 div n_true").as("recall_pct"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB oracle for [[annRecallQuery]] — same plane constants,
+    * same probe set, same rank tie-breaks. */
+  def annRecallOracleSql(nQueries: Int = 4, k: Int = 10,
+      planes: Int = 6, probeFlips: Int = 2, dims: Int = 64): String = {
+    val bits = (0 until planes).map { p =>
+      val cs = (0 until dims)
+        .map(i => portablePlaneComponent(p, i))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n           + ")
+    val probeList = ("q_bucket" +:
+      (0 until math.min(probeFlips, math.max(planes, 0)))
+        .map(p => s"xor(q_bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       qv AS (SELECT vec_id, emb,
+           list_transform(emb, x -> CAST(round(x * 1024) AS BIGINT)) AS q
+         FROM e),
+       b AS (SELECT vec_id, emb, $bits AS bucket FROM qv),
+       qs AS (SELECT vec_id AS qid, emb AS q_emb, bucket AS q_bucket
+              FROM b WHERE vec_id < $nQueries),
+       exact AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, b.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(b.emb, q.q_emb) DESC,
+                 b.vec_id) AS rn
+           FROM b, qs q WHERE b.vec_id != q.qid)
+         WHERE rn <= $k),
+       probes AS (SELECT qid, q_emb, unnest($probeList) AS pb FROM qs),
+       cand AS (SELECT p.qid, b.vec_id, b.emb, p.q_emb
+                FROM b JOIN probes p
+                  ON b.bucket = p.pb AND b.vec_id != p.qid),
+       approx AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_cosine_similarity(emb, q_emb) DESC,
+                 vec_id) AS rn
+           FROM cand)
+         WHERE rn <= $k),
+       cc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates
+              FROM cand GROUP BY 1),
+       hits AS (SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits
+                FROM exact e LEFT JOIN approx a
+                  ON e.qid = a.qid AND e.vec_id = a.vec_id
+                GROUP BY 1)
+     SELECT h.qid, CAST(t.n_true AS BIGINT) AS n_true, h.n_hits,
+       coalesce(cc.n_candidates, 0) AS n_candidates,
+       CAST(h.n_hits * 100 // t.n_true AS BIGINT) AS recall_pct
+     FROM hits h
+       JOIN (SELECT qid, count(*) AS n_true FROM exact GROUP BY 1) t
+         USING (qid)
+       LEFT JOIN cc USING (qid)
+     ORDER BY qid"""
+  }
+
   /** q58: SemDeDup-style semantic deduplication — partition the corpus
     * into hyperplane-LSH buckets (the portable integer family, so the
     * oracle recomputes assignments exactly), then within each bucket

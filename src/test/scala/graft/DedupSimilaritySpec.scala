@@ -96,6 +96,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est == 1000000L) // identical docs -> all minhashes equal
   }
 
+  test("ann recall report: bounded fields, and full recall at full probe") {
+    val rows = Similarity.annRecallQuery(spark, sf0001).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (nTrue, nHits, nCand, pct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nTrue == 10L)
+      assert(nHits >= 0L && nHits <= nTrue)
+      assert(nHits <= nCand, "cannot hit more than the candidate volume")
+      assert(pct == nHits * 100 / nTrue)
+    }
+    // exact-recovery configuration: planes=0 puts every vector in one
+    // bucket, so the approximate side IS brute force -> recall 100
+    val full = Similarity.annRecallQuery(spark, sf0001,
+      planes = 0, probeFlips = 0).collect()
+    assert(full.forall(_.getLong(4) == 100L),
+      s"planes=0 must recover recall 100: ${full.map(_.getLong(4)).toSeq}")
+  }
+
   test("decontamination flags corpus docs overlapping the benchmark") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", "bench"),
