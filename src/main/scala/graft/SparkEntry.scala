@@ -179,6 +179,8 @@ object SparkEntry {
       (graft.streaming.EventStream.ingestSessionQuery _),
     "q150_ann_recall"      ->
       ((s, d) => graft.operators.Similarity.annRecallQuery(s, d)),
+    "q151_recall_curve"    ->
+      ((s, d) => graft.operators.Similarity.annRecallCurveQuery(s, d)),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -863,6 +865,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.bpeSegmentStatsOracleSql(),
     "q150_ann_recall" ->
       graft.operators.Similarity.annRecallOracleSql(),
+    "q151_recall_curve" ->
+      graft.operators.Similarity.annRecallCurveOracleSql(),
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

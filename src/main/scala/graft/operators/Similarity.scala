@@ -246,6 +246,159 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** q151: the RECALL CURVE — [[annRecallQuery]] swept over probe
+    * budgets in one pass, the actual tuning artifact: q150 reports
+    * recall at one configuration; this reports recall-vs-probes so
+    * the operator can read off the budget that clears the target.
+    * Each vector lives in exactly ONE bucket, so a candidate matches
+    * at most one probe (labeled with its flip LEVEL: 0 = home bucket,
+    * p+1 = flip of plane p); a budget of b probes admits levels < b,
+    * so the candidate table is computed ONCE and a broadcast budgets
+    * list fans each candidate into the budgets that include it —
+    * no per-budget rescan. Rank windows stay per (qid, budget):
+    * sample-bounded × a constant budget list. */
+  def annRecallCurveQuery(spark: SparkSession, dir: String,
+      nQueries: Int = 4, k: Int = 10, planes: Int = 6,
+      budgets: Seq[Int] = Seq(1, 3, 7), dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets.forall(b => b >= 1 && b <= planes + 1))
+    VectorFunctions.register(spark)
+    val bucketed = Partitioning.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"),
+        portableBucket(col("qv"), planes, dims).as("bucket"))
+      .localCheckpoint()
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val exactByCos = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = bucketed
+      .join(broadcast(queries.select("qid", "q_emb")),
+        col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(exactByCos))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id")
+      .localCheckpoint()
+    // probe levels: 0 = home bucket, p+1 = single-bit flip of plane p
+    val levelled = (0 to planes).map(l => struct(lit(l).as("level"),
+      (if (l == 0) col("q_bucket")
+       else col("q_bucket").bitwiseXOR(lit(1L << (l - 1)))).as("pb")))
+    val probes = queries.select(col("qid"), col("q_emb"),
+      explode(array(levelled: _*)).as("p"))
+      .select(col("qid"), col("q_emb"),
+        col("p.level").as("level"), col("p.pb").as("pb"))
+    val cand = bucketed
+      .join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .select("qid", "vec_id", "level", "cos")
+    val budgetsDf = {
+      import spark.implicits._
+      budgets.toDF("budget")
+    }
+    val perBudget = cand.join(broadcast(budgetsDf),
+      col("level") < col("budget"))
+    val byCosB = Window.partitionBy("qid", "budget")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = perBudget
+      .withColumn("rn", row_number().over(byCosB))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("a_qid"), col("budget").as("a_budget"),
+        col("vec_id").as("a_vec"))
+    val candCounts = perBudget.groupBy("qid", "budget")
+      .agg(count(lit(1)).as("n_candidates"))
+    val grid = exact.select("qid").distinct()
+      .crossJoin(broadcast(budgetsDf))
+    val trueCounts = exact.groupBy("qid").agg(count(lit(1)).as("n_true"))
+    val hits = exact.crossJoin(broadcast(budgetsDf))
+      .join(approx, col("qid") === col("a_qid") &&
+        col("budget") === col("a_budget") && col("vec_id") === col("a_vec"),
+        "left_semi")
+      .groupBy("qid", "budget").agg(count(lit(1)).as("n_hits"))
+    grid
+      .join(broadcast(trueCounts), Seq("qid"))
+      .join(hits, Seq("qid", "budget"), "left")
+      .join(candCounts, Seq("qid", "budget"), "left")
+      .select(col("qid"), col("budget").cast("long").as("budget"),
+        col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        expr("coalesce(n_hits, 0) * 100 div n_true").as("recall_pct"))
+      .orderBy("qid", "budget")
+  }
+
+  /** DuckDB oracle for [[annRecallCurveQuery]] — same plane
+    * constants, the same level-labeled probe set, a VALUES budgets
+    * list. */
+  def annRecallCurveOracleSql(nQueries: Int = 4, k: Int = 10,
+      planes: Int = 6, budgets: Seq[Int] = Seq(1, 3, 7),
+      dims: Int = 64): String = {
+    val bits = (0 until planes).map { p =>
+      val cs = (0 until dims)
+        .map(i => portablePlaneComponent(p, i))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n           + ")
+    val probeBranches = (s"SELECT qid, q_emb, 0 AS level, q_bucket AS pb FROM qs" +:
+      (0 until planes).map(p =>
+        s"SELECT qid, q_emb, ${p + 1}, xor(q_bucket, ${1L << p}) FROM qs"))
+      .mkString("\n                  UNION ALL ")
+    val budgetVals = budgets.map(b => s"($b)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       qv AS (SELECT vec_id, emb,
+           list_transform(emb, x -> CAST(round(x * 1024) AS BIGINT)) AS q
+         FROM e),
+       b AS (SELECT vec_id, emb, $bits AS bucket FROM qv),
+       qs AS (SELECT vec_id AS qid, emb AS q_emb, bucket AS q_bucket
+              FROM b WHERE vec_id < $nQueries),
+       exact AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, b.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(b.emb, q.q_emb) DESC,
+                 b.vec_id) AS rn
+           FROM b, qs q WHERE b.vec_id != q.qid)
+         WHERE rn <= $k),
+       probes AS ($probeBranches),
+       cand AS (SELECT p.qid, b.vec_id, p.level,
+                  list_cosine_similarity(b.emb, p.q_emb) AS cos
+                FROM b JOIN probes p
+                  ON b.bucket = p.pb AND b.vec_id != p.qid),
+       budgets(budget) AS (VALUES $budgetVals),
+       pb AS (SELECT c.qid, c.vec_id, c.cos, bu.budget
+              FROM cand c JOIN budgets bu ON c.level < bu.budget),
+       approx AS (SELECT qid, budget, vec_id FROM (
+           SELECT qid, budget, vec_id,
+             row_number() OVER (PARTITION BY qid, budget
+               ORDER BY cos DESC, vec_id) AS rn
+           FROM pb)
+         WHERE rn <= $k),
+       cc AS (SELECT qid, budget, CAST(count(*) AS BIGINT) AS n_candidates
+              FROM pb GROUP BY 1, 2),
+       grid AS (SELECT DISTINCT e.qid, bu.budget
+                FROM exact e, budgets bu),
+       tc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true
+              FROM exact GROUP BY 1),
+       hits AS (SELECT g.qid, g.budget,
+                  CAST(count(a.vec_id) AS BIGINT) AS n_hits
+                FROM grid g
+                  LEFT JOIN exact e ON e.qid = g.qid
+                  LEFT JOIN approx a ON a.qid = g.qid
+                    AND a.budget = g.budget AND a.vec_id = e.vec_id
+                GROUP BY 1, 2)
+     SELECT h.qid, CAST(h.budget AS BIGINT) AS budget, tc.n_true,
+       h.n_hits, coalesce(cc.n_candidates, 0) AS n_candidates,
+       CAST(h.n_hits * 100 // tc.n_true AS BIGINT) AS recall_pct
+     FROM hits h
+       JOIN tc USING (qid)
+       LEFT JOIN cc USING (qid, budget)
+     ORDER BY qid, budget"""
+  }
+
   /** DuckDB oracle for [[annRecallQuery]] — same plane constants,
     * same probe set, same rank tie-breaks. */
   def annRecallOracleSql(nQueries: Int = 4, k: Int = 10,

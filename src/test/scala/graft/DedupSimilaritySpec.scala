@@ -115,6 +115,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"planes=0 must recover recall 100: ${full.map(_.getLong(4)).toSeq}")
   }
 
+  test("recall curve is monotone in the probe budget, full sweep = all buckets") {
+    val rows = Similarity.annRecallCurveQuery(spark, sf0001,
+      budgets = Seq(1, 3, 7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size == 12) // 4 queries x 3 budgets
+    for (q <- 0L until 4L) {
+      val (h1, c1, _) = rows((q, 1L))
+      val (h3, c3, _) = rows((q, 3L))
+      val (h7, c7, _) = rows((q, 7L))
+      // a bigger probe budget can only add candidates and hits
+      assert(c1 <= c3 && c3 <= c7, s"q$q candidates not monotone")
+      assert(h1 <= h3 && h3 <= h7, s"q$q hits not monotone")
+    }
+    // budget 3 must agree with q150's fixed 3-probe configuration
+    val fixed = Similarity.annRecallQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for (q <- 0L until 4L)
+      assert(rows((q, 3L))._1 == fixed(q)._1 &&
+        rows((q, 3L))._2 == fixed(q)._2,
+        s"q$q: curve@3 must equal the q150 report")
+  }
+
   test("decontamination flags corpus docs overlapping the benchmark") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", "bench"),
