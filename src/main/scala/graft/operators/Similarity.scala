@@ -193,58 +193,13 @@ object Similarity {
     * report. */
   def annRecallQuery(spark: SparkSession, dir: String,
       nQueries: Int = 4, k: Int = 10, planes: Int = 6,
-      probeFlips: Int = 2, dims: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    VectorFunctions.register(spark)
-    val bucketed = Partitioning.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
-      .select(col("vec_id"), col("embedding"),
-        portableBucket(col("qv"), planes, dims).as("bucket"))
-      .localCheckpoint()
-    val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
-    val byCos = Window.partitionBy("qid")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val exact = bucketed
-      .join(broadcast(queries.select("qid", "q_emb")),
-        col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rn", row_number().over(byCos))
-      .filter(col("rn") <= k)
-      .select("qid", "vec_id")
-    val flips = lit(0L) +:
-      (0 until math.min(probeFlips, math.max(planes, 0)))
-        .map(p => lit(1L << p))
-    val probes = queries.select(col("qid"), col("q_emb"),
-      explode(array(flips.map(f => col("q_bucket").bitwiseXOR(f)): _*))
-        .as("pb"))
-    val cand = bucketed
-      .join(broadcast(probes),
-        col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
-    val approx = cand
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rn", row_number().over(byCos))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("a_vec"))
-    val candCounts = cand.groupBy("qid")
-      .agg(count(lit(1)).as("n_candidates"))
-    exact
-      .join(approx.withColumnRenamed("qid", "a_qid"),
-        col("qid") === col("a_qid") && col("vec_id") === col("a_vec"),
-        "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      .join(exact.groupBy("qid").agg(count(lit(1)).as("n_true")), Seq("qid"),
-        "right")
-      .join(candCounts, Seq("qid"), "left")
-      .select(col("qid"), col("n_true"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        expr("coalesce(n_hits, 0) * 100 div n_true").as("recall_pct"))
-      .orderBy("qid")
-  }
+      probeFlips: Int = 2, dims: Int = 64): DataFrame =
+    // the fixed-configuration report IS the curve at one budget: a
+    // budget of f+1 probes = home bucket + f flips, exactly the q56
+    // probe set (asserted equal in DedupSimilaritySpec)
+    annRecallCurveQuery(spark, dir, nQueries, k, planes,
+      budgets = Seq(math.min(probeFlips, math.max(planes, 0)) + 1), dims)
+      .drop("budget")
 
   /** q151: the RECALL CURVE — [[annRecallQuery]] swept over probe
     * budgets in one pass, the actual tuning artifact: q150 reports
@@ -273,39 +228,52 @@ object Similarity {
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
-    val exactByCos = Window.partitionBy("qid")
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    // rank key: ROUNDED integer similarity (round(cos, 6) · 1e6), the
+    // q81 lesson — ordering on the raw double would let a last-ulp
+    // cross-engine difference flip membership at the rank-k boundary;
+    // the rounded key only disagrees when the raw values straddle a
+    // 1e-6 rounding edge, and ties break on vec_id in both engines
+    val simE6 = (round(cosine(col("embedding"), col("q_emb")), 6)
+      * 1000000).cast("long")
+    val bySim = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    // exact feeds two branches (hits + n_true): checkpoint the
+    // corpus×sample cosine pass so it runs once
     val exact = bucketed
       .join(broadcast(queries.select("qid", "q_emb")),
         col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rn", row_number().over(exactByCos))
+      .withColumn("sim", simE6)
+      .withColumn("rn", row_number().over(bySim))
       .filter(col("rn") <= k)
       .select("qid", "vec_id")
       .localCheckpoint()
-    // probe levels: 0 = home bucket, p+1 = single-bit flip of plane p
-    val levelled = (0 to planes).map(l => struct(lit(l).as("level"),
+    // probe levels: 0 = home bucket, p+1 = single-bit flip of plane p.
+    // Only levels below the LARGEST budget are generated — a probe no
+    // budget admits would add bucket-join fan-out for nothing.
+    val levelled = (0 until budgets.max).map(l => struct(lit(l).as("level"),
       (if (l == 0) col("q_bucket")
        else col("q_bucket").bitwiseXOR(lit(1L << (l - 1)))).as("pb")))
     val probes = queries.select(col("qid"), col("q_emb"),
       explode(array(levelled: _*)).as("p"))
       .select(col("qid"), col("q_emb"),
         col("p.level").as("level"), col("p.pb").as("pb"))
+    // scored candidates feed approx AND candCounts: score once
     val cand = bucketed
       .join(broadcast(probes),
         col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
-      .select("qid", "vec_id", "level", "cos")
+      .withColumn("sim", simE6)
+      .select("qid", "vec_id", "level", "sim")
+      .localCheckpoint()
     val budgetsDf = {
       import spark.implicits._
       budgets.toDF("budget")
     }
     val perBudget = cand.join(broadcast(budgetsDf),
       col("level") < col("budget"))
-    val byCosB = Window.partitionBy("qid", "budget")
-      .orderBy(col("cos").desc, col("vec_id").asc)
+    val bySimB = Window.partitionBy("qid", "budget")
+      .orderBy(col("sim").desc, col("vec_id").asc)
     val approx = perBudget
-      .withColumn("rn", row_number().over(byCosB))
+      .withColumn("rn", row_number().over(bySimB))
       .filter(col("rn") <= k)
       .select(col("qid").as("a_qid"), col("budget").as("a_budget"),
         col("vec_id").as("a_vec"))
@@ -344,7 +312,7 @@ object Similarity {
       s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n           + ")
     val probeBranches = (s"SELECT qid, q_emb, 0 AS level, q_bucket AS pb FROM qs" +:
-      (0 until planes).map(p =>
+      (0 until budgets.max - 1).map(p =>
         s"SELECT qid, q_emb, ${p + 1}, xor(q_bucket, ${1L << p}) FROM qs"))
       .mkString("\n                  UNION ALL ")
     val budgetVals = budgets.map(b => s"($b)").mkString(", ")
@@ -359,22 +327,24 @@ object Similarity {
        exact AS (SELECT qid, vec_id FROM (
            SELECT q.qid, b.vec_id,
              row_number() OVER (PARTITION BY q.qid
-               ORDER BY list_cosine_similarity(b.emb, q.q_emb) DESC,
+               ORDER BY CAST(round(list_cosine_similarity(b.emb, q.q_emb),
+                   6) * 1000000 AS BIGINT) DESC,
                  b.vec_id) AS rn
            FROM b, qs q WHERE b.vec_id != q.qid)
          WHERE rn <= $k),
        probes AS ($probeBranches),
        cand AS (SELECT p.qid, b.vec_id, p.level,
-                  list_cosine_similarity(b.emb, p.q_emb) AS cos
+                  CAST(round(list_cosine_similarity(b.emb, p.q_emb), 6)
+                    * 1000000 AS BIGINT) AS sim
                 FROM b JOIN probes p
                   ON b.bucket = p.pb AND b.vec_id != p.qid),
        budgets(budget) AS (VALUES $budgetVals),
-       pb AS (SELECT c.qid, c.vec_id, c.cos, bu.budget
+       pb AS (SELECT c.qid, c.vec_id, c.sim, bu.budget
               FROM cand c JOIN budgets bu ON c.level < bu.budget),
        approx AS (SELECT qid, budget, vec_id FROM (
            SELECT qid, budget, vec_id,
              row_number() OVER (PARTITION BY qid, budget
-               ORDER BY cos DESC, vec_id) AS rn
+               ORDER BY sim DESC, vec_id) AS rn
            FROM pb)
          WHERE rn <= $k),
        cc AS (SELECT qid, budget, CAST(count(*) AS BIGINT) AS n_candidates
@@ -399,59 +369,15 @@ object Similarity {
      ORDER BY qid, budget"""
   }
 
-  /** DuckDB oracle for [[annRecallQuery]] — same plane constants,
-    * same probe set, same rank tie-breaks. */
+  /** DuckDB oracle for [[annRecallQuery]] — the curve oracle at the
+    * single probeFlips+1 budget, budget column projected away (the
+    * same relationship the engine sides have). */
   def annRecallOracleSql(nQueries: Int = 4, k: Int = 10,
       planes: Int = 6, probeFlips: Int = 2, dims: Int = 64): String = {
-    val bits = (0 until planes).map { p =>
-      val cs = (0 until dims)
-        .map(i => portablePlaneComponent(p, i))
-        .mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("\n           + ")
-    val probeList = ("q_bucket" +:
-      (0 until math.min(probeFlips, math.max(planes, 0)))
-        .map(p => s"xor(q_bucket, ${1L << p})")).mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                   FROM embeddings),
-       qv AS (SELECT vec_id, emb,
-           list_transform(emb, x -> CAST(round(x * 1024) AS BIGINT)) AS q
-         FROM e),
-       b AS (SELECT vec_id, emb, $bits AS bucket FROM qv),
-       qs AS (SELECT vec_id AS qid, emb AS q_emb, bucket AS q_bucket
-              FROM b WHERE vec_id < $nQueries),
-       exact AS (SELECT qid, vec_id FROM (
-           SELECT q.qid, b.vec_id,
-             row_number() OVER (PARTITION BY q.qid
-               ORDER BY list_cosine_similarity(b.emb, q.q_emb) DESC,
-                 b.vec_id) AS rn
-           FROM b, qs q WHERE b.vec_id != q.qid)
-         WHERE rn <= $k),
-       probes AS (SELECT qid, q_emb, unnest($probeList) AS pb FROM qs),
-       cand AS (SELECT p.qid, b.vec_id, b.emb, p.q_emb
-                FROM b JOIN probes p
-                  ON b.bucket = p.pb AND b.vec_id != p.qid),
-       approx AS (SELECT qid, vec_id FROM (
-           SELECT qid, vec_id,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY list_cosine_similarity(emb, q_emb) DESC,
-                 vec_id) AS rn
-           FROM cand)
-         WHERE rn <= $k),
-       cc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates
-              FROM cand GROUP BY 1),
-       hits AS (SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits
-                FROM exact e LEFT JOIN approx a
-                  ON e.qid = a.qid AND e.vec_id = a.vec_id
-                GROUP BY 1)
-     SELECT h.qid, CAST(t.n_true AS BIGINT) AS n_true, h.n_hits,
-       coalesce(cc.n_candidates, 0) AS n_candidates,
-       CAST(h.n_hits * 100 // t.n_true AS BIGINT) AS recall_pct
-     FROM hits h
-       JOIN (SELECT qid, count(*) AS n_true FROM exact GROUP BY 1) t
-         USING (qid)
-       LEFT JOIN cc USING (qid)
-     ORDER BY qid"""
+    val curve = annRecallCurveOracleSql(nQueries, k, planes,
+      budgets = Seq(math.min(probeFlips, math.max(planes, 0)) + 1), dims)
+    s"""SELECT qid, n_true, n_hits, n_candidates, recall_pct
+       FROM ($curve) ORDER BY qid"""
   }
 
   /** q58: SemDeDup-style semantic deduplication — partition the corpus

@@ -475,11 +475,11 @@ object TextAnalysis {
       best match {
         case None =>
           // every word is a single symbol — no pair left to merge.
-          // The oracle's round-r CTEs are empty past this point (an
-          // empty LIMIT 1 contributes no UNION branch and NULL scalar
-          // subqueries null the segmentation), so stopping here keeps
-          // the two result sets identical: rows only for rounds that
-          // actually merged.
+          // The oracle mirrors this: an exhausted round's empty
+          // LIMIT-1 CTE contributes no merge row, and its
+          // coalesce-wrapped replace carries the segmentation forward
+          // unchanged, so both the merge table and any later
+          // segmentation read agree with this early stop.
           exhausted = true
         case Some(row) =>
           val (a, b, n) =

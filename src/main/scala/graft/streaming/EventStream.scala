@@ -92,21 +92,27 @@ object EventStream {
       StructField("user_id", LongType),
       StructField("event_id", LongType),
       StructField("t", LongType)))
-    val q = spark.readStream
-      .schema(dropSchema)
-      .option("maxFilesPerTrigger", "2")
-      .json(drop)
-      .writeStream
-      .format("parquet")
-      .option("path", sunk)
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    for (d <- Seq(drop, ck)) {
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+    // sunk intentionally outlives the call (the returned frame reads
+    // it lazily); drop + checkpoint are dead after the drain and are
+    // deleted even when the stream throws
+    try {
+      val q = spark.readStream
+        .schema(dropSchema)
+        .option("maxFilesPerTrigger", "2")
+        .json(drop)
+        .writeStream
+        .format("parquet")
+        .option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      for (d <- Seq(drop, ck)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     }
     graft.operators.Sessionize.sessionsFromMs(spark.read.parquet(sunk))
   }

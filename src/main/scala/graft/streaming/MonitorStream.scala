@@ -105,29 +105,32 @@ object MonitorStream {
       StructField("user_id", LongType),
       StructField("props", StringType),
       StructField("ts_ms", LongType)))
-    val q = spark.readStream
-      .schema(dropSchema)
-      .option("maxFilesPerTrigger", FilesPerTrigger.toString)
-      .json(drop)
-      .writeStream
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DataQuality.assertionSuite(batch)
-          .write.mode("overwrite")
-          .parquet(s"$monitorDir/batch=$batchId")
-        ()
-      }
-      .start()
-    q.awaitTermination()
     // the returned frame reads only monitorDir; the staged drop and
     // the checkpoint are dead once the stream has drained — delete
-    // them so repeated bench/verify runs don't accumulate staged
-    // copies of the events table in the temp filesystem
-    for (d <- Seq(drop, ck)) {
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+    // them (even on failure) so repeated bench/verify runs don't
+    // accumulate staged copies of the events table in temp space
+    try {
+      val q = spark.readStream
+        .schema(dropSchema)
+        .option("maxFilesPerTrigger", FilesPerTrigger.toString)
+        .json(drop)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          DataQuality.assertionSuite(batch)
+            .write.mode("overwrite")
+            .parquet(s"$monitorDir/batch=$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      for (d <- Seq(drop, ck)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     }
     val expectedBatches =
       (DropFiles + FilesPerTrigger - 1) / FilesPerTrigger
