@@ -152,6 +152,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(zBox <= zRead)
   }
 
+  test("pruning proof plans one events scan for both layouts and all predicates") {
+    // the 2-way layout explode and the 3-way predicate explode widen
+    // ROWS, not scans: a second file scan would mean the manifest
+    // subtree was duplicated per branch
+    val p = Maintenance.pruningProofQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one events scan, got $scans:\n" +
+      p.take(1500))
+  }
+
   test("copy-on-write merge rewrites only touched files, copies the rest") {
     val in = tmpDir("cow_in")
     val out = tmpDir("cow_out")
