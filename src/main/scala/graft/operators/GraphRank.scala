@@ -122,7 +122,8 @@ object GraphRank {
       val next = rankRound(dir, deg, ranks).localCheckpoint()
       val delta = next
         .join(ranks.withColumnRenamed("rank_e6", "prev_e6"), Seq("u"))
-        .agg(sum(abs(col("rank_e6") - col("prev_e6"))).as("d"))
+        .agg(coalesce(sum(abs(col("rank_e6") - col("prev_e6"))), lit(0L))
+          .as("d"))
         .head().getLong(0)
       ranks = next
       round += 1

@@ -143,6 +143,30 @@ object Similarity {
         lit(0L), (s, v) => s + v) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The q56 portable bucketing applied to an embeddings frame:
+    * spread, quantize (qv_i = round(double(x_i)·1024) — exact, power
+    * of two), and assign the integer-hyperplane bucket. EVERY
+    * portable-LSH entry point (q56 serving, the q150/q151 recall
+    * reports, semantic dedup) goes through this one definition, so
+    * the recall numbers measure exactly the configuration q56 serves
+    * — a change to the quantization scale or plane family cannot
+    * desynchronize them. */
+  private def portableBucketed(embeddings: DataFrame, planes: Int,
+      dims: Int): DataFrame =
+    Partitioning.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"),
+        portableBucket(col("qv"), planes, dims).as("bucket"))
+
+  /** q150's single probe budget — home bucket + clamped flips. Shared
+    * by the engine ([[annRecallQuery]]) and the oracle
+    * ([[annRecallOracleSql]]) so the two cannot derive different
+    * probe sets from the same (probeFlips, planes). */
+  private[graft] def fixedBudget(probeFlips: Int, planes: Int): Int =
+    math.min(probeFlips, math.max(planes, 0)) + 1
+
   /** q56: the approximate ANN path in its portable configuration —
     * genuinely approximate (with `planes` = 6 and 2 probe flips the
     * join scans ~3/64 of the corpus) yet exactly oracle-checkable,
@@ -154,12 +178,7 @@ object Similarity {
                       planes: Int, probeFlips: Int,
                       dims: Int = 64): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
-    val bucketed = Partitioning.spread(embeddings)
-      .select(col("vec_id"), col("embedding"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
-      .select(col("vec_id"), col("embedding"),
-        portableBucket(col("qv"), planes, dims).as("bucket"))
+    val bucketed = portableBucketed(embeddings, planes, dims)
     val q0 = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
     val flips = lit(0L) +:
@@ -198,7 +217,7 @@ object Similarity {
     // budget of f+1 probes = home bucket + f flips, exactly the q56
     // probe set (asserted equal in DedupSimilaritySpec)
     annRecallCurveQuery(spark, dir, nQueries, k, planes,
-      budgets = Seq(math.min(probeFlips, math.max(planes, 0)) + 1), dims)
+      budgets = Seq(fixedBudget(probeFlips, planes)), dims)
       .drop("budget")
 
   /** q151: the RECALL CURVE — [[annRecallQuery]] swept over probe
@@ -218,13 +237,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty && budgets.forall(b => b >= 1 && b <= planes + 1))
     VectorFunctions.register(spark)
-    val bucketed = Partitioning.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
-      .select(col("vec_id"), col("embedding"),
-        portableBucket(col("qv"), planes, dims).as("bucket"))
-      .localCheckpoint()
+    val bucketed = portableBucketed(Tables.embeddings(spark, dir),
+      planes, dims).localCheckpoint()
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -375,7 +389,7 @@ object Similarity {
   def annRecallOracleSql(nQueries: Int = 4, k: Int = 10,
       planes: Int = 6, probeFlips: Int = 2, dims: Int = 64): String = {
     val curve = annRecallCurveOracleSql(nQueries, k, planes,
-      budgets = Seq(math.min(probeFlips, math.max(planes, 0)) + 1), dims)
+      budgets = Seq(fixedBudget(probeFlips, planes)), dims)
     s"""SELECT qid, n_true, n_hits, n_candidates, recall_pct
        FROM ($curve) ORDER BY qid"""
   }
@@ -400,12 +414,7 @@ object Similarity {
     // localCheckpoint: three plan branches (both pair sides + final
     // labeling join) would otherwise re-run the interpreted
     // quantize+bucket HOFs — the q24 signature-table lesson.
-    val bucketed = Partitioning.spread(embeddings)
-      .select(col("vec_id"), col("embedding"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
-      .select(col("vec_id"), col("embedding"),
-        portableBucket(col("qv"), planes, dims).as("bucket"))
+    val bucketed = portableBucketed(embeddings, planes, dims)
       .localCheckpoint()
     val a = bucketed.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("bucket"))

@@ -27,6 +27,48 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** The staged-drop drain scaffold shared by the driver-checked
+    * streaming queries (q145 monitor timeline, q149 file-sink ingest):
+    * stage `staged` as a JSONL drop of `dropFiles` files, drain it
+    * through a file-source stream reading `filesPerTrigger` files per
+    * micro-batch with `Trigger.AvailableNow`, and delete the drop and
+    * checkpoint afterwards — even when the stream throws — so
+    * repeated verify/bench runs don't accumulate staged copies in
+    * temp space. `attachSink` turns the streamed frame into a writer
+    * (parquet path, foreachBatch, …); checkpoint and trigger are
+    * applied here so every caller gets the same lifecycle. Returns
+    * the number of micro-batches that carried rows, so callers can
+    * `require` the multi-batch path was actually exercised. */
+  def stageAndDrain(spark: SparkSession, staged: DataFrame,
+      dropSchema: StructType, dropFiles: Int, filesPerTrigger: Int,
+      prefix: String)(
+      attachSink: DataFrame => org.apache.spark.sql.streaming
+        .DataStreamWriter[org.apache.spark.sql.Row]): Long = {
+    val drop =
+      java.nio.file.Files.createTempDirectory(s"${prefix}_drop").toString
+    val ck =
+      java.nio.file.Files.createTempDirectory(s"${prefix}_ck").toString
+    staged.repartition(dropFiles).write.mode("overwrite").json(drop)
+    try {
+      val q = attachSink(
+          spark.readStream
+            .schema(dropSchema)
+            .option("maxFilesPerTrigger", filesPerTrigger.toString)
+            .json(drop))
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    } finally {
+      for (d <- Seq(drop, ck)) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+
   /** File-source stream over a drop directory of JSONL files. */
   def readEventStream(spark: SparkSession, dropDir: String): DataFrame =
     spark.readStream
@@ -77,43 +119,35 @@ object EventStream {
     * Temp dirs are per-call (fresh checkpoint → full drop processed
     * every run); the drop and checkpoint are deleted once the stream
     * has drained, the sunk table outlives the call for the returned
-    * lazy frame. */
+    * lazy frame. Like q145, the multi-batch claim is `require`d, not
+    * assumed: [[IngestDropFiles]]/[[IngestFilesPerTrigger]] make the
+    * expected batch count explicit and the drain's observed count
+    * must match, so a fixture too small to fill every round-robin
+    * drop partition fails loudly instead of silently certifying a
+    * single-batch run. */
+  val IngestDropFiles = 6
+  val IngestFilesPerTrigger = 2
+
   def ingestSessionQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val drop = java.nio.file.Files.createTempDirectory("q149_drop").toString
     val sunk = java.nio.file.Files.createTempDirectory("q149_sunk").toString
-    val ck = java.nio.file.Files.createTempDirectory("q149_ck").toString
-    graft.sources.Tables.events(spark, dir)
+    val staged = graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("t"))
-      .repartition(6)
-      .write.mode("overwrite").json(drop)
     val dropSchema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("event_id", LongType),
       StructField("t", LongType)))
-    // sunk intentionally outlives the call (the returned frame reads
-    // it lazily); drop + checkpoint are dead after the drain and are
-    // deleted even when the stream throws
-    try {
-      val q = spark.readStream
-        .schema(dropSchema)
-        .option("maxFilesPerTrigger", "2")
-        .json(drop)
-        .writeStream
-        .format("parquet")
-        .option("path", sunk)
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      for (d <- Seq(drop, ck)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-    }
+    // sunk intentionally outlives the call: the returned frame reads
+    // it lazily through the sink's commit log
+    val batches = stageAndDrain(spark, staged, dropSchema,
+      IngestDropFiles, IngestFilesPerTrigger, "q149")(
+      _.writeStream.format("parquet").option("path", sunk))
+    val expected =
+      (IngestDropFiles + IngestFilesPerTrigger - 1) / IngestFilesPerTrigger
+    require(batches == expected,
+      s"q149 staged $IngestDropFiles drop files but streamed $batches " +
+        s"micro-batches (expected $expected) — fixture too small to " +
+        "fill every drop partition?")
     graft.operators.Sessionize.sessionsFromMs(spark.read.parquet(sunk))
   }
 

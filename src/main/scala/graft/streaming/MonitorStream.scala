@@ -59,6 +59,16 @@ object MonitorStream {
         count(lit(1)).as("n_batches"))
       .orderBy("rule")
 
+  /** Drop files and files-per-trigger for [[monitorTimelineQuery]].
+    * The oracle's `n_batches` literal is ceil(DropFiles /
+    * FilesPerTrigger) — [[monitorTimelineOracleSql]] derives it from
+    * these constants, and the query `require`s the actual batch count
+    * so a fixture too small to fill every round-robin partition (an
+    * empty partition writes no JSON file) fails loudly instead of
+    * hash-mismatching. */
+  val DropFiles = 6
+  val FilesPerTrigger = 2
+
   /** q145: the streaming monitor driven end-to-end at the QUERY
     * surface — the events table is staged as a JSONL drop, drained
     * through a real `writeStream` (file source, `maxFilesPerTrigger`
@@ -72,70 +82,41 @@ object MonitorStream {
     *
     * The drop carries `ts_ms` (epoch millis) rather than a raw
     * timestamp so the JSON round-trip is exact-integer; `value`
-    * round-trips via Jackson's shortest-repr doubles. Per-call temp
-    * dirs give the stream a fresh checkpoint, so the full drop is
-    * processed on every invocation. */
-  /** Drop files and files-per-trigger for [[monitorTimelineQuery]].
-    * The oracle's `n_batches` literal is ceil(DropFiles /
-    * FilesPerTrigger) — [[monitorTimelineOracleSql]] derives it from
-    * these constants, and the query `require`s the actual batch count
-    * so a fixture too small to fill every round-robin partition (an
-    * empty partition writes no JSON file) fails loudly instead of
-    * hash-mismatching. */
-  val DropFiles = 6
-  val FilesPerTrigger = 2
-
+    * round-trips via Jackson's shortest-repr doubles. Staging, drain,
+    * and cleanup live in [[EventStream.stageAndDrain]] (shared with
+    * q149); per-call temp dirs give the stream a fresh checkpoint, so
+    * the full drop is processed on every invocation. */
   def monitorTimelineQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val drop = java.nio.file.Files.createTempDirectory("q145_drop").toString
     // monitorDir intentionally outlives the call: the returned frame
     // reads it lazily. Per-call temp dirs in a short-lived JVM are
     // reclaimed with the container's temp filesystem.
     val monitorDir =
       java.nio.file.Files.createTempDirectory("q145_mon").toString
-    val ck = java.nio.file.Files.createTempDirectory("q145_ck").toString
-    graft.sources.Tables.events(spark, dir)
+    val staged = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("user_id"),
         col("props"), unix_millis(col("ts")).as("ts_ms"))
-      .repartition(DropFiles)
-      .write.mode("overwrite").json(drop)
     val dropSchema = StructType(Seq(
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("user_id", LongType),
       StructField("props", StringType),
       StructField("ts_ms", LongType)))
-    // the returned frame reads only monitorDir; the staged drop and
-    // the checkpoint are dead once the stream has drained — delete
-    // them (even on failure) so repeated bench/verify runs don't
-    // accumulate staged copies of the events table in temp space
-    try {
-      val q = spark.readStream
-        .schema(dropSchema)
-        .option("maxFilesPerTrigger", FilesPerTrigger.toString)
-        .json(drop)
-        .writeStream
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          DataQuality.assertionSuite(batch)
-            .write.mode("overwrite")
-            .parquet(s"$monitorDir/batch=$batchId")
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    } finally {
-      for (d <- Seq(drop, ck)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-    }
+    EventStream.stageAndDrain(spark, staged, dropSchema,
+      DropFiles, FilesPerTrigger, "q145")(
+      _.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DataQuality.assertionSuite(batch)
+          .write.mode("overwrite")
+          .parquet(s"$monitorDir/batch=$batchId")
+        ()
+      })
     val expectedBatches =
       (DropFiles + FilesPerTrigger - 1) / FilesPerTrigger
     val got = spark.read.parquet(monitorDir)
       .select("rule").distinct().count()
+    // count batches from the SINK side (one batch=N dir per
+    // foreachBatch call) — this is the evidence the totals arrived
+    // through multiple micro-batches, independent of stream progress
     val batches = new java.io.File(monitorDir).listFiles()
       .count(_.getName.startsWith("batch="))
     require(got > 0 && batches == expectedBatches,

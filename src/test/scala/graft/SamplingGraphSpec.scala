@@ -78,6 +78,18 @@ class SamplingGraphSpec extends SparkSpec {
     assert(beyond == conv, "a fixed point must be stable under extra rounds")
   }
 
+  test("converged pageRank on an empty edge frame is empty, not a crash") {
+    // a filtered/sparse events slice can prune every co-activity cell
+    // as a hub, leaving zero edges; the L1 delta probe's sum over the
+    // empty join is NULL and must coalesce to 0 (trivially converged)
+    val edges = Seq.empty[(Long, Long)].toDF("u", "v")
+    val (ranks, rounds, converged) =
+      GraphRank.pageRankConverged(edges, maxRounds = 5)
+    assert(ranks.count() == 0L)
+    assert(converged && rounds == 1,
+      s"empty graph must converge on the first probe, got ($rounds, $converged)")
+  }
+
   test("non-converging graph is bounded by maxRounds and matches fixed run") {
     // floor rounding makes this branchy graph oscillate instead of
     // hitting exact delta = 0: the probe must stop at the bound and
