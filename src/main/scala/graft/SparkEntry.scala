@@ -181,6 +181,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Similarity.annRecallQuery(s, d)),
     "q151_recall_curve"    ->
       ((s, d) => graft.operators.Similarity.annRecallCurveQuery(s, d)),
+    "q152_hll_registers"   ->
+      (graft.operators.DistinctSketch.hllRegistersQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -867,6 +869,8 @@ object SparkEntry {
       graft.operators.Similarity.annRecallOracleSql(),
     "q151_recall_curve" ->
       graft.operators.Similarity.annRecallCurveOracleSql(),
+    "q152_hll_registers" ->
+      graft.operators.DistinctSketch.hllRegistersOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.portableHash60
+import graft.sources.Tables
+
+/** Distinct-count sketching (HyperLogLog registers) — the missing
+  * member of the sketch family beside the count-min sketch (q101) and
+  * heavy hitters (q83). At 100 TB "how many distinct users" is never
+  * answered exactly per slice: each partition folds its rows into m
+  * fixed registers, registers merge by elementwise MAX (associative,
+  * commutative, idempotent — safe under retries and re-partitioning),
+  * and only m small integers ever travel. The register table IS the
+  * sketch: persisting it per day/source gives mergeable distinct
+  * counts over any slice union without re-scanning raw data.
+  *
+  * Everything here is exact integer arithmetic so the DuckDB oracle
+  * reproduces the registers bit-for-bit:
+  *  - hash: [[portableHash60]] (md5 prefix, 60 uniform bits),
+  *  - register index: low `p` bits,
+  *  - rho: position of the lowest set bit of the remaining 56 bits
+  *    (1-based; 57 caps the all-zero word). Trailing bits are as
+  *    uniform as leading ones, and `length(bin(w & -w))` computes the
+  *    position exactly in BOTH engines — no float log2 anywhere.
+  * The float estimate alpha·m²/Σ2^-M_j is deliberately NOT part of
+  * the query output (it is derived, not data); DistinctSketchSpec
+  * computes it from the registers and bounds its error against the
+  * exact counts carried alongside.
+  */
+object DistinctSketch {
+
+  /** Register-index bits: m = 2^p registers. p = 4 keeps the q152
+    * output readable (16 registers/group); production distinct counts
+    * would use p = 11..14 — nothing below depends on p beyond the
+    * masks. */
+  val P = 4
+  val M: Int = 1 << P
+  /** rho cap: 1 + the 56 hash bits left after the register index. */
+  val RhoCap: Int = 60 - P + 1
+
+  /** q152: per-event-type HLL registers with the exact distinct user
+    * count alongside, plus a merged `__all__` row set that is computed
+    * ONLY from the per-type registers (merge = elementwise max) while
+    * the oracle recomputes it from the raw rows — so the hash match
+    * certifies register mergeability, not just register construction.
+    *
+    * Scale shape: one scan computes (type, register, rho); the
+    * registers aggregate is map-side combinable down to
+    * groups × [[M]] rows, and the exact distinct (the verification
+    * baseline, not part of the sketch) is the only user-keyed
+    * shuffle. The merged registers touch per-type registers only —
+    * groups × m rows, never the corpus. */
+  def hllRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        portableHash60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), col("user_id"),
+        col("h").bitwiseAND(lit((M - 1).toLong)).as("register"),
+        shiftright(col("h"), P).as("w"))
+      .select(col("event_type"), col("user_id"), col("register"),
+        when(col("w") === 0L, lit(RhoCap.toLong))
+          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
+      .localCheckpoint()
+    val perType = hashed.groupBy("event_type", "register")
+      .agg(max(col("rho")).as("max_rho"))
+      .localCheckpoint()
+    val exact = hashed.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val typed = perType.join(exact, Seq("event_type"))
+    val mergedRegisters = perType.groupBy("register")
+      .agg(max(col("max_rho")).as("max_rho"))
+    val globalExact = hashed
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val merged = mergedRegisters.crossJoin(globalExact)
+      .select(lit("__all__").as("event_type"), col("register"),
+        col("max_rho"), col("n_exact"))
+    typed.select("event_type", "register", "max_rho", "n_exact")
+      .unionAll(merged)
+      .orderBy("event_type", "register")
+  }
+
+  /** DuckDB oracle for [[hllRegistersQuery]]. The `__all__` rows are
+    * recomputed from the RAW hashed rows (group by register over
+    * everything), which is what makes the engine's register-merge
+    * construction a checked claim. */
+  def hllRegistersOracleSql: String =
+    s"""WITH h AS (SELECT event_type, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+         FROM events),
+       r AS (SELECT event_type, user_id,
+           h & ${M - 1} AS register,
+           CASE WHEN (h >> $P) = 0 THEN $RhoCap
+                ELSE length(bin((h >> $P) & -(h >> $P))) END AS rho
+         FROM h),
+       pt AS (SELECT event_type, register,
+           CAST(max(rho) AS BIGINT) AS max_rho
+         FROM r GROUP BY 1, 2),
+       ex AS (SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         FROM r GROUP BY 1),
+       typed AS (SELECT pt.event_type, pt.register, pt.max_rho,
+           ex.n_exact
+         FROM pt JOIN ex ON pt.event_type = ex.event_type),
+       all_r AS (SELECT '__all__' AS event_type, register,
+           CAST(max(rho) AS BIGINT) AS max_rho,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM r)
+             AS n_exact
+         FROM r GROUP BY 2)
+     SELECT * FROM (SELECT * FROM typed UNION ALL SELECT * FROM all_r)
+     ORDER BY event_type, register"""
+
+  /** The classic HLL estimate computed FROM a register map — driver
+    * side, for specs and register-table consumers (the registers are
+    * the persisted artifact; the estimate is derived on read).
+    * Small-range correction (linear counting) applies below 5m/2 with
+    * zero registers, matching Flajolet et al. 2007. */
+  def estimate(registers: Map[Long, Long]): Double = {
+    val m = M.toDouble
+    val alpha = 0.673 // alpha_16; p = 4
+    val zSum = (0 until M)
+      .map(j => math.pow(2.0, -registers.getOrElse(j.toLong, 0L).toDouble))
+      .sum
+    val raw = alpha * m * m / zSum
+    val zeros = (0 until M).count(j => registers.getOrElse(j.toLong, 0L) == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.DistinctSketch
+
+/** HLL register sketch (q152): register construction, mergeability,
+  * and the derived estimate's accuracy against the exact counts the
+  * query carries alongside. */
+class DistinctSketchSpec extends SparkSpec {
+
+  private lazy val rows =
+    DistinctSketch.hllRegistersQuery(spark, sf0001).collect()
+
+  test("register grid is well-formed: indices and rhos in range") {
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (reg, rho) = (r.getLong(1), r.getLong(2))
+      assert(reg >= 0 && reg < DistinctSketch.M, s"register $reg")
+      assert(rho >= 1 && rho <= DistinctSketch.RhoCap, s"rho $rho")
+    }
+    // exact count is constant within a group
+    for ((_, g) <- rows.groupBy(_.getString(0)))
+      assert(g.map(_.getLong(3)).distinct.length == 1)
+  }
+
+  test("__all__ registers are the elementwise max of the type registers") {
+    val byType = rows.filter(_.getString(0) != "__all__")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).max).toMap
+    val merged = rows.filter(_.getString(0) == "__all__")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(merged == byType,
+      "merge-by-max over type registers must equal the global registers")
+  }
+
+  test("HLL estimate lands within the p=4 error budget of exact") {
+    // 1.04/sqrt(16) = 26% standard error; 2 sigma with slack for the
+    // small register count — the point is order-of-magnitude sanity,
+    // the registers themselves are hash-checked by the oracle
+    for ((grp, g) <- rows.groupBy(_.getString(0))) {
+      val regs = g.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val exact = g.head.getLong(3).toDouble
+      val est = DistinctSketch.estimate(regs)
+      assert(math.abs(est - exact) / exact < 0.6,
+        s"$grp: estimate $est vs exact $exact")
+    }
+  }
+
+  test("estimate handles empty and saturated register maps") {
+    // all-zero registers -> linear counting -> 0 distinct
+    assert(DistinctSketch.estimate(Map.empty) == 0.0)
+    // one register observed once: estimate stays small and positive
+    val one = DistinctSketch.estimate(Map(0L -> 1L))
+    assert(one > 0.0 && one < 10.0, s"got $one")
+  }
+}
