@@ -183,6 +183,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Similarity.annRecallCurveQuery(s, d)),
     "q152_hll_registers"   ->
       (graft.operators.DistinctSketch.hllRegistersQuery _),
+    "q153_bloom_prune"     ->
+      (graft.operators.JoinStrategies.bloomPruneQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -871,6 +873,8 @@ object SparkEntry {
       graft.operators.Similarity.annRecallCurveOracleSql(),
     "q152_hll_registers" ->
       graft.operators.DistinctSketch.hllRegistersOracleSql,
+    "q153_bloom_prune" ->
+      graft.operators.JoinStrategies.bloomPruneOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

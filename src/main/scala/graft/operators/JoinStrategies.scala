@@ -162,4 +162,118 @@ object JoinStrategies {
        CAST(cnt * 1000000 // total AS BIGINT) AS share_e6,
        CAST(cnt * n_keys * 1000000 // total AS BIGINT) AS skew_e6
      FROM c, t ORDER BY cnt DESC, user_id LIMIT 5"""
+
+  // ---------------------------------------------------------------------------
+  // Bloom-filter join pruning — the runtime-filter pattern made explicit
+  // ---------------------------------------------------------------------------
+
+  /** Bloom geometry for [[bloomPruneQuery]]: [[BloomBits]] bits
+    * ([[BloomWords]] 64-bit words — the whole filter is one literal
+    * array in the scan expression) probed by [[BloomHashes]]
+    * independent [[graft.functions.TextFunctions.portableHash60]]
+    * positions (salted `i:key`). Production filters size bits ≈
+    * 10×|keys| for ~1% FP; the small grid here keeps the measured FP
+    * rate visibly nonzero at test scale — the geometry is a constant,
+    * nothing below depends on it. */
+  val BloomBits = 1024
+  val BloomWords: Int = BloomBits / 64
+  val BloomHashes = 3
+
+  private def bloomPos(i: Int, key: org.apache.spark.sql.Column) =
+    (graft.functions.TextFunctions
+      .portableHash60(concat_ws(":", lit(i), key.cast("string")))
+      % BloomBits).as(s"p$i")
+
+  /** q153: Bloom-filter semi-join pruning with its accuracy MEASURED —
+    * the pattern that replaces a 100 TB shuffle: instead of semi-joining
+    * the fact table against a selective dim-key set, fold the keys into
+    * a [[BloomBits]]-bit filter (driver state = [[BloomWords]] longs,
+    * bounded by construction — the k-means-centroid pattern), ship it
+    * inside the scan predicate as a LITERAL ARRAY, and drop
+    * non-matching fact rows at the scan with three codegen'd bit tests
+    * — no shuffle, no broadcast-hash table, just arithmetic per row.
+    * The report quantifies what that buys: dim-key and set-bit counts,
+    * fact rows, Bloom passes, true matches, false positives, and the
+    * achieved FP rate over true negatives (e6 integer rational).
+    *
+    * A Bloom filter admits NO false negatives (every true match
+    * passes — asserted in JoinStrategiesSpec); the oracle recomputes
+    * the same md5-derived positions per distinct key in SQL, so the
+    * pass/true/FP counts hash-match exactly. The true-match flag here
+    * comes from a broadcast join against the key set — at 100 TB that
+    * baseline is the expensive path the filter exists to avoid; it is
+    * part of the REPORT, not the pruning. */
+  def bloomPruneQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val keys = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    // distinct bit positions of the key set: bounded by BloomBits, the
+    // documented constant-size driver state this operator broadcasts
+    val setBits = keys
+      .select(explode(array((0 until BloomHashes)
+        .map(i => bloomPos(i, col("c_custkey"))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](BloomWords)
+    for (p <- setBits) words((p / 64).toInt) |= 1L << (p % 64)
+    val nKeys = keys.count()
+    val facts = Tables.orders(spark, dir).select(col("o_custkey"))
+      .withColumn("__words", typedlit(words.toSeq))
+    val tested = (0 until BloomHashes)
+      .foldLeft(facts)((df, i) => df.withColumn(s"p$i",
+        bloomPos(i, col("o_custkey"))))
+      .withColumn("pass", (0 until BloomHashes).map(i =>
+        expr(s"shiftright(element_at(__words, CAST(p$i div 64 AS INT) + 1)," +
+          s" CAST(p$i % 64 AS INT)) & 1 = 1")).reduce(_ && _))
+    val truth = keys.distinct()
+      .select(col("c_custkey").as("o_custkey"), lit(1L).as("__t"))
+    tested.join(broadcast(truth), Seq("o_custkey"), "left")
+      .agg(count(lit(1)).as("n_fact"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_true"))
+      .select(lit(nKeys).as("n_dim_keys"),
+        lit(setBits.length.toLong).as("n_bits_set"),
+        col("n_fact"), col("n_pass"),
+        col("n_true"),
+        (col("n_pass") - col("n_true")).as("n_false_pos"),
+        expr("(n_pass - n_true) * 1000000 div greatest(n_fact - n_true, 1)")
+          .as("fp_e6"))
+      .orderBy("n_fact")
+  }
+
+  /** DuckDB oracle for [[bloomPruneQuery]]: the same salted md5
+    * positions per distinct fact key, a key "passes" when all
+    * [[BloomHashes]] of its positions are in the dim set's distinct
+    * positions — membership in the set-bit SET is exactly the bit
+    * test on the words array. */
+  def bloomPruneOracleSql: String = {
+    val posOf = (src: String) =>
+      s"""CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+            CAST($src AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits"""
+    s"""WITH keys AS (SELECT c_custkey FROM customer
+           WHERE c_acctbal > 9000),
+       hseq AS (SELECT unnest(range($BloomHashes)) AS i),
+       pos AS (SELECT DISTINCT ${posOf("c_custkey")} AS p
+               FROM keys, hseq),
+       ck AS (SELECT DISTINCT o_custkey FROM orders),
+       ckp AS (SELECT o_custkey, i, ${posOf("o_custkey")} AS p
+               FROM ck, hseq),
+       ckpass AS (SELECT o_custkey FROM ckp JOIN pos USING (p)
+                  GROUP BY 1 HAVING count(DISTINCT i) = $BloomHashes),
+       agg AS (SELECT count(*) AS n_fact,
+           count(*) FILTER (WHERE o.o_custkey IN
+             (SELECT o_custkey FROM ckpass)) AS n_pass,
+           count(*) FILTER (WHERE o.o_custkey IN
+             (SELECT c_custkey FROM keys)) AS n_true
+         FROM orders o)
+     SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_dim_keys,
+       CAST((SELECT count(*) FROM pos) AS BIGINT) AS n_bits_set,
+       CAST(n_fact AS BIGINT) AS n_fact,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pass - n_true AS BIGINT) AS n_false_pos,
+       CAST((n_pass - n_true) * 1000000
+            // greatest(n_fact - n_true, 1) AS BIGINT) AS fp_e6
+     FROM agg ORDER BY n_fact"""
+  }
 }

@@ -133,4 +133,28 @@ class JoinStrategiesSpec extends SparkSpec {
       .agg(count(lit(1)), sum("v")).collect().head
     assert(plain == auto)
   }
+
+  test("bloom prune report: no false negatives, FP rate consistent") {
+    val r = JoinStrategies.bloomPruneQuery(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val Seq(nKeys, nBits, nFact, nPass, nTrue, nFp, fpE6) =
+      (0 until 7).map(row.getLong)
+    // geometry: set bits bounded by hashes x keys and by the grid
+    assert(nBits > 0 && nBits <= math.min(
+      JoinStrategies.BloomHashes.toLong * nKeys,
+      JoinStrategies.BloomBits.toLong))
+    // the defining Bloom property: every true match passes the filter
+    assert(nPass >= nTrue, "a Bloom filter admits no false negatives")
+    assert(nFp == nPass - nTrue)
+    assert(fpE6 == nFp * 1000000L / math.max(nFact - nTrue, 1L))
+    // the exact semi-join the filter approximates agrees with n_true
+    val expect = graft.sources.Tables.orders(spark, sf0001)
+      .join(graft.sources.Tables.customer(spark, sf0001)
+          .filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      .count()
+    assert(nTrue == expect)
+  }
 }
