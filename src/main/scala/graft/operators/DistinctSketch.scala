@@ -39,38 +39,48 @@ object DistinctSketch {
   /** rho cap: 1 + the 56 hash bits left after the register index. */
   val RhoCap: Int = 60 - P + 1
 
+  /** Per-group HLL registers of `keyCol` — the reusable, mergeable
+    * core shared by q152 and the streaming maintenance path
+    * ([[graft.streaming.SketchStream]]): one scan computes
+    * (group, register, rho) and a map-side-combinable max collapses
+    * it to groups × [[M]] rows. Partials over disjoint (or even
+    * overlapping — max is idempotent) slices combine by per-register
+    * MAX. */
+  def registers(df: DataFrame, groupCol: String,
+                keyCol: String): DataFrame =
+    df.select(col(groupCol),
+        portableHash60(col(keyCol).cast("string")).as("h"))
+      .select(col(groupCol),
+        col("h").bitwiseAND(lit((M - 1).toLong)).as("register"),
+        shiftright(col("h"), P).as("w"))
+      .select(col(groupCol), col("register"),
+        when(col("w") === 0L, lit(RhoCap.toLong))
+          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
+      .groupBy(groupCol, "register")
+      .agg(max(col("rho")).as("max_rho"))
+
   /** q152: per-event-type HLL registers with the exact distinct user
     * count alongside, plus a merged `__all__` row set that is computed
     * ONLY from the per-type registers (merge = elementwise max) while
     * the oracle recomputes it from the raw rows — so the hash match
     * certifies register mergeability, not just register construction.
     *
-    * Scale shape: one scan computes (type, register, rho); the
-    * registers aggregate is map-side combinable down to
-    * groups × [[M]] rows, and the exact distinct (the verification
-    * baseline, not part of the sketch) is the only user-keyed
-    * shuffle. The merged registers touch per-type registers only —
+    * Scale shape: the register build is [[registers]] (one hashed
+    * scan, map-side combined); the exact distincts (the verification
+    * baseline, not part of the sketch) are the only user-keyed
+    * shuffles. The merged registers touch per-type registers only —
     * groups × m rows, never the corpus. */
   def hllRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id"),
-        portableHash60(col("user_id").cast("string")).as("h"))
-      .select(col("event_type"), col("user_id"),
-        col("h").bitwiseAND(lit((M - 1).toLong)).as("register"),
-        shiftright(col("h"), P).as("w"))
-      .select(col("event_type"), col("user_id"), col("register"),
-        when(col("w") === 0L, lit(RhoCap.toLong))
-          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    val perType = registers(ev, "event_type", "user_id")
       .localCheckpoint()
-    val perType = hashed.groupBy("event_type", "register")
-      .agg(max(col("rho")).as("max_rho"))
-      .localCheckpoint()
-    val exact = hashed.groupBy("event_type")
+    val exact = ev.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_exact"))
     val typed = perType.join(exact, Seq("event_type"))
     val mergedRegisters = perType.groupBy("register")
       .agg(max(col("max_rho")).as("max_rho"))
-    val globalExact = hashed
+    val globalExact = ev
       .agg(count_distinct(col("user_id")).as("n_exact"))
     val merged = mergedRegisters.crossJoin(globalExact)
       .select(lit("__all__").as("event_type"), col("register"),

@@ -50,4 +50,38 @@ object SketchStream {
     spark.read.parquet(gridDir)
       .groupBy("r", "bucket").agg(sum(col("counter")).as("counter"))
   }
+
+  /** Streaming HLL maintenance — the incremental twin of the batch
+    * registers (q152), same shape as the CMS path above: one partial
+    * register table per micro-batch under `regDir/batch=<id>`,
+    * merged on read by per-register MAX. Unlike the CMS sum, max is
+    * also IDEMPOTENT, so even a partial that slipped into the merge
+    * twice cannot inflate the distinct estimate; the batch=<id>
+    * overwrite discipline is kept anyway for sink hygiene. */
+  def hllAvailableNow(spark: SparkSession, dropDir: String,
+      regDir: String, checkpoint: String): Unit = {
+    val q = EventStream.readEventStream(spark, dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.DistinctSketch
+          .registers(batch, "event_type", "user_id")
+          .write.mode("overwrite").parquet(s"$regDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The merged register table: per-register max of every batch
+    * partial — rows are batches × groups × m, metadata-scale. */
+  def mergedRegisters(spark: SparkSession, regDir: String): DataFrame = {
+    val p = new Path(regDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no register partials under $regDir")
+    spark.read.parquet(regDir)
+      .groupBy("event_type", "register")
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
 }

@@ -298,6 +298,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.sum == 24L)
   }
 
+  test("streaming HLL register partials max-merge to the batch registers") {
+    import graft.streaming.SketchStream
+    import graft.operators.DistinctSketch
+    import spark.implicits._
+    val drop = tmpDir("hll_drop")
+    val regs = tmpDir("hll_regs")
+    val ckpt = tmpDir("hll_ckpt")
+    def ev(id: Int, user: Long, typ: String) =
+      s"""{"event_id":$id,"ts":"2024-01-01T00:0$id:00Z","user_id":$user,"event_type":"$typ","value":1.0}"""
+    writeDrop(drop, "e1.json", Seq(
+      ev(1, 7L, "click"), ev(2, 8L, "click"), ev(3, 7L, "view")))
+    SketchStream.hllAvailableNow(spark, drop, regs, ckpt)
+    // a second drop with an overlapping user arrives in its own batch
+    writeDrop(drop, "e2.json", Seq(ev(4, 7L, "click"), ev(5, 9L, "view")))
+    SketchStream.hllAvailableNow(spark, drop, regs, ckpt)
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = regMap(SketchStream.mergedRegisters(spark, regs))
+    val batch = regMap(DistinctSketch.registers(
+      Seq((7L, "click"), (8L, "click"), (7L, "view"),
+        (7L, "click"), (9L, "view")).toDF("user_id", "event_type"),
+      "event_type", "user_id"))
+    assert(streamed == batch,
+      "max-merge of per-batch registers must equal the corpus registers")
+  }
+
   test("streaming monitor timeline aggregates to the batch rule suite") {
     import graft.streaming.MonitorStream
     import org.apache.spark.sql.functions._
