@@ -44,6 +44,28 @@ class DistinctSketchSpec extends SparkSpec {
     }
   }
 
+  test("register algebra: union by max, intersection by inclusion-exclusion") {
+    import spark.implicits._
+    // planted overlap: A = 0..999, B = 500..1499, |A∩B| = 500
+    def regsOf(lo: Long, hi: Long) = DistinctSketch.registers(
+      (lo until hi).map(k => ("g", k)).toDF("g", "k"), "g", "k")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val (ra, rb) = (regsOf(0L, 1000L), regsOf(500L, 1500L))
+    val ru = (0 until DistinctSketch.M).map(_.toLong)
+      .map(j => j -> math.max(ra.getOrElse(j, 0L), rb.getOrElse(j, 0L)))
+      .toMap
+    val (ea, eb, eu) = (DistinctSketch.estimate(ra),
+      DistinctSketch.estimate(rb), DistinctSketch.estimate(ru))
+    // union of registers estimates the set union, and is monotone
+    assert(eu >= math.max(ea, eb))
+    assert(math.abs(eu - 1500.0) / 1500.0 < 0.5, s"union est $eu")
+    // inclusion-exclusion intersection: rough at p = 4 (errors of all
+    // three estimates stack) but the right order of magnitude — the
+    // production answer is a bigger p, not a different algebra
+    val ei = ea + eb - eu
+    assert(ei > 0.0 && ei <= 2.0 * 500.0, s"intersection est $ei")
+  }
+
   test("estimate handles empty and saturated register maps") {
     // all-zero registers -> linear counting -> 0 distinct
     assert(DistinctSketch.estimate(Map.empty) == 0.0)

@@ -353,4 +353,23 @@ class PlanSpec extends SparkSpec {
           p.take(1500))
     }
   }
+
+  test("q152 register build is map-side combined (partial max)") {
+    val p = planString(
+      graft.operators.DistinctSketch.hllRegistersQuery(spark, sf0001))
+    assert(p.contains("partial_max"),
+      "registers must combine map-side before the shuffle:\n" + p.take(1500))
+  }
+
+  test("q153 bloom test is scan-side arithmetic; truth join broadcasts") {
+    val p = planString(
+      graft.operators.JoinStrategies.bloomPruneQuery(spark, sf0001))
+    // the filter is literal-array bit arithmetic in a projection —
+    // present in the plan, with no sort-merge join anywhere (the only
+    // join is the broadcast truth lookup for the report's baseline)
+    assert(p.contains("shiftright"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "the pruned path must not shuffle the fact table:\n" + p.take(1500))
+  }
 }
