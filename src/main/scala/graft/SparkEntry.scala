@@ -185,6 +185,8 @@ object SparkEntry {
       (graft.operators.DistinctSketch.hllRegistersQuery _),
     "q153_bloom_prune"     ->
       (graft.operators.JoinStrategies.bloomPruneQuery _),
+    "q154_join_size"       ->
+      (graft.operators.JoinStrategies.selfJoinSizeQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -875,6 +877,8 @@ object SparkEntry {
       graft.operators.DistinctSketch.hllRegistersOracleSql,
     "q153_bloom_prune" ->
       graft.operators.JoinStrategies.bloomPruneOracleSql,
+    "q154_join_size" ->
+      graft.operators.JoinStrategies.selfJoinSizeOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

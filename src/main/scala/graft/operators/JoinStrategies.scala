@@ -276,4 +276,109 @@ object JoinStrategies {
             // greatest(n_fact - n_true, 1) AS BIGINT) AS fp_e6
      FROM agg ORDER BY n_fact"""
   }
+
+  // ---------------------------------------------------------------------------
+  // Sketch-based join-size estimation (AGMS / count-sketch)
+  // ---------------------------------------------------------------------------
+
+  /** Count-sketch geometry for [[selfJoinSizeQuery]]: [[AgmsRows]]
+    * independent rows of [[AgmsWidth]] signed counters. Estimator
+    * std error ≈ sqrt(2/width) ≈ 4.4% of the true size. */
+  val AgmsRows = 3
+  val AgmsWidth = 1024L
+
+  /** q154: self-join size (F2) estimation from a count-sketch — the
+    * statistic a planner needs BEFORE running a 100 TB join: the
+    * self-join size Σ cnt(k)² of `lineitem.l_partkey` predicts the
+    * output cardinality (and the skew risk) of any join on that key.
+    * The exact answer needs the full key-count table; the sketch
+    * needs [[AgmsRows]]×[[AgmsWidth]] signed counters that fold in
+    * one pass and MERGE BY ADDITION across slices (same property as
+    * the CMS grid, so the [[graft.streaming.SketchStream]] per-batch
+    * partial pattern applies verbatim).
+    *
+    * AMS/AGMS (Alon-Matias-Szegedy; Cormode-Garofalakis): each key
+    * gets a ±1 sign per row (md5 bit — portable), counters accumulate
+    * signed counts, and Σ_w c² per row is an UNBIASED F2 estimate —
+    * collisions cancel in expectation, unlike the unsigned CMS whose
+    * F2 reading only overestimates. The per-row estimates and their
+    * 3-row median are exact integer arithmetic end to end (signed
+    * counters stay below F1, squares below 2^50 here), so the oracle
+    * recomputes the whole report — estimates, median, error — from
+    * the same md5 hashes.
+    *
+    * Output: one row per sketch row (r, est_f2) with the exact F2,
+    * the median estimate, and the median's signed error (e6) carried
+    * alongside as the verification baseline. */
+  /** The signed counter grid of a (k, cnt) key-count frame — the
+    * mergeable core: grids of disjoint slices sum cell-wise into the
+    * corpus grid (signed counts are additive), the same per-batch
+    * partial pattern as the CMS grid. */
+  def agmsCells(counts: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val rows = array((0 until AgmsRows).map(lit): _*)
+    counts
+      .select(col("k"), col("cnt"), explode(rows).as("r"))
+      .select(col("r"),
+        (portableHash60(concat_ws(":", lit("b"), col("r"), col("k")))
+          % AgmsWidth).as("bucket"),
+        (col("cnt") *
+          (portableHash60(concat_ws(":", lit("s"), col("r"), col("k")))
+            .bitwiseAND(lit(1L)) * 2L - 1L)).as("sc"))
+      .groupBy("r", "bucket").agg(sum(col("sc")).as("c"))
+  }
+
+  /** Per-row F2 estimates of a signed grid: Σ_w c² for each row. */
+  def agmsEstimates(cells: DataFrame): DataFrame =
+    cells.groupBy("r").agg(sum(col("c") * col("c")).as("est_f2"))
+
+  def selfJoinSizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .select(col("l_partkey").cast("string").as("k"), col("cnt"))
+      .localCheckpoint()
+    val ests = agmsEstimates(agmsCells(counts))
+    val exact = counts.agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+    // median of AgmsRows=3 estimates: the 2nd by value — a window
+    // over a 3-row metadata-scale table
+    val med = ests
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("est_f2"), col("r"))))
+      .filter(col("rn") === (AgmsRows + 1) / 2)
+      .select(col("est_f2").as("med_f2"))
+    // abs error: signed integer division floors in DuckDB but
+    // truncates in Spark — keep the operand non-negative
+    ests.crossJoin(exact).crossJoin(med)
+      .select(col("r").cast("long").as("r"), col("est_f2"),
+        col("exact_f2"), col("med_f2"),
+        expr("abs(med_f2 - exact_f2) * 1000000 div exact_f2")
+          .as("abs_err_e6"))
+      .orderBy("r")
+  }
+
+  /** DuckDB oracle for [[selfJoinSizeQuery]] — same hashes, same
+    * signed grid, same 3-row median. */
+  def selfJoinSizeOracleSql: String = {
+    val h = (salt: String) =>
+      s"""CAST(('0x' || substr(md5('$salt:' || CAST(r AS VARCHAR) || ':' ||
+            CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)"""
+    s"""WITH counts AS (SELECT l_partkey, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+       cells AS (SELECT r, ${h("b")} % $AgmsWidth AS bucket,
+           sum(cnt * ((${h("s")} & 1) * 2 - 1)) AS c
+         FROM counts, (SELECT unnest(range($AgmsRows)) AS r)
+         GROUP BY 1, 2),
+       ests AS (SELECT r, CAST(sum(c * c) AS BIGINT) AS est_f2
+                FROM cells GROUP BY 1),
+       ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2
+              FROM counts),
+       med AS (SELECT est_f2 AS med_f2 FROM ests
+               ORDER BY est_f2, r LIMIT 1 OFFSET ${(AgmsRows + 1) / 2 - 1})
+     SELECT CAST(ests.r AS BIGINT) AS r, ests.est_f2, ex.exact_f2,
+       med.med_f2,
+       CAST(abs(med.med_f2 - ex.exact_f2) * 1000000
+            // ex.exact_f2 AS BIGINT) AS abs_err_e6
+     FROM ests, ex, med ORDER BY r"""
+  }
 }

@@ -157,4 +157,29 @@ class JoinStrategiesSpec extends SparkSpec {
       .count()
     assert(nTrue == expect)
   }
+
+  test("AGMS self-join size: accurate on a planted zipf, merges by sum") {
+    import spark.implicits._
+    // counts 1..50 -> F2 = sum i^2 = 42925
+    val counts = (1L to 50L).map(i => (s"k$i", i)).toDF("k", "cnt")
+    val exact = (1L to 50L).map(i => i * i).sum
+    val ests = JoinStrategies.agmsEstimates(JoinStrategies.agmsCells(counts))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ests.size == JoinStrategies.AgmsRows)
+    val median = ests.values.toSeq.sorted.apply(ests.size / 2)
+    assert(math.abs(median - exact).toDouble / exact < 0.3,
+      s"median $median vs exact $exact")
+    // mergeability: cell grids of two disjoint slices sum into the
+    // whole-corpus grid (what a streaming per-batch partial relies on)
+    val (a, b) = ((1L to 25L).map(i => (s"k$i", i)).toDF("k", "cnt"),
+      (26L to 50L).map(i => (s"k$i", i)).toDF("k", "cnt"))
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cellMap(JoinStrategies.agmsCells(counts))
+    val merged = (cellMap(JoinStrategies.agmsCells(a)).toSeq ++
+      cellMap(JoinStrategies.agmsCells(b)).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == whole,
+      "slice grids must sum cell-wise into the corpus grid")
+  }
 }
