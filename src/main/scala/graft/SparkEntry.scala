@@ -187,6 +187,8 @@ object SparkEntry {
       (graft.operators.JoinStrategies.bloomPruneQuery _),
     "q154_join_size"       ->
       (graft.operators.JoinStrategies.selfJoinSizeQuery _),
+    "q155_join_size_2rel"  ->
+      (graft.operators.JoinStrategies.joinSizeQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -879,6 +881,8 @@ object SparkEntry {
       graft.operators.JoinStrategies.bloomPruneOracleSql,
     "q154_join_size" ->
       graft.operators.JoinStrategies.selfJoinSizeOracleSql,
+    "q155_join_size_2rel" ->
+      graft.operators.JoinStrategies.joinSizeOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

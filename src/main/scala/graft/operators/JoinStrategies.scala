@@ -357,6 +357,79 @@ object JoinStrategies {
       .orderBy("r")
   }
 
+  /** q155: TWO-relation join-size estimation from the same sketches —
+    * the general form of q154: |A ⋈_k B| = Σ_k cntA(k)·cntB(k) is the
+    * INNER PRODUCT of the two key-count vectors, and the inner product
+    * of two AGMS grids built with the SAME hash family estimates it
+    * unbiasedly (Alon et al. 1999, join-size tracking): est_r =
+    * Σ_w cA[r][w]·cB[r][w], median over rows. The planner question
+    * this answers — "how big is events ⋈ orders on user key before I
+    * run it?" — costs two one-pass sketches (each mergeable across
+    * slices, maintainable per micro-batch) plus a grid-sized (d×w)
+    * product, never a row of the actual join. The exact inner product
+    * is carried alongside as the verification baseline; everything is
+    * signed-integer arithmetic, so the oracle recomputes the report
+    * bit-for-bit. */
+  def joinSizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val ca = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .select(col("user_id").cast("string").as("k"), col("cnt"))
+      .localCheckpoint()
+    val cb = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .select(col("o_custkey").cast("string").as("k"), col("cnt"))
+      .localCheckpoint()
+    val ests = agmsCells(ca).withColumnRenamed("c", "c_a")
+      .join(agmsCells(cb).withColumnRenamed("c", "c_b"),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("c_a") * col("c_b")).as("est_join"))
+    val exact = ca.join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("k"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("exact_join"))
+    val med = ests
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("est_join"), col("r"))))
+      .filter(col("rn") === (AgmsRows + 1) / 2)
+      .select(col("est_join").as("med_join"))
+    ests.crossJoin(exact).crossJoin(med)
+      .select(col("r").cast("long").as("r"), col("est_join"),
+        col("exact_join"), col("med_join"),
+        expr("abs(med_join - exact_join) * 1000000 div exact_join")
+          .as("abs_err_e6"))
+      .orderBy("r")
+  }
+
+  /** DuckDB oracle for [[joinSizeQuery]] — both grids, their inner
+    * product per row, the 3-row median. */
+  def joinSizeOracleSql: String = {
+    val h = (salt: String, key: String) =>
+      s"""CAST(('0x' || substr(md5('$salt:' || CAST(r AS VARCHAR) || ':' ||
+            CAST($key AS VARCHAR)), 1, 15)) AS BIGINT)"""
+    val cells = (name: String, key: String) =>
+      s"""$name AS (SELECT r, ${h("b", key)} % $AgmsWidth AS bucket,
+           sum(cnt * ((${h("s", key)} & 1) * 2 - 1)) AS c
+         FROM ${name}_cnt, (SELECT unnest(range($AgmsRows)) AS r)
+         GROUP BY 1, 2)"""
+    s"""WITH ca_cnt AS (SELECT user_id, count(*) AS cnt
+           FROM events GROUP BY 1),
+       cb_cnt AS (SELECT o_custkey, count(*) AS cnt
+           FROM orders GROUP BY 1),
+       ${cells("ca", "user_id")},
+       ${cells("cb", "o_custkey")},
+       ests AS (SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS est_join
+         FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+         GROUP BY 1),
+       ex AS (SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS exact_join
+         FROM ca_cnt a JOIN cb_cnt b ON a.user_id = b.o_custkey),
+       med AS (SELECT est_join AS med_join FROM ests
+               ORDER BY est_join, r LIMIT 1 OFFSET ${(AgmsRows + 1) / 2 - 1})
+     SELECT CAST(ests.r AS BIGINT) AS r, ests.est_join, ex.exact_join,
+       med.med_join,
+       CAST(abs(med.med_join - ex.exact_join) * 1000000
+            // ex.exact_join AS BIGINT) AS abs_err_e6
+     FROM ests, ex, med ORDER BY r"""
+  }
+
   /** DuckDB oracle for [[selfJoinSizeQuery]] — same hashes, same
     * signed grid, same 3-row median. */
   def selfJoinSizeOracleSql: String = {

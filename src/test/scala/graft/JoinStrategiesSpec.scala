@@ -182,4 +182,22 @@ class JoinStrategiesSpec extends SparkSpec {
     assert(merged == whole,
       "slice grids must sum cell-wise into the corpus grid")
   }
+
+  test("AGMS inner product estimates a two-relation join size") {
+    import spark.implicits._
+    // overlap k11..k20: exact |A join B| = sum_{11..20} i * 2i = 4570
+    val a = (1L to 20L).map(i => (s"k$i", i)).toDF("k", "cnt")
+    val b = (11L to 30L).map(i => (s"k$i", 2L * i)).toDF("k", "cnt")
+    val exact = (11L to 20L).map(i => i * 2L * i).sum
+    val ests = JoinStrategies.agmsCells(a).withColumnRenamed("c", "ca")
+      .join(JoinStrategies.agmsCells(b).withColumnRenamed("c", "cb"),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("est"))
+      .collect().map(r => r.getLong(1)).sorted
+    val median = ests(ests.length / 2)
+    // sparse planted keys rarely collide at width 1024, so every
+    // row's estimate should be close; assert the median tightly
+    assert(math.abs(median - exact).toDouble / exact < 0.3,
+      s"median $median vs exact $exact (ests ${ests.mkString(",")})")
+  }
 }
