@@ -189,6 +189,10 @@ object SparkEntry {
       (graft.operators.JoinStrategies.selfJoinSizeQuery _),
     "q155_join_size_2rel"  ->
       (graft.operators.JoinStrategies.joinSizeQuery _),
+    "q156_l_diversity"     ->
+      (graft.operators.OlapOps.lDiversityQuery _),
+    "q157_t_closeness"     ->
+      (graft.operators.OlapOps.tClosenessQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -883,6 +887,10 @@ object SparkEntry {
       graft.operators.JoinStrategies.selfJoinSizeOracleSql,
     "q155_join_size_2rel" ->
       graft.operators.JoinStrategies.joinSizeOracleSql,
+    "q156_l_diversity" ->
+      graft.operators.OlapOps.lDiversityOracleSql,
+    "q157_t_closeness" ->
+      graft.operators.OlapOps.tClosenessOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

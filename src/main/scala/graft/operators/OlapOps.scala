@@ -1040,6 +1040,106 @@ object OlapOps {
        FROM customer GROUP BY 1, 2 HAVING count(*) < $AnonK
        ORDER BY 1, 2"""
 
+  /** Sensitive-attribute banding shared by the l-diversity and
+    * t-closeness audits: the account balance in cents, shifted
+    * non-negative (so integer division agrees across engines) and cut
+    * into 4 fixed bands. The SQL twin is [[bandSql]]. */
+  val AnonL = 3L
+  private val bandExpr =
+    "(cast(round(cast(c_acctbal as decimal(38,10)), 2) * 100 as bigint)" +
+      " + 100000) div 275000"
+  private val bandSql =
+    "(CAST(round(CAST(c_acctbal AS DECIMAL(38,10)), 2) * 100 AS BIGINT)" +
+      " + 100000) // 275000"
+
+  /** q156: l-diversity audit — the k-anonymity follow-up (q112 finds
+    * classes too SMALL; this finds classes too UNIFORM): a
+    * quasi-identifier class with fewer than [[AnonL]] distinct
+    * sensitive values tells an attacker who locates a member the
+    * sensitive value (almost) outright, however large the class
+    * (Machanavajjhala et al. 2007). Sensitive attribute: the banded
+    * account balance. Same one-pass shape as q112 — one aggregation
+    * over the quasi key, output bounded by |classes|. */
+  def lDiversityQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr(bandExpr).as("band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("band")).as("l_distinct"))
+      .filter(col("l_distinct") < AnonL)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("int"),
+        col("class_size"), col("l_distinct"))
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** DuckDB oracle for [[lDiversityQuery]]. */
+  def lDiversityOracleSql: String =
+    s"""SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT $bandSql) AS BIGINT) AS l_distinct
+       FROM customer GROUP BY 1, 2
+       HAVING count(DISTINCT $bandSql) < $AnonL
+       ORDER BY 1, 2"""
+
+  /** q157: t-closeness audit — the refinement past l-diversity: a
+    * class can be diverse yet still LEAK by having a sensitive-value
+    * DISTRIBUTION far from the corpus's (Li et al. 2007). Per
+    * quasi-identifier class: the total-variation distance between the
+    * class's band distribution and the global one, as an e6 integer
+    * rational (per-band |p_class − p_global| via exact integer
+    * division, summed, halved — the q123 drift-TVD arithmetic applied
+    * per class). Every class is reported (the audit table), ordered.
+    *
+    * Scale shape: one banded scan feeds the class×band and global
+    * band aggregates; the TVD grid is |classes| × 4 bands —
+    * metadata-scale — built by crossing class sizes with the
+    * broadcast global distribution so absent bands still contribute
+    * their |0 − p_global| term. */
+  def tClosenessQuery(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr(bandExpr).as("band"))
+      .localCheckpoint()
+    val classBand = banded
+      .groupBy("c_mktsegment", "c_nationkey", "band")
+      .agg(count(lit(1)).as("cnt"))
+    val classSize = banded.groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("class_size"))
+    val globalBand = banded.groupBy("band").agg(count(lit(1)).as("gcnt"))
+    val total = banded.agg(count(lit(1)).as("total"))
+    classSize.crossJoin(broadcast(globalBand.crossJoin(total)))
+      .join(classBand, Seq("c_mktsegment", "c_nationkey", "band"), "left")
+      .select(col("c_mktsegment"), col("c_nationkey"), col("class_size"),
+        abs(expr("coalesce(cnt, 0) * 1000000 div class_size") -
+          expr("gcnt * 1000000 div total")).as("term"))
+      .groupBy("c_mktsegment", "c_nationkey", "class_size")
+      .agg(expr("sum(term) div 2").as("tvd_e6"))
+      .select(col("c_mktsegment"), col("c_nationkey").cast("int"),
+        col("class_size"), col("tvd_e6"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  /** DuckDB oracle for [[tClosenessQuery]]. */
+  def tClosenessOracleSql: String =
+    s"""WITH banded AS (SELECT c_mktsegment, c_nationkey,
+           $bandSql AS band FROM customer),
+       cb AS (SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt
+              FROM banded GROUP BY 1, 2, 3),
+       cs AS (SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+              FROM banded GROUP BY 1, 2),
+       gb AS (SELECT band, count(*) AS gcnt FROM banded GROUP BY 1),
+       t AS (SELECT count(*) AS total FROM banded),
+       grid AS (SELECT cs.c_mktsegment, cs.c_nationkey, cs.class_size,
+           abs(coalesce(cb.cnt, 0) * 1000000 // cs.class_size
+               - gb.gcnt * 1000000 // t.total) AS term
+         FROM cs CROSS JOIN gb CROSS JOIN t
+         LEFT JOIN cb ON cb.c_mktsegment = cs.c_mktsegment
+           AND cb.c_nationkey = cs.c_nationkey AND cb.band = gb.band)
+     SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(sum(term) // 2 AS BIGINT) AS tvd_e6
+     FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+
   /** q113: incremental materialized-view maintenance — a monthly
     * revenue aggregate kept up to date by MERGING PARTIALS instead of
     * recomputing: the "base" view (orders before [[IvmCutover]]) and

@@ -115,6 +115,29 @@ class CalibrationSpec extends SparkSpec {
     assert(flagged == direct.filter(_._2 < OlapOps.AnonK))
   }
 
+  test("l-diversity and t-closeness audit the same class grid coherently") {
+    val lRows = OlapOps.lDiversityQuery(spark, sf0001).collect()
+    for (r <- lRows) {
+      val (size, l) = (r.getLong(2), r.getLong(3))
+      assert(l < OlapOps.AnonL && l >= 1 && size >= l,
+        s"flagged class must be uniform-ish: size=$size l=$l")
+    }
+    val tRows = OlapOps.tClosenessQuery(spark, sf0001).collect()
+    // the t-closeness table covers EVERY class once
+    val classes = graft.sources.Tables.customer(spark, sf0001)
+      .select("c_mktsegment", "c_nationkey").distinct().count()
+    assert(tRows.length == classes)
+    // TVD is a metric on [0, 1] -> e6 integer in [0, 1e6]; singleton
+    // classes concentrate all mass in one band, so their TVD must be
+    // strictly positive (global distribution spreads over >= 2 bands)
+    for (r <- tRows) {
+      val tvd = r.getLong(3)
+      assert(tvd >= 0L && tvd <= 1000000L)
+      if (r.getLong(2) == 1L) assert(tvd > 0L,
+        "a singleton class cannot match a multi-band global distribution")
+    }
+  }
+
   test("weighted median follows the token mass, not the doc count") {
     // lang X: a 10-char 1-token doc and a 20-char 9-token doc; half
     // the mass sits at 20 chars, so the weighted median is 20 (the
