@@ -193,6 +193,8 @@ object SparkEntry {
       (graft.operators.OlapOps.lDiversityQuery _),
     "q157_t_closeness"     ->
       (graft.operators.OlapOps.tClosenessQuery _),
+    "q158_deletion_vectors" ->
+      (graft.operators.Maintenance.deletionVectorQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -891,6 +893,8 @@ object SparkEntry {
       graft.operators.OlapOps.lDiversityOracleSql,
     "q157_t_closeness" ->
       graft.operators.OlapOps.tClosenessOracleSql,
+    "q158_deletion_vectors" ->
+      graft.operators.Maintenance.deletionVectorOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

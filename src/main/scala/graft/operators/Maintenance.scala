@@ -148,6 +148,88 @@ object Maintenance {
     * [[fileStatsFromFooters]] (MaintenanceSpec asserts the two produce
     * identical manifests); production builds the manifest from footers,
     * which reads no row groups at all. */
+  /** Merge-on-read DELETE via a deletion-vector sidecar — the
+    * complement of [[copyOnWriteMerge]]: CoW pays the rewrite at
+    * WRITE time (reads stay plain scans), a deletion vector pays at
+    * READ time (writes cost O(deleted)). Rows matching `predicate`
+    * are recorded as (file name, row position) pairs — the relational
+    * encoding of the per-file position bitmaps Delta/Iceberg attach —
+    * and NO data file is touched: deleting a million rows from a
+    * 100 TB table writes a million positions, not terabytes. Position
+    * comes from the parquet reader's `_metadata.row_index` (stable
+    * for a fixed file), file identity from the name, the same
+    * within-directory convention [[copyOnWriteMerge]] uses. Returns
+    * the number of positions written. Appending further vectors to
+    * the same sidecar directory composes: [[readWithDeletes]] removes
+    * the UNION of all recorded positions, and overlapping deletes are
+    * harmless (anti-join semantics are idempotent). */
+  def writeDeletionVector(spark: SparkSession, tableDir: String,
+      dvDir: String, predicate: org.apache.spark.sql.Column): Long = {
+    val dv = spark.read.parquet(tableDir)
+      .select(col("*"), col("_metadata.file_path").as("__dv_path"),
+        col("_metadata.row_index").as("__dv_pos"))
+      .filter(predicate)
+      .select(element_at(split(col("__dv_path"), "/"), -1).as("__dv_name"),
+        col("__dv_pos"))
+    dv.write.mode("append").parquet(dvDir)
+    spark.read.parquet(dvDir).count()
+  }
+
+  /** The logical table under its deletion vectors: the base scan
+    * anti-joined against the sidecar positions. The join key is
+    * (file, position) — DV rows are bounded by deleted-row count, so
+    * at a sane delete rate the DV side broadcasts and the scan never
+    * shuffles; readers needing zero-cost scans back run a minor
+    * compaction (rewrite surviving rows, drop the sidecar — the
+    * [[compact]] write path) and the equivalence is spec-pinned. */
+  def readWithDeletes(spark: SparkSession, tableDir: String,
+      dvDir: String): DataFrame = {
+    val base = spark.read.parquet(tableDir)
+    val cols = base.columns
+    val dv = spark.read.parquet(dvDir)
+    base
+      .select(col("*"), col("_metadata.file_path").as("__dv_path"),
+        col("_metadata.row_index").as("__dv_pos"))
+      .withColumn("__dv_name",
+        element_at(split(col("__dv_path"), "/"), -1))
+      .join(broadcast(dv), Seq("__dv_name", "__dv_pos"), "left_anti")
+      .select(cols.map(col): _*)
+  }
+
+  /** q158: the merge-on-read path driven to a checkable answer — a
+    * deletion vector over urgent orders is written against the
+    * UNMODIFIED base table (sidecar only; data files untouched), the
+    * logical table is served through [[readWithDeletes]], and the
+    * served rows are aggregated per status with the recorded delete
+    * count carried alongside. The oracle computes the same aggregate
+    * over `orders WHERE NOT predicate` — a hash match proves the
+    * sidecar removes exactly the predicate's rows, nothing else. */
+  def deletionVectorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val dvDir =
+      java.nio.file.Files.createTempDirectory("q158_dv").toString
+    val tableDir = s"$dir/orders.parquet"
+    val nDeleted = writeDeletionVector(spark, tableDir, dvDir,
+      col("o_orderpriority") === "1-URGENT")
+    readWithDeletes(spark, tableDir, dvDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (round(sum(col("o_totalprice").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("cents"))
+      .select(col("o_orderstatus"), col("n_orders"), col("cents"),
+        lit(nDeleted).as("n_deleted"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** DuckDB oracle for [[deletionVectorQuery]]. */
+  def deletionVectorOracleSql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+              AS BIGINT) AS cents,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_orderpriority = '1-URGENT') AS n_deleted
+       FROM orders WHERE o_orderpriority <> '1-URGENT'
+       GROUP BY 1 ORDER BY 1"""
+
   def fileStats(spark: SparkSession, dir: String,
                 cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(

@@ -22,6 +22,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6400L)
   }
 
+  test("deletion vectors: sidecar-only deletes, composition, compaction") {
+    val table = tmpDir("dv_table")
+    val dv = tmpDir("dv_side")
+    (0L until 1000L).map(i => (i, i % 10L)).toDF("id", "grp")
+      .repartition(4).write.mode("overwrite").parquet(table)
+    def fileSet(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = fileSet(table)
+    // first delete: grp = 3 (100 rows), data files untouched
+    val n1 = Maintenance.writeDeletionVector(spark, table, dv,
+      col("grp") === 3L)
+    assert(n1 == 100L)
+    assert(fileSet(table) == before, "a DV write must not touch data files")
+    assert(Maintenance.readWithDeletes(spark, table, dv)
+      .filter(col("grp") === 3L).count() == 0L)
+    // second, OVERLAPPING delete composes idempotently: grp in (3, 4)
+    val n2 = Maintenance.writeDeletionVector(spark, table, dv,
+      col("grp").isin(3L, 4L))
+    assert(n2 == 300L, s"sidecar holds both vectors' positions, got $n2")
+    val served = Maintenance.readWithDeletes(spark, table, dv)
+    assert(served.count() == 800L,
+      "overlapping positions must not double-delete")
+    // minor compaction: rewriting survivors and dropping the sidecar
+    // yields the same logical table
+    val compacted = tmpDir("dv_compacted")
+    served.repartition(2).write.mode("overwrite").parquet(compacted)
+    val a = spark.read.parquet(compacted).orderBy("id").collect().toSeq
+    val b = served.orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("fileStats manifest carries per-file min/max for pruning") {
     val in = tmpDir("stats_in")
     // two files with disjoint id ranges (repartitionByRange)
