@@ -195,6 +195,8 @@ object SparkEntry {
       (graft.operators.OlapOps.tClosenessQuery _),
     "q158_deletion_vectors" ->
       (graft.operators.Maintenance.deletionVectorQuery _),
+    "q159_revenue_by_nation" ->
+      (graft.operators.Queries.q159RevenueByNation _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -895,6 +897,8 @@ object SparkEntry {
       graft.operators.OlapOps.tClosenessOracleSql,
     "q158_deletion_vectors" ->
       graft.operators.Maintenance.deletionVectorOracleSql,
+    "q159_revenue_by_nation" ->
+      graft.operators.Queries.q159RevenueByNationOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

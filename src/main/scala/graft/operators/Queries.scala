@@ -54,6 +54,58 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q159: TPC-H Q5-shaped regional revenue — the canonical 6-table
+    * join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+    * with the local-supplier constraint c_nationkey = s_nationkey),
+    * the optimizer showpiece the 3-way serving joins (q03/q04) don't
+    * exercise. Written in the order a 100 TB planner wants: the
+    * fixed-cardinality region⋈nation dim pair broadcasts and prunes
+    * CUSTOMER to the target region before any fact join; the year
+    * filter reaches the orders scan; the two fact⋈fact joins
+    * (orders⋈customer, lineitem⋈orders) shuffle on their keys; the
+    * supplier join re-uses the broadcast side and enforces the
+    * same-nation constraint as a join predicate, not a post-filter.
+    * Revenue follows the q01 cents discipline (decimal-accumulated
+    * Σ extendedprice·(1−discount), BIGINT cents). */
+  def q159RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(
+      Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name").asc)
+  }
+
+  /** DuckDB oracle for [[q159RevenueByNation]]. */
+  def q159RevenueByNationOracleSql: String =
+    """SELECT n_name,
+         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS revenue_cents
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+       GROUP BY 1 ORDER BY revenue_cents DESC, n_name"""
+
   /** A5 duplicate detector: GROUP BY + COUNT + HAVING count>1
     * (reference tests/pre_validation/test_unique_identifier.sql:1-8). */
   def q10DupDetector(spark: SparkSession, dir: String): DataFrame =

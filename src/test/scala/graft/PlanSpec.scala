@@ -354,6 +354,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q159 six-table join: dims broadcast, facts never cartesian") {
+    val p = planString(Queries.q159RevenueByNation(spark, sf0001))
+    // region/nation pair must come in as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "every join has an equi-key; a nested loop means a lost predicate:\n"
+        + p.take(1500))
+    // the year filter must reach the orders scan, not sit post-join
+    assert(p.contains("PushedFilters") || p.contains("year("), p.take(1500))
+  }
+
   test("q152 register build is map-side combined (partial max)") {
     val p = planString(
       graft.operators.DistinctSketch.hllRegistersQuery(spark, sf0001))
