@@ -497,4 +497,65 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"acts=$acts")
     }
   }
+
+  /** Independent md5-prefix hash — the reference twin of
+    * TextFunctions.portableHash60, reimplemented via MessageDigest so
+    * the property checks engine arithmetic against a second
+    * implementation, not itself. */
+  private def refH60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("HLL registers match an independent reference on random key sets") {
+    import graft.operators.DistinctSketch
+    val genKeys = Gen.listOfN(80, Gen.chooseNum(0L, 5000L)).map(_.distinct)
+    forAll(genKeys, trials = 10) { keys =>
+      val ref = keys.map { k =>
+        val h = refH60(k.toString)
+        val w = h >> DistinctSketch.P
+        val rho = if (w == 0L) DistinctSketch.RhoCap.toLong
+          else java.lang.Long.numberOfTrailingZeros(w) + 1L
+        (h & (DistinctSketch.M - 1), rho)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val got = DistinctSketch.registers(
+        keys.map(k => ("g", k)).toDF("g", "k"), "g", "k")
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == ref, s"keys=${keys.take(10)}...")
+      // merge property: registers of any split max-merge to the whole
+      val (a, b) = keys.partition(_ % 2 == 0)
+      def regs(ks: Seq[Long]) =
+        if (ks.isEmpty) Map.empty[Long, Long]
+        else DistinctSketch.registers(ks.map(k => ("g", k)).toDF("g", "k"),
+          "g", "k").collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val merged = (regs(a).toSeq ++ regs(b).toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(merged == got, "split registers must max-merge to the whole")
+    }
+  }
+
+  test("AGMS estimates match an independent reference on random counts") {
+    import graft.operators.JoinStrategies
+    val genCounts = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 999L),
+      Gen.chooseNum(1L, 40L))).map(_.distinctBy(_._1))
+    forAll(genCounts, trials = 10) { cs =>
+      val ref = (0 until JoinStrategies.AgmsRows).map { r =>
+        val cells = new scala.collection.mutable.HashMap[Long, Long]()
+          .withDefaultValue(0L)
+        for ((k, cnt) <- cs) {
+          val b = refH60(s"b:$r:k$k") % JoinStrategies.AgmsWidth
+          val sign = (refH60(s"s:$r:k$k") & 1L) * 2L - 1L
+          cells(b) += cnt * sign
+        }
+        r -> cells.values.map(c => c * c).sum
+      }.toMap
+      val got = JoinStrategies.agmsEstimates(JoinStrategies.agmsCells(
+        cs.map { case (k, cnt) => (s"k$k", cnt) }.toDF("k", "cnt")))
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+      assert(got == ref.map { case (r, v) => r.toLong -> v },
+        s"counts=${cs.take(5)}...")
+    }
+  }
 }
