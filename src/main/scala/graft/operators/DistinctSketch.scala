@@ -125,10 +125,16 @@ object DistinctSketch {
     * side, for specs and register-table consumers (the registers are
     * the persisted artifact; the estimate is derived on read).
     * Small-range correction (linear counting) applies below 5m/2 with
-    * zero registers, matching Flajolet et al. 2007. */
+    * zero registers, and alpha is derived from [[M]] (Flajolet et
+    * al. 2007), so changing [[P]] keeps the estimate calibrated. */
   def estimate(registers: Map[Long, Long]): Double = {
     val m = M.toDouble
-    val alpha = 0.673 // alpha_16; p = 4
+    val alpha = M match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
     val zSum = (0 until M)
       .map(j => math.pow(2.0, -registers.getOrElse(j.toLong, 0L).toDouble))
       .sum

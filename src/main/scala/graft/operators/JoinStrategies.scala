@@ -205,9 +205,13 @@ object JoinStrategies {
     * part of the REPORT, not the pruning. */
   def bloomPruneQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
+    // localCheckpoint: the key set feeds three consumers (position
+    // collect, key count, broadcast truth join) — one dim scan, not
+    // three
     val keys = Tables.customer(spark, dir)
       .filter(col("c_acctbal") > 9000)
       .select(col("c_custkey"))
+      .localCheckpoint()
     // distinct bit positions of the key set: bounded by BloomBits, the
     // documented constant-size driver state this operator broadcasts
     val setBits = keys
@@ -287,29 +291,6 @@ object JoinStrategies {
   val AgmsRows = 3
   val AgmsWidth = 1024L
 
-  /** q154: self-join size (F2) estimation from a count-sketch — the
-    * statistic a planner needs BEFORE running a 100 TB join: the
-    * self-join size Σ cnt(k)² of `lineitem.l_partkey` predicts the
-    * output cardinality (and the skew risk) of any join on that key.
-    * The exact answer needs the full key-count table; the sketch
-    * needs [[AgmsRows]]×[[AgmsWidth]] signed counters that fold in
-    * one pass and MERGE BY ADDITION across slices (same property as
-    * the CMS grid, so the [[graft.streaming.SketchStream]] per-batch
-    * partial pattern applies verbatim).
-    *
-    * AMS/AGMS (Alon-Matias-Szegedy; Cormode-Garofalakis): each key
-    * gets a ±1 sign per row (md5 bit — portable), counters accumulate
-    * signed counts, and Σ_w c² per row is an UNBIASED F2 estimate —
-    * collisions cancel in expectation, unlike the unsigned CMS whose
-    * F2 reading only overestimates. The per-row estimates and their
-    * 3-row median are exact integer arithmetic end to end (signed
-    * counters stay below F1, squares below 2^50 here), so the oracle
-    * recomputes the whole report — estimates, median, error — from
-    * the same md5 hashes.
-    *
-    * Output: one row per sketch row (r, est_f2) with the exact F2,
-    * the median estimate, and the median's signed error (e6) carried
-    * alongside as the verification baseline. */
   /** The signed counter grid of a (k, cnt) key-count frame — the
     * mergeable core: grids of disjoint slices sum cell-wise into the
     * corpus grid (signed counts are additive), the same per-batch
@@ -332,6 +313,29 @@ object JoinStrategies {
   def agmsEstimates(cells: DataFrame): DataFrame =
     cells.groupBy("r").agg(sum(col("c") * col("c")).as("est_f2"))
 
+  /** q154: self-join size (F2) estimation from a count-sketch — the
+    * statistic a planner needs BEFORE running a 100 TB join: the
+    * self-join size Σ cnt(k)² of `lineitem.l_partkey` predicts the
+    * output cardinality (and the skew risk) of any join on that key.
+    * The exact answer needs the full key-count table; the sketch
+    * needs [[AgmsRows]]×[[AgmsWidth]] signed counters that fold in
+    * one pass and MERGE BY ADDITION across slices (same property as
+    * the CMS grid, so the [[graft.streaming.SketchStream]] per-batch
+    * partial pattern applies verbatim).
+    *
+    * AMS/AGMS (Alon-Matias-Szegedy; Cormode-Garofalakis): each key
+    * gets a ±1 sign per row (md5 bit — portable), counters accumulate
+    * signed counts, and Σ_w c² per row is an UNBIASED F2 estimate —
+    * collisions cancel in expectation, unlike the unsigned CMS whose
+    * F2 reading only overestimates. The per-row estimates and their
+    * 3-row median are exact integer arithmetic end to end (signed
+    * counters stay below F1, squares below 2^50 here), so the oracle
+    * recomputes the whole report — estimates, median, error — from
+    * the same md5 hashes.
+    *
+    * Output: one row per sketch row (r, est_f2) with the exact F2,
+    * the median estimate, and the median's absolute error (e6)
+    * carried alongside as the verification baseline. */
   def selfJoinSizeQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val counts = Tables.lineitem(spark, dir)

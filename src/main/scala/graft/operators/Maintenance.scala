@@ -159,20 +159,25 @@ object Maintenance {
     * comes from the parquet reader's `_metadata.row_index` (stable
     * for a fixed file), file identity from the name, the same
     * within-directory convention [[copyOnWriteMerge]] uses. Returns
-    * the number of positions written. Appending further vectors to
-    * the same sidecar directory composes: [[readWithDeletes]] removes
-    * the UNION of all recorded positions, and overlapping deletes are
-    * harmless (anti-join semantics are idempotent). */
+    * the number of positions THIS CALL wrote (not the cumulative
+    * sidecar size). Appending further vectors to the same sidecar
+    * directory composes: [[readWithDeletes]] removes the UNION of all
+    * recorded positions, and overlapping deletes are harmless
+    * (anti-join semantics are idempotent). */
   def writeDeletionVector(spark: SparkSession, tableDir: String,
       dvDir: String, predicate: org.apache.spark.sql.Column): Long = {
+    // localCheckpoint: the vector is both counted and written — one
+    // predicate scan, and the count reflects this call only instead
+    // of re-reading the whole (growing) sidecar
     val dv = spark.read.parquet(tableDir)
       .select(col("*"), col("_metadata.file_path").as("__dv_path"),
         col("_metadata.row_index").as("__dv_pos"))
       .filter(predicate)
       .select(element_at(split(col("__dv_path"), "/"), -1).as("__dv_name"),
         col("__dv_pos"))
+      .localCheckpoint()
     dv.write.mode("append").parquet(dvDir)
-    spark.read.parquet(dvDir).count()
+    dv.count()
   }
 
   /** The logical table under its deletion vectors: the base scan
@@ -213,8 +218,7 @@ object Maintenance {
     readWithDeletes(spark, tableDir, dvDir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        (round(sum(col("o_totalprice").cast("decimal(38,10)")), 2) * 100)
-          .cast("long").as("cents"))
+        OlapOps.decSumCents(col("o_totalprice")).as("cents"))
       .select(col("o_orderstatus"), col("n_orders"), col("cents"),
         lit(nDeleted).as("n_deleted"))
       .orderBy("o_orderstatus")

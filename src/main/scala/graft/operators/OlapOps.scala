@@ -15,8 +15,9 @@ import graft.sources.Tables
 object OlapOps {
 
   /** Decimal-accumulated sum emitted as BIGINT cents (the oracle
-    * determinism pattern used across the engine). */
-  private def decSumCents(c: Column): Column =
+    * determinism pattern used across the engine — shared so the
+    * money-exactness idiom has one definition, not per-file copies). */
+  private[graft] def decSumCents(c: Column): Column =
     (round(sum(c.cast("decimal(38,10)")), 2) * 100).cast("long")
 
   /** q50: month × order-status rollup with subtotal and grand-total

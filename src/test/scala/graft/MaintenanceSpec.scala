@@ -41,7 +41,9 @@ class MaintenanceSpec extends SparkSpec {
     // second, OVERLAPPING delete composes idempotently: grp in (3, 4)
     val n2 = Maintenance.writeDeletionVector(spark, table, dv,
       col("grp").isin(3L, 4L))
-    assert(n2 == 300L, s"sidecar holds both vectors' positions, got $n2")
+    assert(n2 == 200L, s"return value is THIS call's positions, got $n2")
+    assert(spark.read.parquet(dv).count() == 300L,
+      "sidecar accumulates both vectors' positions")
     val served = Maintenance.readWithDeletes(spark, table, dv)
     assert(served.count() == 800L,
       "overlapping positions must not double-delete")

@@ -362,8 +362,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "every join has an equi-key; a nested loop means a lost predicate:\n"
         + p.take(1500))
-    // the year filter must reach the orders scan, not sit post-join
-    assert(p.contains("PushedFilters") || p.contains("year("), p.take(1500))
+    // the year filter must sit BELOW the joins (scan-side), not above
+    // them: in the optimized logical plan's parent-first rendering, a
+    // pre-join filter prints after the Join nodes it feeds
+    val lp = Queries.q159RevenueByNation(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("1996") && lp.contains("Join"), lp.take(1500))
+    assert(lp.indexOf("1996") > lp.indexOf("Join"),
+      "year filter must be pushed beneath the joins:\n" + lp.take(1500))
   }
 
   test("q152 register build is map-side combined (partial max)") {
