@@ -84,4 +84,39 @@ object SketchStream {
       .groupBy("event_type", "register")
       .agg(max(col("max_rho")).as("max_rho"))
   }
+
+  /** Streaming AGMS maintenance — the third sketch family kept
+    * incrementally (CMS merges by SUM, HLL by MAX, the signed AGMS
+    * grid again by SUM): one partial signed grid per micro-batch over
+    * the batch's user-key counts, merged on read. A continuously
+    * maintained AGMS grid is a live join-size estimate (q154/q155)
+    * for the planner — no re-scan of history to re-estimate after
+    * each arrival. NOT idempotent under double-merge (signed sums add
+    * like CMS counters), hence the same batch=<id> overwrite
+    * discipline as the CMS path. */
+  def agmsAvailableNow(spark: SparkSession, dropDir: String,
+      gridDir: String, checkpoint: String): Unit = {
+    val q = EventStream.readEventStream(spark, dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.JoinStrategies.agmsCells(
+            batch.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+              .select(col("user_id").cast("string").as("k"), col("cnt")))
+          .write.mode("overwrite").parquet(s"$gridDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The merged signed grid: cell-wise sum of every batch partial. */
+  def mergedAgms(spark: SparkSession, gridDir: String): DataFrame = {
+    val p = new Path(gridDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no AGMS partials under $gridDir")
+    spark.read.parquet(gridDir)
+      .groupBy("r", "bucket").agg(sum(col("c")).as("c"))
+  }
 }

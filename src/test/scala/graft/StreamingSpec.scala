@@ -324,6 +324,35 @@ class StreamingSpec extends SparkSpec {
       "max-merge of per-batch registers must equal the corpus registers")
   }
 
+  test("streaming AGMS partials sum-merge to the batch grid and estimate") {
+    import graft.streaming.SketchStream
+    import graft.operators.JoinStrategies
+    import spark.implicits._
+    val drop = tmpDir("agms_drop")
+    val grid = tmpDir("agms_grid")
+    val ckpt = tmpDir("agms_ckpt")
+    def ev(id: Int, user: Long) =
+      s"""{"event_id":$id,"ts":"2024-01-01T00:0$id:00Z","user_id":$user,"event_type":"click","value":1.0}"""
+    // drop 1: user 7 twice, user 8 once; drop 2: user 7 once more
+    writeDrop(drop, "a1.json", Seq(ev(1, 7L), ev(2, 7L), ev(3, 8L)))
+    SketchStream.agmsAvailableNow(spark, drop, grid, ckpt)
+    writeDrop(drop, "a2.json", Seq(ev(4, 7L)))
+    SketchStream.agmsAvailableNow(spark, drop, grid, ckpt)
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = cellMap(SketchStream.mergedAgms(spark, grid))
+    val batch = cellMap(JoinStrategies.agmsCells(
+      Seq(("7", 3L), ("8", 1L)).toDF("k", "cnt")))
+    assert(streamed == batch,
+      "cell-wise sum of per-batch signed grids must equal the corpus grid")
+    // the merged grid's F2 estimate sees the CROSS-batch count: user 7
+    // has 3 events total -> exact F2 = 9 + 1 = 10, and with 2 sparse
+    // keys in 1024 buckets no collision occurs, so every row is exact
+    val ests = JoinStrategies.agmsEstimates(SketchStream.mergedAgms(spark, grid))
+      .collect().map(_.getLong(1))
+    assert(ests.forall(_ == 10L), s"got ${ests.toSeq}")
+  }
+
   test("streaming monitor timeline aggregates to the batch rule suite") {
     import graft.streaming.MonitorStream
     import org.apache.spark.sql.functions._
