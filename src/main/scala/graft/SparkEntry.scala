@@ -182,11 +182,11 @@ object SparkEntry {
     "q151_recall_curve"    ->
       ((s, d) => graft.operators.Similarity.annRecallCurveQuery(s, d)),
     "q152_hll_registers"   ->
-      (graft.operators.DistinctSketch.hllRegistersQuery _),
+      ((s, d) => graft.operators.DistinctSketch.hllRegistersQuery(s, d)),
     "q153_bloom_prune"     ->
       (graft.operators.JoinStrategies.bloomPruneQuery _),
     "q154_join_size"       ->
-      (graft.operators.JoinStrategies.selfJoinSizeQuery _),
+      ((s, d) => graft.operators.JoinStrategies.selfJoinSizeQuery(s, d)),
     "q155_join_size_2rel"  ->
       (graft.operators.JoinStrategies.joinSizeQuery _),
     "q156_l_diversity"     ->
@@ -220,6 +220,12 @@ object SparkEntry {
         graft.sources.Tables.documents(s, d), maxHamming = 3,
         portable = false)),
       "q34_winnow" -> ((s, d) => TextAnalysis.winnowQuery(s, d)),
+      "q152_hll_registers" -> ((s, d) =>
+        graft.operators.DistinctSketch.hllRegistersQuery(s, d,
+          portable = false)),
+      "q154_join_size" -> ((s, d) =>
+        graft.operators.JoinStrategies.selfJoinSizeQuery(s, d,
+          portable = false)),
     )
 
   private val sessionizeOracleSql: String =

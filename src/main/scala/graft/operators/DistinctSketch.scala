@@ -45,11 +45,16 @@ object DistinctSketch {
     * (group, register, rho) and a map-side-combinable max collapses
     * it to groups × [[M]] rows. Partials over disjoint (or even
     * overlapping — max is idempotent) slices combine by per-register
-    * MAX. */
-  def registers(df: DataFrame, groupCol: String,
-                keyCol: String): DataFrame =
+    * MAX. `portable = false` swaps the md5-prefix hash for xxhash64
+    * masked to the same 60 bits — the at-scale default the oracle
+    * cannot recompute; both configs are benched (the q23/q24 tax
+    * discipline). */
+  def registers(df: DataFrame, groupCol: String, keyCol: String,
+                portable: Boolean = true): DataFrame =
     df.select(col(groupCol),
-        portableHash60(col(keyCol).cast("string")).as("h"))
+        (if (portable) portableHash60(col(keyCol).cast("string"))
+         else xxhash64(col(keyCol).cast("string"))
+           .bitwiseAND(lit((1L << 60) - 1))).as("h"))
       .select(col(groupCol),
         col("h").bitwiseAND(lit((M - 1).toLong)).as("register"),
         shiftright(col("h"), P).as("w"))
@@ -70,10 +75,11 @@ object DistinctSketch {
     * baseline, not part of the sketch) are the only user-keyed
     * shuffles. The merged registers touch per-type registers only —
     * groups × m rows, never the corpus. */
-  def hllRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
+  def hllRegistersQuery(spark: SparkSession, dir: String,
+                        portable: Boolean = true): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"))
-    val perType = registers(ev, "event_type", "user_id")
+    val perType = registers(ev, "event_type", "user_id", portable)
       .localCheckpoint()
     val exact = ev.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_exact"))

@@ -294,18 +294,24 @@ object JoinStrategies {
   /** The signed counter grid of a (k, cnt) key-count frame — the
     * mergeable core: grids of disjoint slices sum cell-wise into the
     * corpus grid (signed counts are additive), the same per-batch
-    * partial pattern as the CMS grid. */
-  def agmsCells(counts: DataFrame): DataFrame = {
+    * partial pattern as the CMS grid. `portable = false` swaps the
+    * md5-prefix hashes for masked xxhash64 — the at-scale default the
+    * oracle cannot recompute; both configs benched. */
+  def agmsCells(counts: DataFrame,
+                portable: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions.portableHash60
     val rows = array((0 until AgmsRows).map(lit): _*)
+    def h(salt: String) = {
+      val s = concat_ws(":", lit(salt), col("r"), col("k"))
+      if (portable) portableHash60(s)
+      else xxhash64(s).bitwiseAND(lit((1L << 60) - 1))
+    }
     counts
       .select(col("k"), col("cnt"), explode(rows).as("r"))
       .select(col("r"),
-        (portableHash60(concat_ws(":", lit("b"), col("r"), col("k")))
-          % AgmsWidth).as("bucket"),
+        (h("b") % AgmsWidth).as("bucket"),
         (col("cnt") *
-          (portableHash60(concat_ws(":", lit("s"), col("r"), col("k")))
-            .bitwiseAND(lit(1L)) * 2L - 1L)).as("sc"))
+          (h("s").bitwiseAND(lit(1L)) * 2L - 1L)).as("sc"))
       .groupBy("r", "bucket").agg(sum(col("sc")).as("c"))
   }
 
@@ -336,13 +342,14 @@ object JoinStrategies {
     * Output: one row per sketch row (r, est_f2) with the exact F2,
     * the median estimate, and the median's absolute error (e6)
     * carried alongside as the verification baseline. */
-  def selfJoinSizeQuery(spark: SparkSession, dir: String): DataFrame = {
+  def selfJoinSizeQuery(spark: SparkSession, dir: String,
+                        portable: Boolean = true): DataFrame = {
     import graft.sources.Tables
     val counts = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
       .select(col("l_partkey").cast("string").as("k"), col("cnt"))
       .localCheckpoint()
-    val ests = agmsEstimates(agmsCells(counts))
+    val ests = agmsEstimates(agmsCells(counts, portable))
     val exact = counts.agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
     // median of AgmsRows=3 estimates: the 2nd by value — a window
     // over a 3-row metadata-scale table

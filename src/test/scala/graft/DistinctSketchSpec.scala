@@ -66,6 +66,27 @@ class DistinctSketchSpec extends SparkSpec {
     assert(ei > 0.0 && ei <= 2.0 * 500.0, s"intersection est $ei")
   }
 
+  test("fast-hash config keeps shape, merge property, and accuracy") {
+    import spark.implicits._
+    val keys = (0L until 800L).map(k => ("g", k)).toDF("g", "k")
+    val regs = DistinctSketch.registers(keys, "g", "k", portable = false)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    for ((reg, rho) <- regs) {
+      assert(reg >= 0 && reg < DistinctSketch.M)
+      assert(rho >= 1 && rho <= DistinctSketch.RhoCap)
+    }
+    val est = DistinctSketch.estimate(regs)
+    assert(math.abs(est - 800.0) / 800.0 < 0.6, s"fast estimate $est")
+    // merge property holds under either hash family
+    val (a, b) = ((0L until 400L), (400L until 800L))
+    def rOf(ks: Seq[Long]) = DistinctSketch.registers(
+      ks.map(k => ("g", k)).toDF("g", "k"), "g", "k", portable = false)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = (rOf(a).toSeq ++ rOf(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(merged == regs)
+  }
+
   test("estimate handles empty and saturated register maps") {
     // all-zero registers -> linear counting -> 0 distinct
     assert(DistinctSketch.estimate(Map.empty) == 0.0)
