@@ -197,6 +197,8 @@ object SparkEntry {
       (graft.operators.Maintenance.deletionVectorQuery _),
     "q159_revenue_by_nation" ->
       (graft.operators.Queries.q159RevenueByNation _),
+    "q160_daily_registers" ->
+      (graft.operators.DistinctSketch.dailyRegistersQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -905,6 +907,8 @@ object SparkEntry {
       graft.operators.Maintenance.deletionVectorOracleSql,
     "q159_revenue_by_nation" ->
       graft.operators.Queries.q159RevenueByNationOracleSql,
+    "q160_daily_registers" ->
+      graft.operators.DistinctSketch.dailyRegistersOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -127,6 +127,75 @@ object DistinctSketch {
      SELECT * FROM (SELECT * FROM typed UNION ALL SELECT * FROM all_r)
      ORDER BY event_type, register"""
 
+  /** q160: the PERSISTED-SKETCH serving pattern over time slices —
+    * what a register table is actually FOR in production: one
+    * register set per day (the partials a nightly job would append),
+    * and the first week's distinct-user registers computed ONLY by
+    * max-merging those daily partials — while the oracle recomputes
+    * the window from the raw rows. The hash match is the proof that
+    * "distinct users over any date range" is answerable from the
+    * daily register table alone, no rescan of history; exact daily
+    * and window distincts ride along as the verification baseline.
+    * Same construction as q152's `__all__` rows with GROUP slices
+    * swapped for TIME slices — the two axes a 100 TB corpus is
+    * actually cut along. */
+  def dailyRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("ts").cast("date").as("dd"), col("user_id"))
+      .localCheckpoint()
+    val daily = registers(ev, "d", "user_id").localCheckpoint()
+    val dailyExact = ev.groupBy("d")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val lim = ev.agg(min(col("dd")).as("d0"))
+    val winDays = ev.select(col("d"), col("dd")).distinct()
+      .crossJoin(broadcast(lim))
+      .filter(col("dd") <= date_add(col("d0"), 6))
+      .select(col("d"))
+    // window registers: max-merge of the DAILY PARTIALS, never raw rows
+    val winRegs = daily.join(broadcast(winDays), Seq("d"))
+      .groupBy("register").agg(max(col("max_rho")).as("max_rho"))
+    val winExact = ev.crossJoin(broadcast(lim))
+      .filter(col("dd") <= date_add(col("d0"), 6))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    daily.join(dailyExact, Seq("d"))
+      .select(col("d"), col("register"), col("max_rho"), col("n_exact"))
+      .unionAll(winRegs.crossJoin(winExact)
+        .select(lit("__week1__").as("d"), col("register"),
+          col("max_rho"), col("n_exact")))
+      .orderBy("d", "register")
+  }
+
+  /** DuckDB oracle for [[dailyRegistersQuery]] — the `__week1__` rows
+    * recomputed from RAW rows in the window, which is what makes the
+    * engine's partial-merge serving a checked claim. */
+  def dailyRegistersOracleSql: String =
+    s"""WITH ev AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           CAST(ts AS DATE) AS dd, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+         FROM events),
+       r AS (SELECT d, dd, user_id, h & ${M - 1} AS register,
+           CASE WHEN (h >> $P) = 0 THEN $RhoCap
+                ELSE length(bin((h >> $P) & -(h >> $P))) END AS rho
+         FROM ev),
+       lim AS (SELECT min(dd) AS d0 FROM ev),
+       daily AS (SELECT d, register, CAST(max(rho) AS BIGINT) AS max_rho
+                 FROM r GROUP BY 1, 2),
+       dex AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS n_exact FROM ev GROUP BY 1),
+       win AS (SELECT register, CAST(max(rho) AS BIGINT) AS max_rho
+               FROM r, lim WHERE dd <= d0 + 6 GROUP BY 1),
+       wex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM ev, lim WHERE dd <= d0 + 6)
+     SELECT * FROM (
+       SELECT daily.d, daily.register, daily.max_rho, dex.n_exact
+       FROM daily JOIN dex ON daily.d = dex.d
+       UNION ALL
+       SELECT '__week1__' AS d, win.register, win.max_rho, wex.n_exact
+       FROM win, wex)
+     ORDER BY d, register"""
+
   /** The classic HLL estimate computed FROM a register map — driver
     * side, for specs and register-table consumers (the registers are
     * the persisted artifact; the estimate is derived on read).

@@ -66,6 +66,29 @@ class DistinctSketchSpec extends SparkSpec {
     assert(ei > 0.0 && ei <= 2.0 * 500.0, s"intersection est $ei")
   }
 
+  test("daily register table serves the week window by partial merge") {
+    val rows = DistinctSketch.dailyRegistersQuery(spark, sf0001).collect()
+    val days = rows.map(_.getString(0)).distinct.filter(_ != "__week1__")
+      .sorted
+    assert(days.nonEmpty && rows.exists(_.getString(0) == "__week1__"))
+    // the window rows must equal the max-merge of the first week's
+    // daily rows (recomputed here driver-side from the same output)
+    val weekDays = days.filter(_ <= java.time.LocalDate.parse(days.head)
+      .plusDays(6).toString).toSet
+    val manual = rows.filter(r => weekDays(r.getString(0)))
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).max).toMap
+    val window = rows.filter(_.getString(0) == "__week1__")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(window == manual,
+      "window registers must be the max-merge of the daily partials")
+    // window exact distinct >= any single day's
+    val dayExact = rows.filter(r => weekDays(r.getString(0)))
+      .map(_.getLong(3)).max
+    val winExact = rows.filter(_.getString(0) == "__week1__")
+      .head.getLong(3)
+    assert(winExact >= dayExact)
+  }
+
   test("fast-hash config keeps shape, merge property, and accuracy") {
     import spark.implicits._
     val keys = (0L until 800L).map(k => ("g", k)).toDF("g", "k")
