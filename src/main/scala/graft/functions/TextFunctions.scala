@@ -81,6 +81,15 @@ object TextFunctions {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The 60-bit hash in either configuration — [[portableHash60]]
+    * (oracle-recomputable) or xxhash64 masked to the same 60-bit
+    * domain (the at-scale default). ONE definition of the mask so the
+    * sketch families (HLL registers, AGMS grids) cannot drift apart
+    * on their hash domain. */
+  def hash60(c: Column, portable: Boolean): Column =
+    if (portable) portableHash60(c)
+    else xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+
   /** Universal-hash MinHash permutation family over the prime
     * M = 2^31 - 1: perm_i(h) = (a_i * (h % M) + b_i) % M. All values
     * stay below 2^62, so the arithmetic is exact (and identical) in

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.portableHash60
 import graft.sources.Tables
 
 /** Distinct-count sketching (HyperLogLog registers) — the missing
@@ -52,9 +51,8 @@ object DistinctSketch {
   def registers(df: DataFrame, groupCol: String, keyCol: String,
                 portable: Boolean = true): DataFrame =
     df.select(col(groupCol),
-        (if (portable) portableHash60(col(keyCol).cast("string"))
-         else xxhash64(col(keyCol).cast("string"))
-           .bitwiseAND(lit((1L << 60) - 1))).as("h"))
+        graft.functions.TextFunctions
+          .hash60(col(keyCol).cast("string"), portable).as("h"))
       .select(col(groupCol),
         col("h").bitwiseAND(lit((M - 1).toLong)).as("register"),
         shiftright(col("h"), P).as("w"))

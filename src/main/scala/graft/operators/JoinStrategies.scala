@@ -299,13 +299,9 @@ object JoinStrategies {
     * oracle cannot recompute; both configs benched. */
   def agmsCells(counts: DataFrame,
                 portable: Boolean = true): DataFrame = {
-    import graft.functions.TextFunctions.portableHash60
     val rows = array((0 until AgmsRows).map(lit): _*)
-    def h(salt: String) = {
-      val s = concat_ws(":", lit(salt), col("r"), col("k"))
-      if (portable) portableHash60(s)
-      else xxhash64(s).bitwiseAND(lit((1L << 60) - 1))
-    }
+    def h(salt: String) = graft.functions.TextFunctions
+      .hash60(concat_ws(":", lit(salt), col("r"), col("k")), portable)
     counts
       .select(col("k"), col("cnt"), explode(rows).as("r"))
       .select(col("r"),

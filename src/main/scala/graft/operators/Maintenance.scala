@@ -213,15 +213,26 @@ object Maintenance {
     val dvDir =
       java.nio.file.Files.createTempDirectory("q158_dv").toString
     val tableDir = s"$dir/orders.parquet"
-    val nDeleted = writeDeletionVector(spark, tableDir, dvDir,
-      col("o_orderpriority") === "1-URGENT")
-    readWithDeletes(spark, tableDir, dvDir)
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"),
-        OlapOps.decSumCents(col("o_totalprice")).as("cents"))
-      .select(col("o_orderstatus"), col("n_orders"), col("cents"),
-        lit(nDeleted).as("n_deleted"))
-      .orderBy("o_orderstatus")
+    // the aggregate is status-cardinality rows — localCheckpoint it
+    // eagerly so the per-call sidecar can be deleted before returning
+    // (the q145/q149 cleanup discipline: repeated verify/bench runs
+    // must not accumulate sidecars in temp space)
+    try {
+      val nDeleted = writeDeletionVector(spark, tableDir, dvDir,
+        col("o_orderpriority") === "1-URGENT")
+      readWithDeletes(spark, tableDir, dvDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          OlapOps.decSumCents(col("o_totalprice")).as("cents"))
+        .select(col("o_orderstatus"), col("n_orders"), col("cents"),
+          lit(nDeleted).as("n_deleted"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dvDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
   }
 
   /** DuckDB oracle for [[deletionVectorQuery]]. */

@@ -14,9 +14,12 @@ import graft.sources.Tables
   * percentile values) so the DuckDB oracle hash-checks exactly. */
 object OlapOps {
 
-  /** Decimal-accumulated sum emitted as BIGINT cents (the oracle
-    * determinism pattern used across the engine — shared so the
-    * money-exactness idiom has one definition, not per-file copies). */
+  /** Decimal-accumulated sum over doubles emitted as BIGINT cents —
+    * THE engine-wide definition of the money-exactness idiom
+    * (accumulate in DECIMAL(38,10), associative, so partial-agg order
+    * can't change the result; round to 2 decimals, scale by 100 —
+    * integral longs are the only numeric type every engine converts
+    * identically). [[Queries]] and [[Maintenance]] delegate here. */
   private[graft] def decSumCents(c: Column): Column =
     (round(sum(c.cast("decimal(38,10)")), 2) * 100).cast("long")
 

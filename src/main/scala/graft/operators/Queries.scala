@@ -24,17 +24,16 @@ import graft.sources.Tables
 object Queries {
 
   /** Cast to the reference's canonical fact-value type NUMBER(38,10)
-    * (reference models/staging/raw_num_table.sql:16). */
-  private def dec(c: Column): Column = c.cast(DecimalType(38, 10))
+    * (reference models/staging/raw_num_table.sql:16). Kept for query
+    * code needing the raw decimal; sums go through [[decSum]]. */
+  private[operators] def dec(c: Column): Column =
+    c.cast(DecimalType(38, 10))
 
-  /** Order-independent sum over doubles: accumulate in DECIMAL(38,10)
-    * (associative — partial-aggregation order can't change the result),
-    * then surface as fixed-point BIGINT cents: round to 2 decimals and
-    * scale by 100. Integral longs are the only numeric type every engine
-    * converts identically (DuckDB's decimal→double cast is not correctly
-    * rounded; doubles summed in float differ by order). */
-  private def decSum(c: Column): Column =
-    (round(sum(dec(c)), 2) * lit(100)).cast("long")
+  /** Order-independent sum over doubles surfaced as BIGINT cents —
+    * delegates to the engine's single definition of the idiom
+    * ([[OlapOps.decSumCents]]) so a precision change cannot diverge
+    * per-file copies. */
+  private def decSum(c: Column): Column = OlapOps.decSumCents(c)
 
   // ===========================================================================
   // §2.4 Aggregations

@@ -355,21 +355,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q159 six-table join: dims broadcast, facts never cartesian") {
-    val p = planString(Queries.q159RevenueByNation(spark, sf0001))
+    val df = Queries.q159RevenueByNation(spark, sf0001)
+    val p = planString(df)
     // region/nation pair must come in as a broadcast, not a shuffle
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "every join has an equi-key; a nested loop means a lost predicate:\n"
         + p.take(1500))
-    // the year filter must sit BELOW the joins (scan-side), not above
-    // them: in the optimized logical plan's parent-first rendering, a
-    // pre-join filter prints after the Join nodes it feeds
-    val lp = Queries.q159RevenueByNation(spark, sf0001)
-      .queryExecution.optimizedPlan.toString
+    // the year filter must sit BELOW every join (scan-side): in the
+    // optimized logical plan's parent-first rendering, a scan-side
+    // filter prints after even the DEEPEST Join node
+    val lp = df.queryExecution.optimizedPlan.toString
     assert(lp.contains("1996") && lp.contains("Join"), lp.take(1500))
-    assert(lp.indexOf("1996") > lp.indexOf("Join"),
-      "year filter must be pushed beneath the joins:\n" + lp.take(1500))
+    assert(lp.indexOf("1996") > lp.lastIndexOf("Join"),
+      "year filter must be pushed beneath all joins:\n" + lp.take(1500))
   }
 
   test("q152 register build is map-side combined (partial max)") {
