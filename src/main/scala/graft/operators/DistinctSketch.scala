@@ -138,23 +138,28 @@ object DistinctSketch {
     * swapped for TIME slices — the two axes a 100 TB corpus is
     * actually cut along. */
   def dailyRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
+    // three cheap columnar scans of events (registers, daily exact,
+    // window exact), never a corpus-sized checkpoint; everything
+    // derived past them — including the window's day list — reads
+    // the METADATA-SCALE daily register table
     val ev = Tables.events(spark, dir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
         col("ts").cast("date").as("dd"), col("user_id"))
-      .localCheckpoint()
     val daily = registers(ev, "d", "user_id").localCheckpoint()
     val dailyExact = ev.groupBy("d")
       .agg(count_distinct(col("user_id")).as("n_exact"))
-    val lim = ev.agg(min(col("dd")).as("d0"))
-    val winDays = ev.select(col("d"), col("dd")).distinct()
+    // window bound from the daily table's min day (ISO strings sort
+    // chronologically), not another corpus scan
+    val lim = daily.agg(date_add(to_date(min(col("d"))), 6).as("dmax"))
+    val winDays = daily.select(col("d")).distinct()
       .crossJoin(broadcast(lim))
-      .filter(col("dd") <= date_add(col("d0"), 6))
+      .filter(to_date(col("d")) <= col("dmax"))
       .select(col("d"))
     // window registers: max-merge of the DAILY PARTIALS, never raw rows
     val winRegs = daily.join(broadcast(winDays), Seq("d"))
       .groupBy("register").agg(max(col("max_rho")).as("max_rho"))
     val winExact = ev.crossJoin(broadcast(lim))
-      .filter(col("dd") <= date_add(col("d0"), 6))
+      .filter(col("dd") <= col("dmax"))
       .agg(count_distinct(col("user_id")).as("n_exact"))
     daily.join(dailyExact, Seq("d"))
       .select(col("d"), col("register"), col("max_rho"), col("n_exact"))

@@ -1094,23 +1094,25 @@ object OlapOps {
     * division, summed, halved — the q123 drift-TVD arithmetic applied
     * per class). Every class is reported (the audit table), ordered.
     *
-    * Scale shape: one banded scan feeds the class×band and global
-    * band aggregates; the TVD grid is |classes| × 4 bands —
-    * metadata-scale — built by crossing class sizes with the
-    * broadcast global distribution so absent bands still contribute
-    * their |0 − p_global| term. */
+    * Scale shape: ONE corpus aggregation (class × band counts,
+    * map-side combined) is the only pass over the table; class
+    * sizes, the global band distribution, and the grand total are
+    * all re-aggregations of that metadata-scale count table. The TVD
+    * grid is |classes| × 4 bands, built by crossing class sizes with
+    * the broadcast global distribution so absent bands still
+    * contribute their |0 − p_global| term. */
   def tClosenessQuery(spark: SparkSession, dir: String): DataFrame = {
-    val banded = Tables.customer(spark, dir)
+    val classBand = Tables.customer(spark, dir)
       .select(col("c_mktsegment"), col("c_nationkey"),
         expr(bandExpr).as("band"))
-      .localCheckpoint()
-    val classBand = banded
       .groupBy("c_mktsegment", "c_nationkey", "band")
       .agg(count(lit(1)).as("cnt"))
-    val classSize = banded.groupBy("c_mktsegment", "c_nationkey")
-      .agg(count(lit(1)).as("class_size"))
-    val globalBand = banded.groupBy("band").agg(count(lit(1)).as("gcnt"))
-    val total = banded.agg(count(lit(1)).as("total"))
+      .localCheckpoint()
+    val classSize = classBand.groupBy("c_mktsegment", "c_nationkey")
+      .agg(sum(col("cnt")).as("class_size"))
+    val globalBand = classBand.groupBy("band")
+      .agg(sum(col("cnt")).as("gcnt"))
+    val total = classBand.agg(sum(col("cnt")).as("total"))
     classSize.crossJoin(broadcast(globalBand.crossJoin(total)))
       .join(classBand, Seq("c_mktsegment", "c_nationkey", "band"), "left")
       .select(col("c_mktsegment"), col("c_nationkey"), col("class_size"),
