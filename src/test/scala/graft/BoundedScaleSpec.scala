@@ -73,4 +73,37 @@ class BoundedScaleSpec extends SparkSpec {
     // and no pair may mention a part only the mega-order carries
     assert(out.forall { case (p1, p2, _) => p1 <= 12L && p2 <= 12L })
   }
+
+  test("HLL registers at 1M keys: output bounded by m, map-side combined") {
+    import graft.operators.DistinctSketch
+    val big = spark.range(1000000L)
+      .select(lit("g").as("g"), col("id").as("k"))
+    val df = DistinctSketch.registers(big, "g", "k")
+    val p = planString(df)
+    assert(p.contains("partial_max"),
+      "register fold must combine map-side:\n" + p.take(2000))
+    val rows = df.collect()
+    // a million keys collapse to at most m register rows, and with
+    // 2^20 uniform hashes every register is hit and carries a rho
+    // well above 1
+    assert(rows.length <= DistinctSketch.M)
+    assert(rows.length == DistinctSketch.M)
+    assert(rows.map(_.getLong(2)).min >= 10L,
+      "1M uniform keys must drive every register's rho high")
+  }
+
+  test("AGMS grid at 200k keys: cells bounded by rows x width") {
+    import graft.operators.JoinStrategies
+    val counts = spark.range(200000L)
+      .select(concat(lit("k"), col("id")).as("k"), lit(3L).as("cnt"))
+    val cells = JoinStrategies.agmsCells(counts)
+    val n = cells.count()
+    assert(n <= JoinStrategies.AgmsRows * JoinStrategies.AgmsWidth,
+      s"grid must stay d x w regardless of key count, got $n")
+    // 200k keys over 1024 buckets: every (row, bucket) cell occupied
+    assert(n == JoinStrategies.AgmsRows * JoinStrategies.AgmsWidth)
+    // estimates remain metadata-scale: one row per sketch row
+    assert(JoinStrategies.agmsEstimates(cells).count() ==
+      JoinStrategies.AgmsRows)
+  }
 }
