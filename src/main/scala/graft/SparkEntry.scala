@@ -199,6 +199,7 @@ object SparkEntry {
       (graft.operators.Queries.q159RevenueByNation _),
     "q160_daily_registers" ->
       (graft.operators.DistinctSketch.dailyRegistersQuery _),
+    "q161_cluster_best"    -> (Extensions.q161ClusterBest _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -229,6 +230,38 @@ object SparkEntry {
         graft.operators.JoinStrategies.selfJoinSizeQuery(s, d,
           portable = false)),
     )
+
+  /** Shared CTE prefix of the q45/q161 oracles: q23's capped shingle
+    * pairs, the recursive transitive closure, and the per-doc cluster
+    * label (`lab`). One definition so the two cluster oracles cannot
+    * drift on the clustering itself. */
+  private val dupClusterCte: String =
+    """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
+           FROM documents),
+         ex AS (SELECT doc_id, s
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+                QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM inter
+                   JOIN sizes s1 ON d1 = s1.doc_id
+                   JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id,
+                   coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)"""
 
   private val sessionizeOracleSql: String =
     """WITH e AS (SELECT user_id, event_id,
@@ -479,38 +512,27 @@ object SparkEntry {
     // recomputes the transitive closure with a recursive CTE (tiny
     // components at test scale), so cluster ids, sizes, and canonical
     // flags all hash-check exactly.
-    "q45_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
-             i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
-           FROM documents),
-         ex AS (SELECT doc_id, s
-                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-                QUALIFY count(*) OVER (PARTITION BY s) <= 50),
-         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM inter
-                   JOIN sizes s1 ON d1 = s1.doc_id
-                   JOIN sizes s2 ON d2 = s2.doc_id
-                   WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION SELECT d2, d1 FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
-         lab AS (SELECT d.doc_id,
-                   coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
-                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    "q45_dup_clusters" -> (dupClusterCte +
+      """, sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
                 FROM lab GROUP BY 1)
          SELECT l.doc_id, l.cluster_id, s.cluster_size,
            CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
-         FROM lab l JOIN sz s USING (cluster_id) ORDER BY l.doc_id""",
+         FROM lab l JOIN sz s USING (cluster_id) ORDER BY l.doc_id"""),
+    // q161: the same clusters, survivor chosen by QUALITY (longest
+    // text, ties to lowest id) instead of min-id.
+    "q161_cluster_best" -> (dupClusterCte +
+      """, lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+                FROM documents),
+         rk AS (SELECT l.doc_id, l.cluster_id, lens.len,
+                  row_number() OVER (PARTITION BY l.cluster_id
+                    ORDER BY lens.len DESC, l.doc_id) AS rn
+                FROM lab l JOIN lens USING (doc_id)),
+         surv AS (SELECT cluster_id, doc_id AS survivor_id
+                  FROM rk WHERE rn = 1)
+         SELECT rk.doc_id, rk.cluster_id, surv.survivor_id,
+           CAST(CASE WHEN rk.doc_id = surv.survivor_id
+                THEN 1 ELSE 0 END AS INT) AS is_kept
+         FROM rk JOIN surv USING (cluster_id) ORDER BY rk.doc_id"""),
     // q46: gap-based sessionization — identical window arithmetic on
     // both engines over epoch-ms integers. q149 shares the oracle:
     // its input is the SAME events, round-tripped through the

@@ -106,4 +106,37 @@ object DupClusters {
           .cast("int").as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** q161: cluster survivor by QUALITY — the production keep-rule a
+    * dedup pipeline actually applies: within each near-dup cluster,
+    * keep the doc with the most content (longest text; ties to the
+    * lowest id), not the arbitrary min-id representative
+    * [[clusterReport]] uses. The difference is material: min-id keeps
+    * whatever crawled first, best-of-cluster keeps the fullest copy
+    * (the Lee et al. 2022 recommendation for near-dup groups).
+    *
+    * Scale shape: same label propagation as q45, then one PARTITIONED
+    * window per cluster (clusters are bounded by the capped pair
+    * generation — a keyed shuffle, never a global sort) to rank
+    * members by (len DESC, id ASC), and one join back to flag every
+    * doc with its cluster's survivor. */
+  def clusterBestReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs)
+    val labeled = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val ranked = labeled.withColumn("rn",
+      row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("len").desc, col("doc_id").asc)))
+    val survivors = ranked.filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    labeled.join(survivors, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        when(col("doc_id") === col("survivor_id"), 1).otherwise(0)
+          .cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
 }

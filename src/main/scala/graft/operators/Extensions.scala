@@ -624,4 +624,14 @@ object Extensions {
       maxDocFreq = 50).select("d1", "d2")
     DupClusters.clusterReport(docs, pairs)
   }
+
+  /** q161: the q45 clusters with the survivor chosen by quality
+    * (longest text, ties to lowest id) — the keep-rule a production
+    * dedup actually applies. */
+  def q161ClusterBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
+      maxDocFreq = 50).select("d1", "d2")
+    DupClusters.clusterBestReport(docs, pairs)
+  }
 }

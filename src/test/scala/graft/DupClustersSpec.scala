@@ -53,4 +53,32 @@ class DupClustersSpec extends SparkSpec {
       (4L, 2L, 3L, 0),
       (5L, 2L, 3L, 0)))
   }
+
+  test("best-of-cluster keeps the longest doc, not the min id") {
+    // cluster {2,4,5}: doc 4 is the longest -> survivor, though 2 is
+    // the min id; ties (docs 1 and 3 are singletons) keep themselves
+    val docs = Seq(
+      (1L, "aa"), (2L, "bb"), (3L, "cc"),
+      (4L, "the longest document"), (5L, "mid length"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("d1", "d2")
+    val rep = DupClusters.clusterBestReport(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rep.toSeq == Seq(
+      (1L, 1L, 1L, 1),
+      (2L, 2L, 4L, 0),
+      (3L, 3L, 3L, 1),
+      (4L, 2L, 4L, 1),
+      (5L, 2L, 4L, 0)))
+    // exactly one kept doc per cluster
+    val perCluster = rep.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(perCluster.values.forall(_ == 1))
+    // a length tie falls back to the lowest id
+    val tied = Seq((7L, "same"), (8L, "same")).toDF("doc_id", "text")
+    val tp = Seq((7L, 8L)).toDF("d1", "d2")
+    val ts = DupClusters.clusterBestReport(tied, tp).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ts == Map(7L -> 7L, 8L -> 7L))
+  }
 }
