@@ -200,6 +200,8 @@ object SparkEntry {
     "q160_daily_registers" ->
       (graft.operators.DistinctSketch.dailyRegistersQuery _),
     "q161_cluster_best"    -> (Extensions.q161ClusterBest _),
+    "q162_ppr"             ->
+      ((s, d) => graft.operators.GraphRank.pprQuery(s, d)),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -931,6 +933,8 @@ object SparkEntry {
       graft.operators.Queries.q159RevenueByNationOracleSql,
     "q160_daily_registers" ->
       graft.operators.DistinctSketch.dailyRegistersOracleSql,
+    "q162_ppr" ->
+      graft.operators.GraphRank.pprOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -132,6 +132,114 @@ object GraphRank {
     (ranks, round, converged)
   }
 
+  /** One personalized-PageRank superstep: like [[rankRound]] but the
+    * teleport base lands only on SEED nodes — mass keeps flowing back
+    * toward the seed set instead of spreading uniformly. Defined over
+    * every graph node (the degree table), so a node whose in-mass
+    * floors to zero still appears with its base. */
+  private def pprRound(dir: DataFrame, deg: DataFrame, ranks: DataFrame,
+      base: DataFrame): DataFrame = {
+    val contrib = ranks.join(deg, Seq("u"))
+      .select(col("u"), expr("rank_e6 div deg").as("c"))
+    val inMass = dir.join(contrib, Seq("u"))
+      .groupBy(col("v").as("u"))
+      .agg(sum(col("c")).as("m"))
+    deg.select(col("u"))
+      .join(inMass, Seq("u"), "left")
+      .join(base, Seq("u"), "left")
+      .select(col("u"),
+        (coalesce(col("base"), lit(0L)) +
+          expr("85 * coalesce(m, 0) div 100")).as("rank_e6"))
+  }
+
+  /** Personalized PageRank: the teleport vector concentrated on a
+    * `seeds` set instead of uniform — rank becomes RELEVANCE TO THE
+    * SEEDS, the graph-curation primitive (seed with known-good users/
+    * docs, rank everything by seeded mass, harvest the top). Same
+    * integer fixed-point discipline as q100: base = 15% of the rank
+    * scale on each seed present in the graph, 85/100 damped in-mass,
+    * [[Iterations]] unrolled rounds, floor division throughout — the
+    * oracle replays the identical iterations in SQL. Scale shape per
+    * round is q100's (one keyed join + one edge-keyed shuffle), plus
+    * one broadcast-sized base join; seeds outside the graph drop (no
+    * edges — no mass to receive or give). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = Iterations): DataFrame = {
+    val dir = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = deg.join(seeds, Seq("u"), "left_semi")
+      .select(col("u"), lit(RankScale * 15 / 100).as("base"))
+      .localCheckpoint()
+    var ranks = deg.select(col("u"))
+      .join(base, Seq("u"), "left")
+      .select(col("u"), coalesce(col("base"), lit(0L)).as("rank_e6"))
+    for (_ <- 1 to iterations) {
+      ranks = pprRound(dir, deg, ranks, base)
+    }
+    ranks
+  }
+
+  /** q162: users ranked by relevance to the purchase-active seed set
+    * over the co-activity graph — "who moves in the buyers' orbit",
+    * with the seed flag carried for reading the report. */
+  def pprQuery(spark: SparkSession, dir: String,
+      topN: Int = 100): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val seeds = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u")).distinct()
+    personalizedPageRank(coActivityEdges(events), seeds)
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("u"), "left")
+      .select(col("u").as("user_id"), col("rank_e6"),
+        coalesce(col("is_seed"), lit(0)).cast("int").as("is_seed"))
+      .orderBy(col("rank_e6").desc, col("user_id").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[pprQuery]] — same cells/edges as q100, the
+    * seeded base vector, and the same three unrolled damped
+    * iterations. */
+  def pprOracleSql: String = {
+    val iter = (prev: String, out: String) =>
+      s"""$out AS (SELECT n.u,
+             coalesce(b.base, 0) + 85 * coalesce(i.m, 0) // 100 AS rank_e6
+           FROM nodes n
+           LEFT JOIN base b ON b.u = n.u
+           LEFT JOIN (SELECT dir.v AS u,
+                 sum($prev.rank_e6 // deg.deg) AS m
+               FROM dir JOIN $prev ON $prev.u = dir.u
+                 JOIN deg ON deg.u = dir.u
+               GROUP BY 1) i ON i.u = n.u)"""
+    s"""WITH cells AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(date_part('hour', ts) AS INT) AS h, event_type, user_id
+         FROM events),
+       kept AS (SELECT d, h, event_type FROM cells
+                GROUP BY 1, 2, 3 HAVING count(*) <= $MaxGroup),
+       m AS (SELECT cells.* FROM cells JOIN kept USING (d, h, event_type)),
+       e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+             FROM m a JOIN m b
+               ON a.d = b.d AND a.h = b.h AND a.event_type = b.event_type
+                 AND a.user_id < b.user_id),
+       dir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
+       nodes AS (SELECT u FROM deg),
+       seeds AS (SELECT DISTINCT user_id AS u FROM events
+                 WHERE event_type = 'purchase'),
+       base AS (SELECT n.u, ${RankScale * 15 / 100} AS base
+                FROM nodes n JOIN seeds s ON s.u = n.u),
+       r0 AS (SELECT n.u, coalesce(b.base, 0) AS rank_e6
+              FROM nodes n LEFT JOIN base b ON b.u = n.u),
+       ${iter("r0", "r1")},
+       ${iter("r1", "r2")},
+       ${iter("r2", "r3")}
+     SELECT r3.u AS user_id, CAST(r3.rank_e6 AS BIGINT) AS rank_e6,
+       CAST(CASE WHEN s.u IS NULL THEN 0 ELSE 1 END AS INT) AS is_seed
+     FROM r3 LEFT JOIN seeds s ON s.u = r3.u
+     ORDER BY rank_e6 DESC, user_id LIMIT 100"""
+  }
+
   /** q100: top-ranked users of the co-activity graph. */
   def pageRankQuery(spark: SparkSession, dir: String,
       topN: Int = 100): DataFrame =

@@ -78,6 +78,27 @@ class SamplingGraphSpec extends SparkSpec {
     assert(beyond == conv, "a fixed point must be stable under extra rounds")
   }
 
+  test("personalized pageRank concentrates mass around the seed") {
+    // path 1-2-3 seeded at 1, hand-unrolled 3 damped integer rounds:
+    // r0=(150000,0,0); r1=(150000,127500,0);
+    // r2=(204187,127500,54187); r3=(204187,219617,54187)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val s1 = Seq(Tuple1(1L)).toDF("u")
+    val out = GraphRank.personalizedPageRank(edges, s1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 204187L, 2L -> 219617L, 3L -> 54187L))
+    // personalization is real: seeding the other end mirrors the ranks
+    val s3 = Seq(Tuple1(3L)).toDF("u")
+    val mirrored = GraphRank.personalizedPageRank(edges, s3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mirrored == Map(3L -> 204187L, 2L -> 219617L, 1L -> 54187L))
+    // a seed outside the graph contributes nothing
+    val sOut = Seq(Tuple1(99L)).toDF("u")
+    val zero = GraphRank.personalizedPageRank(edges, sOut).collect()
+      .map(_.getLong(1))
+    assert(zero.forall(_ == 0L))
+  }
+
   test("converged pageRank on an empty edge frame is empty, not a crash") {
     // a filtered/sparse events slice can prune every co-activity cell
     // as a hub, leaving zero edges; the L1 delta probe's sum over the
