@@ -202,6 +202,8 @@ object SparkEntry {
     "q161_cluster_best"    -> (Extensions.q161ClusterBest _),
     "q162_ppr"             ->
       ((s, d) => graft.operators.GraphRank.pprQuery(s, d)),
+    "q163_gini"            ->
+      (graft.operators.OlapOps.giniQuery _),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -935,6 +937,8 @@ object SparkEntry {
       graft.operators.DistinctSketch.dailyRegistersOracleSql,
     "q162_ppr" ->
       graft.operators.GraphRank.pprOracleSql,
+    "q163_gini" ->
+      graft.operators.OlapOps.giniOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

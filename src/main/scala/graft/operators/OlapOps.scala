@@ -1146,6 +1146,50 @@ object OlapOps {
        CAST(sum(term) // 2 AS BIGINT) AS tvd_e6
      FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2"""
 
+  /** q163: Gini concentration of customer revenue — the inequality
+    * audit beside the HHI (q140 measures supplier concentration per
+    * part; this measures how unevenly revenue spreads over the whole
+    * customer base, the "do 20% of customers carry 80% of revenue"
+    * number). Rank formula G = (2·Σ rn·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * ascending-ranked revenues — exact integer end to end: cents via
+    * [[decSumCents]], ranks via the distributed [[globalRankAsc]]
+    * (blocked two-phase, no single-partition fact window), moments in
+    * DECIMAL(38,0), one e6 floor division at the end. Tie order
+    * cannot perturb the sum (equal x swap ranks freely), so the
+    * cross-engine rank tie-break is load-bearing only for
+    * reproducibility, not the value. */
+  def giniQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(decSumCents(col("o_totalprice")).as("cents"))
+      .select(col("o_custkey").as("id"), col("cents"))
+    globalRankAsc(rev, blockWidth = 1000000L)
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        expr("sum(CAST(rn AS DECIMAL(38,0)) * cents)").as("w"))
+      .select(col("n").as("n_customers"),
+        col("s").cast("long").as("total_cents"),
+        expr("CAST((2 * w - (n + 1) * s) * 1000000 div (n * s) AS BIGINT)")
+          .as("gini_e6"))
+      .orderBy("n_customers")
+  }
+
+  /** DuckDB oracle for [[giniQuery]]. */
+  def giniOracleSql: String =
+    """WITH rev AS (SELECT o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100
+                AS BIGINT) AS cents
+         FROM orders GROUP BY 1),
+       r AS (SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM rev),
+       a AS (SELECT count(*) AS n, sum(cents) AS s,
+           sum(rn * cents) AS w FROM r)
+     SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST((2 * w - (n + 1) * s) * 1000000 // (n * s) AS BIGINT)
+         AS gini_e6
+     FROM a ORDER BY n_customers"""
+
   /** q113: incremental materialized-view maintenance — a monthly
     * revenue aggregate kept up to date by MERGING PARTIALS instead of
     * recomputing: the "base" view (orders before [[IvmCutover]]) and

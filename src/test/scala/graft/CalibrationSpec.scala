@@ -115,6 +115,30 @@ class CalibrationSpec extends SparkSpec {
     assert(flagged == direct.filter(_._2 < OlapOps.AnonK))
   }
 
+  test("gini: zero on equal revenues, near-one on a degenerate one") {
+    import org.apache.spark.sql.functions.col
+    // uniform distribution -> G = 0 exactly
+    val eq = (1L to 10L).map(i => (i, 500L)).toDF("id", "cents")
+    val g0 = OlapOps.globalRankAsc(eq, 100L)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        expr("sum(CAST(rn AS DECIMAL(38,0)) * cents)").as("w"))
+      .select(expr("CAST((2*w - (n+1)*s) * 1000000 div (n*s) AS BIGINT)"))
+      .collect().head.getLong(0)
+    assert(g0 == 0L)
+    // one customer owns everything: G -> (n-1)/n = 0.9
+    val deg = ((1L to 9L).map(i => (i, 0L)) :+ (10L, 9000L))
+      .toDF("id", "cents")
+    val g1 = OlapOps.globalRankAsc(deg, 100L)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        expr("sum(CAST(rn AS DECIMAL(38,0)) * cents)").as("w"))
+      .select(expr("CAST((2*w - (n+1)*s) * 1000000 div (n*s) AS BIGINT)"))
+      .collect().head.getLong(0)
+    assert(g1 == 900000L, s"degenerate gini $g1")
+    // the registered query's value sits strictly between
+    val r = OlapOps.giniQuery(spark, sf0001).collect().head
+    assert(r.getLong(2) > 0L && r.getLong(2) < 1000000L)
+  }
+
   test("l-diversity and t-closeness audit the same class grid coherently") {
     val lRows = OlapOps.lDiversityQuery(spark, sf0001).collect()
     for (r <- lRows) {
