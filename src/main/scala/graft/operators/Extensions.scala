@@ -618,11 +618,16 @@ object Extensions {
     * + pointer jumping), every doc labeled with cluster id, size, and
     * the canonical-survivor flag. The oracle recomputes the closure
     * with a recursive CTE. */
+  /** The q45/q161 clustering input — ONE definition of the pair
+    * generation parameters, mirroring the shared oracle CTE prefix,
+    * so the two cluster reports cannot drift on the clustering. */
+  private def dupPairs(docs: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
+      maxDocFreq = 50).select("d1", "d2")
+
   def q45DupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
-      maxDocFreq = 50).select("d1", "d2")
-    DupClusters.clusterReport(docs, pairs)
+    DupClusters.clusterReport(docs, dupPairs(docs))
   }
 
   /** q161: the q45 clusters with the survivor chosen by quality
@@ -630,8 +635,6 @@ object Extensions {
     * dedup actually applies. */
   def q161ClusterBest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
-      maxDocFreq = 50).select("d1", "d2")
-    DupClusters.clusterBestReport(docs, pairs)
+    DupClusters.clusterBestReport(docs, dupPairs(docs))
   }
 }

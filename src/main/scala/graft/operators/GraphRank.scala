@@ -162,7 +162,9 @@ object GraphRank {
     * oracle replays the identical iterations in SQL. Scale shape per
     * round is q100's (one keyed join + one edge-keyed shuffle), plus
     * one broadcast-sized base join; seeds outside the graph drop (no
-    * edges — no mass to receive or give). */
+    * edges — no mass to receive or give). Output carries `is_seed`
+    * derived from the checkpointed base frame — metadata-scale, no
+    * second pass over the seed source. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = Iterations): DataFrame = {
     val dir = edges.select(col("u"), col("v"))
@@ -179,21 +181,20 @@ object GraphRank {
     for (_ <- 1 to iterations) {
       ranks = pprRound(dir, deg, ranks, base)
     }
-    ranks
+    ranks.join(base.select(col("u"), lit(1).as("is_seed")), Seq("u"), "left")
+      .select(col("u"), col("rank_e6"),
+        coalesce(col("is_seed"), lit(0)).cast("int").as("is_seed"))
   }
 
   /** q162: users ranked by relevance to the purchase-active seed set
-    * over the co-activity graph — "who moves in the buyers' orbit",
-    * with the seed flag carried for reading the report. */
+    * over the co-activity graph — "who moves in the buyers' orbit". */
   def pprQuery(spark: SparkSession, dir: String,
       topN: Int = 100): DataFrame = {
     val events = Tables.events(spark, dir)
     val seeds = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("u")).distinct()
     personalizedPageRank(coActivityEdges(events), seeds)
-      .join(seeds.withColumn("is_seed", lit(1)), Seq("u"), "left")
-      .select(col("u").as("user_id"), col("rank_e6"),
-        coalesce(col("is_seed"), lit(0)).cast("int").as("is_seed"))
+      .select(col("u").as("user_id"), col("rank_e6"), col("is_seed"))
       .orderBy(col("rank_e6").desc, col("user_id").asc)
       .limit(topN)
   }

@@ -83,10 +83,8 @@ class BoundedScaleSpec extends SparkSpec {
     assert(p.contains("partial_max"),
       "register fold must combine map-side:\n" + p.take(2000))
     val rows = df.collect()
-    // a million keys collapse to at most m register rows, and with
-    // 2^20 uniform hashes every register is hit and carries a rho
-    // well above 1
-    assert(rows.length <= DistinctSketch.M)
+    // a million keys collapse to exactly m register rows (the bound
+    // AND full occupancy), and 2^20 uniform hashes drive every rho up
     assert(rows.length == DistinctSketch.M)
     assert(rows.map(_.getLong(2)).min >= 10L,
       "1M uniform keys must drive every register's rho high")
@@ -98,10 +96,10 @@ class BoundedScaleSpec extends SparkSpec {
       .select(concat(lit("k"), col("id")).as("k"), lit(3L).as("cnt"))
     val cells = JoinStrategies.agmsCells(counts)
     val n = cells.count()
-    assert(n <= JoinStrategies.AgmsRows * JoinStrategies.AgmsWidth,
+    // 200k keys fill but cannot exceed the d x w grid: exact equality
+    // asserts the bound and full occupancy at once
+    assert(n == JoinStrategies.AgmsRows * JoinStrategies.AgmsWidth,
       s"grid must stay d x w regardless of key count, got $n")
-    // 200k keys over 1024 buckets: every (row, bucket) cell occupied
-    assert(n == JoinStrategies.AgmsRows * JoinStrategies.AgmsWidth)
     // estimates remain metadata-scale: one row per sketch row
     assert(JoinStrategies.agmsEstimates(cells).count() ==
       JoinStrategies.AgmsRows)

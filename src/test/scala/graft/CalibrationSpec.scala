@@ -116,7 +116,6 @@ class CalibrationSpec extends SparkSpec {
   }
 
   test("gini: zero on equal revenues, near-one on a degenerate one") {
-    import org.apache.spark.sql.functions.col
     // uniform distribution -> G = 0 exactly
     val eq = (1L to 10L).map(i => (i, 500L)).toDF("id", "cents")
     val g0 = OlapOps.globalRankAsc(eq, 100L)
