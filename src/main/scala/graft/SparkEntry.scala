@@ -204,6 +204,8 @@ object SparkEntry {
       ((s, d) => graft.operators.GraphRank.pprQuery(s, d)),
     "q163_gini"            ->
       (graft.operators.OlapOps.giniQuery _),
+    "q164_attribution"     ->
+      ((s, d) => graft.operators.Sessionize.attributionQuery(s, d)),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -939,6 +941,8 @@ object SparkEntry {
       graft.operators.GraphRank.pprOracleSql,
     "q163_gini" ->
       graft.operators.OlapOps.giniOracleSql,
+    "q164_attribution" ->
+      graft.operators.Sessionize.attributionOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -643,4 +643,84 @@ object Sessionize {
          AS rate_e6
      FROM d JOIN s4 ON s4.user_id = d.id
      GROUP BY 1 ORDER BY 1"""
+
+  /** q164: FIRST-TOUCH attribution — each purchase's value credited
+    * to the event type that OPENED its session (the acquisition-
+    * channel rule: whatever brought the user in gets the revenue).
+    * Gap sessionization (q46's 30-minute rule), the session's first
+    * event type propagated by a per-session window, then one small
+    * aggregate per entry type: sessions opened, purchases landed,
+    * attributed cents (NaN/Inf sanitized, decimal accumulation), and
+    * the per-session conversion rate as an e6 rational.
+    *
+    * Scale shape: both windows (session numbering, first-touch
+    * propagate) partition by user / (user, session) over the same
+    * time sort — keyed shuffles, never a global window — and the
+    * output is event-type cardinality. */
+  def attributionQuery(spark: SparkSession, dir: String,
+      gapMs: Long = 1800000L): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val labeled = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"),
+        coalesce(when(isnan(col("value")) ||
+          col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("value")), lit(0.0)).as("v"))
+      .withColumn("new_sess",
+        when(lag(col("t"), 1).over(byTime).isNull ||
+          col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(byTime))
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val touched = labeled
+      .withColumn("entry_type", first(col("event_type")).over(bySess))
+    val sessions = touched.filter(col("new_sess") === 1)
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val purchases = touched.filter(col("event_type") === "purchase")
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (round(sum(col("v").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("attributed_cents"))
+    sessions.join(purchases, Seq("entry_type"), "left")
+      .select(col("entry_type"), col("n_sessions"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("attributed_cents"), lit(0L)).as("attributed_cents"),
+        expr("coalesce(n_purchases, 0) * 1000000 div n_sessions")
+          .as("conv_e6"))
+      .orderBy("entry_type")
+  }
+
+  /** DuckDB oracle for [[attributionQuery]]. */
+  def attributionOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS t,
+           coalesce(CASE WHEN isnan(value) OR NOT isfinite(value)
+             THEN NULL ELSE value END, 0.0) AS v
+         FROM events),
+       s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       q AS (SELECT *, sum(new_sess) OVER
+               (PARTITION BY user_id ORDER BY t, event_id) AS session_seq
+             FROM s),
+       f AS (SELECT *, first_value(event_type) OVER
+               (PARTITION BY user_id, session_seq ORDER BY t, event_id)
+               AS entry_type
+             FROM q),
+       ses AS (SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions
+               FROM f WHERE new_sess = 1 GROUP BY 1),
+       pur AS (SELECT entry_type, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(round(sum(CAST(v AS DECIMAL(38,10))), 2) * 100
+                    AS BIGINT) AS attributed_cents
+               FROM f WHERE event_type = 'purchase' GROUP BY 1)
+     SELECT ses.entry_type, ses.n_sessions,
+       coalesce(pur.n_purchases, 0) AS n_purchases,
+       coalesce(pur.attributed_cents, 0) AS attributed_cents,
+       CAST(coalesce(pur.n_purchases, 0) * 1000000 // ses.n_sessions
+            AS BIGINT) AS conv_e6
+     FROM ses LEFT JOIN pur USING (entry_type) ORDER BY entry_type"""
 }

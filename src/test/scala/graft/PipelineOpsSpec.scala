@@ -44,6 +44,40 @@ class PipelineOpsSpec extends SparkSpec {
       "start_ms", "end_ms", "duration_ms"))
   }
 
+  test("first-touch attribution matches a driver-side re-derivation") {
+    val out = Sessionize.attributionQuery(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    // independent scala re-derivation: per-user time order, 30-min
+    // gap splits, first type of each session wins the credit
+    val nSessions = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val nPurch = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((_, g) <- evs.groupBy(_._1)) {
+      val sorted = g.sortBy(e => (e._4, e._2))
+      var entry: String = null
+      var prev = Long.MinValue
+      for ((_, _, et, t) <- sorted) {
+        if (prev == Long.MinValue || t - prev > 1800000L) {
+          entry = et; nSessions(entry) += 1
+        }
+        if (et == "purchase") nPurch(entry) += 1
+        prev = t
+      }
+    }
+    for ((et, (s, p, conv)) <- out) {
+      assert(s == nSessions(et), s"$et sessions")
+      assert(p == nPurch(et), s"$et purchases")
+      assert(conv == p * 1000000L / s)
+    }
+    assert(out.keySet == nSessions.keySet)
+  }
+
   test("batch sessionization agrees with the streaming sessionizer logic") {
     import graft.streaming.EventSessionizer
     // batch: windows over the events table
