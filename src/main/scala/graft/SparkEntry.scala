@@ -206,6 +206,8 @@ object SparkEntry {
       (graft.operators.OlapOps.giniQuery _),
     "q164_attribution"     ->
       ((s, d) => graft.operators.Sessionize.attributionQuery(s, d)),
+    "q165_last_touch"      ->
+      ((s, d) => graft.operators.Sessionize.lastTouchQuery(s, d)),
   )
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
@@ -943,6 +945,8 @@ object SparkEntry {
       graft.operators.OlapOps.giniOracleSql,
     "q164_attribution" ->
       graft.operators.Sessionize.attributionOracleSql,
+    "q165_last_touch" ->
+      graft.operators.Sessionize.lastTouchOracleSql,
     "q64_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -693,6 +693,74 @@ object Sessionize {
       .orderBy("entry_type")
   }
 
+  /** q165: LAST-TOUCH attribution — the companion rule to q164: each
+    * purchase credits the touchpoint immediately BEFORE it in the
+    * session (what closed the deal, vs what opened the door); a
+    * purchase that opens its own session credits itself. Same keyed
+    * windows as q164 plus one lag; output per touch type: purchases,
+    * attributed cents, and the share of all purchases (e6). */
+  def lastTouchQuery(spark: SparkSession, dir: String,
+      gapMs: Long = 1800000L): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val labeled = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"),
+        coalesce(when(isnan(col("value")) ||
+          col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("value")), lit(0.0)).as("v"))
+      .withColumn("new_sess",
+        when(lag(col("t"), 1).over(byTime).isNull ||
+          col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(byTime))
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val purchases = labeled
+      .withColumn("touch_type",
+        coalesce(lag(col("event_type"), 1).over(bySess),
+          col("event_type")))
+      .filter(col("event_type") === "purchase")
+      .localCheckpoint()
+    val total = purchases.agg(count(lit(1)).as("n_total"))
+    purchases.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (round(sum(col("v").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("attributed_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("touch_type"), col("n_purchases"),
+        col("attributed_cents"),
+        expr("n_purchases * 1000000 div n_total").as("share_e6"))
+      .orderBy("touch_type")
+  }
+
+  /** DuckDB oracle for [[lastTouchQuery]]. */
+  def lastTouchOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS t,
+           coalesce(CASE WHEN isnan(value) OR NOT isfinite(value)
+             THEN NULL ELSE value END, 0.0) AS v
+         FROM events),
+       s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             FROM e
+             WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       q AS (SELECT *, sum(new_sess) OVER
+               (PARTITION BY user_id ORDER BY t, event_id) AS session_seq
+             FROM s),
+       f AS (SELECT *, coalesce(lag(event_type) OVER
+               (PARTITION BY user_id, session_seq ORDER BY t, event_id),
+               event_type) AS touch_type
+             FROM q),
+       pur AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(round(sum(CAST(v AS DECIMAL(38,10))), 2) * 100
+                    AS BIGINT) AS attributed_cents
+               FROM f WHERE event_type = 'purchase' GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS n_total FROM pur)
+     SELECT touch_type, n_purchases, attributed_cents,
+       CAST(n_purchases * 1000000 // n_total AS BIGINT) AS share_e6
+     FROM pur, tot ORDER BY touch_type"""
+
   /** DuckDB oracle for [[attributionQuery]]. */
   def attributionOracleSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type,

@@ -76,6 +76,25 @@ class PipelineOpsSpec extends SparkSpec {
       assert(conv == p * 1000000L / s)
     }
     assert(out.keySet == nSessions.keySet)
+    // last-touch: re-derive the predecessor credit the same way
+    val lt = Sessionize.lastTouchQuery(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ltRef = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((_, g) <- evs.groupBy(_._1)) {
+      val sorted = g.sortBy(e => (e._4, e._2))
+      var prevT = Long.MinValue
+      var prevType: String = null
+      for ((_, _, et, t) <- sorted) {
+        val opens = prevT == Long.MinValue || t - prevT > 1800000L
+        if (et == "purchase")
+          ltRef(if (opens) et else prevType) += 1
+        prevT = t; prevType = et
+      }
+    }
+    assert(lt == ltRef.toMap, s"last-touch $lt vs $ltRef")
+    // both rules distribute the same purchase total
+    assert(lt.values.sum == out.values.map(_._2).sum)
   }
 
   test("batch sessionization agrees with the streaming sessionizer logic") {
