@@ -28,10 +28,12 @@ object Sessionize {
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("t")), gapMs)
 
-  /** [[sessionQuery]] over an explicit (user_id, event_id, t) frame
-    * with epoch-ms times — the core the streaming-ingest q149 runs
-    * against a table a parquet file sink just landed. */
-  def sessionsFromMs(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+  /** THE gap-rule session numbering — adds `new_sess` and
+    * `session_seq` to any (user_id, event_id, t) frame. One
+    * definition shared by q46/q149 ([[sessionsFromMs]]) and the
+    * q164/q165 attribution pair, so a change to the rule (gap
+    * semantics, tie-break) cannot diverge them. */
+  private def withSessionSeq(ev: DataFrame, gapMs: Long): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("t").asc, col("event_id").asc)
     ev
@@ -39,6 +41,13 @@ object Sessionize {
         when(lag(col("t"), 1).over(byTime).isNull ||
           col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
       .withColumn("session_seq", sum(col("new_sess")).over(byTime))
+  }
+
+  /** [[sessionQuery]] over an explicit (user_id, event_id, t) frame
+    * with epoch-ms times — the core the streaming-ingest q149 runs
+    * against a table a parquet file sink just landed. */
+  def sessionsFromMs(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    withSessionSeq(ev, gapMs)
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_events"),
         min(col("t")).as("start_ms"), max(col("t")).as("end_ms"))
@@ -657,41 +666,44 @@ object Sessionize {
     * propagate) partition by user / (user, session) over the same
     * time sort — keyed shuffles, never a global window — and the
     * output is event-type cardinality. */
+  /** The shared q164/q165 pre-aggregation frame: sanitized values
+    * ([[Tables.events]]'s NaN/Inf gotcha), epoch-ms times, and the
+    * gap-rule session numbering via [[withSessionSeq]]. */
+  private def labeledSessions(spark: SparkSession, dir: String,
+      gapMs: Long): DataFrame =
+    withSessionSeq(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"),
+          coalesce(when(isnan(col("value")) ||
+            col("value") === Double.PositiveInfinity ||
+            col("value") === Double.NegativeInfinity, lit(null))
+            .otherwise(col("value")), lit(0.0)).as("v")),
+      gapMs)
+
+  /** The per-session time order q164/q165 rank touchpoints in. */
+  private val bySess = Window.partitionBy("user_id", "session_seq")
+    .orderBy(col("t").asc, col("event_id").asc)
+
   def attributionQuery(spark: SparkSession, dir: String,
-      gapMs: Long = 1800000L): DataFrame = {
-    val byTime = Window.partitionBy("user_id")
-      .orderBy(col("t").asc, col("event_id").asc)
-    val labeled = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("t"),
-        coalesce(when(isnan(col("value")) ||
-          col("value") === Double.PositiveInfinity ||
-          col("value") === Double.NegativeInfinity, lit(null))
-          .otherwise(col("value")), lit(0.0)).as("v"))
-      .withColumn("new_sess",
-        when(lag(col("t"), 1).over(byTime).isNull ||
-          col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
-      .withColumn("session_seq", sum(col("new_sess")).over(byTime))
-    val bySess = Window.partitionBy("user_id", "session_seq")
-      .orderBy(col("t").asc, col("event_id").asc)
-    val touched = labeled
+      gapMs: Long = 1800000L): DataFrame =
+    // ONE pass: session openers, purchase counts, and purchase value
+    // all aggregate from the same windowed frame — every session's
+    // opener carries its own entry_type, so grouping the full row set
+    // by entry_type sees every key the join formulation would
+    labeledSessions(spark, dir, gapMs)
       .withColumn("entry_type", first(col("event_type")).over(bySess))
-    val sessions = touched.filter(col("new_sess") === 1)
       .groupBy(col("entry_type"))
-      .agg(count(lit(1)).as("n_sessions"))
-    val purchases = touched.filter(col("event_type") === "purchase")
-      .groupBy(col("entry_type"))
-      .agg(count(lit(1)).as("n_purchases"),
-        (round(sum(col("v").cast("decimal(38,10)")), 2) * 100)
-          .cast("long").as("attributed_cents"))
-    sessions.join(purchases, Seq("entry_type"), "left")
-      .select(col("entry_type"), col("n_sessions"),
-        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
-        coalesce(col("attributed_cents"), lit(0L)).as("attributed_cents"),
-        expr("coalesce(n_purchases, 0) * 1000000 div n_sessions")
-          .as("conv_e6"))
+      .agg(sum(col("new_sess")).cast("long").as("n_sessions"),
+        count(when(col("event_type") === "purchase", 1))
+          .as("n_purchases"),
+        coalesce((round(sum(when(col("event_type") === "purchase",
+            col("v")).cast("decimal(38,10)")), 2) * 100).cast("long"),
+          lit(0L)).as("attributed_cents"))
+      .select(col("entry_type"), col("n_sessions"), col("n_purchases"),
+        col("attributed_cents"),
+        expr("n_purchases * 1000000 div n_sessions").as("conv_e6"))
       .orderBy("entry_type")
-  }
 
   /** q165: LAST-TOUCH attribution — the companion rule to q164: each
     * purchase credits the touchpoint immediately BEFORE it in the
@@ -701,22 +713,7 @@ object Sessionize {
     * attributed cents, and the share of all purchases (e6). */
   def lastTouchQuery(spark: SparkSession, dir: String,
       gapMs: Long = 1800000L): DataFrame = {
-    val byTime = Window.partitionBy("user_id")
-      .orderBy(col("t").asc, col("event_id").asc)
-    val labeled = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("t"),
-        coalesce(when(isnan(col("value")) ||
-          col("value") === Double.PositiveInfinity ||
-          col("value") === Double.NegativeInfinity, lit(null))
-          .otherwise(col("value")), lit(0.0)).as("v"))
-      .withColumn("new_sess",
-        when(lag(col("t"), 1).over(byTime).isNull ||
-          col("t") - lag(col("t"), 1).over(byTime) > gapMs, 1).otherwise(0))
-      .withColumn("session_seq", sum(col("new_sess")).over(byTime))
-    val bySess = Window.partitionBy("user_id", "session_seq")
-      .orderBy(col("t").asc, col("event_id").asc)
-    val purchases = labeled
+    val purchases = labeledSessions(spark, dir, gapMs)
       .withColumn("touch_type",
         coalesce(lag(col("event_type"), 1).over(bySess),
           col("event_type")))
@@ -734,8 +731,11 @@ object Sessionize {
       .orderBy("touch_type")
   }
 
-  /** DuckDB oracle for [[lastTouchQuery]]. */
-  def lastTouchOracleSql: String =
+  /** Shared CTE prefix of the q164/q165 oracles — sanitize, epoch-ms,
+    * gap-rule session numbering: the SQL twin of [[labeledSessions]],
+    * one definition so the two attribution oracles cannot drift on
+    * the sessionization itself. */
+  private val attributionCte: String =
     """WITH e AS (SELECT user_id, event_id, event_type,
            CAST(epoch_ms(ts) AS BIGINT) AS t,
            coalesce(CASE WHEN isnan(value) OR NOT isfinite(value)
@@ -747,8 +747,11 @@ object Sessionize {
              WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
        q AS (SELECT *, sum(new_sess) OVER
                (PARTITION BY user_id ORDER BY t, event_id) AS session_seq
-             FROM s),
-       f AS (SELECT *, coalesce(lag(event_type) OVER
+             FROM s)"""
+
+  /** DuckDB oracle for [[lastTouchQuery]]. */
+  def lastTouchOracleSql: String = attributionCte +
+    """, f AS (SELECT *, coalesce(lag(event_type) OVER
                (PARTITION BY user_id, session_seq ORDER BY t, event_id),
                event_type) AS touch_type
              FROM q),
@@ -762,20 +765,8 @@ object Sessionize {
      FROM pur, tot ORDER BY touch_type"""
 
   /** DuckDB oracle for [[attributionQuery]]. */
-  def attributionOracleSql: String =
-    """WITH e AS (SELECT user_id, event_id, event_type,
-           CAST(epoch_ms(ts) AS BIGINT) AS t,
-           coalesce(CASE WHEN isnan(value) OR NOT isfinite(value)
-             THEN NULL ELSE value END, 0.0) AS v
-         FROM events),
-       s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
-               OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-             FROM e
-             WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-       q AS (SELECT *, sum(new_sess) OVER
-               (PARTITION BY user_id ORDER BY t, event_id) AS session_seq
-             FROM s),
-       f AS (SELECT *, first_value(event_type) OVER
+  def attributionOracleSql: String = attributionCte +
+    """, f AS (SELECT *, first_value(event_type) OVER
                (PARTITION BY user_id, session_seq ORDER BY t, event_id)
                AS entry_type
              FROM q),
