@@ -372,6 +372,21 @@ class PlanSpec extends SparkSpec {
       "year filter must be pushed beneath all joins:\n" + lp.take(1500))
   }
 
+  test("attribution queries: keyed windows only, one output sort") {
+    for (df <- Seq(
+      graft.operators.Sessionize.attributionQuery(spark, sf0001),
+      graft.operators.Sessionize.lastTouchQuery(spark, sf0001))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+      // the session windows hash-partition by user; only the final
+      // output orderBy may range-partition
+      val sorts = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(sorts <= 1,
+        s"only the output orderBy may range-partition, got $sorts:\n" +
+          p.take(1500))
+    }
+  }
+
   test("q152 register build is map-side combined (partial max)") {
     val p = planString(
       graft.operators.DistinctSketch.hllRegistersQuery(spark, sf0001))
