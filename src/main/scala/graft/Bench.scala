@@ -50,9 +50,14 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def dropPinnedBlocks(): Unit =
+    def dropPinnedBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // previous query's actions completed — reclaim its outliving
+      // scratch dirs (q145/q149 sink dirs) so bench reps don't
+      // accumulate a staged copy of events per invocation
+      graft.sources.Scratch.sweep(spark)
+    }
     // Warm-up: exercise scan+shuffle+codegen once, untimed.
     try SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
@@ -132,6 +137,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // a one-line summary the driver's tail-truncation cannot damage
+    // (BENCH_rN.json tails have truncated mid-line in past rounds)
+    try Files.writeString(Paths.get("BENCH_SUMMARY.json"),
+      s"""{"total":$total,"n":${results.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""" + "\n")
+    catch { case _: Throwable => () }
+    graft.sources.Scratch.sweep(spark)
     spark.stop()
   }
 }

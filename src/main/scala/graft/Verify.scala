@@ -25,9 +25,13 @@ object Verify {
         only.forall(ps => ps.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       // queries are independent: drop any pinned blocks (sketch
-      // operators' localCheckpoints) left by the previous one
+      // operators' localCheckpoints) left by the previous one, and
+      // reclaim the previous query's outliving scratch dirs (q145's
+      // monitor sink, q149's sunk table) — its parquet dump completed,
+      // so nothing lazy still reads them
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      graft.sources.Scratch.sweep(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -49,6 +53,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.sources.Scratch.sweep(spark)
     spark.stop()
   }
 }

@@ -129,12 +129,26 @@ object Maintenance {
           val dstPath =
             new Path(new Path(outDirStr), "copied-" + srcPath.getName)
           val dFs = dstPath.getFileSystem(serConf.value)
-          // overwrite = true: a retried or speculative task must be
-          // able to re-copy a file its first attempt already landed —
-          // the copy is idempotent (same source bytes), so clobbering
-          // is the correct retry semantics in a task context
-          org.apache.hadoop.fs.FileUtil.copy(sFs, srcPath, dFs, dstPath,
+          // Speculative attempts run CONCURRENTLY with the original;
+          // two FileUtil.copy writers on one destination can
+          // interleave partial bytes on local/posix filesystems. So
+          // each attempt streams to a task-attempt-unique DOT-prefixed
+          // temp (invisible to parquet readers even if leaked) and
+          // RENAMES into place — rename is atomic on the supported
+          // filesystems, so the destination only ever holds complete
+          // bytes. A losing attempt whose rename finds the
+          // destination already present just drops its temp.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmpPath = new Path(new Path(outDirStr),
+            s".copied-${srcPath.getName}.$attempt.tmp")
+          org.apache.hadoop.fs.FileUtil.copy(sFs, srcPath, dFs, tmpPath,
             false, true, serConf.value)
+          if (!dFs.rename(tmpPath, dstPath)) {
+            if (dFs.exists(dstPath)) dFs.delete(tmpPath, false)
+            else throw new java.io.IOException(
+              s"rename $tmpPath -> $dstPath failed with no winner")
+          }
           copied.add(1L)
         }
     }
@@ -210,8 +224,7 @@ object Maintenance {
     * over `orders WHERE NOT predicate` — a hash match proves the
     * sidecar removes exactly the predicate's rows, nothing else. */
   def deletionVectorQuery(spark: SparkSession, dir: String): DataFrame = {
-    val dvDir =
-      java.nio.file.Files.createTempDirectory("q158_dv").toString
+    val dvDir = graft.sources.Scratch.dir(spark, "q158_dv")
     val tableDir = s"$dir/orders.parquet"
     // the aggregate is status-cardinality rows — localCheckpoint it
     // eagerly so the per-call sidecar can be deleted before returning
@@ -228,11 +241,7 @@ object Maintenance {
           lit(nDeleted).as("n_deleted"))
         .orderBy("o_orderstatus")
         .localCheckpoint()
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(dvDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-    }
+    } finally graft.sources.Scratch.delete(spark, dvDir)
   }
 
   /** DuckDB oracle for [[deletionVectorQuery]]. */

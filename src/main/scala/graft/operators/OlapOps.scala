@@ -1157,7 +1157,11 @@ object OlapOps {
     * DECIMAL(38,0), one e6 floor division at the end. Tie order
     * cannot perturb the sum (equal x swap ranks freely), so the
     * cross-engine rank tie-break is load-bearing only for
-    * reproducibility, not the value. */
+    * reproducibility, not the value. Every moment that multiplies n by
+    * s runs in DECIMAL(38,0) — a LongType product n·s wraps silently
+    * under non-ANSI semantics at the 100 TB design point while the
+    * oracle's HUGEINT does not, exactly the divergence the decimal
+    * accumulation of w already guards against. */
   def giniQuery(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
@@ -1165,11 +1169,12 @@ object OlapOps {
       .select(col("o_custkey").as("id"), col("cents"))
     globalRankAsc(rev, blockWidth = 1000000L)
       .agg(count(lit(1)).as("n"),
-        sum(col("cents")).as("s"),
+        expr("sum(CAST(cents AS DECIMAL(38,0)))").as("s"),
         expr("sum(CAST(rn AS DECIMAL(38,0)) * cents)").as("w"))
       .select(col("n").as("n_customers"),
         col("s").cast("long").as("total_cents"),
-        expr("CAST((2 * w - (n + 1) * s) * 1000000 div (n * s) AS BIGINT)")
+        expr("""CAST((2 * w - (CAST(n AS DECIMAL(38,0)) + 1) * s)
+                * 1000000 div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)""")
           .as("gini_e6"))
       .orderBy("n_customers")
   }

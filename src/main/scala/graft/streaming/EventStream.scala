@@ -44,10 +44,11 @@ object EventStream {
       prefix: String)(
       attachSink: DataFrame => org.apache.spark.sql.streaming
         .DataStreamWriter[org.apache.spark.sql.Row]): Long = {
-    val drop =
-      java.nio.file.Files.createTempDirectory(s"${prefix}_drop").toString
-    val ck =
-      java.nio.file.Files.createTempDirectory(s"${prefix}_ck").toString
+    // scratch resolved through graft.sources.Scratch: on a cluster the
+    // drop/checkpoint must live on a filesystem EXECUTORS can reach
+    // (spark.graft.scratch.dir), not the driver's local tmpdir
+    val drop = graft.sources.Scratch.dir(spark, s"${prefix}_drop")
+    val ck = graft.sources.Scratch.dir(spark, s"${prefix}_ck")
     staged.repartition(dropFiles).write.mode("overwrite").json(drop)
     try {
       val q = attachSink(
@@ -61,11 +62,7 @@ object EventStream {
       q.awaitTermination()
       q.recentProgress.count(_.numInputRows > 0).toLong
     } finally {
-      for (d <- Seq(drop, ck)) {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }
   }
 
@@ -129,7 +126,11 @@ object EventStream {
   val IngestFilesPerTrigger = 2
 
   def ingestSessionQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sunk = java.nio.file.Files.createTempDirectory("q149_sunk").toString
+    // outliving scratch: the returned frame reads `sunk` lazily, so
+    // the dir is registered on the Scratch ledger and reclaimed by the
+    // next sweep instead of accumulating one parquet copy of events
+    // per verify/bench rep
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q149_sunk")
     val staged = graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("t"))

@@ -88,11 +88,12 @@ object MonitorStream {
     * the full drop is processed on every invocation. */
   def monitorTimelineQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    // monitorDir intentionally outlives the call: the returned frame
-    // reads it lazily. Per-call temp dirs in a short-lived JVM are
-    // reclaimed with the container's temp filesystem.
-    val monitorDir =
-      java.nio.file.Files.createTempDirectory("q145_mon").toString
+    // monitorDir outlives the call (the returned frame reads it
+    // lazily), so it goes on the Scratch ledger: resolved through the
+    // configurable scratch root's Hadoop filesystem — reachable from
+    // executors on a cluster — and reclaimed by the next sweep instead
+    // of accumulating per verify/bench rep.
+    val monitorDir = graft.sources.Scratch.dirOutliving(spark, "q145_mon")
     val staged = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("user_id"),
         col("props"), unix_millis(col("ts")).as("ts_ms"))
@@ -116,9 +117,14 @@ object MonitorStream {
       .select("rule").distinct().count()
     // count batches from the SINK side (one batch=N dir per
     // foreachBatch call) — this is the evidence the totals arrived
-    // through multiple micro-batches, independent of stream progress
-    val batches = new java.io.File(monitorDir).listFiles()
-      .count(_.getName.startsWith("batch="))
+    // through multiple micro-batches, independent of stream progress.
+    // Listed through the dir's own Hadoop FileSystem: a java.io.File
+    // listing is wrong the moment the scratch root isn't driver-local.
+    val monPath = new org.apache.hadoop.fs.Path(monitorDir)
+    val batches = monPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(monPath)
+      .count(_.getPath.getName.startsWith("batch="))
     require(got > 0 && batches == expectedBatches,
       s"q145 staged $DropFiles drop files but streamed $batches " +
         s"micro-batches (expected $expectedBatches) — fixture too " +
