@@ -208,7 +208,71 @@ object SparkEntry {
       ((s, d) => graft.operators.Sessionize.attributionQuery(s, d)),
     "q165_last_touch"      ->
       ((s, d) => graft.operators.Sessionize.lastTouchQuery(s, d)),
+    // q166-q168: driver-oracle coverage for the three §2 ops that were
+    // previously unit-tested only (F8 lateral flatten, P6 membership
+    // filter, O4 top/bottom-K — VERDICT r7 item 5).
+    "q166_flatten_view"    -> (q166FlattenView _),
+    "q167_membership_topk" -> (q167MembershipTopK _),
+    "q168_top_bottom_k"    -> (q168TopBottomK _),
   )
+
+  /** F8: `SecJsonDocs.statementView` (the reference's LATERAL FLATTEN,
+    * load_json_data_snowflake.py:227-257) run on a docs-shaped frame
+    * assembled from the driver's `documents` table, so the explode view
+    * itself gets a DuckDB oracle. Values are deterministic per-row
+    * fields (no float arithmetic), making the hash compare exact.
+    */
+  private def q166FlattenView(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val entry = "struct<label:string,concept:string,info:string,unit:string,value:double>"
+    val docs = graft.sources.Tables.documents(s, d).select(
+      col("doc_id").cast("string").as("adsh"),
+      col("source").as("symbol"),
+      col("lang").as("name"),
+      struct(
+        array(
+          struct(lit("Characters").as("label"), lit("n_chars").as("concept"),
+            lit("").as("info"), lit("chars").as("unit"),
+            col("n_chars").cast("double").as("value")),
+          struct(lit("TextLength").as("label"), lit("text_len").as("concept"),
+            lit("").as("info"), lit("chars").as("unit"),
+            length(col("text")).cast("double").as("value"))
+        ).as("bs"),
+        array().cast(s"array<$entry>").as("cf"),
+        array().cast(s"array<$entry>").as("ic")).as("data"))
+    graft.operators.SecJsonDocs.statementView(docs, "bs")
+      .orderBy(col("adsh").cast("long"), col("concept"))
+  }
+
+  /** P6: membership filter against a top-K set (`Analytics.filterToTopK`,
+    * reference streamlit_app.py:281) — lineitem rows whose part is in the
+    * top-10 parts by total quantity. Ranking sums run in DECIMAL(38,10)
+    * so the top-10 set cannot depend on float summation order.
+    */
+  private def q167MembershipTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(s, d)
+      .withColumn("qty_d", col("l_quantity").cast("decimal(38,10)"))
+    graft.operators.Analytics.filterToTopK(li, "l_partkey", "qty_d", 10)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+  }
+
+  /** O4: top and bottom K rows by a value column
+    * (`Analytics.topAndBottomK`, reference streamlit_app.py:285-287),
+    * unioned with a bucket label into one oracle-comparable frame.
+    */
+  private def q168TopBottomK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(s, d)
+    val (top, bottom) = graft.operators.Analytics.topAndBottomK(
+      orders, "o_totalprice", "o_orderkey", 5)
+    top.withColumn("bucket", lit("top"))
+      .unionByName(bottom.withColumn("bucket", lit("bottom")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("bucket"))
+      .orderBy(col("bucket"), col("o_orderkey"))
+  }
 
   /** Bench-only variants: the AT-SCALE hash configurations of the
     * sketch operators whose registered queries run portable (oracle-
@@ -1061,6 +1125,38 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
+    "q166_flatten_view" ->
+      """WITH base AS (
+           SELECT CAST(doc_id AS VARCHAR) AS adsh, source AS symbol,
+             lang AS name,
+             [{'label': 'Characters', 'concept': 'n_chars', 'unit': 'chars',
+               'value': CAST(n_chars AS DOUBLE)},
+              {'label': 'TextLength', 'concept': 'text_len', 'unit': 'chars',
+               'value': CAST(length(text) AS DOUBLE)}] AS bs
+           FROM documents),
+         flat AS (SELECT adsh, symbol, name, unnest(bs) AS e FROM base)
+         SELECT adsh, symbol, name, e.label AS label, e.concept AS concept,
+           e.unit AS unit, e.value AS value
+         FROM flat ORDER BY CAST(adsh AS BIGINT), concept""",
+    "q167_membership_topk" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+         FROM lineitem
+         WHERE l_partkey IN (
+           SELECT l_partkey FROM (
+             SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(38,10))) AS total
+             FROM lineitem GROUP BY 1
+             ORDER BY total DESC, l_partkey ASC LIMIT 10))
+         ORDER BY l_orderkey, l_partkey, l_linenumber""",
+    "q168_top_bottom_k" ->
+      """SELECT o_orderkey, o_totalprice, bucket FROM (
+           SELECT o_orderkey, o_totalprice, 'top' AS bucket
+           FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5)
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, bucket FROM (
+           SELECT o_orderkey, o_totalprice, 'bottom' AS bucket
+           FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 5)
+         ORDER BY bucket, o_orderkey""",
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -56,4 +56,28 @@ object SecServing {
 
   def executeSql(spark: SparkSession, query: String): DataFrame =
     spark.sql(query)
+
+  /** S12, persistent flavor: the reference creates real schemas and
+    * tables that outlive one session (snowflake_raw_data_loader.py:
+    * 36-206 — `CREATE SCHEMA`/`CREATE TABLE` in a durable warehouse).
+    * [[registerQuarterViews]] covers the session-scoped surface; this
+    * writes managed parquet tables into a named database via the
+    * catalog, so the SQL surface survives a session restart and is
+    * visible to concurrent sessions sharing the metastore. Optional
+    * `partitionBy` keeps quarter-partition pruning available at scale.
+    * Returns the fully-qualified names written.
+    */
+  def persistQuarterTables(spark: SparkSession, quarter: String,
+                           tables: Map[String, DataFrame],
+                           database: String = "sec",
+                           partitionBy: Seq[String] = Nil): Seq[String] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    tables.toSeq.map { case (name, df) =>
+      val fqn = s"$database.sec_${name}_$quarter"
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .saveAsTable(fqn)
+      fqn
+    }
+  }
 }

@@ -171,6 +171,29 @@ class SecPipelineSpec extends SparkSpec {
     assert(r.collect().map(_.getString(0)).toSeq == Seq("f1", "f2"))
   }
 
+  test("persistent catalog tables round-trip and survive the view layer (S12)") {
+    val written = SecServing.persistQuarterTables(spark, "2023Q4",
+      Map("sub" -> sub, "num" -> num), database = "sec_test")
+    assert(written.toSet ==
+      Set("sec_test.sec_sub_2023Q4", "sec_test.sec_num_2023Q4"))
+    // visible through the catalog as a MANAGED table (listTables also
+    // surfaces session temp views under any database, so assert the
+    // persistent entry positively rather than the temp one's absence)
+    assert(spark.catalog.tableExists("sec_test.sec_sub_2023Q4"))
+    assert(spark.catalog.listTables("sec_test").collect()
+      .exists(t => t.name == "sec_sub_2023q4" && !t.isTemporary))
+    val r = SecServing.executeSql(spark,
+      "SELECT s.adsh, count(*) AS n FROM sec_test.sec_sub_2023Q4 s " +
+        "JOIN sec_test.sec_num_2023Q4 n ON s.adsh = n.adsh " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("f1", "f2"))
+    // overwrite is idempotent — a re-run replaces, never duplicates
+    SecServing.persistQuarterTables(spark, "2023Q4",
+      Map("sub" -> sub), database = "sec_test")
+    assert(spark.table("sec_test.sec_sub_2023Q4").count() == sub.count())
+    spark.sql("DROP DATABASE sec_test CASCADE")
+  }
+
   test("json doc sink + schema'd load roundtrip (S9/S10)") {
     val docs = SecJsonDocs.buildDocs(num, sub, pre, tag, ticker)
     val dir = tmpDir("sec_docs_json")
