@@ -405,4 +405,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the pruned path must not shuffle the fact table:\n" + p.take(1500))
   }
+
+  test("q167 membership filter: top-K side is TakeOrdered and broadcasts") {
+    val p = planString(SparkEntry.queries("q167_membership_topk")(spark, sf0001))
+    // the ≤10-row top-K frame must drive a broadcast LEFT SEMI against
+    // the fact table — a shuffled semi would move the whole fact for a
+    // ten-row filter at 100x scale
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "top-K membership must broadcast the tiny side:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q168 top/bottom-K: both limbs TakeOrdered, no global sort of facts") {
+    val p = planString(SparkEntry.queries("q168_top_bottom_k")(spark, sf0001))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      "each limb must be a top-K, not a full sort:\n" + p.take(1500))
+    // the only full sort allowed is the 10-row output ordering
+    assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1,
+      p.take(1500))
+  }
+
+  test("q166 flatten view generates in-line (no shuffle before explode)") {
+    val p = planString(SparkEntry.queries("q166_flatten_view")(spark, sf0001))
+    assert(p.contains("Generate explode"), p.take(1500))
+    // explode is a narrow op over the scan: the single exchange is the
+    // final output ordering, nothing re-partitions the corpus first
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "no hash shuffle belongs in a pure flatten:\n" + p.take(1500))
+  }
 }
