@@ -33,13 +33,26 @@ object GraphRank {
   val RankScale = 1000000L
   val Iterations = 3
 
+  /** Distinct (day, hour, event-type, user) activity cells — the ONE
+    * pass over the events fact table the whole graph family derives
+    * from. Callers that need both edges and a user subset (q162's
+    * purchase seeds) should checkpoint this frame and branch from it
+    * rather than re-scanning events: cells is bounded by
+    * users × active-hours, orders of magnitude below |events|. */
+  def activityCells(events: DataFrame): DataFrame =
+    events.select(
+      to_date(col("ts")).as("d"), hour(col("ts")).as("h"),
+      col("event_type"), col("user_id")).distinct()
+
   /** Undirected co-activity edges: two users are linked when they were
     * both active in the same (day, hour, event-type) cell; cells with
     * more than [[MaxGroup]] distinct users are pruned as hubs. */
-  def coActivityEdges(events: DataFrame): DataFrame = {
-    val cells = events.select(
-      to_date(col("ts")).as("d"), hour(col("ts")).as("h"),
-      col("event_type"), col("user_id")).distinct()
+  def coActivityEdges(events: DataFrame): DataFrame =
+    edgesFromCells(activityCells(events))
+
+  /** [[coActivityEdges]] from a pre-built (possibly checkpointed)
+    * [[activityCells]] frame. */
+  def edgesFromCells(cells: DataFrame): DataFrame = {
     val kept = cells.groupBy("d", "h", "event_type")
       .agg(count(lit(1)).as("nu"))
       .filter(col("nu") <= MaxGroup)
@@ -190,10 +203,14 @@ object GraphRank {
     * over the co-activity graph — "who moves in the buyers' orbit". */
   def pprQuery(spark: SparkSession, dir: String,
       topN: Int = 100): DataFrame = {
-    val events = Tables.events(spark, dir)
-    val seeds = events.filter(col("event_type") === "purchase")
+    // one events scan: seeds and edges both branch off the cells
+    // frame (distinct purchase users ≡ distinct users of purchase
+    // cells), so the fact table is read once and the second pass
+    // runs over the materialized metadata-scale cells table.
+    val cells = activityCells(Tables.events(spark, dir)).localCheckpoint()
+    val seeds = cells.filter(col("event_type") === "purchase")
       .select(col("user_id").as("u")).distinct()
-    personalizedPageRank(coActivityEdges(events), seeds)
+    personalizedPageRank(edgesFromCells(cells), seeds)
       .select(col("u").as("user_id"), col("rank_e6"), col("is_seed"))
       .orderBy(col("rank_e6").desc, col("user_id").asc)
       .limit(topN)
