@@ -167,16 +167,20 @@ object CorpusStats {
                maxDfPct: Long = 95L, minPair: Long = 3L,
                topN: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // tokenization is the corpus-scale cost here; three branches (df,
+    // both self-join sides) read it — materialize once, the signature-
+    // table idiom.
     val tk = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
+      .localCheckpoint()
     val nd = docs.agg(count(lit(1)).as("nd"))
     val d = tk.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") * 100 >= col("nd") * minDfPct &&
         col("df") * 100 <= col("nd") * maxDfPct)
       .select("term", "df")
-    val b = tk.join(d, Seq("term"))
+    val b = tk.join(d, Seq("term")).localCheckpoint()
     val a1 = b.select(col("doc_id"), col("term").as("w1"), col("df").as("n_a"))
     val a2 = b.select(col("doc_id"), col("term").as("w2"), col("df").as("n_b"))
     a1.join(a2, Seq("doc_id"))
@@ -311,12 +315,16 @@ object CorpusStats {
     import org.apache.spark.sql.expressions.Window
     val byCnt = Window.partitionBy("source")
       .orderBy(col("cnt").desc, col("term").asc)
+    // tokenize + aggregate + per-source top-K runs once; the sizes
+    // aggregate and both self-join sides read the materialized result
+    // (per-source K rows — metadata-scale).
     val vocab = Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(byCnt))
       .filter(col("rk") <= SourceVocabK)
       .select("source", "term")
+      .localCheckpoint()
     val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
     vocab.as("a").join(vocab.as("b"),
         col("a.term") === col("b.term") &&

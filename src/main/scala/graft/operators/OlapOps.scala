@@ -756,7 +756,16 @@ object OlapOps {
     * table, broadcast offsets complete the rank. Returns the input plus
     * `rn` (1-based, ties broken by `id` asc) and `n_total`. */
   def globalRankAsc(rows: DataFrame, blockWidth: Long): DataFrame = {
+    // three branches read the blocked input (offsets, total, the
+    // ranked main pass) — materialize it once, or every branch
+    // re-executes the caller's upstream aggregation (for q163's gini
+    // that was three corpus-scale aggs per rank). The input is
+    // entity-scale by contract (callers collapse facts to one row per
+    // entity first), so the checkpoint is bounded; offsets/total stay
+    // lazy — they re-aggregate the checkpointed blocks, which is
+    // cheaper than a second materialization round-trip.
     val r = rows.withColumn("block", expr(s"cents div ${blockWidth}L"))
+      .localCheckpoint()
     val blockW = Window.orderBy(col("block").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = r.groupBy("block").agg(count(lit(1)).as("bn"))
@@ -797,6 +806,7 @@ object OlapOps {
       .withColumnRenamed("n_total", "ns")
       .select(col("rn").as("target_rn"), col("cents").as("calib_cents"),
         col("ns"))
+      .localCheckpoint() // read twice: the ns scalar and the rank lookup
     cust
       .crossJoin(broadcast(supp.select("ns").distinct()))
       .withColumn("target_rn",

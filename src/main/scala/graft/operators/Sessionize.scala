@@ -128,8 +128,11 @@ object Sessionize {
     * table never materializes user-set cross products. Union sizes
     * and Jaccard (×1e6) are arithmetic via inclusion-exclusion. */
   def audienceOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    // the events-wide distinct feeds the sizes aggregate and both
+    // self-join sides — one corpus pass, not three.
     val tu = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
     val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("sz"))
     val inter = tu.as("a").join(tu.as("b"),
         col("a.user_id") === col("b.user_id") &&
@@ -600,19 +603,24 @@ object Sessionize {
         unix_millis(col("ts")).as("ms"))
     val stageArrays = stages.map(s => sort_array(collect_list(
       when(col("event_type") === s, col("ms")))).as(s"a_$s"))
-    val timed = stages.zipWithIndex.foldLeft(
-      ev.groupBy("user_id").agg(stageArrays.head, stageArrays.tail: _*)) {
+    // ONE per-user aggregation carries both the funnel stage arrays
+    // and the activity count — same grouping key, so splitting them
+    // into two groupBys would scan and shuffle the fact table twice
+    // for no reason. The per-user result is checkpointed: the
+    // conversion flag and the rank input both branch from it.
+    val perUser = stages.zipWithIndex.foldLeft(
+      ev.groupBy("user_id").agg(stageArrays.head,
+        (stageArrays.tail :+ count(lit(1)).as("cents")): _*)) {
       case (df, (s, 0)) =>
         df.withColumn(s"t_$s", try_element_at(col(s"a_$s"), lit(1)))
       case (df, (s, i)) =>
         val prev = s"t_${stages(i - 1)}"
         df.withColumn(s"t_$s", try_element_at(
           filter(col(s"a_$s"), x => x >= col(prev)), lit(1)))
-    }
-    val converted = timed.select(col("user_id").as("id"),
+    }.localCheckpoint()
+    val converted = perUser.select(col("user_id").as("id"),
       col("t_purchase").isNotNull.cast("long").as("converted"))
-    val activity = ev.groupBy(col("user_id").as("id"))
-      .agg(count(lit(1)).as("cents")) // rank machinery's value column
+    val activity = perUser.select(col("user_id").as("id"), col("cents"))
     val ranked = OlapOps.globalRankAsc(activity, blockWidth = 100L)
       .withColumn("decile",
         expr("(rn - 1) * 10 div n_total").cast("int") + 1)

@@ -114,9 +114,13 @@ object TextAnalysis {
   def tfidfQuery(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // the tokenize + per-doc aggregate feeds both the df aggregate and
+    // the scoring join — materialize once instead of tokenizing the
+    // corpus twice.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val byScore = Window.partitionBy("doc_id")
