@@ -621,11 +621,14 @@ object Dedup {
                        prefixTokens: Int = 3, prefixChars: Int = 80,
                        maxDist: Int = 16,
                        maxBlockFreq: Int = 50): DataFrame = {
+    // blocking keys are read by the hot-block aggregate and both
+    // self-join sides — tokenize/slice the corpus once, not four times
     val base = Partitioning.spread(docs)
       .filter(col("lang") === lang)
       .select(col("doc_id"),
         substring(col("text"), 1, prefixChars).as("head"),
         concat_ws(" ", slice(tokens(col("text")), 1, prefixTokens)).as("blk"))
+      .localCheckpoint()
     val hot = base.groupBy("blk").agg(count(lit(1)).as("bc"))
       .filter(col("bc") > maxBlockFreq)
     val blocked = base.join(hot, Seq("blk"), "left_anti")

@@ -850,11 +850,15 @@ object OlapOps {
   val BudgetTokens = 1000000L
 
   def budgetAllocQuery(spark: SparkSession, dir: String): DataFrame =
+    // the corpus tokenize+aggregate collapses to |languages| rows —
+    // materialize that tiny frame once; budgetAlloc branches read it
+    // three times (total, quotas, leftover)
     budgetAlloc(Tables.documents(spark, dir)
       .select(col("lang"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("n_toks"))
-      .groupBy("lang").agg(sum(col("n_toks")).as("mass")),
+      .groupBy("lang").agg(sum(col("n_toks")).as("mass"))
+      .localCheckpoint(),
       BudgetTokens)
 
   /** [[budgetAllocQuery]] over an explicit (lang, mass) frame. */
@@ -1389,12 +1393,16 @@ object OlapOps {
     * (lang, length-block) windows + metadata-scale block offsets), so
     * no stratum ever sorts in one partition. */
   def weightedMedianQuery(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize once: offsets, totals, and the ranked pass all read
+    // this narrow (lang, id, v, w) frame — without the checkpoint each
+    // branch re-tokenizes the corpus for the weight column
     val rows = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id").as("id"),
         col("n_chars").as("v"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("w"))
       .withColumn("block", expr("v div 1000"))
+      .localCheckpoint()
     val blockW = Window.partitionBy("lang").orderBy(col("block").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = rows.groupBy("lang", "block")
