@@ -434,6 +434,9 @@ object OlapOps {
   /** [[decileQuery]] over an explicit (o_orderkey, cents) frame — the
     * composable/property-testable form. */
   def decileSummary(rows: DataFrame): DataFrame = {
+    // unlike globalRankAsc, the input here is a raw pruned scan (no
+    // upstream aggregation) — re-reading it per branch is cheaper than
+    // materializing, so no checkpoint
     val r = rows.withColumn("block", expr("cents div 10000000"))
     // ranking DESC: a block's offset is the count of rows in HIGHER
     // blocks (the block table is ~tens of rows — metadata-scale)
@@ -691,6 +694,10 @@ object OlapOps {
         col("value") =!= Double.NegativeInfinity)
       .select(col("event_type"), col("event_id"),
         floor(col("value") * 100).cast("long").as("cents"))
+    // MAD is inherently multi-pass; each re-read of `vals`/`devs` is a
+    // column-pruned scan plus map-side arithmetic (no shuffle), which
+    // costs less cluster-wide than materializing fact-scale frames —
+    // measured slower with checkpoints here, so they stay lazy.
     def medianOf(df: DataFrame, valueCol: String,
         tieCol: String): DataFrame = {
       val byV = Window.partitionBy("event_type")
@@ -1463,7 +1470,9 @@ object OlapOps {
     val sized = items.groupBy("l_orderkey")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= BasketCap)
       .select("l_orderkey")
-    val kept = items.join(sized, Seq("l_orderkey"))
+    // both self-join sides read the capped-basket table — checkpoint
+    // it (q136's basketLiftQuery already does; this is the same table)
+    val kept = items.join(sized, Seq("l_orderkey")).localCheckpoint()
     kept.as("a").join(kept.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -1631,8 +1640,11 @@ object OlapOps {
           .cast("long").as("c"))
       .groupBy("l_partkey").agg(sum(col("c")).as("rev"))
     // descending blocked decomposition: block by NEGATED revenue so
-    // the ascending block machinery yields a descending global order
+    // the ascending block machinery yields a descending global order.
+    // Checkpointed: offsets, total, and the running-sum pass all read
+    // it, and each re-run would repeat the per-part corpus aggregation.
     val r = rev.withColumn("block", expr("(-rev) div 10000000"))
+      .localCheckpoint()
     val blockW = Window.orderBy(col("block").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = r.groupBy("block").agg(sum(col("rev")).as("brev"))

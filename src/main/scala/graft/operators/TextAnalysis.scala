@@ -649,7 +649,9 @@ object TextAnalysis {
   def negativeSamplesQuery(spark: SparkSession, dir: String,
       negK: Int = 2, topPairs: Int = 50): DataFrame = {
     import graft.functions.TextFunctions.portableHash60
-    val vocab = vocabQuery(spark, dir)
+    // the vocabulary (corpus tokenize + count + top-K, ≤300 rows) is
+    // read twice (size scalar + the negative-term lookup) — build once
+    val vocab = vocabQuery(spark, dir).localCheckpoint()
     val vsize = vocab.agg(count(lit(1)).as("vsize"))
     skipgramQuery(spark, dir, window = 2, topN = topPairs)
       .crossJoin(broadcast(vsize))
