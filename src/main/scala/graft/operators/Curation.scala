@@ -34,7 +34,10 @@ object Curation {
     * combined), a broadcast join of the 5-row rate table, then a
     * scan-speed filter; no corpus-sized shuffle at all. */
   def stratifiedSample(docs: DataFrame): DataFrame = {
+    // |langs|-row aggregate read by the min probe and the rate table —
+    // build once, or both branches re-aggregate the corpus
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
     val rates = counts.crossJoin(broadcast(minCnt))
       .select(col("lang"), expr("min_cnt * 1000000 div cnt").as("rate_e6"))
@@ -58,6 +61,9 @@ object Curation {
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      // |langs| rows; totals and the share projection both read it —
+      // without the checkpoint the corpus is tokenized twice
+      .localCheckpoint()
     val totals = perLang.agg(sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_langs"))
     perLang.crossJoin(broadcast(totals))
