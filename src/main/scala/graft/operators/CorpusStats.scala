@@ -49,6 +49,11 @@ object CorpusStats {
       .withColumn("k",
         if (hashedKeys) xxhash64(col("span_text")) else col("span_text"))
       .select("doc_id", "k")
+    // NOT checkpointed although two branches read it: the span keys
+    // are full span strings in the portable config, and materializing
+    // corpus-tokens/span rows of long text measured 4x slower than
+    // re-running the explode — the payload-size caveat to the
+    // checkpoint-reused-aggregations rule.
     val dupSpans = sp.groupBy("k")
       .agg(count_distinct(col("doc_id")).as("span_df"))
       .filter(col("span_df") >= 2)
