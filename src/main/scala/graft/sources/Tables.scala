@@ -32,22 +32,39 @@ object Tables {
     *     session timezone every entrypoint sets;
     *   - TimestampType: pass through.
     * The legacy nanosAsLong conf is only flipped when the plain read rejects
-    * the file, never unconditionally (a read helper must not silently mutate
-    * session-wide state).
+    * the file, and restored to its prior value once the retried read's
+    * schema is resolved (a read helper must not silently mutate session-wide
+    * state; the already-resolved DataFrame keeps its LongType column
+    * regardless of the conf's later value).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{abs, col, expr, timestamp_micros, when}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
     val df =
       try table(s, d, "events")
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if Option(e.getMessage).exists(_.contains("Parquet")) =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          table(s, d, "events")
+          val prior = s.conf.getOption(NanosConf)
+          s.conf.set(NanosConf, "true")
+          try table(s, d, "events")
+          finally prior match {
+            case Some(v) => s.conf.set(NanosConf, v)
+            case None    => s.conf.unset(NanosConf)
+          }
       }
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // The generator's INT64 encoding has already drifted twice, so
+        // do not ASSUME epoch-nanos: dispatch per row on magnitude.
+        // Epoch-nanos of any post-1971 instant is >= ~3e16; epoch-micros
+        // of anything before year ~33000 is < 1e15 — the decades-wide gap
+        // makes 1e16 a safe split, and the codegen'd `when` costs nothing
+        // versus a guard that would force an extra min/max scan per read.
+        df.withColumn("ts", timestamp_micros(
+          when(abs(col("ts")) >= 1e16.toLong,
+            expr("ts div 1000")).otherwise(col("ts"))))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }

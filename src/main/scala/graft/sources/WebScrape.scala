@@ -54,11 +54,16 @@ object WebScrape {
 
   /** BeautifulSoup `get_text().strip()` equivalent for one anchor body:
     * drop nested tags, decode the entities that occur in practice,
-    * collapse whitespace. */
+    * collapse whitespace. `&amp;` decodes LAST: a single left-to-right
+    * pass then unescapes each sequence exactly once, so double-escaped
+    * text like `&amp;lt;` yields the literal `&lt;` — decoding `&amp;`
+    * first would turn it into `&lt;` and then a later pass into `<`,
+    * which single-pass HTML parsers never do. */
   private[sources] def anchorText(inner: String): String =
     TagRe.replaceAllIn(inner, " ")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
       .trim.replaceAll("\\s+", " ")
 
   /** `urljoin(base, href)` equivalent; malformed URLs resolve to the
@@ -130,6 +135,11 @@ object WebScrape {
       .repartition(col("url"))
       .map { case (url, destKey) =>
         val dest = s"$outDir/$destKey"
+        // tracked outside the try so the failure path can sweep the
+        // temp — a failed write/rename must not strand an
+        // `.inprogress-*` file that re-runs would accumulate
+        var cleanup: Option[(org.apache.hadoop.fs.FileSystem,
+          org.apache.hadoop.fs.Path)] = None
         try {
           val bytes = fetch(url)
           val conf = new org.apache.hadoop.conf.Configuration()
@@ -138,6 +148,7 @@ object WebScrape {
           val tc = org.apache.spark.TaskContext.get()
           val tmp = new org.apache.hadoop.fs.Path(
             dest + s".inprogress-${tc.stageId}-${tc.taskAttemptId}")
+          cleanup = Some((fs, tmp))
           val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
           fs.mkdirs(destPath.getParent)
@@ -147,6 +158,10 @@ object WebScrape {
           StageResult(url, dest, ok = true, bytes.length.toLong, null)
         } catch {
           case e: Exception =>
+            cleanup.foreach { case (fs, tmp) =>
+              try fs.delete(tmp, false)
+              catch { case _: Exception => () }
+            }
             StageResult(url, dest, ok = false, 0L,
               s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }

@@ -73,6 +73,16 @@ class EventsSchemaDriftSpec extends SparkSpec {
     assert(canonical(Tables.events(spark, dir)) == expected)
   }
 
+  test("plain INT64 epoch-MICROS drift reads correctly via magnitude dispatch") {
+    // the guard ADVICE r8 asked for: if the generator drifts a third
+    // time to INT64-micros, the LongType branch must NOT divide by 1000
+    import spark.implicits._
+    val dir = tmpDir("ev_long_us")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(canonical(Tables.events(spark, dir)) == expected)
+  }
+
   test("true TIMESTAMP(NANOS) annotation triggers the legacy-conf retry") {
     val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -83,7 +93,13 @@ class EventsSchemaDriftSpec extends SparkSpec {
       intercept[org.apache.spark.sql.AnalysisException] {
         spark.read.parquet(s"$dir/events.parquet").schema("ts")
       }
+      // the retry must not leak the legacy conf into the session: after
+      // the helper returns, the conf reads back exactly as before the
+      // call (the unset conf surfaces its registered default "false")
+      val before = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       assert(canonical(Tables.events(spark, dir)) == expected)
+      assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == before,
+        "events() must restore nanosAsLong after the fallback read")
     } finally {
       prior match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

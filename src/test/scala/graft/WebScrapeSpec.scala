@@ -41,6 +41,16 @@ class WebScrapeSpec extends SparkSpec {
     assert(byText("2023 Q1 (full)") == "https://mirror.example.net/2023q1.zip")
   }
 
+  test("double-escaped entities decode exactly once") {
+    // '&amp;lt;' is the ESCAPED text '&lt;' — a single-pass decoder
+    // (BeautifulSoup in the reference) yields the literal '&lt;', never
+    // a second round-trip to '<'
+    val html = """<a href="/x.zip">A &amp;lt;tag&amp;gt; &amp;amp; &lt;real&gt;</a>"""
+    val text = WebScrape.linkTable(spark, base, html)
+      .collect().map(_.getString(2)).head
+    assert(text == "A &lt;tag&gt; &amp; <real>")
+  }
+
   test("selection semantics match the reference scraper") {
     val links = WebScrape.linkTable(spark, base, indexHtml)
     val all23 = WebScrape.quarterlyZipLinks(links, 2023)
@@ -90,6 +100,29 @@ class WebScrapeSpec extends SparkSpec {
     val again = WebScrape.stage(targets.filter(col("dest_key") =!= "raw/2023_Q2.zip"),
       outDir, fileFetch)
     assert(WebScrape.allStaged(again))
+  }
+
+  test("a failure AFTER the temp write sweeps the in-progress file") {
+    // force the failure between temp write and rename: the destination
+    // key already exists as a NON-EMPTY DIRECTORY, so the pre-rename
+    // delete(dest, recursive=false) throws once the temp is on disk —
+    // the failure row must not strand the .inprogress-* temp
+    val srcDir = tmpDir("scrape_fail_src")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(srcDir, "ok.zip"), "OK".getBytes)
+    val outDir = tmpDir("scrape_fail_out")
+    val blocked = java.nio.file.Paths.get(outDir, "raw", "blocked.zip")
+    java.nio.file.Files.createDirectories(blocked)
+    java.nio.file.Files.write(blocked.resolve("keep"), "x".getBytes)
+    import spark.implicits._
+    val targets = Seq(("https://www.example.org/files/ok.zip", "raw/blocked.zip"))
+      .toDF("url", "dest_key")
+    val results = WebScrape.stage(targets, outDir,
+      WebScrapeSpec.fetchFromDir(srcDir) _).collect()
+    assert(results.length == 1 && !results.head.ok && results.head.error != null)
+    val leftovers = new java.io.File(s"$outDir/raw").listFiles()
+      .map(_.getName).filter(_.contains("inprogress"))
+    assert(leftovers.isEmpty, s"stranded temps: ${leftovers.mkString(",")}")
   }
 
   test("scrape-to-ingest: staged quarter ZIP flows into the S2 TSV reader") {
