@@ -126,11 +126,20 @@ object Bench {
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = obj(results)
+    // Every per-rep sample, per query — the within-session variance a
+    // cross-round per-query comparison needs to separate host-steal
+    // noise from plan changes without re-running anything (the ±15%
+    // total swing and 2x per-query swings have cost two rounds of
+    // perf adjudication; min-of-reps alone hides the spread).
+    val samplesJson = names.map { n =>
+      val ss = samples.collect { case (`n`, Some(s)) => f"$s%.3f" }
+      "\"" + n + "\":[" + ss.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def arr(xs: Seq[String]): String =
       xs.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash.toSeq.sortBy(_._1))},"samples":$samplesJson,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")

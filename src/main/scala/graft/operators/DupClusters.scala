@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   *      "Connected Components in MapReduce and Beyond", SoCC'14).
   * Every round ends in `localCheckpoint` — iterative DataFrame loops
   * otherwise grow the lineage linearly and re-execute the whole
-  * history each action. Dup-family graphs converge in 2-3 rounds
-  * (families are near-cliques); the iteration cap is a safety rail,
-  * not the expected path.
+  * history each action; the checkpoint also backs the convergence
+  * probe's action, so the probe reads cached blocks instead of
+  * re-running the round. Labels are SEEDED with the direct-neighbor
+  * minimum (round one's propagation fused into the node extraction),
+  * so near-clique dup families — the common case — converge in the
+  * seeding itself and the loop's first round merely confirms the
+  * fixpoint. The iteration cap is a safety rail, not the expected
+  * path.
   *
   * At 100 TB the label table is one row per doc in any dup pair —
   * orders of magnitude smaller than the corpus — and each round is
@@ -39,14 +44,26 @@ object DupClusters {
     * component — deterministic canonical labels. `pairs` needs
     * columns `d1`/`d2`; direction does not matter. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    // Canonicalize each pair to (min,max) BEFORE the dedup shuffle:
+    // distinct then moves half the volume of the doubled edge set, and
+    // still collapses a pair present in both directions. Doubling
+    // afterwards is a free union feeding the next keyed shuffle.
+    val canon = pairs.select(
+      least(col("d1"), col("d2")).as("a"),
+      greatest(col("d1"), col("d2")).as("b")).distinct()
     // Undirected: propagate both ways. Computed once, pinned — every
     // round re-reads it.
-    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+    val edges = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Seed with round one's neighbor minimum folded into the own id.
+    // Extracting the node set alone would cost the same groupBy
+    // shuffle; doing the min(b) aggregation in it lands the final
+    // label immediately for near-clique dup families (every member
+    // sees the minimum directly), so the loop usually only has to
+    // CONFIRM convergence instead of running a full extra round.
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
       .localCheckpoint()
     // Convergence probe: labels only ever DECREASE, so the label sum
     // is strictly monotone until the fixpoint — equality of two
