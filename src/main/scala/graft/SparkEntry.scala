@@ -214,7 +214,34 @@ object SparkEntry {
     "q166_flatten_view"    -> (q166FlattenView _),
     "q167_membership_topk" -> (q167MembershipTopK _),
     "q168_top_bottom_k"    -> (q168TopBottomK _),
+    // q169: §2.11 free-form SQL passthrough as a driver-oracle query
+    // (VERDICT r8 item 2) — the reference's most user-visible surface.
+    "q169_sql_passthrough" -> (q169SqlPassthrough _),
   )
+
+  /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
+    * — arbitrary user SQL against the registered warehouse). The canned
+    * statement below is written in the dialect-neutral subset shared by
+    * Spark and DuckDB and registered as BOTH the query (run VERBATIM
+    * through `Tables.registerAll` views + `SecServing.executeSql`) and
+    * the oracle entry — so what the hash compare certifies is the
+    * passthrough surface itself: parser, analyzer, optimizer, and view
+    * catalog produce the same relation a second engine derives from the
+    * same text. Decimal-cents output and a total-order ORDER BY per the
+    * driver-compare rules.
+    */
+  private[graft] val q169Sql: String =
+    """SELECT n_name AS nation, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_cents
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN orders ON o_custkey = c_custkey
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private def q169SqlPassthrough(s: SparkSession, d: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, d)
+    graft.operators.SecServing.executeSql(s, q169Sql)
+  }
 
   /** F8: `SecJsonDocs.statementView` (the reference's LATERAL FLATTEN,
     * load_json_data_snowflake.py:227-257) run on a docs-shaped frame
@@ -1157,6 +1184,9 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice, 'bottom' AS bucket
            FROM orders ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 5)
          ORDER BY bucket, o_orderkey""",
+    // §2.11: the oracle IS the query — one dialect-neutral SQL text
+    // executed by both engines, certifying the passthrough surface.
+    "q169_sql_passthrough" -> q169Sql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.
