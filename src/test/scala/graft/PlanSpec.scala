@@ -434,4 +434,56 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       "no hash shuffle belongs in a pure flatten:\n" + p.take(1500))
   }
+
+  /** File scans of `table` reachable from the query's executed plan —
+    * the PlanAudit counter, inline so the graph locks below can pin
+    * "the fact table is read N times" against a refactor. */
+  private def tableScans(df: DataFrame, table: String): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def walk(plan: SparkPlan): Seq[String] = (plan.collect {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.getName)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    }).flatten
+    walk(df.queryExecution.executedPlan).count(_.startsWith(table))
+  }
+
+  test("q100 pagerank: iteration is equi-join only, edges materialized once") {
+    val df = graft.operators.GraphRank.pageRankQuery(spark, sf0001)
+    val p = planString(df)
+    // the superstep is ranks⋈deg + dir⋈contrib + a keyed groupBy — a
+    // cartesian or nested-loop anywhere in the rank iteration is
+    // O(|V|²) at scale and must never appear
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "rank iteration must stay equi-join:\n" + p.take(1500))
+    // the adjacency (dir/deg) is localCheckpointed before the loop, so
+    // the final plan re-reads the MATERIALIZED edge table, not events:
+    // zero fact-table scans downstream of the edge build
+    assert(tableScans(df, "events") == 0,
+      "edges must be materialized once, not rebuilt from events per round")
+  }
+
+  test("q162 ppr: seeded iteration equi-join only, one events read via cells") {
+    val df = graft.operators.GraphRank.pprQuery(spark, sf0001)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "ppr iteration must stay equi-join:\n" + p.take(1500))
+    // seeds and edges both branch off the checkpointed cells frame —
+    // the final plan must not return to the fact table at all
+    assert(tableScans(df, "events") == 0,
+      "seeds/edges must come from the materialized cells table")
+  }
+
+  test("q160 daily registers build is map-side combined (partial max)") {
+    val p = planString(
+      graft.operators.DistinctSketch.dailyRegistersQuery(spark, sf0001))
+    // the per-day register table must combine map-side before its
+    // shuffle (the q152 lock, extended to the daily/windowed variant
+    // restored after the events-encoding break)
+    assert(p.contains("partial_max"),
+      "daily registers must combine map-side before the shuffle:\n" +
+        p.take(1500))
+  }
 }
