@@ -2,16 +2,28 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-import graft.sources.{SecIngest, SecSchemas}
+import graft.sources.{SecIngest, SecSchemas, WebScrape, ZipIngest}
 import graft.operators.{SecFactTables, SecJsonDocs, SecServing}
 import graft.quality.DataQuality
 
-/** End-to-end usage example of the SEC pipeline surface: TSV ingest →
+/** End-to-end usage example of the FULL SEC pipeline surface, starting
+  * from acquisition: S1 scrape (index page → quarterly ZIP links →
+  * distributed staging; the fetch seam is file-backed here because this
+  * environment has no egress — swap [[WebScrape.httpFetch]] in for the
+  * real site) → S2 ZIP extraction → S3/P1 typed TSV ingest →
   * partitioned parquet → fact tables → JSON docs + views → serving
   * queries + SQL passthrough → data-quality report. Run with
   * `sbt "runMain graft.SecPipelineDemo"`. Writes only under java.io.tmpdir.
   */
 object SecPipelineDemo {
+  /** File-backed stand-in for HTTP: resolves a URL to a file in `dir`
+    * by its last path segment. Top-level (not a lambda capturing the
+    * session) so the staging tasks can serialize it. */
+  def fetchFromDir(dir: String)(url: String): Array[Byte] = {
+    val name = url.substring(url.lastIndexOf('/') + 1)
+    Files.readAllBytes(Paths.get(dir, name))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -44,14 +56,37 @@ object SecPipelineDemo {
       "Assets\tus-gaap/2023\t0\t0\tmonetary\tI\tD\tAssets\tAssets doc"))
     val tickP = write("ticker.txt", Seq("acme\t100"))
 
-    val sub = SecIngest.ingestQuarter(spark, subP, SecSchemas.sub, "2023Q4")
-    val num = SecIngest.ingestQuarter(spark, numP, SecSchemas.num, "2023Q4")
-    val pre = SecIngest.ingestQuarter(spark, preP, SecSchemas.pre, "2023Q4")
-    val tag = SecIngest.ingestQuarter(spark, tagP, SecSchemas.tag, "2023Q4")
+    // --- S1 acquisition: scrape the index page for the quarter's ZIP,
+    // stage it distributed (atomic temp+rename per archive) ---
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/2023q4.zip"))
+    try Seq("sub.txt" -> subP, "num.txt" -> numP,
+        "pre.txt" -> preP, "tag.txt" -> tagP).foreach { case (name, p) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(Files.readAllBytes(Paths.get(p)))
+      zos.closeEntry()
+    } finally zos.close()
+    val indexHtml =
+      """<html><body><a href="/files/dera/2023q4.zip">2023 Q4</a></body></html>"""
+    val links = WebScrape.linkTable(spark,
+      "https://www.example.org/data/financial-sets", indexHtml)
+    val targets = WebScrape.quarterlyZipLinks(links, 2023, quarter = Some(4))
+    val staged = WebScrape.stage(targets, s"$dir/landing", fetchFromDir(dir) _)
+    require(WebScrape.allStaged(staged), "staging must land every archive")
+    println(s"[demo] staged: " + staged.collect()
+      .map(r => s"${r.dest} (${r.bytes} bytes)").mkString(", "))
+
+    // --- S2→P1: extract the four TSV entries from every staged ZIP,
+    // apply the declared schemas with permissive casts ---
+    val quarter = ZipIngest.ingestQuarterZips(spark, s"$dir/landing/raw/*.zip")
+    val (sub, num, pre, tag) =
+      (quarter("sub"), quarter("num"), quarter("pre"), quarter("tag"))
     val ticker = SecIngest.readTicker(spark, tickP)
 
     SecIngest.writePartitioned(num, s"$dir/num_parquet")
-    println(s"[demo] availability 2023Q4 = ${SecServing.availability(sub, "2023Q4")}")
+    // lineage from the staged archive follows the reference's dest-key
+    // convention raw/{year}_{quarter}.zip → source_file "2023_Q4"
+    println(s"[demo] availability 2023_Q4 = ${SecServing.availability(sub, "2023_Q4")}")
 
     val bs = SecFactTables.balanceSheet(num, sub, pre)
     println("[demo] balance sheet fact:"); bs.show(truncate = false)
