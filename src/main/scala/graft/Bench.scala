@@ -123,23 +123,11 @@ object Bench {
             .minOption.map(n -> _)
         }.toMap
       }
-    def obj(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results)
-    // Every per-rep sample, per query — the within-session variance a
-    // cross-round per-query comparison needs to separate host-steal
-    // noise from plan changes without re-running anything (the ±15%
-    // total swing and 2x per-query swings have cost two rounds of
-    // perf adjudication; min-of-reps alone hides the spread).
-    val samplesJson = names.map { n =>
-      val ss = samples.collect { case (`n`, Some(s)) => f"$s%.3f" }
-      "\"" + n + "\":[" + ss.mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def arr(xs: Seq[String]): String =
-      xs.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash.toSeq.sortBy(_._1))},"samples":$samplesJson,"sf":"$sfDir"}"""
+    val perQuerySamples = names.map { n =>
+      n -> samples.collect { case (`n`, Some(s)) => s }.toSeq
+    }
+    val line = metricLine(results, failed, flaky,
+      fastHash.toSeq.sortBy(_._1), perQuerySamples, sfDir)
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
@@ -148,10 +136,53 @@ object Bench {
     }
     // a one-line summary the driver's tail-truncation cannot damage
     // (BENCH_rN.json tails have truncated mid-line in past rounds)
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     try Files.writeString(Paths.get("BENCH_SUMMARY.json"),
       s"""{"total":$total,"n":${results.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     graft.sources.Scratch.sweep(spark)
     spark.stop()
+  }
+
+  /** The driver-parsed metric line, built as a pure function so
+    * BenchSpec can round-trip it through a real JSON parser — the
+    * driver's `json.load` of this line broke in rounds 1/2 (sbt [info]
+    * prefixes) and a malformed line silently zeroes a round's bench,
+    * so its well-formedness is worth a unit lock. Strings are escaped
+    * (quote/backslash/control chars); doubles are finite by
+    * construction (nanoTime deltas).
+    *
+    * `samples` carries EVERY successful per-rep timing per query —
+    * the within-session variance a cross-round per-query comparison
+    * needs to separate host-steal noise from plan changes without
+    * re-running anything (the ±15% total swing and 2x per-query
+    * swings cost two rounds of perf adjudication; min-of-reps alone
+    * hides the spread). The adaptive-retry extra sample is NOT part
+    * of `samples`, so a query's `queries` value can sit below
+    * min(samples) — that gap itself marks "an isolated quiet-window
+    * retry beat every interleaved rep", i.e. steal hit all rounds.
+    */
+  private[graft] def metricLine(
+      results: Seq[(String, Double)],
+      failed: Seq[String], flaky: Seq[String],
+      fastHash: Seq[(String, Double)],
+      samples: Seq[(String, Seq[Double])],
+      sfDir: String): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    def obj(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+    def arr(xs: Seq[String]): String =
+      xs.distinct.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val samplesJson = samples.map { case (n, ss) =>
+      "\"" + esc(n) + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash)},"samples":$samplesJson,"sf":"${esc(sfDir)}"}"""
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench metric line is parsed by the driver with a strict JSON
+  * loader; a malformed line zeroes the round's bench silently. Lock
+  * its well-formedness by round-tripping through Jackson (ships with
+  * Spark) under adversarial inputs — quotes, backslashes, control
+  * chars, empty sections — and pin the field contract the README
+  * documents (queries/failed/flaky/fast_hash/samples/sf).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("nominal line parses with every documented field") {
+    val line = Bench.metricLine(
+      results = Seq("q01" -> 1.25, "q02" -> 0.033),
+      failed = Seq("q99"), flaky = Seq("q50"),
+      fastHash = Seq("q23" -> 0.9),
+      samples = Seq("q01" -> Seq(1.25, 2.5), "q02" -> Seq(0.033)),
+      sfDir = "/root/testdata/sf0.1")
+    val n = mapper.readTree(line)
+    assert(n.get("metric").asText == "total")
+    assert(math.abs(n.get("value").asDouble - 1.283) < 1e-9)
+    assert(n.get("queries").get("q01").asDouble == 1.25)
+    assert(n.get("failed").get(0).asText == "q99")
+    assert(n.get("flaky").get(0).asText == "q50")
+    assert(n.get("fast_hash").get("q23").asDouble == 0.9)
+    assert(n.get("samples").get("q01").size == 2)
+    assert(n.get("samples").get("q01").get(1).asDouble == 2.5)
+    assert(n.get("sf").asText == "/root/testdata/sf0.1")
+  }
+
+  test("empty bench still emits valid JSON") {
+    val n = mapper.readTree(Bench.metricLine(Nil, Nil, Nil, Nil, Nil, ""))
+    assert(n.get("value").asDouble == 0.0)
+    assert(n.get("queries").size == 0 && n.get("samples").size == 0)
+  }
+
+  test("quotes, backslashes, and control chars escape cleanly") {
+    val evil = "sf\"dir\\with\ttab\nnewline"
+    val line = Bench.metricLine(
+      results = Seq("q\"uote" -> 1.0),
+      failed = Seq("back\\slash"), flaky = Nil, fastHash = Nil,
+      samples = Seq("q\"uote" -> Seq(1.0)), sfDir = evil)
+    val n = mapper.readTree(line)
+    assert(n.get("sf").asText == evil)
+    assert(n.get("queries").get("q\"uote").asDouble == 1.0)
+    assert(n.get("failed").get(0).asText == "back\\slash")
+  }
+
+  test("no-sample query renders an empty array, not a dangling comma") {
+    val line = Bench.metricLine(
+      results = Seq("q01" -> 1.0), failed = Nil, flaky = Nil,
+      fastHash = Nil, samples = Seq("q01" -> Nil), sfDir = "x")
+    val n = mapper.readTree(line)
+    assert(n.get("samples").get("q01").size == 0)
+  }
+}
