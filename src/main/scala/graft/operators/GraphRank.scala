@@ -147,9 +147,19 @@ object GraphRank {
 
   /** One personalized-PageRank superstep: like [[rankRound]] but the
     * teleport base lands only on SEED nodes — mass keeps flowing back
-    * toward the seed set instead of spreading uniformly. Defined over
-    * every graph node (the degree table), so a node whose in-mass
-    * floors to zero still appears with its base. */
+    * toward the seed set instead of spreading uniformly.
+    *
+    * SPARSE superstep: `ranks` carries only nodes with NONZERO mass.
+    * A zero-rank node contributes `0 div deg = 0` to every neighbor
+    * and re-derives its own next value from base (0 for a non-seed)
+    * plus in-mass alone, so dropping it changes no arithmetic — the
+    * dense and sparse iterations are value-identical, and the caller
+    * re-densifies over the node spine once at the end. The point is
+    * scale: with a localized seed set the live frontier is orders of
+    * magnitude smaller than the node set (seeded mass only reaches
+    * nodes within i hops by round i), so each round's joins move the
+    * frontier, not the whole graph — the same reason push-style PPR
+    * (Andersen-Chung-Lang) works on billion-node graphs. */
   private def pprRound(dir: DataFrame, deg: DataFrame, ranks: DataFrame,
       base: DataFrame): DataFrame = {
     val contrib = ranks.join(deg, Seq("u"))
@@ -157,12 +167,13 @@ object GraphRank {
     val inMass = dir.join(contrib, Seq("u"))
       .groupBy(col("v").as("u"))
       .agg(sum(col("c")).as("m"))
-    deg.select(col("u"))
-      .join(inMass, Seq("u"), "left")
-      .join(base, Seq("u"), "left")
+    // next-nonzero support ⊆ base ∪ in-mass: one full-outer equi-join
+    // replaces the dense spine's two left joins
+    base.join(inMass, Seq("u"), "full_outer")
       .select(col("u"),
         (coalesce(col("base"), lit(0L)) +
           expr("85 * coalesce(m, 0) div 100")).as("rank_e6"))
+      .filter(col("rank_e6") > 0)
   }
 
   /** Personalized PageRank: the teleport vector concentrated on a
@@ -188,14 +199,17 @@ object GraphRank {
     val base = deg.join(seeds, Seq("u"), "left_semi")
       .select(col("u"), lit(RankScale * 15 / 100).as("base"))
       .localCheckpoint()
-    var ranks = deg.select(col("u"))
-      .join(base, Seq("u"), "left")
-      .select(col("u"), coalesce(col("base"), lit(0L)).as("rank_e6"))
+    // sparse initial vector: exactly the seeds (every base is nonzero)
+    var ranks = base.select(col("u"), col("base").as("rank_e6"))
     for (_ <- 1 to iterations) {
       ranks = pprRound(dir, deg, ranks, base)
     }
-    ranks.join(base.select(col("u"), lit(1).as("is_seed")), Seq("u"), "left")
-      .select(col("u"), col("rank_e6"),
+    // re-densify once over the node spine: nodes the seeded mass never
+    // reached report rank 0, exactly as the dense iteration yielded
+    deg.select(col("u"))
+      .join(ranks, Seq("u"), "left")
+      .join(base.select(col("u"), lit(1).as("is_seed")), Seq("u"), "left")
+      .select(col("u"), coalesce(col("rank_e6"), lit(0L)).as("rank_e6"),
         coalesce(col("is_seed"), lit(0)).cast("int").as("is_seed"))
   }
 
