@@ -1,0 +1,174 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+import graft.operators.{SecJsonDocs, SecServing}
+
+/** The reference's serving shell (FastAPI endpoints,
+  * backend/main.py:43-252) rebuilt on the JDK's built-in HTTP server —
+  * zero added dependencies. Spark is the warehouse; the registered
+  * quarter views ([[SecServing.registerQuarterViews]] /
+  * [[SecServing.persistQuarterTables]]) are the schema. Same routes and
+  * response shapes:
+  *
+  *   - `GET /check-availability?year=&quarter=`          → `{"available": bool}`
+  *   - `GET /get-table-info?data_source=&year=&quarter=` → `[{name, columns:[{name,type}], sample_data:[…]}]`
+  *   - `POST /execute-custom-query` body `{"query": …}`  → `{"data":[…]}`
+  *   - `GET /get-financial-data?year=&quarter=&data_type=&source=` → `{"data":[…], "execution_time": s}`
+  *   - `GET /query-data?query=`                          → `{"data":[…]}`
+  *
+  * Float NaN/±Inf sanitize to JSON null exactly like the reference's
+  * `sanitize_float_values` (main.py:34-40). Deliberate divergences,
+  * not replicated bugs (SURVEY §7.4): the reference's inconsistent
+  * source-name casing dispatches consistently here, its availability
+  * probe against a never-created table queries the quarter's `sub`
+  * view instead, and every data response collects at most `maxRows`
+  * rows to the serving process — in front of a cluster-scale table you
+  * page, you don't dump.
+  *
+  * Thread-safe for concurrent requests (SparkSession is; the server
+  * uses the default executor). `start(0)` binds an ephemeral port and
+  * returns it — how ApiSpec drives a live round-trip.
+  */
+class Api(spark: SparkSession, maxRows: Int = 10000) {
+
+  private var server: Option[HttpServer] = None
+  private val mapper = new ObjectMapper()
+
+  def start(port: Int = 0): Int = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/check-availability", ex => handle(ex)(checkAvailability))
+    s.createContext("/get-table-info", ex => handle(ex)(getTableInfo))
+    s.createContext("/execute-custom-query", ex => handle(ex)(executeCustomQuery))
+    s.createContext("/get-financial-data", ex => handle(ex)(getFinancialData))
+    s.createContext("/query-data", ex => handle(ex)(queryData))
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+
+  // ---- endpoints ----
+
+  private def checkAvailability(ex: HttpExchange): (Int, String) = {
+    val p = params(ex)
+    val view = s"sec_sub_${stage(p)}"
+    val available = spark.catalog.tableExists(view) &&
+      SecServing.availability(spark.table(view), stage(p)) > 0
+    (200, s"""{"available":$available}""")
+  }
+
+  private def getTableInfo(ex: HttpExchange): (Int, String) = {
+    val p = params(ex)
+    val st = stage(p)
+    val tables = p.getOrElse("data_source", "RAW") match {
+      case "RAW"         => Seq("sec_num_", "sec_pre_", "sec_sub_", "sec_tag_").map(_ + st)
+      case "JSON"        => Seq(s"sec_data_$st")
+      case "Fact Tables" => Seq(s"balance_sheet_$st", s"income_statement_$st", s"cash_flow_$st")
+      case other         => return (400, detail(s"Invalid data source: $other"))
+    }
+    val infos = tables.map { t =>
+      if (!spark.catalog.tableExists(t))
+        return (400, detail(s"Unknown table: $t"))
+      val (cols, sample) = SecServing.tableInfo(spark.table(t))
+      val colsJson = cols.map { case (n, ty) =>
+        s"""{"name":${jstr(n)},"type":${jstr(ty)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"name":${jstr(t)},"columns":$colsJson,"sample_data":${rows(sample)}}"""
+    }
+    (200, infos.mkString("[", ",", "]"))
+  }
+
+  private def executeCustomQuery(ex: HttpExchange): (Int, String) = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val query = Option(mapper.readTree(body).get("query")).map(_.asText)
+      .getOrElse(return (400, detail("body must carry a 'query' field")))
+    (200, s"""{"data":${rows(SecServing.executeSql(spark, query))}}""")
+  }
+
+  private def getFinancialData(ex: HttpExchange): (Int, String) = {
+    val p = params(ex)
+    val st = stage(p)
+    val dataType = p.getOrElse("data_type", "")
+    val bucket = Map("Income Statement" -> "ic", "Balance Sheet" -> "bs",
+      "Cash Flow" -> "cf").get(dataType)
+      .getOrElse(return (400, detail(s"Invalid data type: $dataType")))
+    val t0 = System.nanoTime()
+    val df = p.getOrElse("source", "RAW") match {
+      case "RAW" =>
+        SecServing.statementQuery(
+          spark.table(s"sec_sub_$st"), spark.table(s"sec_pre_$st"),
+          spark.table(s"sec_num_$st"), bucket.toUpperCase)
+      case "FACT TABLES" =>
+        val t = Map("bs" -> "balance_sheet", "ic" -> "income_statement",
+          "cf" -> "cash_flow")(bucket) + s"_$st"
+        spark.table(t)
+      case "JSON" =>
+        SecJsonDocs.statementView(spark.table(s"sec_data_$st"), bucket)
+      case other => return (400, detail(s"Invalid source: $other"))
+    }
+    val data = rows(df)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (200, s"""{"data":$data,"execution_time":$secs}""")
+  }
+
+  private def queryData(ex: HttpExchange): (Int, String) = {
+    val query = params(ex).getOrElse("query",
+      return (400, detail("query parameter required")))
+    (200, s"""{"data":${rows(SecServing.executeSql(spark, query))}}""")
+  }
+
+  // ---- plumbing ----
+
+  private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
+    val (code, body) =
+      try f(ex)
+      catch { case e: Throwable => (500, detail(
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  /** `{year}Q{n}` stage key; accepts quarter as `Q4` or `4`. */
+  private def stage(p: Map[String, String]): String =
+    s"${p.getOrElse("year", "")}Q${p.getOrElse("quarter", "").stripPrefix("Q")}"
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  /** Rows as a JSON array: NaN/±Inf → null (the reference's
+    * sanitize_float_values), at most [[maxRows]] rows collected, each
+    * row serialized by Spark's own JSON writer (correct escaping and
+    * nested types for free). */
+  private def rows(df: DataFrame): String = {
+    val sanitized = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          acc.withColumn(f.name,
+            when(isnan(col(f.name)) || abs(col(f.name)) === Double.PositiveInfinity,
+              lit(null)).otherwise(col(f.name)))
+        case _ => acc
+      }
+    }
+    sanitized.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+  }
+
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  private def detail(msg: String): String = s"""{"detail":${jstr(msg)}}"""
+}

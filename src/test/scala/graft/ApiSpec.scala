@@ -1,0 +1,154 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.serving.Api
+import graft.sources.{SecIngest, SecSchemas}
+import graft.operators.{SecJsonDocs, SecServing}
+
+/** Live round-trip of the serving shell: real HTTP server on an
+  * ephemeral port, real JDK HttpClient, responses parsed with Jackson.
+  * Covers all five reference endpoints (backend/main.py:43-252) plus
+  * the NaN-sanitize contract and the error shapes.
+  */
+class ApiSpec extends SparkSpec {
+
+  private def writeFixture(dir: String, name: String, lines: Seq[String]): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  private lazy val dir = tmpDir("api_fixture")
+  private lazy val sub = SecIngest.ingestQuarter(spark,
+    writeFixture(dir, "sub.txt", Seq(
+      SecSchemas.sub.fieldNames.mkString("\t"),
+      "f1\t100\tAcme Corp\t3711\tUS\tCA\tPaloAlto\t94301\t\t\t\tUS\tCA\tPaloAlto\t94301\t\t\tUS\tCA\t123456789\t\t\t1-LAF\t1\t1231\t10-K\t20230930\t2023\tQ3\t20231101\t2023-11-01 12:00:00.0\t0\t1\tinst1\t1\t")),
+    SecSchemas.sub, "2023Q4")
+  private lazy val num = SecIngest.ingestQuarter(spark,
+    writeFixture(dir, "num.txt", Seq(
+      SecSchemas.num.fieldNames.mkString("\t"),
+      "f1\tRevenue\tus-gaap/2023\t20230930\t1\tUSD\t\t\t1000.5\t",
+      "f1\tAssets\tus-gaap/2023\t20230930\t0\tUSD\t\t\t5000\t")),
+    SecSchemas.num, "2023Q4")
+  private lazy val pre = SecIngest.ingestQuarter(spark,
+    writeFixture(dir, "pre.txt", Seq(
+      SecSchemas.pre.fieldNames.mkString("\t"),
+      "f1\t1\t1\tIC\t0\tH\tRevenue\tus-gaap/2023\tTotal revenue\t0",
+      "f1\t1\t2\tBS\t0\tH\tAssets\tus-gaap/2023\tTotal assets\t0")),
+    SecSchemas.pre, "2023Q4")
+  private lazy val tag = SecIngest.ingestQuarter(spark,
+    writeFixture(dir, "tag.txt", Seq(
+      SecSchemas.tag.fieldNames.mkString("\t"),
+      "Revenue\tus-gaap/2023\t0\t0\tmonetary\tD\tC\tRevenue\tRevenue doc",
+      "Assets\tus-gaap/2023\t0\t0\tmonetary\tI\tD\tAssets\tAssets doc")),
+    SecSchemas.tag, "2023Q4")
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private var api: Option[Api] = None
+  private lazy val port: Int = {
+    SecServing.registerQuarterViews(spark, "2023Q4",
+      Map("sub" -> sub, "num" -> num, "pre" -> pre, "tag" -> tag))
+    val ticker = SecIngest.readTicker(spark,
+      writeFixture(dir, "ticker.txt", Seq("acme\t100")))
+    SecJsonDocs.buildDocs(num, sub, pre, tag, ticker)
+      .createOrReplaceTempView("sec_data_2023Q4")
+    val a = new Api(spark)
+    api = Some(a)
+    a.start(0)
+  }
+
+  private def get(path: String): (Int, JsonNode) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  private def post(path: String, body: String): (Int, JsonNode) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  test("check-availability: present quarter true, absent quarter false") {
+    val (c1, b1) = get("/check-availability?year=2023&quarter=Q4")
+    assert(c1 == 200 && b1.get("available").asBoolean)
+    val (c2, b2) = get("/check-availability?year=2021&quarter=Q1")
+    assert(c2 == 200 && !b2.get("available").asBoolean)
+  }
+
+  test("get-table-info: RAW lists the four quarter tables with schema + sample") {
+    val (code, body) = get("/get-table-info?data_source=RAW&year=2023&quarter=Q4")
+    assert(code == 200 && body.size == 4)
+    val names = (0 until body.size).map(body.get(_).get("name").asText).toSet
+    assert(names == Set("sec_num_2023Q4", "sec_pre_2023Q4",
+      "sec_sub_2023Q4", "sec_tag_2023Q4"))
+    val numInfo = (0 until body.size).map(body.get)
+      .find(_.get("name").asText == "sec_num_2023Q4").get
+    val cols = (0 until numInfo.get("columns").size)
+      .map(numInfo.get("columns").get(_).get("name").asText)
+    assert(cols.contains("adsh") && cols.contains("value"))
+    assert(numInfo.get("sample_data").size == 2)
+    val (bad, badBody) = get("/get-table-info?data_source=Nope&year=2023&quarter=Q4")
+    assert(bad == 400 && badBody.get("detail").asText.contains("Invalid data source"))
+  }
+
+  test("execute-custom-query: POST body SQL over the registered views") {
+    val (code, body) = post("/execute-custom-query",
+      """{"query":"SELECT adsh, count(*) AS n FROM sec_num_2023Q4 GROUP BY 1"}""")
+    assert(code == 200)
+    assert(body.get("data").get(0).get("adsh").asText == "f1")
+    assert(body.get("data").get(0).get("n").asLong == 2L)
+    val (bad, _) = post("/execute-custom-query", """{"nope":1}""")
+    assert(bad == 400)
+    val (err, errBody) = post("/execute-custom-query",
+      """{"query":"SELECT * FROM not_a_table"}""")
+    assert(err == 500 && errBody.has("detail"))
+  }
+
+  test("get-financial-data: RAW statement join and JSON view both serve") {
+    val (code, body) =
+      get("/get-financial-data?year=2023&quarter=Q4&data_type=Balance%20Sheet&source=RAW")
+    assert(code == 200 && body.has("execution_time"))
+    val row = body.get("data").get(0)
+    assert(row.get("adsh").asText == "f1" &&
+      row.get("plabel").asText == "Total assets")
+    val (jc, jb) =
+      get("/get-financial-data?year=2023&quarter=Q4&data_type=Income%20Statement&source=JSON")
+    assert(jc == 200 && jb.get("data").get(0).get("concept").asText == "Revenue")
+    val (bad, _) =
+      get("/get-financial-data?year=2023&quarter=Q4&data_type=Nope&source=RAW")
+    assert(bad == 400)
+  }
+
+  test("query-data: GET SQL; NaN and Infinity sanitize to null") {
+    import spark.implicits._
+    Seq(("ok", 1.5), ("nan", Double.NaN), ("inf", Double.PositiveInfinity))
+      .toDF("k", "v").createOrReplaceTempView("api_nan_probe")
+    val (code, body) =
+      get("/query-data?query=SELECT%20k%2C%20v%20FROM%20api_nan_probe%20ORDER%20BY%20k")
+    assert(code == 200)
+    val byK = (0 until body.get("data").size).map(body.get("data").get)
+      .map(n => n.get("k").asText -> n).toMap
+    assert(byK("ok").get("v").asDouble == 1.5)
+    // Spark's JSON writer omits null fields — sanitized values are
+    // either absent or an explicit JSON null, never NaN/Infinity
+    assert(byK("nan").get("v") == null || byK("nan").get("v").isNull)
+    assert(byK("inf").get("v") == null || byK("inf").get("v").isNull)
+    val (bad, _) = get("/query-data")
+    assert(bad == 400)
+  }
+
+  override def afterAll(): Unit = {
+    api.foreach(_.stop())
+    super.afterAll()
+  }
+}
