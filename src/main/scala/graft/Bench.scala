@@ -34,34 +34,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // The generated-class cache defaults to 100 entries; ~39 queries
-      // x several codegen stages evict every class between rounds, so
-      // the wide sketch aggregates (60-64 buffers, seconds of janino
-      // compile each) were recompiling once per round — measured as a
-      // stable +10s on q25 that no profiling of the query alone
-      // reproduced. Static conf: must be set before the first session.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def dropPinnedBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // previous query's actions completed — reclaim its outliving
-      // scratch dirs (q145/q149 sink dirs) so bench reps don't
-      // accumulate a staged copy of events per invocation
-      graft.sources.Scratch.sweep(spark)
-    }
+    val spark = BenchSession.build()
+    def dropPinnedBlocks(): Unit = BenchSession.dropPinnedBlocks(spark)
     // Warm-up: exercise scan+shuffle+codegen once, untimed.
-    try SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    BenchSession.warmUp(spark, sfDir)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt max 1
     val names = SparkEntry.queries.keys.toSeq.sorted
     // None = the query threw; a crash must NOT contribute a small
@@ -179,8 +155,13 @@ object Bench {
         .mkString("{", ",", "}")
     def arr(xs: Seq[String]): String =
       xs.distinct.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    // Locale.ROOT: the f interpolator renders 1.25 as "1,250" under a
+    // comma-decimal default locale, which would corrupt the JSON —
+    // exactly the silent-zero failure this function exists to prevent
     val samplesJson = samples.map { case (n, ss) =>
-      "\"" + esc(n) + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+      "\"" + esc(n) + "\":[" + ss.map(s =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(s)))
+        .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash)},"samples":$samplesJson,"sf":"${esc(sfDir)}"}"""

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared harness plumbing for the timing mains ([[Bench]], [[RepBench]],
+  * [[ScalingCurve]]): one definition of the session configuration, the
+  * untimed warm-up, and the between-queries hygiene. Their numbers are
+  * only comparable because these are identical — and a config change
+  * (codegen cache size, a new required conf) must land once, not three
+  * times.
+  */
+object BenchSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(): SparkSession = {
+    val c = cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$c]")
+      .config("spark.sql.shuffle.partitions", c)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; the query
+      // surface x several codegen stages evicts every class between
+      // rounds, so the wide sketch aggregates (60-64 buffers, seconds
+      // of janino compile each) were recompiling once per round —
+      // measured as a stable +10s that no profiling of the query alone
+      // reproduced. Static conf: must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** One untimed action: JVM/classloader/codegen warm-up otherwise
+    * lands on whichever query runs first and distorts it by seconds. */
+  def warmUp(spark: SparkSession, sfDir: String): Unit =
+    try SparkEntry.queries.get("q01_pricing_summary")
+      .foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
+
+  /** Between queries: the queries are independent, so drop any pinned
+    * RDDs (the sketch operators' localCheckpoints) — letting one
+    * query's blocks pressure the next one's execution memory distorts
+    * numbers — and reclaim outliving scratch dirs (the streaming
+    * queries' sink dirs), so repeated reps don't accumulate a staged
+    * copy of events per invocation. */
+  def dropPinnedBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    graft.sources.Scratch.sweep(spark)
+  }
+}

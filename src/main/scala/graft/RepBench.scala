@@ -18,26 +18,13 @@ object RepBench {
     val reps = if (args.length > 1) args(1).toInt else 5
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("q45_dup_clusters", "q65_incremental_dedup", "q116_ri_summary")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // identical warm-up + pinned-block hygiene to Bench — numbers must
-    // be comparable to BENCH_rN per-query figures
-    try SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // shared harness = numbers comparable to BENCH_rN per-query figures
+    val spark = BenchSession.build()
+    BenchSession.warmUp(spark, sfDir)
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (r <- 1 to reps; n <- names) {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      BenchSession.dropPinnedBlocks(spark)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(n)(spark, sfDir).count()

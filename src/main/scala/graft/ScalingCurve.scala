@@ -44,25 +44,16 @@ object ScalingCurve {
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries("q01_pricing_summary")(spark, Sfs.head).count()
-    catch { case _: Throwable => () }
+    // shared harness = numbers comparable to BENCH_rN per-query figures
+    val spark = BenchSession.build()
+    val cpus = BenchSession.cpus
+    BenchSession.warmUp(spark, Sfs.head)
     val rowCounts: Map[(String, String), Long] =
       (for (sf <- Sfs; t <- Queries.map(_._3).distinct)
         yield (t, sf) -> spark.read.parquet(s"$sf/$t.parquet").count()).toMap
     val mins = collection.mutable.Map.empty[(String, String), Double]
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      BenchSession.dropPinnedBlocks(spark)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sf).count()

@@ -31,12 +31,20 @@ object SecServing {
     * project the 16 serving columns, order by (adsh, line). */
   def statementQuery(sub: DataFrame, pre: DataFrame, num: DataFrame,
                      stmtType: String): DataFrame =
+    statementQuery(sub, pre, num, Seq(stmtType))
+
+  /** [[statementQuery]] accepting a FAMILY of stmt codes — real SEC
+    * data writes the income statement as both `IC` and `IS` (the
+    * reference's own data:is/data:ic drift, SURVEY §7.4), so the
+    * serving layer matches either rather than replicating the split. */
+  def statementQuery(sub: DataFrame, pre: DataFrame, num: DataFrame,
+                     stmtTypes: Seq[String]): DataFrame =
     sub.as("s")
       .join(pre.as("p"), col("s.adsh") === col("p.adsh"))
       .join(num.as("n"),
         col("p.adsh") === col("n.adsh") && col("p.tag") === col("n.tag")
           && col("p.version") === col("n.version"))
-      .filter(col("p.stmt") === stmtType)
+      .filter(col("p.stmt").isin(stmtTypes: _*))
       .select(
         col("s.adsh"), col("s.cik"), col("s.name"), col("s.sic"),
         col("s.countryba"), col("s.fye"), col("s.form"), col("s.period"),

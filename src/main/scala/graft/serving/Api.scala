@@ -62,18 +62,28 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
   private def checkAvailability(ex: HttpExchange): (Int, String) = {
     val p = params(ex)
     val view = s"sec_sub_${stage(p)}"
+    // the two lineage conventions in play: SecIngest.ingestQuarter
+    // stamps "{year}Q{n}", the scrape->ZipIngest path stamps
+    // "{year}_Q{n}" (from the raw/{year}_{quarter}.zip dest key) — a
+    // loaded quarter must report available under either
+    val keys = Seq(stage(p),
+      s"${p.getOrElse("year", "")}_Q${p.getOrElse("quarter", "").stripPrefix("Q")}")
     val available = spark.catalog.tableExists(view) &&
-      SecServing.availability(spark.table(view), stage(p)) > 0
+      spark.table(view).filter(col("source_file").isin(keys: _*))
+        .limit(1).count() > 0
     (200, s"""{"available":$available}""")
   }
 
   private def getTableInfo(ex: HttpExchange): (Int, String) = {
     val p = params(ex)
     val st = stage(p)
-    val tables = p.getOrElse("data_source", "RAW") match {
+    // case-insensitive dispatch: the reference requires "Fact Tables"
+    // on one route and "FACT TABLES" on another (SURVEY §7.4's casing
+    // drift) — here every casing works on every route
+    val tables = p.getOrElse("data_source", "RAW").toUpperCase match {
       case "RAW"         => Seq("sec_num_", "sec_pre_", "sec_sub_", "sec_tag_").map(_ + st)
       case "JSON"        => Seq(s"sec_data_$st")
-      case "Fact Tables" => Seq(s"balance_sheet_$st", s"income_statement_$st", s"cash_flow_$st")
+      case "FACT TABLES" => Seq(s"balance_sheet_$st", s"income_statement_$st", s"cash_flow_$st")
       case other         => return (400, detail(s"Invalid data source: $other"))
     }
     val infos = tables.map { t =>
@@ -103,11 +113,15 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
       "Cash Flow" -> "cf").get(dataType)
       .getOrElse(return (400, detail(s"Invalid data type: $dataType")))
     val t0 = System.nanoTime()
-    val df = p.getOrElse("source", "RAW") match {
+    val df = p.getOrElse("source", "RAW").toUpperCase match {
       case "RAW" =>
+        // real SEC data writes the income statement as both IC and IS
+        // (the reference's data:is/data:ic drift) — match the family
+        val stmts = if (bucket == "ic") Seq("IC", "IS")
+          else Seq(bucket.toUpperCase)
         SecServing.statementQuery(
           spark.table(s"sec_sub_$st"), spark.table(s"sec_pre_$st"),
-          spark.table(s"sec_num_$st"), bucket.toUpperCase)
+          spark.table(s"sec_num_$st"), stmts)
       case "FACT TABLES" =>
         val t = Map("bs" -> "balance_sheet", "ic" -> "income_statement",
           "cf" -> "cash_flow")(bucket) + s"_$st"
@@ -154,17 +168,27 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
   /** Rows as a JSON array: NaN/±Inf → null (the reference's
     * sanitize_float_values), at most [[maxRows]] rows collected, each
     * row serialized by Spark's own JSON writer (correct escaping and
-    * nested types for free). */
+    * nested types for free). Sanitization covers TOP-LEVEL float
+    * columns, exactly the reference's scope — Snowflake cursor rows
+    * are flat, so its sanitize never saw a nested value either; a
+    * double inside a struct (reachable only via free-form SQL over the
+    * doc tables) serializes as the string "NaN". Columns are addressed
+    * POSITIONALLY via a rename round-trip so duplicate output names
+    * (e.g. a self-join's two `value`s) serve instead of 500ing on an
+    * ambiguous reference. */
   private def rows(df: DataFrame): String = {
-    val sanitized = df.schema.fields.foldLeft(df) { (acc, f) =>
-      f.dataType match {
+    val names = df.columns
+    val tmp = df.toDF(names.indices.map(i => s"__c$i"): _*)
+    val sanitized = tmp.select(names.indices.map { i =>
+      val c = col(s"__c$i")
+      val cleaned = df.schema.fields(i).dataType match {
         case DoubleType | FloatType =>
-          acc.withColumn(f.name,
-            when(isnan(col(f.name)) || abs(col(f.name)) === Double.PositiveInfinity,
-              lit(null)).otherwise(col(f.name)))
-        case _ => acc
+          when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null))
+            .otherwise(c)
+        case _ => c
       }
-    }
+      cleaned.as(names(i))
+    }: _*)
     sanitized.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
   }
 

@@ -37,7 +37,7 @@ class ApiSpec extends SparkSpec {
   private lazy val pre = SecIngest.ingestQuarter(spark,
     writeFixture(dir, "pre.txt", Seq(
       SecSchemas.pre.fieldNames.mkString("\t"),
-      "f1\t1\t1\tIC\t0\tH\tRevenue\tus-gaap/2023\tTotal revenue\t0",
+      "f1\t1\t1\tIS\t0\tH\tRevenue\tus-gaap/2023\tTotal revenue\t0",
       "f1\t1\t2\tBS\t0\tH\tAssets\tus-gaap/2023\tTotal assets\t0")),
     SecSchemas.pre, "2023Q4")
   private lazy val tag = SecIngest.ingestQuarter(spark,
@@ -121,12 +121,38 @@ class ApiSpec extends SparkSpec {
     val row = body.get("data").get(0)
     assert(row.get("adsh").asText == "f1" &&
       row.get("plabel").asText == "Total assets")
+    // the fixture writes the income statement as SEC-real "IS"; the
+    // RAW path must match the IC|IS family, not replicate the
+    // reference's data:is/data:ic drift
+    val (ic, ib) =
+      get("/get-financial-data?year=2023&quarter=Q4&data_type=Income%20Statement&source=RAW")
+    assert(ic == 200 && ib.get("data").size == 1 &&
+      ib.get("data").get(0).get("plabel").asText == "Total revenue")
     val (jc, jb) =
       get("/get-financial-data?year=2023&quarter=Q4&data_type=Income%20Statement&source=JSON")
     assert(jc == 200 && jb.get("data").get(0).get("concept").asText == "Revenue")
     val (bad, _) =
       get("/get-financial-data?year=2023&quarter=Q4&data_type=Nope&source=RAW")
     assert(bad == 400)
+  }
+
+  test("source tokens dispatch case-insensitively") {
+    val (code, body) = get("/get-table-info?data_source=raw&year=2023&quarter=Q4")
+    assert(code == 200 && body.size == 4)
+  }
+
+  test("availability matches the scrape-path's underscore lineage stamp too") {
+    import org.apache.spark.sql.functions.lit
+    sub.withColumn("source_file", lit("2024_Q1"))
+      .createOrReplaceTempView("sec_sub_2024Q1")
+    val (code, body) = get("/check-availability?year=2024&quarter=Q1")
+    assert(code == 200 && body.get("available").asBoolean)
+  }
+
+  test("duplicate output column names serve instead of 500ing") {
+    val (code, body) = post("/execute-custom-query",
+      """{"query":"SELECT cast(1.5 as double) AS v, cast('NaN' as double) AS v"}""")
+    assert(code == 200 && body.get("data").size == 1)
   }
 
   test("query-data: GET SQL; NaN and Infinity sanitize to null") {

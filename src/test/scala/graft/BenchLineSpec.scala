@@ -51,6 +51,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(n.get("failed").get(0).asText == "back\\slash")
   }
 
+  test("comma-decimal default locale cannot corrupt the number format") {
+    val prior = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.FRANCE)
+    try {
+      val line = Bench.metricLine(
+        results = Seq("q01" -> 1.25), failed = Nil, flaky = Nil,
+        fastHash = Nil, samples = Seq("q01" -> Seq(1.25)), sfDir = "x")
+      val n = mapper.readTree(line)
+      assert(n.get("samples").get("q01").get(0).asDouble == 1.25)
+    } finally java.util.Locale.setDefault(prior)
+  }
+
   test("no-sample query renders an empty array, not a dangling comma") {
     val line = Bench.metricLine(
       results = Seq("q01" -> 1.0), failed = Nil, flaky = Nil,
