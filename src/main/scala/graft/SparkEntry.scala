@@ -217,6 +217,12 @@ object SparkEntry {
     // q169: §2.11 free-form SQL passthrough as a driver-oracle query
     // (VERDICT r8 item 2) — the reference's most user-visible surface.
     "q169_sql_passthrough" -> (q169SqlPassthrough _),
+    // q170/q171: the SINKS themselves under oracle check — parquet
+    // partitioned write + partition-discovery read (S7/S13) and JSON
+    // doc write + schema'd load (S9/S10), matched against DuckDB over
+    // the ORIGINAL tables, so the round-trips prove lossless.
+    "q170_sink_roundtrip"  -> (Extensions.q170SinkRoundtrip _),
+    "q171_json_roundtrip"  -> (Extensions.q171JsonRoundtrip _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1187,6 +1193,17 @@ object SparkEntry {
     // §2.11: the oracle IS the query — one dialect-neutral SQL text
     // executed by both engines, certifying the passthrough surface.
     "q169_sql_passthrough" -> q169Sql,
+    // the oracles aggregate the ORIGINAL tables; the Spark side
+    // aggregates its sink round-trip — equality proves the sink
+    "q170_sink_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_cents
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q171_json_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(length(text)) AS BIGINT) AS text_len,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

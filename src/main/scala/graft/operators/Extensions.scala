@@ -637,4 +637,42 @@ object Extensions {
     val docs = Tables.documents(s, d)
     DupClusters.clusterBestReport(docs, dupPairs(docs))
   }
+
+  /** q170: the parquet SINK itself under oracle check (S7 sink + S13
+    * partition discovery, previously unit-only): lineitem written
+    * partitioned by `l_returnflag` to scratch, read back through
+    * partition discovery, aggregated per partition. Matching DuckDB's
+    * aggregate over the ORIGINAL parquet proves the round-trip loses
+    * nothing — row multiplicity, value fidelity, and the partition
+    * column's restoration from directory names. The scratch dir is
+    * ledger-registered; the bench/verify loops sweep it between
+    * queries. */
+  def q170SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.sources.Scratch.dirOutliving(s, "q170_sink")
+    Tables.lineitem(s, d)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        OlapOps.decSumCents(col("l_extendedprice")).as("total_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q171: the JSON doc sink + schema'd load under oracle check
+    * (S9/S10, previously unit-only): documents written as JSON lines,
+    * read back with the declared schema, aggregated per language. The
+    * text round-trips through JSON string escaping, so matching
+    * DuckDB's per-language `sum(length(text))` over the ORIGINAL
+    * parquet proves content fidelity, not just row counts. */
+  def q171JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.sources.Scratch.dirOutliving(s, "q171_json")
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").json(out)
+    s.read.schema(docs.schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(length(col("text"))).cast("long").as("text_len"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("lang")
+  }
 }
