@@ -223,6 +223,22 @@ object SparkEntry {
     // the ORIGINAL tables, so the round-trips prove lossless.
     "q170_sink_roundtrip"  -> (Extensions.q170SinkRoundtrip _),
     "q171_json_roundtrip"  -> (Extensions.q171JsonRoundtrip _),
+    // q172: explicit GROUPING SETS — completes the ROLLUP/CUBE family
+    // with the arbitrary-subset form (two summaries, one scan).
+    "q172_grouping_sets"   ->
+      (graft.operators.OlapOps.groupingSetsQuery _),
+    // q173: MATCH_RECOGNIZE-lite — regex motif counting over
+    // session-bounded event-type strings (gap-rule sessionization).
+    "q173_session_pattern" ->
+      ((s, d) => graft.operators.Sessionize.sessionPatternQuery(s, d)),
+    // q174: bigram-LM fluency scoring — corpus-trained add-one
+    // transition model, every doc scored by mean P(w2|w1), exact e6.
+    "q174_bigram_lm"       ->
+      (graft.operators.CorpusStats.bigramLmQuery _),
+    // q175: the TSV scanner under oracle check — headered TSV write,
+    // SecIngest.readTsv+typed read-back with a reordered/re-cased
+    // declared schema, aggregate matched against the original table.
+    "q175_tsv_roundtrip"   -> (Extensions.q175TsvRoundtrip _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1204,6 +1220,20 @@ object SparkEntry {
          CAST(sum(length(text)) AS BIGINT) AS text_len,
          CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q172_grouping_sets" ->
+      graft.operators.OlapOps.groupingSetsOracleSql,
+    "q173_session_pattern" ->
+      graft.operators.Sessionize.sessionPatternOracleSql,
+    "q174_bigram_lm" ->
+      graft.operators.CorpusStats.bigramLmOracleSql,
+    // the oracle aggregates the ORIGINAL lineitem; the Spark side
+    // aggregates its TSV write → readTsv/typed round-trip.
+    "q175_tsv_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS qty_cents,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS price_cents
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -416,4 +416,81 @@ object CorpusStats {
        min(grid.counter) AS cms_est
      FROM tb JOIN grid ON grid.r = tb.r AND grid.bucket = tb.bucket
      GROUP BY 1, 2 ORDER BY exact_cnt DESC, term"""
+
+  /** q174: bigram language-model fluency scoring — the statistical
+    * quality signal the heuristic scorers (q29's length/punct ratios)
+    * can't see: train add-one-smoothed bigram transition probabilities
+    * P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) on the corpus itself, then
+    * score every document by its average transition probability.
+    * Gibberish and boilerplate-shuffled text scores low (improbable
+    * transitions); natural running text scores high — the same
+    * self-scoring idea behind perplexity-based corpus filtering
+    * (CCNet, Wenzek et al. 2020), with mean probability standing in
+    * for perplexity so every number stays an exact integer rational
+    * (e6) and the cross-engine hash check is exact: ln() has no such
+    * portability (libm last-ulp divergence), and mean-P ranks
+    * documents the same direction.
+    *
+    * Scale shape: bigrams come from one array-transform pass (no
+    * window, no self-join — `arrays_zip` of the two token-array
+    * slices); the model is two token-keyed aggregations whose output
+    * is vocabulary-sized (≪ corpus); scoring re-joins docs' bigram
+    * stream to the model on the bigram key, then one doc-keyed
+    * aggregation. Everything shuffles on token/bigram/doc keys —
+    * nothing quadratic. At 100 TB the model tables are the classic
+    * broadcast candidates (vocab² is bounded; AQE converts the join
+    * when the built side is small).
+    *
+    * Docs with <2 tokens have no transitions and no row (the oracle's
+    * inner join agrees). */
+  def bigramLmQuery(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(Tables.documents(spark, dir))
+
+  /** [[bigramLmQuery]]'s core over any (doc_id, text) frame. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("vsz"))
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_e6", expr("(c12 + 1) * 1000000 div (c1 + vsz)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("p_e6")).cast("long").as("sum_p_e6"))
+      .withColumn("avg_p_e6", expr("sum_p_e6 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bigramLmQuery]] — same tokenizer, same
+    * add-one model, same integer rationals. */
+  def bigramLmOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       bg0 AS (SELECT doc_id, t,
+           unnest(range(1, CAST(len(t) AS BIGINT))) AS i FROM tk),
+       bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bg0),
+       big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+       v AS (SELECT count(DISTINCT tok) AS vsz FROM
+               (SELECT unnest(t) AS tok FROM tk)),
+       sc AS (SELECT doc_id, (c12 + 1) * 1000000 // (c1 + vsz) AS p_e6
+              FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+              CROSS JOIN v)
+     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_e6) AS BIGINT) AS sum_p_e6,
+       CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6
+     FROM sc GROUP BY 1 ORDER BY doc_id"""
 }

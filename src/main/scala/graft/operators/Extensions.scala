@@ -675,4 +675,39 @@ object Extensions {
         sum(col("n_chars")).cast("long").as("chars"))
       .orderBy("lang")
   }
+
+  /** q175: the TSV SCANNER itself under oracle check (S3 headered TSV
+    * scan + S6/S8 by-name typed load, previously unit-only): lineitem
+    * measures written as headered TSV text, read back through the SAME
+    * `SecIngest.readTsv` → `typed` path every quarter ingest uses —
+    * with the declared schema's columns deliberately reordered and
+    * re-cased versus the file header, so the by-name case-insensitive
+    * mapping is load-bearing, not decorative. Doubles round-trip
+    * exactly (Spark's CSV writer emits the shortest representation
+    * that parses back to the same IEEE value), so matching DuckDB's
+    * decimal aggregate over the ORIGINAL parquet certifies text
+    * serialization, header mapping, and permissive casts end to end. */
+  def q175TsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.sources.Scratch.dirOutliving(s, "q175_tsv")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(out)
+    // Declared schema: different order and case than the written
+    // header — `typed` must match by lowercased name.
+    val declared = StructType(Seq(
+      StructField("L_RETURNFLAG", StringType),
+      StructField("L_EXTENDEDPRICE", DoubleType),
+      StructField("L_QUANTITY", DoubleType),
+      StructField("L_ORDERKEY", LongType)))
+    graft.sources.SecIngest.typed(
+        graft.sources.SecIngest.readTsv(s, out), declared)
+      .groupBy(col("L_RETURNFLAG").as("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("L_ORDERKEY")).cast("long").as("key_sum"),
+        OlapOps.decSumCents(col("L_QUANTITY")).as("qty_cents"),
+        OlapOps.decSumCents(col("L_EXTENDEDPRICE")).as("price_cents"))
+      .orderBy("l_returnflag")
+  }
 }

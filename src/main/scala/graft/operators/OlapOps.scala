@@ -188,6 +188,50 @@ object OlapOps {
         col("total_cents"))
       .orderBy("gid", "o_orderpriority", "o_orderstatus")
 
+  /** q172: explicit GROUPING SETS — the arbitrary-subset form that
+    * completes the q50 ROLLUP / q64 CUBE family. The two sets here,
+    * ((order_month), (o_orderstatus)), are exactly what neither
+    * hierarchy gives: two independent one-dimension summaries with NO
+    * cross product and NO grand total — the "one pass, several
+    * dashboards" shape. Plans as the same single Expand + one
+    * aggregation as rollup/cube: each input row replicates once per
+    * set map-side and partials combine before the one shuffle, so at
+    * 100 TB the second summary is free relative to running two
+    * groupBys (which would scan the fact table twice). The level tag
+    * is derived from which dimension is null (dialect-neutral, unlike
+    * grouping_id whose bit order is engine-defined). */
+  def groupingSetsQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupingSets(
+        Seq(Seq(col("order_month")), Seq(col("o_orderstatus"))),
+        col("order_month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumCents(col("o_totalprice")).as("total_cents"))
+      .select(
+        when(col("order_month").isNull, lit("by_status"))
+          .otherwise(lit("by_month")).as("level"),
+        coalesce(col("order_month"), lit("ALL")).as("order_month"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders").cast("long").as("n_orders"), col("total_cents"))
+      .orderBy("level", "order_month", "o_orderstatus")
+
+  /** DuckDB oracle for [[groupingSetsQuery]] — the same two grouping
+    * sets spelled in SQL; level tag from the null dimension. */
+  def groupingSetsOracleSql: String =
+    """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderstatus, o_totalprice FROM orders),
+       g AS (SELECT order_month, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_cents
+         FROM o GROUP BY GROUPING SETS ((order_month), (o_orderstatus)))
+     SELECT CASE WHEN order_month IS NULL THEN 'by_status'
+              ELSE 'by_month' END AS level,
+       coalesce(order_month, 'ALL') AS order_month,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       n_orders, total_cents
+     FROM g ORDER BY 1, 2, 3"""
+
   /** q51: pivot event counts into one column per event type. The
     * value list is EXPLICIT — with an inferred list Spark first runs a
     * distinct scan, and the output schema depends on the data; a

@@ -790,4 +790,73 @@ object Sessionize {
        CAST(coalesce(pur.n_purchases, 0) * 1000000 // ses.n_sessions
             AS BIGINT) AS conv_e6
      FROM ses LEFT JOIN pur USING (entry_type) ORDER BY entry_type"""
+
+  /** q173: MATCH_RECOGNIZE-lite sequence-pattern detection — each
+    * session's event types collapse to a one-char-per-event string
+    * (c/e/p/s/v: the initial letter is unique across the five types)
+    * and regular expressions count behavioral motifs over it:
+    * `conversions` = non-overlapping `v[^p]*p` matches (a view
+    * eventually followed by a purchase — the canonical intent→action
+    * motif), `click_runs` = maximal `cc+` runs (rage/bot-like
+    * repeated clicking). This is the row-pattern-matching surface SQL
+    * gets from MATCH_RECOGNIZE and Flink from CEP, rebuilt on the
+    * engine's own primitives: the gap-rule sessionization
+    * ([[withSessionSeq]] — the SAME definition q46/q164 use) bounds
+    * each string to one session, so state is O(session length), never
+    * O(user lifetime).
+    *
+    * Scale shape: ONE user_id shuffle drives the sessionization
+    * windows, then one (user, session) aggregation builds the
+    * strings; the regex runs post-aggregation on session-bounded
+    * strings — per-row work proportional to session size, no second
+    * shuffle (session keys are a refinement of the user partitioning,
+    * and AQE coalesces the map-side-combined aggregation). Both
+    * engines' regex semantics agree here: leftmost, non-overlapping,
+    * greedy — `[^p]*` cannot skip a `p`, and `cc+` is maximal, so
+    * matches are structurally unambiguous (proven in SessionizeSpec).
+    *
+    * Determinism: the per-session string is built by array_sort over
+    * (t, event_id, ch) structs — the total order the oracle's
+    * `string_agg(... ORDER BY t, event_id)` uses — never by
+    * collect_list's arrival order. */
+  def sessionPatternQuery(spark: SparkSession, dir: String,
+      gapMs: Long = 1800000L): DataFrame =
+    sessionPatterns(labeledSessions(spark, dir, gapMs))
+
+  /** [[sessionPatternQuery]]'s core over an already-sessionized frame
+    * with (user_id, session_seq, event_id, t, event_type) — separated
+    * so specs can drive hand-built sessions through the string-build
+    * and regex stages directly. */
+  def sessionPatterns(sessions: DataFrame): DataFrame =
+    sessions
+      .withColumn("ch", substring(col("event_type"), 1, 1))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("event_id"),
+            col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+      .select(col("user_id"), col("session_seq").cast("long"),
+        col("n_events").cast("long").as("n_events"), col("seq"),
+        size(regexp_extract_all(col("seq"), lit("(v[^p]*p)"), lit(1)))
+          .cast("long").as("conversions"),
+        size(regexp_extract_all(col("seq"), lit("(cc+)"), lit(1)))
+          .cast("long").as("click_runs"))
+      .orderBy("user_id", "session_seq")
+
+  /** DuckDB oracle for [[sessionPatternQuery]] — same session CTE as
+    * q164/q165, ordered string_agg, same regexes (group 1, as Spark's
+    * regexp_extract_all extracts a group, not the whole match). */
+  def sessionPatternOracleSql: String = attributionCte +
+    """, g AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY t, event_id)
+             AS seq
+         FROM q GROUP BY 1, 2)
+     SELECT user_id, session_seq, n_events, seq,
+       CAST(len(regexp_extract_all(seq, '(v[^p]*p)', 1)) AS BIGINT)
+         AS conversions,
+       CAST(len(regexp_extract_all(seq, '(cc+)', 1)) AS BIGINT)
+         AS click_runs
+     FROM g ORDER BY user_id, session_seq"""
 }
