@@ -239,6 +239,14 @@ object SparkEntry {
     // SecIngest.readTsv+typed read-back with a reordered/re-cased
     // declared schema, aggregate matched against the original table.
     "q175_tsv_roundtrip"   -> (Extensions.q175TsvRoundtrip _),
+    // q176/q177: the graph-topology family — degree-oriented triangle
+    // census with clustering coefficients, and bounded multi-source
+    // BFS reach from the heaviest-purchaser seeds. Same co-activity
+    // graph as q100/q162 (one edge definition across the family).
+    "q176_triangles"       ->
+      (graft.operators.GraphTopology.triangleQuery _),
+    "q177_bfs_reach"       ->
+      (graft.operators.GraphTopology.bfsQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1234,6 +1242,10 @@ object SparkEntry {
          CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS qty_cents,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS price_cents
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q176_triangles" ->
+      graft.operators.GraphTopology.triangleOracleSql,
+    "q177_bfs_reach" ->
+      graft.operators.GraphTopology.bfsOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -233,17 +233,11 @@ object GraphRank {
   /** DuckDB oracle for [[pprQuery]] — same cells/edges as q100, the
     * seeded base vector, and the same three unrolled damped
     * iterations. */
-  def pprOracleSql: String = {
-    val iter = (prev: String, out: String) =>
-      s"""$out AS (SELECT n.u,
-             coalesce(b.base, 0) + 85 * coalesce(i.m, 0) // 100 AS rank_e6
-           FROM nodes n
-           LEFT JOIN base b ON b.u = n.u
-           LEFT JOIN (SELECT dir.v AS u,
-                 sum($prev.rank_e6 // deg.deg) AS m
-               FROM dir JOIN $prev ON $prev.u = dir.u
-                 JOIN deg ON deg.u = dir.u
-               GROUP BY 1) i ON i.u = n.u)"""
+  /** ONE oracle spelling of the co-activity graph (cells → capped
+    * edges → directed edges → degrees; ends after `deg`, no trailing
+    * comma) — shared by q100/q162 and the [[GraphTopology]] oracles so
+    * the graph definition cannot drift between family members. */
+  private[operators] def edgesOracleCte: String =
     s"""WITH cells AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
            CAST(date_part('hour', ts) AS INT) AS h, event_type, user_id
          FROM events),
@@ -255,7 +249,20 @@ object GraphRank {
                ON a.d = b.d AND a.h = b.h AND a.event_type = b.event_type
                  AND a.user_id < b.user_id),
        dir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-       deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
+       deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1)"""
+
+  def pprOracleSql: String = {
+    val iter = (prev: String, out: String) =>
+      s"""$out AS (SELECT n.u,
+             coalesce(b.base, 0) + 85 * coalesce(i.m, 0) // 100 AS rank_e6
+           FROM nodes n
+           LEFT JOIN base b ON b.u = n.u
+           LEFT JOIN (SELECT dir.v AS u,
+                 sum($prev.rank_e6 // deg.deg) AS m
+               FROM dir JOIN $prev ON $prev.u = dir.u
+                 JOIN deg ON deg.u = dir.u
+               GROUP BY 1) i ON i.u = n.u)"""
+    s"""$edgesOracleCte,
        nodes AS (SELECT u FROM deg),
        seeds AS (SELECT DISTINCT user_id AS u FROM events
                  WHERE event_type = 'purchase'),
@@ -289,18 +296,7 @@ object GraphRank {
            FROM dir JOIN $prev ON $prev.u = dir.u
              JOIN deg ON deg.u = dir.u
            GROUP BY 1)"""
-    s"""WITH cells AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
-           CAST(date_part('hour', ts) AS INT) AS h, event_type, user_id
-         FROM events),
-       kept AS (SELECT d, h, event_type FROM cells
-                GROUP BY 1, 2, 3 HAVING count(*) <= $MaxGroup),
-       m AS (SELECT cells.* FROM cells JOIN kept USING (d, h, event_type)),
-       e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
-             FROM m a JOIN m b
-               ON a.d = b.d AND a.h = b.h AND a.event_type = b.event_type
-                 AND a.user_id < b.user_id),
-       dir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-       deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
+    s"""$edgesOracleCte,
        r0 AS (SELECT u, $RankScale AS rank_e6 FROM deg),
        ${iter("r0", "r1")},
        ${iter("r1", "r2")},

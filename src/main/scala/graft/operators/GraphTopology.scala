@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Structural graph analytics over the co-activity graph — the
+  * topology family next to [[GraphRank]]'s spectral one (ranks) and
+  * [[DupClusters]]' connectivity one (components): triangle counting
+  * with local clustering coefficients, and bounded multi-source BFS
+  * reach from a seed set. Both reuse [[GraphRank.edgesFromCells]] (one
+  * definition of the graph across the whole family) and keep every
+  * number an exact integer so the DuckDB oracle hash-checks
+  * bit-for-bit.
+  */
+object GraphTopology {
+
+  /** Triangle census: per node its degree, triangle count, and local
+    * clustering coefficient 2T/(d(d-1)) as an e6 integer rational —
+    * the community-density signal (bot rings and bought followers have
+    * degree without closure; organic neighborhoods close).
+    *
+    * Scale shape: DEGREE-ORIENTED wedge counting (the MPC-standard
+    * trick, Suri & Vassilvitskii 2011 "Counting Triangles and the
+    * Curse of the Last Reducer"): each undirected edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger, wedges are
+    * enumerated only between a node's OUT-neighbors, and a wedge
+    * closes iff its (a, b) pair is an edge. Out-degree under this
+    * orientation is O(√|E|) even at a power-law hub — the skew-killer;
+    * naive neighbor-pair enumeration at a degree-10⁶ hub would emit
+    * 10¹² wedges from one key. Every triangle is counted exactly once,
+    * at its orientation-minimal apex (the oracle counts them the naive
+    * ordered way, a < b < c — same census, spelled for SQL). The
+    * closing-edge join keys on the id-ordered pair, which is exactly
+    * the form the undirected edge list already has. */
+  def triangleQuery(spark: SparkSession, dir: String): DataFrame =
+    triangles(GraphRank.coActivityEdges(Tables.events(spark, dir)))
+
+  /** [[triangleQuery]]'s core over any undirected distinct (u, v)
+    * edge frame with u < v. */
+  def triangles(edges: DataFrame): DataFrame = {
+    // edges feed degrees, orientation, and the closing join — three
+    // plan branches over the capped self-join subtree: materialize
+    // once (the measured pattern from the rank family).
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val dirE = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = dirE.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val keyed = e
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+    val o = keyed.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+        .as("oe"))
+      .select(col("oe.src").as("src"), col("oe.dst").as("dst"))
+    // wedges between out-neighbors, pair id-ordered so the closing
+    // edge lookup hits e's u < v form directly
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("s"), col("e1.dst").as("a"),
+        col("e2.dst").as("b"))
+    val tri = wedges.join(e,
+      wedges("a") === e("u") && wedges("b") === e("v"))
+    val corners = tri
+      .select(explode(array(col("s"), col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("u"), "left")
+      .select(col("u").as("user_id"),
+        col("deg").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          expr("coalesce(n_tri, 0) * 2 * 1000000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).cast("long").as("clustering_e6"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[triangleQuery]] — same graph CTE, triangles
+    * enumerated the naive ordered way (a < b < c: each once). */
+  def triangleOracleSql: String =
+    s"""${GraphRank.edgesOracleCte},
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM e e1 JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       corners AS (SELECT a AS u FROM t UNION ALL
+                   SELECT b FROM t UNION ALL SELECT c FROM t),
+       tc AS (SELECT u, count(*) AS n_tri FROM corners GROUP BY 1)
+     SELECT deg.u AS user_id, CAST(deg.deg AS BIGINT) AS degree,
+       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.deg >= 2 THEN coalesce(tc.n_tri, 0) * 2
+              * 1000000 // (deg.deg * (deg.deg - 1))
+            ELSE 0 END AS BIGINT) AS clustering_e6
+     FROM deg LEFT JOIN tc ON tc.u = deg.u
+     ORDER BY user_id"""
+
+  /** How many BFS rounds q177 unrolls (and its oracle replays). */
+  val Hops = 3
+
+  /** Multi-source BFS depth: hop distance from the heaviest-purchaser
+    * seed set, bounded at [[Hops]] — "how far does the graph sit from
+    * its commercial core", the reach/influence-radius primitive
+    * (seeded curation asks the same question of known-good documents).
+    * Unreached nodes are reported with depth -1 rather than dropped,
+    * so the output is a total function over the graph's nodes.
+    *
+    * Scale shape: per round ONE keyed join of the frontier against
+    * the directed edge list + a distinct + an anti-join against the
+    * settled set — O(|E|) per round like a Pregel superstep, frontier
+    * and settled tables are node-sized (≪ corpus), and each round's
+    * output is localCheckpointed (the next round reads it twice:
+    * expansion and anti-join). Seeds derive from the SAME cells frame
+    * as the edges — the fact table is scanned once. */
+  def bfsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = GraphRank.activityCells(Tables.events(spark, dir))
+      .localCheckpoint()
+    // seeds: top-3 users by distinct purchase cells (ties to low id)
+    val seeds = cells.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("nc"))
+      .orderBy(col("nc").desc, col("user_id").asc).limit(3)
+      .select(col("user_id").as("u"))
+    bfsDepth(GraphRank.edgesFromCells(cells), seeds, Hops)
+  }
+
+  /** [[bfsQuery]]'s core: hop distance (0 = seed) from `seeds` over
+    * undirected (u, v) edges, -1 where unreached within `hops`. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val dirE = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val nodes = dirE.select(col("u")).distinct()
+    // seeds outside the graph still report depth 0 (they ARE at
+    // distance zero from themselves; the oracle agrees)
+    var settled = seeds.select(col("u"), lit(0).as("depth"))
+      .localCheckpoint()
+    var frontier = settled
+    for (k <- 1 to hops) {
+      val next = dirE
+        .join(frontier.select(col("u")), Seq("u"))
+        .select(col("v").as("u")).distinct()
+        .join(settled.select(col("u")), Seq("u"), "left_anti")
+        .select(col("u"), lit(k).as("depth"))
+        .localCheckpoint()
+      settled = settled.unionAll(next)
+      frontier = next
+    }
+    nodes.unionAll(seeds.select(col("u"))).distinct()
+      .join(settled, Seq("u"), "left")
+      .select(col("u").as("user_id"),
+        coalesce(col("depth"), lit(-1)).cast("long").as("depth"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[bfsQuery]] — same graph CTE, seeds from
+    * purchase-cell counts, [[Hops]] unrolled expansion rounds. */
+  def bfsOracleSql: String = {
+    val rounds = (1 to Hops).map { k =>
+      s"""d$k AS (SELECT DISTINCT dir.v AS u FROM dir
+             JOIN d${k - 1} ON dir.u = d${k - 1}.u
+           WHERE dir.v NOT IN (SELECT u FROM s${k - 1})),
+         s$k AS (SELECT u FROM s${k - 1} UNION SELECT u FROM d$k)"""
+    }.mkString(",\n       ")
+    val depthCase = (1 to Hops).map(k =>
+      s"WHEN n.u IN (SELECT u FROM d$k) THEN $k").mkString("\n         ")
+    s"""${GraphRank.edgesOracleCte},
+       seeds AS (SELECT user_id AS u FROM cells
+                 WHERE event_type = 'purchase'
+                 GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 3),
+       d0 AS (SELECT u FROM seeds),
+       s0 AS (SELECT u FROM seeds),
+       $rounds,
+       n AS (SELECT u FROM deg UNION SELECT u FROM seeds)
+     SELECT n.u AS user_id,
+       CAST(CASE WHEN n.u IN (SELECT u FROM d0) THEN 0
+         $depthCase
+         ELSE -1 END AS BIGINT) AS depth
+     FROM n ORDER BY user_id"""
+  }
+}

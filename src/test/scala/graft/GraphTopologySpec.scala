@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.GraphTopology
+
+/** Triangle census and bounded BFS on hand-built graphs, plus the
+  * plan shapes that keep them Pregel-priced at scale. */
+class GraphTopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("u", "v")
+
+  test("triangles: one closed wedge plus a pendant — exact census") {
+    // 1-2, 1-3, 2-3 close a triangle; 3-4 is a pendant
+    val out = GraphTopology.triangles(edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L))).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toList
+    assert(out == List(
+      (1L, 2L, 1L, 1000000L),  // 2*1/(2*1)
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),   // 2*1/(3*2)
+      (4L, 1L, 0L, 0L)))       // degree 1: coefficient undefined -> 0
+  }
+
+  test("triangles: K4 — every node in 3 triangles, clustering 1.0") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val out = GraphTopology.triangles(k4).collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getLong(1) == 3 && r.getLong(2) == 3 &&
+      r.getLong(3) == 1000000L))
+  }
+
+  test("triangles: a star hub has wedges but zero closures") {
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    val out = GraphTopology.triangles(star).collect()
+    assert(out.forall(_.getLong(2) == 0L))
+  }
+
+  test("bfs: path graph depths, horizon cutoff, unreachable component") {
+    // 1-2-3-4-5 path + disconnected 6-7; seed {1}, 3 hops
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val out = GraphTopology.bfsDepth(g, Seq(1L).toDF("u"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, 6L -> -1L, 7L -> -1L))
+  }
+
+  test("bfs: a seed outside the edge set still reports depth 0") {
+    val g = edges((1L, 2L))
+    val out = GraphTopology.bfsDepth(g, Seq(99L).toDF("u"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> -1L, 2L -> -1L, 99L -> 0L))
+  }
+
+  test("bfs: multi-source takes the minimum hop distance") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val out = GraphTopology.bfsDepth(g, Seq(1L, 4L).toDF("u"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("q176/q177 full plans: equi-joins only, nothing cartesian") {
+    for (df <- Seq(GraphTopology.triangleQuery(spark, sf0001),
+        GraphTopology.bfsQuery(spark, sf0001))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p.take(1000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    }
+  }
+}
