@@ -40,7 +40,11 @@ object ScalingCurve {
     ("q100_pagerank",       "integer PageRank (materialized adjacency)", "events"),
     ("q116_ri_summary",     "referential-integrity sweep (all FK edges)", "lineitem"),
     ("q47_tfidf",           "TF-IDF (tokenize once, broadcast scalar)", "documents"),
-    ("q152_hll_registers",  "HLL registers (map-side combined)",  "events"))
+    ("q152_hll_registers",  "HLL registers (map-side combined)",  "events"),
+    ("q173_session_pattern", "sequence-pattern regex over sessions", "events"),
+    ("q174_bigram_lm",      "bigram-LM scoring (vocab-sized model)", "documents"),
+    ("q176_triangles",      "triangle census (degree-oriented wedges)", "events"),
+    ("q177_bfs_reach",      "bounded multi-source BFS",           "events"))
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)

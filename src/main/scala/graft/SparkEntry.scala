@@ -247,6 +247,10 @@ object SparkEntry {
       (graft.operators.GraphTopology.triangleQuery _),
     "q177_bfs_reach"       ->
       (graft.operators.GraphTopology.bfsQuery _),
+    // q178: schema evolution under oracle check — two write epochs
+    // (one pre-dating the lang/source columns), one mergeSchema scan,
+    // nulls folded to a sentinel and matched against the original.
+    "q178_evolution"       -> (Extensions.q178EvolutionRoundtrip _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1246,6 +1250,16 @@ object SparkEntry {
       graft.operators.GraphTopology.triangleOracleSql,
     "q177_bfs_reach" ->
       graft.operators.GraphTopology.bfsOracleSql,
+    // the oracle replays the epoch rule over the ORIGINAL documents;
+    // equality proves the mergeSchema union nulls exactly epoch 1
+    "q178_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'pre_schema' ELSE lang END
+           AS lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+           AS with_source
+         FROM documents GROUP BY 1 ORDER BY 1""",
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

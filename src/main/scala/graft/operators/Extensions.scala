@@ -710,4 +710,34 @@ object Extensions {
         OlapOps.decSumCents(col("L_EXTENDEDPRICE")).as("price_cents"))
       .orderBy("l_returnflag")
   }
+
+  /** q178: SCHEMA EVOLUTION under oracle check — the ingestion
+    * reality every long-lived 100 TB table faces: files written
+    * before a column existed sit next to files written after.
+    * Documents are split into two epochs (even doc_ids written
+    * WITHOUT lang/source — the "old producer" files — odd ids with
+    * the full schema), read back through one `mergeSchema` scan that
+    * unions the file schemas and null-fills the late columns, then
+    * aggregated with the nulls folded to a sentinel. Matching DuckDB
+    * over the ORIGINAL table (replaying the epoch rule) certifies
+    * that evolution loses no rows, no values, and nulls exactly the
+    * pre-schema epoch. `with_source` counts non-null source rows —
+    * the column that must be null for epoch-1 rows and populated for
+    * epoch-2. */
+  def q178EvolutionRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.sources.Scratch.dirOutliving(s, "q178_evo")
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/epoch1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/epoch2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/epoch1", s"$out/epoch2")
+      .groupBy(coalesce(col("lang"), lit("pre_schema")).as("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        count(col("source")).cast("long").as("with_source"))
+      .orderBy("lang")
+  }
 }

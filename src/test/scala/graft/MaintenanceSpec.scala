@@ -308,4 +308,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows(0).isNullAt(rows(0).fieldIndex("v2"))) // early file null-fills
     assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
   }
+
+  test("q178 evolution round-trip loses no rows and nulls exactly epoch 1") {
+    val out = graft.operators.Extensions
+      .q178EvolutionRoundtrip(spark, sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // total mass preserved across the two epochs
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    // the sentinel bucket is exactly the even-id (pre-schema) half,
+    // and none of its rows carried a source value through the merge
+    val pre = out.find(_.getString(0) == "pre_schema").get
+    assert(pre.getLong(1) ==
+      docs.filter($"doc_id" % 2 === 0).count())
+    assert(pre.getLong(3) == 0L)
+    // every real-lang bucket counts only epoch-2 rows, all with source
+    assert(out.filter(_.getString(0) != "pre_schema")
+      .forall(r => r.getLong(3) == r.getLong(1)))
+    graft.sources.Scratch.sweep(spark)
+  }
 }

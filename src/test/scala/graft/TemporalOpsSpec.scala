@@ -52,6 +52,32 @@ class TemporalOpsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("native session_window agrees with the manual gap rule (half-open caveat)") {
+    // Spark's session_window(ts, gap) closes when the NEXT event's
+    // start >= previous start + gap (half-open [t, t+gap)); the manual
+    // rule opens a session when diff > gapMs. They coincide for
+    // gapMs = gap - 1: diff >= gap  <=>  diff > gap - 1. This pins the
+    // off-by-one so a future "simplify to the builtin" refactor can't
+    // silently shift exact-gap boundaries.
+    import org.apache.spark.sql.functions.{col, count, session_window, timestamp_millis, lit}
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_millis(col("ts")).as("t"))
+    val gap = 1800000L
+    val native = ev
+      .withColumn("ts", timestamp_millis(col("t")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val manual = Sessionize.sessionsFromMs(ev, gap - 1)
+      .select(col("user_id"), col("n_events").as("n"))
+    // same multiset of (user, session-size) pairs
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("user_id", "n").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(native) == key(manual))
+  }
+
   test("skew report's top key matches a direct count, exact rationals") {
     val out = JoinStrategies.skewReportQuery(spark, sf0001).collect()
     assert(out.length == 5)
