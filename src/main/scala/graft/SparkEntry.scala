@@ -251,6 +251,11 @@ object SparkEntry {
     // (one pre-dating the lang/source columns), one mergeSchema scan,
     // nulls folded to a sentinel and matched against the original.
     "q178_evolution"       -> (Extensions.q178EvolutionRoundtrip _),
+    // q179: model-eval metrics — confusion-derived per-class
+    // precision/recall/F1 over a deterministic argmax stand-in
+    // classifier (the metric arithmetic is what's certified).
+    "q179_classifier_eval" ->
+      (graft.operators.ModelEval.classifierEvalQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1260,6 +1265,8 @@ object SparkEntry {
          CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
            AS with_source
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q179_classifier_eval" ->
+      graft.operators.ModelEval.classifierEvalOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

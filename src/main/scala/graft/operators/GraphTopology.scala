@@ -126,7 +126,9 @@ object GraphTopology {
   /** [[bfsQuery]]'s core: hop distance (0 = seed) from `seeds` over
     * undirected (u, v) edges, -1 where unreached within `hops`. */
   def bfsDepth(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    // only dirE is materialized: e has a single consumer (the union),
+    // so checkpointing it would buy nothing and cost a write
+    val e = edges.select(col("u"), col("v"))
     val dirE = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     val nodes = dirE.select(col("u")).distinct()
