@@ -103,6 +103,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle census equals a brute-force closure count on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(3, 16)
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield es.distinct
+    forAll(edgeGen, trials = 8) { es =>
+      if (es.nonEmpty) {
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keys.toSeq.sorted
+        // brute force: for each node, closed neighbor pairs
+        val refTri = nodes.map { v =>
+          val nb = adj(v).toSeq
+          v -> nb.combinations(2).count(p => adj(p(0)).contains(p(1)))
+        }.toMap
+        val spark2 = spark
+        import spark2.implicits._
+        val got = graft.operators.GraphTopology
+          .triangles(es.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        nodes.foreach { v =>
+          assert(got(v)._1 == adj(v).size, s"degree of $v")
+          assert(got(v)._2 == refTri(v).toLong,
+            s"triangles at $v: got ${got(v)._2}, want ${refTri(v)} (edges $es)")
+        }
+      }
+    }
+  }
+
+  test("bfs depths equal a queue-based reference on random graphs") {
+    val genCase = for {
+      n <- Gen.choose(3, 16)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+      nSeeds <- Gen.choose(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.choose(0, n - 1))
+      hops <- Gen.choose(1, 4)
+    } yield (es.distinct, seeds.map(_.toLong).distinct, hops)
+    forAll(genCase, trials = 8) { case (es, seeds, hops) =>
+      if (es.nonEmpty) {
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          .withDefaultValue(Seq.empty)
+        // reference: standard frontier BFS to the hop bound
+        val ref = collection.mutable.Map(seeds.map(_ -> 0L): _*)
+        var frontier = seeds
+        for (k <- 1 to hops) {
+          frontier = frontier.flatMap(adj).distinct
+            .filterNot(ref.contains)
+          frontier.foreach(v => ref(v) = k.toLong)
+        }
+        val spark2 = spark
+        import spark2.implicits._
+        val got = graft.operators.GraphTopology
+          .bfsDepth(es.toDF("u", "v"), seeds.toDF("u"), hops)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet ++ seeds
+        nodes.foreach { v =>
+          assert(got(v) == ref.getOrElse(v, -1L),
+            s"depth of $v: got ${got(v)}, want ${ref.getOrElse(v, -1L)}")
+        }
+      }
+    }
+  }
+
   test("concurrency two-phase prefix sum equals a global sweep on random events") {
     val evGen = for {
       nUsers <- Gen.choose(1, 6)
