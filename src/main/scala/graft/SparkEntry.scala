@@ -256,6 +256,10 @@ object SparkEntry {
     // classifier (the metric arithmetic is what's certified).
     "q179_classifier_eval" ->
       (graft.operators.ModelEval.classifierEvalQuery _),
+    // q180: the ZIP extraction scanner under oracle check — TSV parts
+    // packaged as quarter-style archives, read back through the
+    // distributed readZipTsv+typed ingest path.
+    "q180_zip_roundtrip"   -> (Extensions.q180ZipRoundtrip _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1267,6 +1271,14 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q179_classifier_eval" ->
       graft.operators.ModelEval.classifierEvalOracleSql,
+    // same oracle as q175: both round-trips must reproduce the same
+    // aggregate of the ORIGINAL lineitem through different scanners
+    "q180_zip_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS qty_cents,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS price_cents
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

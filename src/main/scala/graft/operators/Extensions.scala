@@ -740,4 +740,60 @@ object Extensions {
         count(col("source")).cast("long").as("with_source"))
       .orderBy("lang")
   }
+
+  /** q180: the ZIP EXTRACTION scanner under oracle check (S2,
+    * previously unit-only) — completing the source-format round-trip
+    * family (parquet q170, JSON q171, TSV q175, schema evolution
+    * q178): lineitem measures written as headered TSV parts, each
+    * part packaged as the `num.txt` entry of its own archive (the
+    * reference's quarter-ZIP layout, zip_ext_and_parq_store.py), read
+    * back through the SAME distributed `ZipIngest.readZipTsv` →
+    * `SecIngest.typed` path the quarter ingest uses, and aggregated
+    * against DuckDB over the ORIGINAL table. The zip packaging is
+    * fixture plumbing (archives arrive from outside at scale — the
+    * read path is the operator): each part file is STREAMED through a
+    * ZipOutputStream on the driver, bounded by one IO buffer, never a
+    * table in memory. */
+  def q180ZipRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    val out = graft.sources.Scratch.dirOutliving(s, "q180_zip")
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag")
+    Tables.lineitem(s, d).select(cols.map(col): _*)
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(s"$out/tsv")
+    val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(s"$out/tsv"))
+      .filter(_.getPath.getName.startsWith("part-"))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val zip = new java.util.zip.ZipOutputStream(
+        fs.create(new Path(f"$out/zips/q$i%04d.zip"), true))
+      try {
+        zip.putNextEntry(new java.util.zip.ZipEntry("num.txt"))
+        val in = fs.open(p.getPath)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+            .foreach(zip.write(buf, 0, _))
+        } finally in.close()
+        zip.closeEntry()
+      } finally zip.close()
+    }
+    val declared = StructType(cols.map {
+      case "l_orderkey"   => StructField("l_orderkey", LongType)
+      case "l_returnflag" => StructField("l_returnflag", StringType)
+      case c              => StructField(c, DoubleType)
+    })
+    graft.sources.SecIngest.typed(
+        graft.sources.ZipIngest.readZipTsv(s, s"$out/zips/*.zip",
+          "num.txt", cols),
+        declared)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_orderkey")).cast("long").as("key_sum"),
+        OlapOps.decSumCents(col("l_quantity")).as("qty_cents"),
+        OlapOps.decSumCents(col("l_extendedprice")).as("price_cents"))
+      .orderBy("l_returnflag")
+  }
 }

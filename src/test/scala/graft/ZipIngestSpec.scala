@@ -88,4 +88,21 @@ class ZipIngestSpec extends SparkSpec {
     assert(tag.length == 1)
     assert(tag.head.getAs[String]("doc") == "Revenue doc")
   }
+
+  test("q180 zip round-trip aggregate equals the direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val rt = graft.operators.Extensions
+      .q180ZipRoundtrip(spark, sf0001).collect()
+    val direct = graft.sources.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_orderkey")).cast("long").as("key_sum"),
+        (round(sum(col("l_quantity").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("qty_cents"),
+        (round(sum(col("l_extendedprice").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("price_cents"))
+      .orderBy("l_returnflag").collect()
+    assert(rt.toSeq == direct.toSeq)
+    graft.sources.Scratch.sweep(spark)
+  }
 }
