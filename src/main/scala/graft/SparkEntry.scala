@@ -260,6 +260,12 @@ object SparkEntry {
     // packaged as quarter-style archives, read back through the
     // distributed readZipTsv+typed ingest path.
     "q180_zip_roundtrip"   -> (Extensions.q180ZipRoundtrip _),
+    // q181: KMV bottom-k audience sketches + sketch-only union/Jaccard
+    // set algebra, exact baselines alongside (custom bounded-buffer
+    // TypedImperativeAggregate; the set-algebra sketch beside
+    // CMS/HLL/AGMS).
+    "q181_kmv_jaccard"     -> ((s, d) =>
+      graft.operators.DistinctSketch.kmvJaccardQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -370,6 +376,9 @@ object SparkEntry {
           portable = false)),
       "q154_join_size" -> ((s, d) =>
         graft.operators.JoinStrategies.selfJoinSizeQuery(s, d,
+          portable = false)),
+      "q181_kmv_jaccard" -> ((s, d) =>
+        graft.operators.DistinctSketch.kmvJaccardQuery(s, d,
           portable = false)),
     )
 
@@ -1279,6 +1288,8 @@ object SparkEntry {
          CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS qty_cents,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS price_cents
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q181_kmv_jaccard" ->
+      graft.operators.DistinctSketch.kmvJaccardOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -199,6 +199,137 @@ object DistinctSketch {
        FROM win, wex)
      ORDER BY d, register"""
 
+  /** KMV sketch size for [[kmvJaccardQuery]]: large enough that the
+    * bottom-k Jaccard estimate is meaningful on the test corpus,
+    * small enough to read; production audience sketches would use
+    * k = 1024..4096 — nothing below depends on the value. */
+  val KmvK = 64
+
+  /** q181: KMV (bottom-k) audience-overlap sketches — the set-algebra
+    * member of the sketch family. Per event type, the k smallest
+    * distinct [[graft.functions.TextFunctions.hash60]] values of
+    * `user_id` ([[graft.functions.KmvSketchAgg]]: bounded buffer,
+    * map-side combined, mergeable); then for every type pair the
+    * union's bottom-k is derived FROM THE TWO SKETCHES ALONE
+    * (array_union + sort + slice — never the raw rows) and
+    * `inter_k / k_used`, the fraction of it present in both sketches,
+    * is the bottom-k Jaccard estimate (Beyer et al., SIGMOD'07).
+    * Exact intersection/union cardinalities ride along as the
+    * verification baseline, so the hash match certifies BOTH sketch
+    * construction (n/kth per type) and sketch-only set algebra
+    * (k_used/inter_k per pair) against an oracle that re-derives
+    * them relationally.
+    *
+    * Scale shape: one hashed scan feeds the sketch build (ObjectHash
+    * aggregate, partial-combined — the shuffle carries ≤ k longs per
+    * type per map partition, never distinct keys); the pair frame is
+    * #types² sketch rows (metadata-scale, broadcast nested-loop by
+    * construction); the exact baselines are the only user-keyed
+    * shuffles and exist solely to be checked against.
+    */
+  def kmvJaccardQuery(spark: SparkSession, dir: String,
+                      portable: Boolean = true): DataFrame = {
+    graft.functions.SketchFunctions.register(spark)
+    val k = KmvK
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    val hashed = ev.select(col("event_type"),
+      graft.functions.TextFunctions
+        .hash60(col("user_id").cast("string"), portable).as("h"))
+    val sk = hashed.groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.kmvSketch(col("h"), k).as("kmv"))
+      .localCheckpoint() // reused by both pair sides + per-type stats
+    val pairs = sk.select(col("event_type").as("t1"), col("kmv").as("kmv1"))
+      .join(sk.select(col("event_type").as("t2"), col("kmv").as("kmv2")),
+        col("t1") < col("t2"))
+    val unionK = slice(array_sort(array_union(col("kmv1"), col("kmv2"))),
+      1, k)
+    val sketchPairs = pairs.select(col("t1"), col("t2"),
+      size(col("kmv1")).cast("long").as("n1"),
+      size(col("kmv2")).cast("long").as("n2"),
+      element_at(col("kmv1"), size(col("kmv1"))).as("kth1"),
+      element_at(col("kmv2"), size(col("kmv2"))).as("kth2"),
+      size(unionK).cast("long").as("k_used"),
+      size(array_intersect(array_intersect(unionK, col("kmv1")),
+        col("kmv2"))).cast("long").as("inter_k"))
+    // exact baselines: distinct (type,user) once, then counts + a
+    // user-keyed self-join for pairwise intersections
+    val d = ev.distinct().localCheckpoint()
+    val cnt = d.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val xin = d.select(col("event_type").as("t1"), col("user_id"))
+      .join(d.select(col("event_type").as("t2"), col("user_id")), "user_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("exact_inter"))
+    sketchPairs
+      .join(broadcast(cnt.select(col("event_type").as("t1"),
+        col("c").as("c1"))), Seq("t1"))
+      .join(broadcast(cnt.select(col("event_type").as("t2"),
+        col("c").as("c2"))), Seq("t2"))
+      .join(broadcast(xin), Seq("t1", "t2"), "left")
+      .select(col("t1"), col("t2"), col("n1"), col("n2"),
+        col("kth1"), col("kth2"), col("k_used"), col("inter_k"),
+        coalesce(col("exact_inter"), lit(0L)).cast("long")
+          .as("exact_inter"),
+        (col("c1") + col("c2") -
+          coalesce(col("exact_inter"), lit(0L))).cast("long")
+          .as("exact_union"))
+      .orderBy("t1", "t2")
+  }
+
+  /** DuckDB oracle for [[kmvJaccardQuery]] — re-derives the bottom-k
+    * sets relationally (rank over distinct hashed keys) and the
+    * union's bottom-k from the two per-type rankings, so a Spark-side
+    * buffer bug (lost dedup, broken merge, off-by-one at the cap)
+    * cannot hash-match. */
+  def kmvJaccardOracleSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+         FROM events),
+       sk AS (SELECT event_type, h FROM (
+           SELECT event_type, h, row_number() OVER
+             (PARTITION BY event_type ORDER BY h) AS rn FROM h)
+         WHERE rn <= $KmvK),
+       agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(h) AS BIGINT) AS kth FROM sk GROUP BY 1),
+       prs AS (SELECT a.event_type AS t1, b.event_type AS t2
+         FROM agg a JOIN agg b ON a.event_type < b.event_type),
+       u AS (SELECT p.t1, p.t2, s.h FROM prs p JOIN sk s
+           ON s.event_type = p.t1 OR s.event_type = p.t2
+         GROUP BY 1, 2, 3),
+       uk AS (SELECT t1, t2, h FROM (
+           SELECT t1, t2, h, row_number() OVER
+             (PARTITION BY t1, t2 ORDER BY h) AS rn FROM u)
+         WHERE rn <= $KmvK),
+       ik AS (SELECT uk.t1, uk.t2, CAST(count(*) AS BIGINT) AS k_used,
+           CAST(count(*) FILTER (WHERE s1.h IS NOT NULL
+             AND s2.h IS NOT NULL) AS BIGINT) AS inter_k
+         FROM uk
+         LEFT JOIN sk s1 ON s1.event_type = uk.t1 AND s1.h = uk.h
+         LEFT JOIN sk s2 ON s2.event_type = uk.t2 AND s2.h = uk.h
+         GROUP BY 1, 2),
+       dx AS (SELECT DISTINCT event_type, user_id FROM events),
+       cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+         FROM dx GROUP BY 1),
+       xin AS (SELECT a.event_type AS t1, b.event_type AS t2,
+           CAST(count(*) AS BIGINT) AS exact_inter
+         FROM dx a JOIN dx b ON a.user_id = b.user_id
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+     SELECT p.t1, p.t2, ga.n AS n1, gb.n AS n2,
+       ga.kth AS kth1, gb.kth AS kth2, ik.k_used, ik.inter_k,
+       CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(ca.c + cb.c - COALESCE(x.exact_inter, 0) AS BIGINT)
+         AS exact_union
+     FROM prs p
+     JOIN agg ga ON ga.event_type = p.t1
+     JOIN agg gb ON gb.event_type = p.t2
+     JOIN ik ON ik.t1 = p.t1 AND ik.t2 = p.t2
+     JOIN cnt ca ON ca.event_type = p.t1
+     JOIN cnt cb ON cb.event_type = p.t2
+     LEFT JOIN xin x ON x.t1 = p.t1 AND x.t2 = p.t2
+     ORDER BY p.t1, p.t2"""
+
   /** The classic HLL estimate computed FROM a register map — driver
     * side, for specs and register-table consumers (the registers are
     * the persisted artifact; the estimate is derived on read).
