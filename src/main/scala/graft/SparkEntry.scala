@@ -266,6 +266,24 @@ object SparkEntry {
     // CMS/HLL/AGMS).
     "q181_kmv_jaccard"     -> ((s, d) =>
       graft.operators.DistinctSketch.kmvJaccardQuery(s, d)),
+    // q182: quantile sketch — mergeable hash-sample quantile estimates
+    // self-adjudicated against exact ranks (the quantile member of the
+    // sketch family; q150's report shape applied to rank error).
+    "q182_quantile_sketch" ->
+      (graft.operators.QuantileSketch.quantileSketchQuery _),
+    // q183: leakage-safe split — q44's content-hash split lifted to
+    // dup-CLUSTER granularity: near-dup families are atomically
+    // train/val/test (decontamination-by-construction).
+    "q183_leakage_split"   -> ((s, d) => {
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.operators.PrepPipeline.leakageSafeSplit(
+        docs, Extensions.dupPairs(docs))
+    }),
+    // q184/q185: ranking metrics from ONE score histogram — tie-
+    // corrected Mann-Whitney AUC (integral 2U arithmetic) and the
+    // per-threshold ROC curve.
+    "q184_auc"             -> (graft.operators.ModelEval.aucQuery _),
+    "q185_roc_curve"       -> (graft.operators.ModelEval.rocCurveQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1290,6 +1308,22 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q181_kmv_jaccard" ->
       graft.operators.DistinctSketch.kmvJaccardOracleSql,
+    "q182_quantile_sketch" ->
+      graft.operators.QuantileSketch.quantileSketchOracleSql(),
+    // q183: same cluster CTE as q45/q161, split by the portable hash
+    // of the CLUSTER id — the oracle proves both the clustering and
+    // the atomic per-cluster assignment.
+    "q183_leakage_split" -> (dupClusterCte +
+      """ SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+         FROM lab ORDER BY doc_id"""),
+    "q184_auc" ->
+      graft.operators.ModelEval.aucOracleSql,
+    "q185_roc_curve" ->
+      graft.operators.ModelEval.rocCurveOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

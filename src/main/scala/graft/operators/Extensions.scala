@@ -621,7 +621,7 @@ object Extensions {
   /** The q45/q161 clustering input — ONE definition of the pair
     * generation parameters, mirroring the shared oracle CTE prefix,
     * so the two cluster reports cannot drift on the clustering. */
-  private def dupPairs(docs: DataFrame): DataFrame =
+  private[graft] def dupPairs(docs: DataFrame): DataFrame =
     Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.6,
       maxDocFreq = 50).select("d1", "d2")
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -104,4 +105,133 @@ object ModelEval {
          THEN 2 * precision_e6 * recall_e6 // (precision_e6 + recall_e6)
          ELSE 0 END AS BIGINT) AS f1_e6
      FROM m ORDER BY label"""
+
+  /** Stand-in binary scorer for the ranking metrics: outcome =
+    * (label >= 5), score = the first embedding dimension quantized to
+    * an integer by round(double(x) · 1024) — float→double is exact
+    * and 1024 a power of two, so both engines round identical doubles
+    * (the q56 quantization rule). The score is intentionally a WEAK
+    * predictor (the embedding dims don't encode the label strongly),
+    * which is what makes the AUC/ROC output informative: a
+    * degenerate always-1.0 metric would certify nothing about the
+    * tie and midrank arithmetic. */
+  private def scored(emb: DataFrame): DataFrame =
+    emb.select(
+      when(col("label").cast("long") >= 5, 1L).otherwise(0L).as("pos"),
+      round(element_at(col("embedding"), 1).cast("double") * 1024, 0)
+        .cast("long").as("score"))
+
+  /** Per-distinct-score class histogram — the ONE aggregation over
+    * the corpus that both ranking metrics derive from. Quantization
+    * bounds distinct scores (≈ ±4·1024 for unit-scale dims), so the
+    * histogram is metadata-scale regardless of corpus size, and the
+    * windows/totals downstream run over THAT frame, never the data. */
+  private def scoreHist(emb: DataFrame): DataFrame =
+    scored(emb).groupBy("score")
+      .agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+
+  /** q184: tie-corrected Mann-Whitney AUC from the score histogram —
+    * one row: positive/negative counts, 2U (the doubled rank-sum
+    * statistic, exactly integral even with midrank tie handling:
+    * 2U = Σ_s np(s)·(2·cum_nn_below(s) + nn(s))), and
+    * auc_e6 = 2U·10^6 div (2·npos·nneg). Computing AUC from the
+    * histogram instead of a global row rank is the scale move: no
+    * global sort, no unbounded window — one groupBy(score) with
+    * map-side combine, then arithmetic over ~thousands of rows. */
+  def aucQuery(spark: SparkSession, dir: String): DataFrame =
+    auc(Tables.embeddings(spark, dir))
+
+  /** [[aucQuery]]'s core over any embeddings frame. */
+  def auc(emb: DataFrame): DataFrame = {
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // The unpartitioned window runs over the metadata-scale histogram
+    // (the documented blocked-rank exemption), not the corpus.
+    val cum = scoreHist(emb)
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("np")).cast("long").as("npos"),
+        sum(col("nn")).cast("long").as("nneg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn")))
+          .cast("long").as("u2"))
+      .withColumn("auc_e6",
+        expr("CAST(CASE WHEN npos > 0 AND nneg > 0 " +
+          "THEN u2 * 1000000 div (2 * npos * nneg) ELSE 0 END AS BIGINT)"))
+  }
+
+  /** q185: the ROC curve at every distinct score threshold — for the
+    * rule "predict positive when score >= s": true/false positives
+    * and tpr/fpr as e6 integers. Same histogram, one descending
+    * cumulative window over it; |rows| = |distinct scores|, bounded
+    * by the quantization. */
+  def rocCurveQuery(spark: SparkSession, dir: String): DataFrame =
+    rocCurve(Tables.embeddings(spark, dir))
+
+  /** [[rocCurveQuery]]'s core over any embeddings frame. */
+  def rocCurve(emb: DataFrame): DataFrame = {
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    scoreHist(emb)
+      .select(col("score"),
+        sum(col("np")).over(desc).cast("long").as("tp"),
+        sum(col("nn")).over(desc).cast("long").as("fp"),
+        sum(col("np")).over(tot).cast("long").as("npos"),
+        sum(col("nn")).over(tot).cast("long").as("nneg"))
+      .withColumn("tpr_e6",
+        expr("CAST(CASE WHEN npos > 0 THEN tp * 1000000 div npos " +
+          "ELSE 0 END AS BIGINT)"))
+      .withColumn("fpr_e6",
+        expr("CAST(CASE WHEN nneg > 0 THEN fp * 1000000 div nneg " +
+          "ELSE 0 END AS BIGINT)"))
+      .select(col("score"), col("tp"), col("fp"), col("tpr_e6"),
+        col("fpr_e6"))
+      .orderBy("score")
+  }
+
+  /** Shared oracle CTE: the stand-in scorer + score histogram. */
+  private def scoreHistSql: String =
+    """WITH p AS (SELECT
+           CASE WHEN CAST(label AS BIGINT) >= 5 THEN 1 ELSE 0 END AS pos,
+           CAST(round(CAST(embedding[1] AS DOUBLE) * 1024) AS BIGINT)
+             AS score
+         FROM embeddings),
+       h AS (SELECT score, sum(pos) AS np, count(*) - sum(pos) AS nn
+             FROM p GROUP BY 1)"""
+
+  /** DuckDB oracle for [[aucQuery]]. */
+  def aucOracleSql: String =
+    s"""$scoreHistSql,
+       c AS (SELECT np, nn,
+           coalesce(sum(nn) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_nn
+         FROM h)
+     SELECT CAST(sum(np) AS BIGINT) AS npos,
+       CAST(sum(nn) AS BIGINT) AS nneg,
+       CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+       CAST(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+         THEN sum(np * (2 * cum_nn + nn)) * 1000000
+           // (2 * sum(np) * sum(nn))
+         ELSE 0 END AS BIGINT) AS auc_e6
+     FROM c"""
+
+  /** DuckDB oracle for [[rocCurveQuery]]. */
+  def rocCurveOracleSql: String =
+    s"""$scoreHistSql,
+       c AS (SELECT score,
+           sum(np) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           sum(nn) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+           sum(np) OVER () AS npos, sum(nn) OVER () AS nneg
+         FROM h)
+     SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(CASE WHEN npos > 0 THEN tp * 1000000 // npos ELSE 0 END
+         AS BIGINT) AS tpr_e6,
+       CAST(CASE WHEN nneg > 0 THEN fp * 1000000 // nneg ELSE 0 END
+         AS BIGINT) AS fpr_e6
+     FROM c ORDER BY score"""
 }

@@ -40,6 +40,42 @@ object PrepPipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe split: [[splitAssignment]] closes the exact-dup
+    * leak (identical texts hash to the same split), but NEAR-dups —
+    * the same article re-crawled with a different boilerplate, a
+    * paraphrase, a truncated copy — still straddle train and eval,
+    * and evaluation on a near-copy of a training doc is the classic
+    * silent contamination (the motivation for decontamination in Lee
+    * et al. 2022 and the GPT-3 appendix). This variant assigns splits
+    * at the DUP-CLUSTER level: q45's connected components collapse
+    * near-dup families to one canonical label, the portable hash of
+    * the CLUSTER id (not the text) picks the bucket, and every member
+    * inherits its cluster's split — a near-dup family is atomically
+    * train, val, or test, never divided.
+    *
+    * Scale shape: the cluster labels are one row per doc in any dup
+    * pair (≪ corpus); the label join is a left join on doc_id;
+    * unpaired docs fall back to their own id as a singleton cluster,
+    * so the split remains defined for every row. The hash-of-id
+    * bucket is a narrow projection — no extra shuffle beyond the
+    * clustering itself. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100)
+    val cc = DupClusters.connectedComponents(pairs)
+    val labeled = docs.select(col("doc_id"))
+      .join(cc, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val bucket = portableHash60(col("cluster_id").cast("string")) % 100
+    labeled.select(col("doc_id"), col("cluster_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Hard bound on phase-2 driver-side rows (the block-subtotal
     * collect): 2^16 (long, long) pairs ≈ 1.5 MB — a constant, not a
     * function of corpus size. */
