@@ -486,4 +486,51 @@ class PlanSpec extends SparkSpec {
       "daily registers must combine map-side before the shuffle:\n" +
         p.take(1500))
   }
+
+  test("q182 quantile sketch: sample membership filters at the scan, " +
+    "estimates broadcast, true-rank agg partial") {
+    val p = planString(
+      graft.operators.QuantileSketch.quantileSketchQuery(spark, sf0001))
+    // the 1/sampleMod hash predicate must evaluate in the scan's
+    // filter (pre-shuffle), not after the window — at 100 TB that is
+    // the difference between sorting the sample and sorting the corpus
+    assert(p.contains("pmod"), "sample filter must precede the window:\n" +
+      p.take(1500))
+    // the |types|×|probes| estimate table joins the full scan by
+    // broadcast; a shuffle of events keyed by event_type would be a
+    // skew hazard (few types) and is never needed
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_sum"),
+      "true-rank counting must combine map-side:\n" + p.take(1500))
+  }
+
+  test("q184/q185 ranking metrics: one corpus aggregation, windows " +
+    "only over the score histogram") {
+    for (df <- Seq(graft.operators.ModelEval.aucQuery(spark, sf0001),
+                   graft.operators.ModelEval.rocCurveQuery(spark, sf0001))) {
+      val p = planString(df)
+      // exactly one scan of embeddings: both metrics derive from the
+      // single groupBy(score) histogram
+      assert(tableScans(df, "embeddings") == 1,
+        "ranking metrics must scan embeddings exactly once:\n" + p.take(1500))
+      assert(p.contains("partial_"),
+        "histogram build must combine map-side:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+  }
+
+  test("q183 leakage split: labels join back by doc_id equi-join, " +
+    "no global sort before the output ordering") {
+    val p = planString({
+      val docs = graft.sources.Tables.documents(spark, sf0001)
+      graft.operators.PrepPipeline.leakageSafeSplit(
+        docs, graft.operators.Extensions.dupPairs(docs))
+    })
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the split column derives from the portable hash of cluster_id —
+    // a projection, not another shuffle: the only exchanges are the
+    // clustering's own keyed shuffles plus the final ORDER BY range
+    assert(p.contains("md5"), "bucket must be the portable hash:\n" +
+      p.take(1500))
+  }
 }
