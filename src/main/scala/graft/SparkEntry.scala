@@ -284,6 +284,12 @@ object SparkEntry {
     // per-threshold ROC curve.
     "q184_auc"             -> (graft.operators.ModelEval.aucQuery _),
     "q185_roc_curve"       -> (graft.operators.ModelEval.rocCurveQuery _),
+    // q186-q188: the rest of the ranking-eval family off the same
+    // histogram — PR curve, integral average precision, and the
+    // reliability (calibration) table.
+    "q186_pr_curve"        -> (graft.operators.ModelEval.prCurveQuery _),
+    "q187_avg_precision"   -> (graft.operators.ModelEval.avgPrecisionQuery _),
+    "q188_calibration"     -> (graft.operators.ModelEval.calibrationQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1324,6 +1330,12 @@ object SparkEntry {
       graft.operators.ModelEval.aucOracleSql,
     "q185_roc_curve" ->
       graft.operators.ModelEval.rocCurveOracleSql,
+    "q186_pr_curve" ->
+      graft.operators.ModelEval.prCurveOracleSql,
+    "q187_avg_precision" ->
+      graft.operators.ModelEval.avgPrecisionOracleSql,
+    "q188_calibration" ->
+      graft.operators.ModelEval.calibrationOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -191,6 +191,93 @@ object ModelEval {
       .orderBy("score")
   }
 
+  /** q186: the precision-recall curve at every distinct score
+    * threshold — same descending cumulative pass as the ROC, with
+    * precision over the predicted-positive count instead of fpr.
+    * All divisions are non-negative e6 floors. */
+  def prCurveQuery(spark: SparkSession, dir: String): DataFrame =
+    prCurve(Tables.embeddings(spark, dir))
+
+  /** [[prCurveQuery]]'s core over any embeddings frame. */
+  def prCurve(emb: DataFrame): DataFrame = {
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    scoreHist(emb)
+      .select(col("score"),
+        sum(col("np")).over(desc).cast("long").as("tp"),
+        sum(col("nn")).over(desc).cast("long").as("fp"),
+        sum(col("np")).over(tot).cast("long").as("npos"))
+      .withColumn("precision_e6",
+        expr("CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) " +
+          "ELSE 0 END AS BIGINT)"))
+      .withColumn("recall_e6",
+        expr("CAST(CASE WHEN npos > 0 THEN tp * 1000000 div npos " +
+          "ELSE 0 END AS BIGINT)"))
+      .select(col("score"), col("tp"), col("fp"), col("precision_e6"),
+        col("recall_e6"))
+      .orderBy("score")
+  }
+
+  /** q187: average precision — the PR curve summarized to one number
+    * by the step-wise IR definition AP = Σ_k Δrecall_k · precision_k,
+    * in exact integer arithmetic: Δrecall_k = Δtp_k / npos, so
+    * ap_e6 = (Σ_k Δtp_k · precision_e6_k) div npos with each term
+    * integral. Thresholds descend (the sum visits high scores first),
+    * and Δtp at a threshold is that score's own np — no lag window
+    * needed, the histogram already holds it. */
+  def avgPrecisionQuery(spark: SparkSession, dir: String): DataFrame =
+    avgPrecision(Tables.embeddings(spark, dir))
+
+  /** [[avgPrecisionQuery]]'s core over any embeddings frame. */
+  def avgPrecision(emb: DataFrame): DataFrame = {
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = scoreHist(emb)
+      .select(col("np"),
+        sum(col("np")).over(desc).as("tp"),
+        sum(col("np") + col("nn")).over(desc).as("pred"))
+      .withColumn("prec_e6",
+        expr("CASE WHEN pred > 0 THEN tp * 1000000 div pred ELSE 0 END"))
+    terms.agg(
+        sum(col("np")).cast("long").as("npos"),
+        sum(col("np") * col("prec_e6")).cast("long").as("term_sum"))
+      .withColumn("ap_e6",
+        expr("CAST(CASE WHEN npos > 0 THEN term_sum div npos " +
+          "ELSE 0 END AS BIGINT)"))
+  }
+
+  /** Calibration bin width in quantized-score units (64 = 1/16 of a
+    * unit of the underlying dimension — sized so unit-normalized
+    * embedding dims spread over ~a dozen bins). */
+  val CalibrationBinWidth = 64L
+
+  /** q188: the reliability table — scores bucketed into fixed-width
+    * bins, each bin reporting its population, positives, and the
+    * empirical positive rate (e6). With a probabilistic scorer this
+    * is the reliability diagram's data; with the stand-in scorer it
+    * certifies the binning + rate arithmetic. Bin ids use a
+    * non-negative shifted dividend so floor-vs-truncate division
+    * semantics can never diverge between engines. */
+  def calibrationQuery(spark: SparkSession, dir: String): DataFrame =
+    calibration(Tables.embeddings(spark, dir))
+
+  /** [[calibrationQuery]]'s core over any embeddings frame. */
+  def calibration(emb: DataFrame): DataFrame = {
+    val w = CalibrationBinWidth
+    scored(emb)
+      .select(col("pos"), expr(s"(score + 4096) div $w").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("pos")).cast("long").as("n_pos"))
+      .select(col("bin").cast("long").as("bin"),
+        expr(s"CAST(bin * $w - 4096 AS BIGINT)").as("bin_lo"),
+        col("n"), col("n_pos"),
+        expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("pos_rate_e6"))
+      .orderBy("bin")
+  }
+
   /** Shared oracle CTE: the stand-in scorer + score histogram. */
   private def scoreHistSql: String =
     """WITH p AS (SELECT
@@ -234,4 +321,56 @@ object ModelEval {
        CAST(CASE WHEN nneg > 0 THEN fp * 1000000 // nneg ELSE 0 END
          AS BIGINT) AS fpr_e6
      FROM c ORDER BY score"""
+
+  /** DuckDB oracle for [[prCurveQuery]]. */
+  def prCurveOracleSql: String =
+    s"""$scoreHistSql,
+       c AS (SELECT score,
+           sum(np) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           sum(nn) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+           sum(np) OVER () AS npos
+         FROM h)
+     SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+         ELSE 0 END AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN npos > 0 THEN tp * 1000000 // npos ELSE 0 END
+         AS BIGINT) AS recall_e6
+     FROM c ORDER BY score"""
+
+  /** DuckDB oracle for [[avgPrecisionQuery]]. */
+  def avgPrecisionOracleSql: String =
+    s"""$scoreHistSql,
+       c AS (SELECT np,
+           sum(np) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+           sum(np + nn) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred
+         FROM h),
+       t AS (SELECT np,
+           CASE WHEN pred > 0 THEN tp * 1000000 // pred ELSE 0 END
+             AS prec_e6
+         FROM c)
+     SELECT CAST(sum(np) AS BIGINT) AS npos,
+       CAST(sum(np * prec_e6) AS BIGINT) AS term_sum,
+       CAST(CASE WHEN sum(np) > 0 THEN sum(np * prec_e6) // sum(np)
+         ELSE 0 END AS BIGINT) AS ap_e6
+     FROM t"""
+
+  /** DuckDB oracle for [[calibrationQuery]]. */
+  def calibrationOracleSql: String =
+    s"""WITH p AS (SELECT
+           CASE WHEN CAST(label AS BIGINT) >= 5 THEN 1 ELSE 0 END AS pos,
+           CAST(round(CAST(embedding[1] AS DOUBLE) * 1024) AS BIGINT)
+             AS score
+         FROM embeddings),
+       b AS (SELECT (score + 4096) // $CalibrationBinWidth AS bin,
+           count(*) AS n, sum(pos) AS n_pos
+         FROM p GROUP BY 1)
+     SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(bin * $CalibrationBinWidth - 4096 AS BIGINT) AS bin_lo,
+       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_e6
+     FROM b ORDER BY bin"""
 }

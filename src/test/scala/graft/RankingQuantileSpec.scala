@@ -56,6 +56,40 @@ class RankingQuantileSpec extends SparkSpec {
     assert(out.last._2 == 1L && out.last._3 == 0L)
   }
 
+  // ---- PR / AP / calibration (q186-q188) ----
+
+  test("pr curve: precision and recall verified by hand") {
+    // descending scores: pos(2048), neg(1024), pos(0)
+    val out = ModelEval.prCurve(emb((9L, 2.0f), (0L, 1.0f), (8L, 0.0f)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // rows ascend by score; at threshold 0 everything is predicted
+    assert(out(0) == ((0L, 2L, 1L, 666666L, 1000000L)))
+    assert(out(1) == ((1024L, 1L, 1L, 500000L, 500000L)))
+    assert(out(2) == ((2048L, 1L, 0L, 1000000L, 500000L)))
+  }
+
+  test("avg precision: perfect ranking gives 1e6; hand case matches") {
+    val perfect = ModelEval.avgPrecision(
+      emb((9L, 1.0f), (8L, 0.9f), (1L, 0.1f))).collect().head
+    assert(perfect.getLong(2) == 1000000L)
+    // pos@2048 (prec 1e6, Δtp 1), neg@1024, pos@0 (prec 666666, Δtp 1)
+    // ap = (1*1e6 + 1*666666) / 2 = 833333
+    val hand = ModelEval.avgPrecision(
+      emb((9L, 2.0f), (0L, 1.0f), (8L, 0.0f))).collect().head
+    assert(hand.getLong(0) == 2L && hand.getLong(2) == 833333L)
+  }
+
+  test("calibration: bins partition the population and rates are e6 floors") {
+    // width 64: scores 0 and 32 share bin 64 (lo 0); 1024 → bin 80
+    val out = ModelEval.calibration(
+      emb((9L, 0.0f), (0L, 0.03125f), (8L, 1.0f))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq((64L, 0L, 2L, 1L, 500000L),
+      (80L, 1024L, 1L, 1L, 1000000L)))
+  }
+
   // ---- quantile sketch (q182) ----
 
   private def events(n: Int) =
