@@ -44,7 +44,9 @@ object ScalingCurve {
     ("q173_session_pattern", "sequence-pattern regex over sessions", "events"),
     ("q174_bigram_lm",      "bigram-LM scoring (vocab-sized model)", "documents"),
     ("q176_triangles",      "triangle census (degree-oriented wedges)", "events"),
-    ("q177_bfs_reach",      "bounded multi-source BFS",           "events"))
+    ("q177_bfs_reach",      "bounded multi-source BFS",           "events"),
+    ("q182_quantile_sketch", "hash-sample quantile sketch (two passes)", "events"),
+    ("q184_auc",            "ranking metrics (histogram AUC)",    "embeddings"))
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
