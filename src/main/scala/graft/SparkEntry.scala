@@ -290,6 +290,13 @@ object SparkEntry {
     "q186_pr_curve"        -> (graft.operators.ModelEval.prCurveQuery _),
     "q187_avg_precision"   -> (graft.operators.ModelEval.avgPrecisionQuery _),
     "q188_calibration"     -> (graft.operators.ModelEval.calibrationQuery _),
+    // q189/q190: order-invariant per-partition content digests and
+    // the snapshot-drift detection they enable (find the touched
+    // day-partitions without a row-level diff).
+    "q189_partition_digest" ->
+      (graft.operators.Maintenance.partitionDigestQuery _),
+    "q190_partition_drift" ->
+      (graft.operators.Maintenance.partitionDriftQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1336,6 +1343,10 @@ object SparkEntry {
       graft.operators.ModelEval.avgPrecisionOracleSql,
     "q188_calibration" ->
       graft.operators.ModelEval.calibrationOracleSql,
+    "q189_partition_digest" ->
+      graft.operators.Maintenance.partitionDigestOracleSql,
+    "q190_partition_drift" ->
+      graft.operators.Maintenance.partitionDriftOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -460,6 +460,109 @@ object Maintenance {
          AS rows_read
      FROM u GROUP BY 1, 2 ORDER BY layout, pred"""
 
+  /** Order-invariant per-partition content digest — the
+    * data-versioning primitive a 100 TB lake audits with: two table
+    * snapshots have equal digests per partition iff (modulo the usual
+    * multiset-hash caveats) the partition's content is unchanged, so
+    * an incremental pipeline can detect WHICH day-partitions a load
+    * touched without row-level diffing (q91's snapshot diff is the
+    * row-level tool; this is its O(partitions)-output counterpart,
+    * the idea behind snapshot validation in table formats and
+    * rsync-style dirty detection).
+    *
+    * Digest = (row count, bit_xor of row hashes, sum of row hashes
+    * mod 2^61-1). XOR alone is blind to even multiplicities and SUM
+    * alone to reorderings of the same multiset sum; the triple closes
+    * the cheap failure modes while every accumulator stays O(1),
+    * commutative, and exactly portable. The row hash covers the
+    * stable identity+content columns (id, user, type, epoch-ms) —
+    * doubles are excluded because their string forms are not
+    * engine-portable. Scale shape: one scan, one map-side-combinable
+    * aggregation keyed by day; output rows = |days|. */
+  def partitionDigest(events: DataFrame): DataFrame = {
+    val h = graft.functions.TextFunctions.portableHash60(
+      concat_ws("|", col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts"))))
+    events
+      .select(expr("year(ts) * 10000 + month(ts) * 100 + day(ts)")
+        .cast("long").as("day"), h.as("h"))
+      .groupBy("day")
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("bit_xor(h)").as("xor_digest"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951" +
+          " AS BIGINT)").as("sum_digest"))
+      .orderBy("day")
+  }
+
+  /** q189: the digest table of events by day. */
+  def partitionDigestQuery(spark: SparkSession, dir: String): DataFrame =
+    partitionDigest(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[partitionDigestQuery]]. */
+  def partitionDigestOracleSql: String =
+    "WITH " + digestCtes("events", "r", "d") +
+    " SELECT day, n, xor_digest, sum_digest FROM d ORDER BY day"
+
+  /** The two digest CTEs (row hash, per-day accumulators) over `rel`,
+    * with caller-chosen CTE names so two snapshots can coexist in one
+    * WITH clause. */
+  private def digestCtes(rel: String, rName: String,
+                         dName: String): String =
+    s"""$rName AS (SELECT
+           CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)
+             AS day,
+           CAST(('0x' || substr(md5(concat_ws('|', event_id, user_id,
+             event_type, epoch_ms(ts))), 1, 15)) AS BIGINT) AS h
+         FROM $rel),
+       $dName AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+           CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_digest
+         FROM $rName GROUP BY 1)"""
+
+  /** q190: partition drift detection between two snapshots — the
+    * "before" snapshot drops a deterministic slice (event_id ≡ 0
+    * mod 997, a stand-in for the rows an incremental load appended),
+    * and comparing per-day digests flags exactly the day-partitions
+    * the load touched. A downstream job then reprocesses ONLY those —
+    * digest comparison is how that reprocess set is found without a
+    * row-level diff of the whole table. Full-outer on day so
+    * partitions present in only one snapshot still report. */
+  def partitionDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val full = graft.sources.Tables.events(spark, dir)
+    val before = full.filter(pmod(col("event_id"), lit(997L)) =!= 0)
+    val a = partitionDigest(before).withColumnRenamed("n", "n_before")
+      .withColumnRenamed("xor_digest", "xa")
+      .withColumnRenamed("sum_digest", "sa")
+    val b = partitionDigest(full).withColumnRenamed("n", "n_after")
+      .withColumnRenamed("xor_digest", "xb")
+      .withColumnRenamed("sum_digest", "sb")
+    a.join(b, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("xa") <=> col("xb") && col("sa") <=> col("sb") &&
+          col("n_before") <=> col("n_after"), 0).otherwise(1)
+          .cast("int").as("changed"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[partitionDriftQuery]]. */
+  def partitionDriftOracleSql: String = {
+    val ctes =
+      digestCtes("(SELECT * FROM events WHERE event_id % 997 <> 0)",
+        "ra", "da") + ",\n" + digestCtes("events", "rb", "db")
+    s"""WITH $ctes
+     SELECT coalesce(da.day, db.day) AS day,
+       CAST(coalesce(da.n, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(db.n, 0) AS BIGINT) AS n_after,
+       CAST(CASE WHEN da.xor_digest IS NOT DISTINCT FROM db.xor_digest
+           AND da.sum_digest IS NOT DISTINCT FROM db.sum_digest
+           AND da.n IS NOT DISTINCT FROM db.n
+         THEN 0 ELSE 1 END AS INT) AS changed
+     FROM da FULL OUTER JOIN db ON da.day = db.day
+     ORDER BY day"""
+  }
+
   /** Parquet statistics value → Spark external type. Parquet stores
     * smallint/tinyint columns as INT32, so their stats come back as
     * java.lang.Integer and must narrow to the declared Short/Byte

@@ -326,4 +326,40 @@ class MaintenanceSpec extends SparkSpec {
       .forall(r => r.getLong(3) == r.getLong(1)))
     graft.sources.Scratch.sweep(spark)
   }
+
+  test("q189 digest is order-invariant and content-sensitive") {
+    import graft.operators.Maintenance
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val base = Maintenance.partitionDigest(ev).collect()
+    // shuffling the input rows must not change any digest component
+    val reordered = Maintenance
+      .partitionDigest(ev.orderBy($"value", $"event_id".desc)).collect()
+    assert(base.toSeq == reordered.toSeq)
+    // dropping one row changes exactly that row's day partition
+    val victim = ev.orderBy("event_id").limit(1).collect().head
+    val without = Maintenance.partitionDigest(
+      ev.filter($"event_id" =!= victim.getLong(0))).collect()
+    val changedDays = base.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap.toSet
+      .diff(without.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap.toSet)
+    assert(changedDays.size == 1)
+  }
+
+  test("q190 drift flags exactly the days holding a dropped-slice row") {
+    import graft.operators.Maintenance
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val touchedDays = ev.filter(pmod($"event_id", lit(997L)) === 0)
+      .select(expr("year(ts) * 10000 + month(ts) * 100 + day(ts)")
+        .cast("long").as("day"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val out = Maintenance.partitionDriftQuery(spark, sf0001).collect()
+    val flagged = out.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert(flagged == touchedDays)
+    // row deltas agree with the slice size per flagged day
+    out.foreach { r =>
+      val delta = r.getLong(2) - r.getLong(1)
+      assert(if (r.getInt(3) == 1) delta > 0 else delta == 0)
+    }
+  }
 }
