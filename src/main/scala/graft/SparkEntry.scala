@@ -297,6 +297,10 @@ object SparkEntry {
       (graft.operators.Maintenance.partitionDigestQuery _),
     "q190_partition_drift" ->
       (graft.operators.Maintenance.partitionDriftQuery _),
+    // q191: IVM under retractions — signed-multiplicity delta merged
+    // onto stored partials equals the post-delete full recompute
+    // (completes q113's append-only maintenance).
+    "q191_ivm_retract"     -> (graft.operators.OlapOps.ivmRetractQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1347,6 +1351,8 @@ object SparkEntry {
       graft.operators.Maintenance.partitionDigestOracleSql,
     "q190_partition_drift" ->
       graft.operators.Maintenance.partitionDriftOracleSql,
+    "q191_ivm_retract" ->
+      graft.operators.OlapOps.ivmRetractOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

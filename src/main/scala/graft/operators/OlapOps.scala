@@ -1298,6 +1298,72 @@ object OlapOps {
            AS BIGINT) AS cents
        FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Deleted-slice selector for [[ivmRetractQuery]]: base rows whose
+    * key ≡ 0 mod 13 are later retracted (cancelled orders). */
+  val IvmDeleteMod = 13L
+
+  /** q191: incremental view maintenance under RETRACTIONS — q113
+    * handles an append-only delta; real changelogs also carry
+    * deletes. The algebra: every change is a signed multiplicity
+    * (+1 insert, −1 delete), the delta aggregate sums mult and
+    * mult·cents per group, the merge adds it onto the stored base
+    * partials, and groups whose maintained count reaches zero are
+    * DROPPED (the retraction-completeness rule — a zero-count group
+    * must vanish, not linger with zeroed sums). The oracle computes
+    * the view directly over the post-change data, so the hash match
+    * proves base ⊕ signed-delta == full recompute, deletes included.
+    *
+    * Cents are fixed per ROW (round(decimal(x), 2)·100 — exact for
+    * 2-decimal prices) so a signed integer sum is exact and the
+    * delete's −cents exactly cancels the insert's +cents; a
+    * sum-then-round would make retraction inexact under fp error.
+    * Scale shape: base partials are a stored metadata-scale table;
+    * only the changelog is aggregated (one keyed shuffle) and the
+    * merge joins two partial tables, never the data. */
+  def ivmRetractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rowCents = expr(
+      "CAST(round(CAST(o_totalprice AS DECIMAL(38,10)), 2) * 100 AS BIGINT)")
+    val orders = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"), col("o_orderkey"), rowCents.as("cents"))
+    val isBase = col("month") < lit(IvmCutover.substring(0, 7))
+    // stored view: partials over the pre-cutover load
+    val base = orders.filter(isBase)
+      .groupBy("month", "o_orderstatus")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).as("c"))
+    // changelog: post-cutover inserts plus retractions of cancelled
+    // base rows, one signed frame
+    val changes = orders.filter(!isBase).withColumn("mult", lit(1L))
+      .unionByName(orders.filter(isBase &&
+        pmod(col("o_orderkey"), lit(IvmDeleteMod)) === 0)
+        .withColumn("mult", lit(-1L)))
+    val delta = changes.groupBy("month", "o_orderstatus")
+      .agg(sum(col("mult")).as("n"),
+        sum(col("mult") * col("cents")).as("c"))
+    base.unionByName(delta)
+      .groupBy("month", "o_orderstatus")
+      .agg(sum(col("n")).cast("long").as("n_orders"),
+        sum(col("c")).cast("long").as("cents"))
+      .filter(col("n_orders") =!= 0)
+      .orderBy("month", "o_orderstatus")
+  }
+
+  /** DuckDB oracle for [[ivmRetractQuery]] — the view recomputed
+    * directly over the post-change table (all orders minus the
+    * retracted slice). */
+  def ivmRetractOracleSql: String =
+    s"""WITH live AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           o_orderstatus,
+           CAST(round(CAST(o_totalprice AS DECIMAL(38,10)), 2) * 100
+             AS BIGINT) AS cents
+         FROM orders
+         WHERE NOT (strftime(o_orderdate, '%Y-%m') < '${IvmCutover
+            .substring(0, 7)}' AND o_orderkey % $IvmDeleteMod = 0))
+     SELECT month, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents
+     FROM live GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** q114: min-max feature scaling — event values rescaled to
     * [0, 1e6] within their event-type stratum, as exact integer
     * rationals: scaled_e6 = (x − min)·1e6 div (max − min). The

@@ -122,6 +122,20 @@ class RankingQuantileSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: samples nest — the mod-16 sample is a subset " +
+    "of the mod-4 sample (consistent rate expansion)") {
+    // h % 16 == 0 implies h % 4 == 0, so REFINING the rate keeps every
+    // previously sampled row: a stored coarse sketch can be grown by
+    // sampling only the complement, never resampled from scratch
+    import graft.functions.TextFunctions.portableHash60
+    val e = events(500)
+    def ids(mod: Long) = e.filter(
+        pmod(portableHash60(col("event_id").cast("string")), lit(mod)) === 0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val coarse = ids(16L); val fine = ids(4L)
+    assert(coarse.nonEmpty && coarse.subsetOf(fine))
+  }
+
   test("quantile sketch: sample is mergeable — union of partition " +
     "samples equals the whole-data sample") {
     val all = events(200)
