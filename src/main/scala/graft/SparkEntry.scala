@@ -301,6 +301,11 @@ object SparkEntry {
     // onto stored partials equals the post-delete full recompute
     // (completes q113's append-only maintenance).
     "q191_ivm_retract"     -> (graft.operators.OlapOps.ivmRetractQuery _),
+    // q192: the composed curation manifest — gates → near-dup
+    // clusters → leakage-safe split → per-split release rollup, one
+    // job; the hash certifies the COMPOSITION of q39/q45/q183.
+    "q192_curation_manifest" ->
+      ((s, d) => graft.operators.PrepPipeline.curationManifestQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -421,12 +426,53 @@ object SparkEntry {
     * pairs, the recursive transitive closure, and the per-doc cluster
     * label (`lab`). One definition so the two cluster oracles cannot
     * drift on the clustering itself. */
-  private val dupClusterCte: String =
-    """WITH RECURSIVE sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0) + 1),
-             i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))) AS shingles
+  /** The q39 gating chain (quality gate → language gate → exact
+    * dedup) as CTEs ending in `gated(doc_id, text, n_words, fp)` —
+    * shared by the q39 oracle and q192's composed manifest. */
+  private val gatedDocsCtes: String =
+    """p AS (
+           SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
            FROM documents),
+         s AS (SELECT doc_id, text, n_words,
+           CAST((length(pt)-length(replace(pt,' the ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' and ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' of ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' is ','')))/4 AS BIGINT) AS en,
+           CAST((length(pt)-length(replace(pt,' le ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' la ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' et ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' les ','')))/5 AS BIGINT) AS fr,
+           CAST((length(pt)-length(replace(pt,' el ','')))/4 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' los ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' que ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' y ','')))/3 AS BIGINT) AS es,
+           CAST((length(pt)-length(replace(pt,' der ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' und ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' die ','')))/5 AS BIGINT)
+          +CAST((length(pt)-length(replace(pt,' ist ','')))/5 AS BIGINT) AS de
+           FROM p WHERE n_words >= 20),
+         gated AS (
+           SELECT doc_id, text, n_words,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+           FROM s WHERE en >= fr AND en >= es AND en >= de
+           QUALIFY row_number() OVER (PARTITION BY
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             ORDER BY doc_id) = 1)"""
+
+  /** The q45/q161/q183 clustering CTE chain over an arbitrary source
+    * relation (q192 threads its gated CTE through the same chain). */
+  private def dupClusterCtesOver(rel: String): String =
+    s"""sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))) AS shingles
+           FROM $rel),""" + dupClusterTail(rel)
+
+  private val dupClusterCte: String =
+    "WITH RECURSIVE " + dupClusterCtesOver("documents")
+
+  private def dupClusterTail(rel: String): String = s"""
          ex AS (SELECT doc_id, s
                 FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
                 QUALIFY count(*) OVER (PARTITION BY s) <= 50),
@@ -447,7 +493,7 @@ object SparkEntry {
          comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
          lab AS (SELECT d.doc_id,
                    coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
-                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)"""
+                 FROM $rel d LEFT JOIN comp c ON d.doc_id = c.doc_id)"""
 
   private val sessionizeOracleSql: String =
     """WITH e AS (SELECT user_id, event_id,
@@ -640,35 +686,8 @@ object SparkEntry {
     // stage is portable by construction, so the composed pipeline
     // hash-checks end to end.
     "q39_prep_pipeline" ->
-      """WITH p AS (
-           SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
-           FROM documents),
-         s AS (SELECT doc_id, text, n_words,
-           CAST((length(pt)-length(replace(pt,' the ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' and ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' of ','')))/4 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' is ','')))/4 AS BIGINT) AS en,
-           CAST((length(pt)-length(replace(pt,' le ','')))/4 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' la ','')))/4 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' et ','')))/4 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' les ','')))/5 AS BIGINT) AS fr,
-           CAST((length(pt)-length(replace(pt,' el ','')))/4 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' los ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' que ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' y ','')))/3 AS BIGINT) AS es,
-           CAST((length(pt)-length(replace(pt,' der ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' und ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' die ','')))/5 AS BIGINT)
-          +CAST((length(pt)-length(replace(pt,' ist ','')))/5 AS BIGINT) AS de
-           FROM p WHERE n_words >= 20),
-         gated AS (
-           SELECT doc_id, n_words,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-           FROM s WHERE en >= fr AND en >= es AND en >= de)
-         SELECT doc_id, fp, n_words FROM gated
-         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
-         ORDER BY doc_id""",
+      s"""WITH $gatedDocsCtes
+         SELECT doc_id, fp, n_words FROM gated ORDER BY doc_id""",
     // q44: content-hash split assignment (90/5/5) — deterministic and
     // portable, so the oracle recomputes every bucket and label.
     "q44_split_assign" ->
@@ -1353,6 +1372,23 @@ object SparkEntry {
       graft.operators.Maintenance.partitionDriftOracleSql,
     "q191_ivm_retract" ->
       graft.operators.OlapOps.ivmRetractOracleSql,
+    // q192: the gating chain feeds the clustering chain, the split is
+    // the q183 hash-of-cluster rule, and the manifest rolls up per
+    // split — all from the shared CTE builders, so the oracle can
+    // only drift if the composed semantics do.
+    "q192_curation_manifest" ->
+      (s"""WITH RECURSIVE $gatedDocsCtes,
+         """ + dupClusterCtesOver("gated") + s""",
+         sp AS (SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+           FROM lab)
+         SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(g.n_words) AS BIGINT) AS words
+         FROM sp JOIN gated g ON sp.doc_id = g.doc_id
+         GROUP BY 1 ORDER BY 1"""),
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

