@@ -306,6 +306,9 @@ object SparkEntry {
     // job; the hash certifies the COMPOSITION of q39/q45/q183.
     "q192_curation_manifest" ->
       ((s, d) => graft.operators.PrepPipeline.curationManifestQuery(s, d)),
+    // q193: Hilbert-curve layout stats (q54's twin) — aligned buckets
+    // are exact quadrants, so locality is bounded by construction.
+    "q193_hilbert"         -> (graft.operators.ZOrder.hilbertQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1389,6 +1392,8 @@ object SparkEntry {
            CAST(sum(g.n_words) AS BIGINT) AS words
          FROM sp JOIN gated g ON sp.doc_id = g.doc_id
          GROUP BY 1 ORDER BY 1"""),
+    "q193_hilbert" ->
+      graft.operators.ZOrder.hilbertOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -102,4 +102,80 @@ object ZOrder {
          min(yd) AS min_y, max(yd) AS max_y
        FROM k GROUP BY 1 ORDER BY z_bucket"""
   }
+
+  /** Hilbert index of the low `bits`-bit cell (x, y) — the canonical
+    * xy2d recurrence via the custom codegen expression
+    * [[graft.functions.HilbertIndexExpr]] (the recurrence carries
+    * rotation state bit-to-bit, so a composed-`when` formulation
+    * grows ~5^bits expression nodes — the one case in the layout
+    * toolkit where built-ins can't express the computation; see the
+    * expression's notes). Versus the Morton [[zkey]], Hilbert removes
+    * the long diagonal jumps between quadrant boundaries, so
+    * UNALIGNED key ranges (a scan's file split rarely lands on a 4^k
+    * boundary) stay spatially tighter; aligned 4^k ranges are exact
+    * quadrants for both curves (ZOrderSpec pins the bijection, the
+    * unit-step adjacency, and the quadrant bound). Requires
+    * `CurveFunctions.register` on the session. */
+  def hkey(x0: Column, y0: Column, bits: Int = 16): Column =
+    graft.functions.CurveFunctions.hilbert(
+      x0.cast("long"), y0.cast("long"), bits)
+
+  /** q193: the Hilbert twin of q54 — same dimensions, same bucket
+    * width, per-bucket min/max stats. Because 4096 = 4^6, every
+    * bucket is one aligned curve segment = one 64×64 quadrant, so
+    * per-bucket ranges are BOUNDED BY CONSTRUCTION (≤ 63 on both
+    * dims) — the locality guarantee a file-skipping layout wants,
+    * here visible in the output itself. */
+  def hilbertQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CurveFunctions.register(spark)
+    val bits = 10
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("greatest(unix_millis(ts), 0L) div 60000").as("tmin"))
+      .withColumn("xd", col("user_id") % (1L << bits))
+      .withColumn("yd", col("tmin") % (1L << bits))
+    ev.withColumn("h", hkey(col("xd"), col("yd"), bits))
+      .withColumn("h_bucket", expr("h div 4096"))
+      .groupBy("h_bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("xd")).as("min_x"), max(col("xd")).as("max_x"),
+        min(col("yd")).as("min_y"), max(col("yd")).as("max_y"))
+      .select(col("h_bucket"), col("n").cast("long").as("n"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      .orderBy("h_bucket")
+  }
+
+  /** DuckDB oracle for [[hilbertQuery]] — the same recurrence run as
+    * a per-level RECURSIVE CTE (state (x, y, d) threaded down the
+    * `bits` levels), from the same constants. */
+  def hilbertOracleSql: String = {
+    val bits = 10
+    val n1 = (1L << bits) - 1L
+    s"""WITH RECURSIVE e AS (SELECT event_id,
+           user_id % ${1L << bits} AS xd,
+           (greatest(CAST(epoch_ms(ts) AS BIGINT), 0) // 60000) % ${1L << bits} AS yd
+         FROM events),
+       hil AS (
+         SELECT event_id, xd, yd, CAST(xd AS BIGINT) AS x,
+           CAST(yd AS BIGINT) AS y, CAST(0 AS BIGINT) AS d,
+           ${bits - 1} AS i
+         FROM e
+         UNION ALL
+         SELECT event_id, xd, yd,
+           CASE WHEN ((y >> i) & 1) = 0 THEN
+             CASE WHEN ((x >> i) & 1) = 1 THEN $n1 - y ELSE y END
+           ELSE x END,
+           CASE WHEN ((y >> i) & 1) = 0 THEN
+             CASE WHEN ((x >> i) & 1) = 1 THEN $n1 - x ELSE x END
+           ELSE y END,
+           d + (CAST(1 AS BIGINT) << (2 * i))
+             * xor(3 * ((x >> i) & 1), (y >> i) & 1),
+           i - 1
+         FROM hil WHERE i >= 0),
+       k AS (SELECT event_id, xd, yd, d AS h FROM hil WHERE i = -1)
+     SELECT (h // 4096) AS h_bucket, CAST(count(*) AS BIGINT) AS n,
+       min(xd) AS min_x, max(xd) AS max_x,
+       min(yd) AS min_y, max(yd) AS max_y
+     FROM k GROUP BY 1 ORDER BY h_bucket"""
+  }
 }

@@ -50,4 +50,62 @@ class ZOrderSpec extends SparkSpec {
       "layout must range-partition on the z key:\n" + p.take(600))
     assert(laid.count() == 1000L)
   }
+
+  /** In-test reference xy2d (the canonical recurrence, n−1
+    * reflection) — what the unrolled column expression must equal. */
+  private def refHilbert(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    val n1 = (1L << bits) - 1L
+    for (i <- (bits - 1) to 0 by -1) {
+      val rx = (x >> i) & 1L
+      val ry = (y >> i) & 1L
+      d += (1L << (2 * i)) * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        val (xr, yr) = if (rx == 1L) (n1 - x, n1 - y) else (x, y)
+        x = yr; y = xr
+      }
+    }
+    d
+  }
+
+  test("hkey is a bijection onto [0, 4^bits) with unit-step adjacency") {
+    graft.functions.CurveFunctions.register(spark)
+    val bits = 4
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = grid.withColumn("h", ZOrder.hkey(col("x"), col("y"), bits))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(got.keySet == (0L until (n.toLong * n)).toSet)
+    (0L until n.toLong * n - 1).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (got(d), got(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve must step one cell at d=$d")
+    }
+  }
+
+  test("hkey at full width matches the reference recurrence") {
+    graft.functions.CurveFunctions.register(spark)
+    val bits = 10
+    val pts = (0 until 500)
+      .map(i => ((i * 131L) % (1L << bits), (i * 197L) % (1L << bits)))
+      .toDF("x", "y")
+    val rows = pts.withColumn("h", ZOrder.hkey(col("x"), col("y"), bits))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == refHilbert(bits, r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("q193 aligned hilbert buckets are exact quadrants (span <= 63)") {
+    val out = ZOrder.hilbertQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 63,
+        "x span must stay within the bucket quadrant")
+      assert(r.getLong(5) - r.getLong(4) <= 63,
+        "y span must stay within the bucket quadrant")
+    }
+  }
 }
