@@ -423,6 +423,9 @@ object SparkEntry {
       "q181_kmv_jaccard" -> ((s, d) =>
         graft.operators.DistinctSketch.kmvJaccardQuery(s, d,
           portable = false)),
+      "q182_quantile_sketch" -> ((s, d) =>
+        graft.operators.QuantileSketch.quantileSketch(
+          graft.sources.Tables.events(s, d), portable = false)),
     )
 
   /** Shared CTE prefix of the q45/q161 oracles: q23's capped shingle

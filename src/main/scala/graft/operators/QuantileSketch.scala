@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.portableHash60
 import graft.sources.Tables
 
 /** Mergeable quantile estimation by deterministic hash-sampling — the
@@ -64,7 +63,8 @@ object QuantileSketch {
   /** [[quantileSketchQuery]]'s core over any (event_type, event_id,
     * value) frame. */
   def quantileSketch(events: DataFrame, probes: Seq[Int] = Probes,
-                     sampleMod: Long = SampleMod): DataFrame = {
+                     sampleMod: Long = SampleMod,
+                     portable: Boolean = true): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     // Non-finite values sort engine-specifically (q53) — exclude.
@@ -73,8 +73,10 @@ object QuantileSketch {
         col("value") =!= Double.PositiveInfinity &&
         col("value") =!= Double.NegativeInfinity)
       .select(col("event_type"), col("event_id"), col("value"))
-    val sample = e.filter(
-      pmod(portableHash60(col("event_id").cast("string")), lit(sampleMod)) === 0)
+    // portable=false swaps the md5-prefix membership hash for masked
+    // xxhash64 (the at-scale config, benched as a fast-hash variant)
+    val sample = e.filter(pmod(graft.functions.TextFunctions.hash60(
+      col("event_id").cast("string"), portable), lit(sampleMod)) === 0)
     val byValue = Window.partitionBy("event_type")
       .orderBy(col("value").asc, col("event_id").asc)
     val byType = Window.partitionBy("event_type")

@@ -120,6 +120,18 @@ object ZOrder {
     graft.functions.CurveFunctions.hilbert(
       x0.cast("long"), y0.cast("long"), bits)
 
+  /** Re-layout a frame along the Hilbert curve of two dimension
+    * columns — [[zorderLayout]]'s twin, preferable when scans slice
+    * the table at arbitrary (unaligned) key offsets. */
+  def hilbertLayout(df: DataFrame, colX: String, colY: String,
+                    partitions: Int, bits: Int = 16): DataFrame = {
+    graft.functions.CurveFunctions.register(df.sparkSession)
+    df.withColumn("__h", hkey(col(colX), col(colY), bits))
+      .repartitionByRange(partitions, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** q193: the Hilbert twin of q54 — same dimensions, same bucket
     * width, per-bucket min/max stats. Because 4096 = 4^6, every
     * bucket is one aligned curve segment = one 64×64 quadrant, so
