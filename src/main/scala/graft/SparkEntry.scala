@@ -309,6 +309,9 @@ object SparkEntry {
     // q193: Hilbert-curve layout stats (q54's twin) — aligned buckets
     // are exact quadrants, so locality is bounded by construction.
     "q193_hilbert"         -> (graft.operators.ZOrder.hilbertQuery _),
+    // q194: k-core decomposition by bounded iterative peeling — the
+    // coreness community filter (completes the graph family).
+    "q194_kcore"           -> (graft.operators.GraphTopology.kcoreQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1397,6 +1400,8 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1"""),
     "q193_hilbert" ->
       graft.operators.ZOrder.hilbertOracleSql,
+    "q194_kcore" ->
+      graft.operators.GraphTopology.kcoreOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -179,4 +179,73 @@ object GraphTopology {
          ELSE -1 END AS BIGINT) AS depth
      FROM n ORDER BY user_id"""
   }
+
+  /** k threshold and peel rounds q194 unrolls (oracle replays both). */
+  val CoreK = 3
+  val PeelRounds = 12
+
+  /** q194: k-core decomposition — iterative peeling: drop every node
+    * with degree < k, recompute degrees, repeat; the fixpoint is the
+    * maximal subgraph where every member keeps ≥ k neighbors. The
+    * densest-community filter a graph-quality pipeline runs (spam and
+    * bot rings survive degree cuts but not coreness cuts; Seidman
+    * 1983 defines the measure). Output: every k-core member with its
+    * within-core degree.
+    *
+    * Scale shape: the edge table halves-or-holds each round; each
+    * round is ONE keyed degree aggregation plus two semi-joins
+    * against the alive set — no windows over data, nothing driver-
+    * side but the single-row convergence probe. Rounds are bounded by
+    * [[PeelRounds]] and the oracle unrolls exactly the same count, so
+    * an unconverged cap still hash-matches (the q177 bounded-
+    * unrolling discipline); in practice co-activity graphs peel in a
+    * few rounds and the probe exits early at the fixpoint. */
+  def kcoreQuery(spark: SparkSession, dir: String): DataFrame =
+    kcore(GraphRank.coActivityEdges(Tables.events(spark, dir)),
+      CoreK, PeelRounds)
+
+  /** [[kcoreQuery]]'s core over undirected distinct (u, v) edges. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("u"), col("v"))
+    var dirE = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var prev = dirE.count()
+    var converged = false
+    var i = 0
+    while (i < rounds && !converged) {
+      val alive = dirE.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      val next = dirE.join(alive, Seq("u"))
+        .join(alive.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val c = next.count()
+      converged = c == prev
+      prev = c
+      dirE = next
+      i += 1
+    }
+    dirE.groupBy("u").agg(count(lit(1)).cast("long").as("core_deg"))
+      .select(col("u").cast("long").as("user_id"), col("core_deg"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[kcoreQuery]] — the same peeling unrolled
+    * [[PeelRounds]] times (both endpoint degrees via one window pass
+    * per round). */
+  def kcoreOracleSql: String = {
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""p$r AS (SELECT u, v FROM (
+             SELECT u, v,
+               count(*) OVER (PARTITION BY u) AS du,
+               count(*) OVER (PARTITION BY v) AS dv
+             FROM p${r - 1})
+           WHERE du >= $CoreK AND dv >= $CoreK)"""
+    }.mkString(",\n       ")
+    s"""${GraphRank.edgesOracleCte},
+       p0 AS (SELECT u, v FROM dir),
+       $rounds
+     SELECT u AS user_id, CAST(count(*) AS BIGINT) AS core_deg
+     FROM p$PeelRounds GROUP BY 1 ORDER BY 1"""
+  }
 }

@@ -67,4 +67,38 @@ class GraphTopologySpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
     }
   }
+
+  test("kcore: a tailed triangle peels to the triangle at k=2") {
+    // triangle 1-2-3 with tail 3-4-5: nodes 4,5 peel away (degree <
+    // 2 cascades down the tail), the triangle survives with deg 2
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val out = GraphTopology.kcore(g, k = 2, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: a pure path has an empty 2-core; a 4-clique is its " +
+    "own 3-core") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(GraphTopology.kcore(path, 2, 10).count() == 0)
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val out = GraphTopology.kcore(k4, 3, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: an unconverged round cap still yields the exact " +
+    "cap-round state (the bounded-unrolling contract)") {
+    // long tail 1-2-...-7 + triangle at the end: each round peels
+    // exactly one tail node, so the state after 2 rounds is the
+    // 5-node remnant — what a 2-round oracle must see
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (7L, 9L))
+    val capped = GraphTopology.kcore(g, 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // rounds peel leaf 1 then leaf 2 (each round removes the current
+    // degree-1 frontier): remaining chain 3..7 + triangle
+    assert(capped.keySet == Set(3L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
 }
