@@ -312,6 +312,11 @@ object SparkEntry {
     // q194: k-core decomposition by bounded iterative peeling — the
     // coreness community filter (completes the graph family).
     "q194_kcore"           -> (graft.operators.GraphTopology.kcoreQuery _),
+    // q195: sliding trailing-7-day distinct registers for every day,
+    // derived from daily partials alone (the windowed-serving payoff
+    // of sketch mergeability; q160 extended to the full series).
+    "q195_sliding_registers" ->
+      (graft.operators.DistinctSketch.slidingRegistersQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1402,6 +1407,8 @@ object SparkEntry {
       graft.operators.ZOrder.hilbertOracleSql,
     "q194_kcore" ->
       graft.operators.GraphTopology.kcoreOracleSql,
+    "q195_sliding_registers" ->
+      graft.operators.DistinctSketch.slidingRegistersOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

