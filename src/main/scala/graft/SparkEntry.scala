@@ -317,6 +317,10 @@ object SparkEntry {
     // of sketch mergeability; q160 extended to the full series).
     "q195_sliding_registers" ->
       (graft.operators.DistinctSketch.slidingRegistersQuery _),
+    // q196: weighted quantiles per stratum — q119's blocked
+    // cumulative-weight median generalized to a probe set.
+    "q196_weighted_quantiles" ->
+      (graft.operators.OlapOps.weightedQuantilesQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1409,6 +1413,8 @@ object SparkEntry {
       graft.operators.GraphTopology.kcoreOracleSql,
     "q195_sliding_registers" ->
       graft.operators.DistinctSketch.slidingRegistersOracleSql,
+    "q196_weighted_quantiles" ->
+      graft.operators.OlapOps.weightedQuantilesOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

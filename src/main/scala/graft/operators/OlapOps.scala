@@ -1556,6 +1556,71 @@ object OlapOps {
        CAST(min(v) AS BIGINT) AS median_chars
      FROM c WHERE cumw * 2 >= tw GROUP BY 1 ORDER BY 1"""
 
+  /** Probe quantiles (percent) for [[weightedQuantilesQuery]]. */
+  val WeightedProbes: Seq[Int] = Seq(25, 50, 75, 90)
+
+  /** q196: weighted quantiles per stratum — q119's weighted median
+    * generalized to a probe set: the q-th weighted quantile is the
+    * least value whose cumulative weight reaches q% of the stratum
+    * total (token-weighted char-length quantiles per language — the
+    * curation diagnostic "how long are the docs that carry our
+    * tokens"). Same blocked cumulative-weight machinery as q119
+    * (in-block window + broadcast block offsets — never a stratum-
+    * wide sort at scale); the probe fan-out is a broadcast
+    * non-equi join, and each (stratum, probe) group reduces by
+    * min(v) with map-side combine. All integer arithmetic. */
+  def weightedQuantilesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id").as("id"),
+        col("n_chars").as("v"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("w"))
+      .withColumn("block", expr("v div 1000"))
+      .localCheckpoint()
+    val blockW = Window.partitionBy("lang").orderBy(col("block").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("lang", "block")
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("offset", coalesce(sum(col("bw")).over(blockW), lit(0L)))
+      .select("lang", "block", "offset")
+    val totals = rows.groupBy("lang").agg(sum(col("w")).as("tw"))
+    val inBlock = Window.partitionBy("lang", "block")
+      .orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probes = WeightedProbes.toDF("q_pct")
+    rows
+      .withColumn("cw_local", sum(col("w")).over(inBlock))
+      .join(broadcast(offsets), Seq("lang", "block"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("cumw", col("offset") + col("cw_local"))
+      .join(broadcast(probes),
+        col("cumw") * 100 >= col("q_pct") * col("tw"))
+      .groupBy("lang", "q_pct")
+      .agg(max(col("tw")).cast("long").as("total_w"),
+        min(col("v")).cast("long").as("q_chars"))
+      .orderBy("lang", "q_pct")
+  }
+
+  /** DuckDB oracle for [[weightedQuantilesQuery]] — one window per
+    * stratum (fine at oracle scale), identical quantile rule. */
+  def weightedQuantilesOracleSql: String = {
+    val probeRows = WeightedProbes.map(p => s"($p)").mkString(", ")
+    s"""WITH r AS (SELECT lang, doc_id AS id, n_chars AS v,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+             AS BIGINT) AS w
+         FROM documents),
+       c AS (SELECT lang, v, w,
+               sum(w) OVER (PARTITION BY lang ORDER BY v, id) AS cumw,
+               sum(w) OVER (PARTITION BY lang) AS tw FROM r),
+       probes(q_pct) AS (VALUES $probeRows)
+     SELECT lang, CAST(q_pct AS INT) AS q_pct,
+       CAST(max(tw) AS BIGINT) AS total_w,
+       CAST(min(v) AS BIGINT) AS q_chars
+     FROM c JOIN probes ON cumw * 100 >= q_pct * tw
+     GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** q120: market-basket pair mining — the most co-ordered part pairs
     * (the support table behind "frequently bought together" and the
     * first A-priori level). Baskets are deduped to distinct (order,

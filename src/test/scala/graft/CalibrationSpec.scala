@@ -360,6 +360,23 @@ class CalibrationSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("weighted quantiles: probes are monotone and the 50th " +
+    "reproduces the q119 weighted median exactly") {
+    val wq = OlapOps.weightedQuantilesQuery(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val med = OlapOps.weightedMedianQuery(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val langs = wq.keys.map(_._1).toSet
+    assert(langs.nonEmpty)
+    langs.foreach { l =>
+      val series = OlapOps.WeightedProbes.map(p => wq((l, p))._2)
+      assert(series == series.sorted, s"$l quantiles must be monotone")
+      assert(wq((l, 50))._2 == med(l),
+        s"$l: 50th weighted quantile must equal the weighted median")
+    }
+  }
+
   test("ivm with retractions equals the post-delete recompute, " +
     "and deletes genuinely retract mass") {
     val maintained = OlapOps.ivmRetractQuery(spark, sf0001).collect()
