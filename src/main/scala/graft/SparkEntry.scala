@@ -321,6 +321,9 @@ object SparkEntry {
     // cumulative-weight median generalized to a probe set.
     "q196_weighted_quantiles" ->
       (graft.operators.OlapOps.weightedQuantilesQuery _),
+    // q197: winsorized (clamped-to-[p05,p95]) robust mean per stratum.
+    "q197_winsorized_mean" ->
+      (graft.operators.OlapOps.winsorizedMeanQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1415,6 +1418,8 @@ object SparkEntry {
       graft.operators.DistinctSketch.slidingRegistersOracleSql,
     "q196_weighted_quantiles" ->
       graft.operators.OlapOps.weightedQuantilesOracleSql,
+    "q197_winsorized_mean" ->
+      graft.operators.OlapOps.winsorizedMeanOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -423,6 +423,75 @@ object OlapOps {
       .orderBy("event_type")
   }
 
+  /** q197: winsorized mean per event type — the robust-mean pass an
+    * outlier-heavy metric column needs: per-stratum p05/p95 bounds
+    * selected by the q53 explicit-rank rule (SELECTED corpus values,
+    * never interpolation), every value CLAMPED into [lo, hi], then an
+    * exact integer mean over cents. Winsorizing (clamping) rather
+    * than trimming keeps n constant, so the mean is comparable
+    * across strata with different tail mass. Scale shape: one keyed
+    * window pass to select the two bounds per stratum (the q53
+    * shape), bounds broadcast back onto the scan, one
+    * map-side-combinable aggregation. */
+  def winsorizedMeanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Window.partitionBy("event_type")
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val byType = Window.partitionBy("event_type")
+    val vals = Tables.events(spark, dir)
+      .filter(!isnan(col("value")) &&
+        col("value") =!= Double.PositiveInfinity &&
+        col("value") =!= Double.NegativeInfinity)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val bounds = vals
+      .select(col("event_type"), col("cents"),
+        row_number().over(byValue).as("rn"),
+        count(lit(1)).over(byType).as("n"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rn") === expr("greatest((5 * n + 99) div 100, 1)"),
+          col("cents"))).as("lo"),
+        min(when(col("rn") === expr("(95 * n + 99) div 100"),
+          col("cents"))).as("hi"))
+    vals.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("cents"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("lo")).cast("long").as("lo_cents"),
+        min(col("hi")).cast("long").as("hi_cents"),
+        sum(col("w")).cast("long").as("winsor_sum_cents"))
+      .withColumn("winsor_mean_cents",
+        expr("CAST(winsor_sum_cents div n AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[winsorizedMeanQuery]]. */
+  def winsorizedMeanOracleSql: String =
+    """WITH v AS (SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+         FROM events
+         WHERE NOT isnan(value) AND isfinite(value)),
+       rk AS (SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY cents, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+         FROM v),
+       b AS (SELECT event_type,
+           min(CASE WHEN rn = greatest((5 * n + 99) // 100, 1)
+             THEN cents END) AS lo,
+           min(CASE WHEN rn = (95 * n + 99) // 100
+             THEN cents END) AS hi
+         FROM rk GROUP BY 1),
+       w AS (SELECT v.event_type,
+           greatest(b.lo, least(b.hi, v.cents)) AS wc, b.lo, b.hi
+         FROM v JOIN b ON v.event_type = b.event_type)
+     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS lo_cents,
+       CAST(min(hi) AS BIGINT) AS hi_cents,
+       CAST(sum(wc) AS BIGINT) AS winsor_sum_cents,
+       CAST(sum(wc) // count(*) AS BIGINT) AS winsor_mean_cents
+     FROM w GROUP BY 1 ORDER BY 1"""
+
   /** q84: set-operation audience segmentation — every customer active
     * in 1994 or 1995 labeled 'both' / 'only_1994' / 'only_1995' via
     * INTERSECT and EXCEPT (the remaining relational-algebra set ops

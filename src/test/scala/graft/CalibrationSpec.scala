@@ -377,6 +377,19 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("winsorized mean: bounds are corpus values, the mean sits " +
+    "inside them, and clamping never raises the max") {
+    val out = OlapOps.winsorizedMeanQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi) = (r.getLong(2), r.getLong(3))
+      val mean = r.getLong(5)
+      assert(lo <= hi)
+      assert(mean >= lo && mean <= hi,
+        s"${r.getString(0)}: winsorized mean must lie within the bounds")
+    }
+  }
+
   test("ivm with retractions equals the post-delete recompute, " +
     "and deletes genuinely retract mass") {
     val maintained = OlapOps.ivmRetractQuery(spark, sf0001).collect()

@@ -519,6 +519,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q194 kcore peel: equi-joins only, nothing cartesian") {
+    val p = planString(
+      graft.operators.GraphTopology.kcoreQuery(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the peel must stay equi-join:\n" + p.take(1500))
+  }
+
+  test("q195 sliding registers: window merge reads the register " +
+    "table, events scanned exactly twice") {
+    val df = graft.operators.DistinctSketch
+      .slidingRegistersQuery(spark, sf0001)
+    // one scan feeds the daily registers (checkpointed), one the
+    // exact-baseline pair table; the 7-way fan-out happens on those
+    // derived frames, never on a third read of the corpus
+    assert(tableScans(df, "events") <= 2,
+      "sliding windows must derive from partials, not rescans")
+  }
+
+  test("q196/q197: bounds and offsets broadcast back, aggregation " +
+    "partial") {
+    for (df <- Seq(
+        graft.operators.OlapOps.weightedQuantilesQuery(spark, sf0001),
+        graft.operators.OlapOps.winsorizedMeanQuery(spark, sf0001))) {
+      val p = planString(df)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(p.contains("partial_"), p.take(1500))
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+  }
+
   test("q183 leakage split: labels join back by doc_id equi-join, " +
     "no global sort before the output ordering") {
     val p = planString({
