@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductFloat, TextExpressionFunctions, VectorFunctions, WordShinglesExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CurveFunctions, DotProductFloat, HilbertIndexExpr, TextExpressionFunctions, VectorFunctions, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions available to ANY session (including pure-SQL users)
@@ -29,5 +30,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         TextExpressionFunctions.shinglesName),
       (children: Seq[Expression]) =>
         WordShinglesExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(CurveFunctions.hilbertName),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName,
+        CurveFunctions.hilbertName),
+      (children: Seq[Expression]) => {
+        val bits = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"${CurveFunctions.hilbertName} bits must be an INT literal," +
+              s" got $other")
+        }
+        HilbertIndexExpr(children(0), children(1), bits)
+      }))
   }
 }

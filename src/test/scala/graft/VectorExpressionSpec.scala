@@ -43,21 +43,36 @@ class VectorExpressionSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-3) // unit-norm testdata
   }
 
-  test("extension class injects the function into a fresh session") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("ext-test")
-      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val r = s2.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()
-      assert(r.head.getDouble(0) == 11.0)
-    } finally {
-      // keep the shared session; the builder returns the active one if
-      // configs are compatible — only stop if it is a distinct session
-      if (s2 ne spark) () // same JVM-wide context; do not stop
+  test("extension class wires every custom-function builder") {
+    // `spark.sql.extensions` is a STATIC conf read from the
+    // SparkContext at FIRST context creation — it cannot apply inside
+    // this shared-context JVM (a builder against the live context
+    // logs 'some configuration may not take effect' and skips it), so
+    // the end-to-end path is: apply() must accept a fresh
+    // SparkSessionExtensions without throwing (wiring smoke)...
+    new graft.plans.GraftSparkExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("per-session registration: a newSession starts clean and the " +
+    "register() calls make both function families resolvable") {
+    // ...and the library path every entry point actually uses —
+    // register() on the session — must work on a genuinely clean
+    // SessionState, which newSession() provides
+    val s2 = spark.newSession()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT graft_hilbert(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 1)")
+        .collect()
     }
+    graft.functions.VectorFunctions.register(s2)
+    graft.functions.CurveFunctions.register(s2)
+    val r = s2.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+    // d(1,0) = 3 on the 2x2 curve
+    val h = s2.sql(
+      "SELECT graft_hilbert(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 1) AS h")
+      .collect()
+    assert(h.head.getLong(0) == 3L)
   }
 }
