@@ -324,6 +324,17 @@ object SparkEntry {
     // q197: winsorized (clamped-to-[p05,p95]) robust mean per stratum.
     "q197_winsorized_mean" ->
       (graft.operators.OlapOps.winsorizedMeanQuery _),
+    // q198: quoted-CSV scanner round-trip with injected delimiters,
+    // quotes, and in-field newlines (the dialect path q175 can't hit).
+    "q198_csv_roundtrip"   -> (Extensions.q198CsvRoundtrip _),
+    // q199: the Markov model evaluated — holdout next-event top-1
+    // accuracy per prev state (closes the q126 loop).
+    "q199_markov_eval"     ->
+      (graft.operators.Sessionize.markovEvalQuery _),
+    // q200: temperature-flattened (alpha = 0.5) source mixing shares.
+    "q200_temperature_mix" -> ((s, d) =>
+      graft.operators.Curation.temperatureMix(
+        graft.sources.Tables.documents(s, d))),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1420,6 +1431,22 @@ object SparkEntry {
       graft.operators.OlapOps.weightedQuantilesOracleSql,
     "q197_winsorized_mean" ->
       graft.operators.OlapOps.winsorizedMeanOracleSql,
+    // q198: aggregates recomputed from the ORIGINAL documents with
+    // the same injected payload — the scanner must lose nothing.
+    "q198_csv_roundtrip" ->
+      """WITH p AS (SELECT doc_id, lang,
+           text || ',"' || chr(10) || '|' || source AS payload
+         FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(length(payload)) AS BIGINT) AS len_sum,
+         CAST(sum(CAST(('0x' || substr(md5(payload), 1, 15)) AS BIGINT)
+           % 2147483647) AS BIGINT) AS hash_sum
+       FROM p GROUP BY 1 ORDER BY 1""",
+    "q199_markov_eval" ->
+      graft.operators.Sessionize.markovEvalOracleSql,
+    "q200_temperature_mix" ->
+      graft.operators.Curation.temperatureMixOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

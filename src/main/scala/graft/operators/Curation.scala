@@ -148,6 +148,51 @@ object Curation {
        (1000000 // n_langs) * 1000000 // greatest(share_e6, 1) AS weight_e6
      FROM s ORDER BY lang"""
 
+  /** q200: temperature-flattened source mixing — sampling weights
+    * ∝ mass^(1/2), the multilingual/multi-source temperature trick
+    * (α-sampling with α = 0.5, the T5 / massively-multilingual-NMT
+    * recipe): rare sources gain share, no source dominates, and the
+    * ordering by mass is preserved — the middle ground between q60's
+    * natural and uniform targets. floor(sqrt(n)) over BIGINT token
+    * masses is exact and portable: IEEE-754 sqrt is correctly
+    * rounded, so both engines floor to the same integer for any
+    * mass below 2^52 (larger masses would take a decimal path as in
+    * q60). One tokenized aggregation; everything downstream reads
+    * the |sources|-row frame. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .localCheckpoint()
+    val weighted = per.withColumn("w",
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = weighted.agg(sum(col("n_tokens")).as("tt"),
+      sum(col("w")).as("tw"))
+    weighted.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div tt")
+          .as("nat_e6"),
+        expr("CAST(w AS DECIMAL(38,0)) * 1000000 div tw").as("temp_e6"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[temperatureMix]]. */
+  def temperatureMixOracleSql: String =
+    """WITH t AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY 1),
+       w AS (SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM t),
+       g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+               CAST(sum(w) AS BIGINT) AS tw FROM w)
+     SELECT source, n_docs, n_tokens, w,
+       n_tokens * 1000000 // tt AS nat_e6,
+       w * 1000000 // tw AS temp_e6
+     FROM w, g ORDER BY source"""
+
   /** q70: robust per-language length trim — keep documents whose token
     * count falls inside the stratum's [p5, p95] (boilerplate stubs and
     * concatenation monsters are the tails an LLM corpus trims).

@@ -711,6 +711,42 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** q198: the QUOTED-CSV scanner under oracle check — the CSV
+    * dialect path the TSV scanner (q175) never exercises: embedded
+    * delimiters, double quotes, and NEWLINES inside fields. The
+    * corpus text carries none of those, so the payload column
+    * deterministically injects all three (`text || ',"\n|' || source`
+    * — recomputed verbatim by the oracle from the original table),
+    * gets written fully quoted, and is read back through the
+    * multiLine+escape scanner. Per-lang row counts, id sums, payload
+    * lengths, and a payload hash-sum must equal the ORIGINAL table's
+    * — any mis-split row, truncated field, or quote corruption breaks
+    * at least one of them. */
+  def q198CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.sources.Scratch.dirOutliving(s, "q198_csv")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(",\"\n|"), col("source")).as("payload"))
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(out)
+    val declared = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("payload", StringType)))
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").schema(declared).csv(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(length(col("payload"))).cast("long").as("len_sum"),
+        sum(pmod(graft.functions.TextFunctions.portableHash60(
+          col("payload")), lit(2147483647L))).cast("long").as("hash_sum"))
+      .orderBy("lang")
+  }
+
   /** q178: SCHEMA EVOLUTION under oracle check — the ingestion
     * reality every long-lived 100 TB table faces: files written
     * before a column existed sit next to files written after.

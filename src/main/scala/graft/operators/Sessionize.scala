@@ -119,6 +119,71 @@ object Sessionize {
          AS BIGINT) AS p_e6
      FROM c ORDER BY 1, 2"""
 
+  /** q199: the Markov model EVALUATED — holdout next-event top-1
+    * accuracy: transitions from even-id users train the argmax
+    * predictor (most frequent next type per prev, ties to the
+    * lexicographically first — deterministic), transitions from
+    * odd-id users score it. The eval closes the q126 loop: q126
+    * builds the conditional table, this measures what it buys —
+    * per prev-state hit counts and e6 hit rate on unseen users.
+    * Scale shape: ONE user-keyed lag pass (the q77 shuffle) feeds a
+    * (grp × types²)-row count table; train argmax, holdout join, and
+    * the rate arithmetic all run over that metadata-scale frame.
+    * Holdout prev states the train half never saw are dropped by the
+    * inner join (no prediction exists to score). */
+  def markovEvalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      .groupBy("grp", "prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // types²-scale; feeds train AND holdout
+    val trainRank = Window.partitionBy("prev_type")
+      .orderBy(col("n").desc, col("next_type").asc)
+    val predicted = counts.filter(col("grp") === 0)
+      .withColumn("rk", row_number().over(trainRank))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    counts.filter(col("grp") === 1)
+      .join(predicted, Seq("prev_type"))
+      .groupBy("prev_type")
+      .agg(min(col("predicted")).as("predicted"),
+        sum(col("n")).cast("long").as("n_test"),
+        sum(when(col("next_type") === col("predicted"), col("n"))
+          .otherwise(0L)).cast("long").as("n_hits"))
+      .withColumn("hit_e6",
+        expr("CAST(n_hits * 1000000 div n_test AS BIGINT)"))
+      .orderBy("prev_type")
+  }
+
+  /** DuckDB oracle for [[markovEvalQuery]]. */
+  def markovEvalOracleSql: String =
+    """WITH p AS (SELECT user_id % 2 AS grp,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+         FROM events),
+       c AS (SELECT grp, prev_type, next_type, count(*) AS n FROM p
+             WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+       pred AS (SELECT prev_type, next_type AS predicted FROM c
+                WHERE grp = 0
+                QUALIFY row_number() OVER (PARTITION BY prev_type
+                  ORDER BY n DESC, next_type) = 1),
+       t AS (SELECT c.prev_type, predicted, next_type, n
+             FROM c JOIN pred USING (prev_type) WHERE grp = 1)
+     SELECT prev_type, min(predicted) AS predicted,
+       CAST(sum(n) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN next_type = predicted THEN n ELSE 0 END)
+         AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN next_type = predicted THEN n ELSE 0 END)
+         * 1000000 // sum(n) AS BIGINT) AS hit_e6
+     FROM t GROUP BY 1 ORDER BY 1"""
+
   /** q127: audience overlap — pairwise Jaccard similarity between the
     * user sets of every event-type pair (which behaviors share an
     * audience, the segmentation-design input). Set sizes come from one

@@ -74,4 +74,22 @@ class CurationSpec extends SparkSpec {
         s"$lang scores must be non-increasing by rank: $scoresByRn")
     }
   }
+
+  test("temperature mix flattens without reordering: rare sources " +
+    "gain share, heavy sources lose it, ranking preserved") {
+    val out = Curation.temperatureMix(
+      graft.sources.Tables.documents(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    assert(out.length > 1)
+    val byMass = out.sortBy(_._2)
+    // ordering by mass is preserved in the temperature shares
+    val temps = byMass.map(_._4)
+    assert(temps.zip(temps.tail).forall { case (a, b) => a <= b })
+    // the lightest source's share rises, the heaviest's falls
+    assert(byMass.head._4 >= byMass.head._3,
+      "rare source must gain share under temperature")
+    assert(byMass.last._4 <= byMass.last._3,
+      "dominant source must lose share under temperature")
+  }
 }

@@ -271,4 +271,33 @@ class TemporalOpsSpec extends SparkSpec {
     assert(lat.getLong(0) > 0 && lat.getLong(1) <= lat.getLong(2),
       "median must not exceed p95")
   }
+
+  test("markov eval: predictions are the train-half argmax and hit " +
+    "counts are consistent") {
+    import org.apache.spark.sql.functions._
+    val out = Sessionize.markovEvalQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "hits cannot exceed tests")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+    // independent recompute of the train argmax ((n desc, next asc))
+    // from the raw even-user half
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val argmax = graft.sources.Tables.events(spark, sf0001)
+      .filter(pmod(col("user_id"), lit(2L)) === 0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(byTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .collect().groupBy(_.getString(0)).map { case (p, rows) =>
+        p -> rows.minBy(r => (-r.getLong(2), r.getString(1))).getString(1)
+      }
+    out.foreach { r =>
+      assert(argmax(r.getString(0)) == r.getString(1),
+        s"${r.getString(0)}: prediction must be the train argmax")
+    }
+  }
 }
