@@ -629,4 +629,43 @@ class PropertySpec extends SparkSpec {
         s"counts=${cs.take(5)}...")
     }
   }
+
+  test("kcore equals a reference peeler on random graphs") {
+    // reference: repeatedly drop nodes with degree < k to fixpoint
+    def refKcore(es: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+      var edges = es.map(e =>
+        (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      var changed = true
+      while (changed) {
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val alive = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => alive(e._1) && alive(e._2))
+        changed = next.size != edges.size
+        edges = next
+      }
+      edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(3, 20)
+      m <- Gen.choose(2, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield es.distinct
+    forAll(edgeGen, trials = 8) { es =>
+      if (es.nonEmpty) {
+        val spark2 = spark
+        import spark2.implicits._
+        for (k <- Seq(2, 3)) {
+          val got = graft.operators.GraphTopology
+            .kcore(es.toDF("u", "v"), k, rounds = 30)
+            .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+          assert(got == refKcore(es, k),
+            s"k=$k edges=${es.take(8)}...")
+        }
+      }
+    }
+  }
 }
