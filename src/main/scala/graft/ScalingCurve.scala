@@ -46,7 +46,10 @@ object ScalingCurve {
     ("q176_triangles",      "triangle census (degree-oriented wedges)", "events"),
     ("q177_bfs_reach",      "bounded multi-source BFS",           "events"),
     ("q182_quantile_sketch", "hash-sample quantile sketch (two passes)", "events"),
-    ("q184_auc",            "ranking metrics (histogram AUC)",    "embeddings"))
+    ("q184_auc",            "ranking metrics (histogram AUC)",    "embeddings"),
+    ("q192_curation_manifest", "composed curation pipeline (gates+clusters+split)", "documents"),
+    ("q194_kcore",          "k-core peeling (bounded rounds)",    "events"),
+    ("q195_sliding_registers", "sliding register merge (partials only)", "events"))
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
