@@ -335,6 +335,10 @@ object SparkEntry {
     "q200_temperature_mix" -> ((s, d) =>
       graft.operators.Curation.temperatureMix(
         graft.sources.Tables.documents(s, d))),
+    // q201: index-accelerated substring search — trigram-index probe
+    // + LIKE verification (the pg_trgm rewrite, relationally).
+    "q201_trigram_like"    ->
+      (graft.operators.CorpusStats.trigramLikeQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1447,6 +1451,8 @@ object SparkEntry {
       graft.operators.Sessionize.markovEvalOracleSql,
     "q200_temperature_mix" ->
       graft.operators.Curation.temperatureMixOracleSql,
+    "q201_trigram_like" ->
+      graft.operators.CorpusStats.trigramLikeOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

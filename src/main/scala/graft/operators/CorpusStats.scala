@@ -118,6 +118,67 @@ object CorpusStats {
     * terms (each with <= maxDf postings) reach the collect, so no
     * posting list can exceed maxDf entries no matter how hot the term
     * — stop-word-shaped terms never materialize a list at all. */
+  /** q201's search pattern — a constant so the Spark query, the
+    * oracle SQL, and the spec derive the SAME trigram set. */
+  val LikePattern = "batch stream"
+
+  /** q201: index-accelerated substring search — the pg_trgm trick
+    * expressed relationally: a `%pattern%` scan is rewritten as (1)
+    * an equality probe of a CHARACTER-trigram inverted index (a doc
+    * can contain the pattern only if it contains every one of the
+    * pattern's trigrams) and (2) an exact LIKE verification over the
+    * survivors only. Both stages appear in the output — candidate
+    * trigram hits and the verified flag — so the result certifies
+    * the accelerator's zero-false-negative contract (every true
+    * match must surface as a candidate; the spec asserts it against
+    * a direct scan). At 100 TB the trigram postings are a PREBUILT
+    * table (the q76 posting-list shape) and stage 1 is an index probe
+    * that never touches text; here the index is built in-query and
+    * the pattern-trigram filter prunes the exploded postings BEFORE
+    * the aggregation shuffle, so the shuffled volume is |pattern
+    * trigrams| postings, not the corpus's full trigram set. */
+  def trigramLikeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pat = LikePattern.toLowerCase
+    val patTris = pat.sliding(3).toSeq.distinct
+    val docs = Tables.documents(spark, dir)
+    val postings = docs
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 2, 0))," +
+          " i -> substring(lower(text), i, 3))")).as("tg"))
+      .select(col("doc_id"), explode(col("tg")).as("t"))
+      .filter(col("t").isin(patTris: _*))
+    val candidates = postings.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === patTris.size)
+    candidates.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_hit").cast("long").as("n_hit"),
+        when(lower(col("text")).contains(pat), 1).otherwise(0)
+          .cast("int").as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[trigramLikeQuery]] — same trigram set, same
+    * two stages. */
+  def trigramLikeOracleSql: String = {
+    val pat = LikePattern.toLowerCase
+    val tris = pat.sliding(3).toSeq.distinct
+      .map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    val n = pat.sliding(3).toSeq.distinct.size
+    s"""WITH tg AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 2, 0) + 1),
+           i -> lower(text)[i:i+2])) AS tris
+         FROM documents),
+       e AS (SELECT doc_id, unnest(tris) AS t FROM tg),
+       c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM e WHERE t IN ($tris)
+             GROUP BY 1 HAVING count(*) = $n)
+     SELECT c.doc_id, c.n_hit,
+       CAST(CASE WHEN lower(d.text) LIKE '%$pat%' THEN 1 ELSE 0 END
+         AS INT) AS is_match
+     FROM c JOIN documents d ON c.doc_id = d.doc_id
+     ORDER BY c.doc_id"""
+  }
+
   def postingListsQuery(spark: SparkSession, dir: String, minDf: Long = 5L,
                         maxDf: Long = 50L, cap: Int = 20): DataFrame = {
     val bg = Tables.documents(spark, dir)

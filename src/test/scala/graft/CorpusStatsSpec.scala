@@ -67,4 +67,21 @@ class CorpusStatsSpec extends SparkSpec {
       vocabSize = 100000)
     assert(full.filter(col("n_oov") > 0).count() == 0)
   }
+
+  test("trigram LIKE accelerator: zero false negatives vs a direct " +
+    "scan, and candidates carry the full trigram hit count") {
+    val out = CorpusStats.trigramLikeQuery(spark, sf0001).collect()
+    val nTris = CorpusStats.LikePattern.toLowerCase
+      .sliding(3).toSeq.distinct.size
+    out.foreach(r => assert(r.getLong(1) == nTris))
+    val candidateMatches = out.filter(_.getInt(2) == 1)
+      .map(_.getLong(0)).toSet
+    // every doc a direct LIKE scan finds must be a verified candidate
+    val direct = graft.sources.Tables.documents(spark, sf0001)
+      .filter(lower(col("text"))
+        .contains(CorpusStats.LikePattern.toLowerCase))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(candidateMatches == direct,
+      "index probe + verify must equal the direct scan")
+  }
 }
