@@ -339,6 +339,12 @@ object SparkEntry {
     // + LIKE verification (the pg_trgm rewrite, relationally).
     "q201_trigram_like"    ->
       (graft.operators.CorpusStats.trigramLikeQuery _),
+    // q202: sorted-neighborhood near-dup pairs — the sort-based
+    // blocking family beside the inverted index and LSH (linear
+    // candidate volume by construction).
+    "q202_sorted_neighborhood" -> ((s, d) =>
+      graft.operators.Dedup.sortedNeighborhoodPairs(
+        graft.sources.Tables.documents(s, d))),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1453,6 +1459,8 @@ object SparkEntry {
       graft.operators.Curation.temperatureMixOracleSql,
     "q201_trigram_like" ->
       graft.operators.CorpusStats.trigramLikeOracleSql,
+    "q202_sorted_neighborhood" ->
+      graft.operators.Dedup.sortedNeighborhoodOracleSql(),
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

@@ -657,4 +657,83 @@ object Dedup {
      FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
      WHERE levenshtein(a.head, b.head) <= $maxDist
      ORDER BY d1, d2"""
+
+  /** q202 window width (each doc pairs with its `SnWindow - 1`
+    * successors in sort order) and Jaccard floor. */
+  val SnWindow = 3
+  val SnThresholdE6 = 600000L
+
+  /** q202: SORTED-NEIGHBORHOOD near-dup pairs — the third blocking
+    * family beside the inverted index (q23) and LSH (q24/q25):
+    * Hernández & Stolfo's method sorts the corpus by a discriminating
+    * key (here the normalized text, per language) and compares each
+    * record only with its w−1 successors — near-identical texts
+    * collate adjacently, so candidate volume is LINEAR (w−1 pairs per
+    * doc) regardless of cluster structure, the property that makes
+    * the method attractive when hot shingles would flood an index.
+    * Pairs are scored by distinct-token Jaccard (e6 floor) and kept
+    * above [[SnThresholdE6]].
+    *
+    * Scale shape: the rank is a per-language keyed window (at 100 TB
+    * the same total order comes from repartitionByRange + the blocked
+    * rank idiom); successor pairing is an equi-join on (lang, rank +
+    * offset) — consecutive ranks co-partition, so the join is local
+    * after one keyed shuffle; the offset fan-out is w−1 = 2 rows per
+    * doc, not a cross product. */
+  def sortedNeighborhoodPairs(docs: DataFrame,
+                              window: Int = SnWindow,
+                              thresholdE6: Long = SnThresholdE6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNorm = Window.partitionBy("lang")
+      .orderBy(col("norm").asc, col("doc_id").asc)
+    val ranked = docs
+      .select(col("lang"), col("doc_id"),
+        lower(trim(col("text"))).as("norm"),
+        array_distinct(tokens(col("text"))).as("toks"))
+      .withColumn("rn", row_number().over(byNorm))
+      // the rank feeds both sides of the successor join
+      .localCheckpoint()
+    val left = ranked.select(col("lang"), col("rn"),
+      col("doc_id").as("d1"), col("toks").as("t1"))
+      .withColumn("k",
+        explode(array((1 until window).map(lit(_)): _*)))
+      .withColumn("rn2", col("rn") + col("k"))
+    val right = ranked.select(col("lang"), col("rn").as("rn2"),
+      col("doc_id").as("d2"), col("toks").as("t2"))
+    left.join(right, Seq("lang", "rn2"))
+      .withColumn("inter",
+        size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("uni",
+        size(col("t1")) + size(col("t2")) - col("inter"))
+      .withColumn("jac_e6",
+        expr("CAST(inter * 1000000 div greatest(uni, 1) AS BIGINT)"))
+      .filter(col("jac_e6") >= thresholdE6)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"), col("jac_e6"))
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[sortedNeighborhoodPairs]]. */
+  def sortedNeighborhoodOracleSql(window: Int = SnWindow,
+      thresholdE6: Long = SnThresholdE6): String = {
+    val offs = (1 until window).mkString(", ")
+    s"""WITH r AS (SELECT lang, doc_id, lower(trim(text)) AS norm,
+           list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+             AS toks
+         FROM documents),
+       rk AS (SELECT lang, doc_id, toks,
+           row_number() OVER (PARTITION BY lang ORDER BY norm, doc_id)
+             AS rn
+         FROM r),
+       p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+           CAST(len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+         FROM rk a JOIN rk b
+           ON a.lang = b.lang AND b.rn - a.rn IN ($offs))
+     SELECT least(da, db) AS d1, greatest(da, db) AS d2,
+       CAST(inter * 1000000 // greatest(uni, 1) AS BIGINT) AS jac_e6
+     FROM p WHERE inter * 1000000 // greatest(uni, 1) >= $thresholdE6
+     ORDER BY d1, d2"""
+  }
 }

@@ -440,4 +440,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(best.getLong(1) == out.head.getLong(2))
     assert(best.getLong(0) == out.head.getLong(1))
   }
+
+  test("sorted neighborhood: twins collate at 1e6, near variants at " +
+    "their exact jaccard, cross-language rows never pair") {
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma delta"),    // exact twin of 1
+      (3L, "en", "alpha beta gamma epsilon"),  // jac 3/5 = threshold
+      (4L, "en", "zzz completely different words"),
+      (5L, "fr", "alpha beta gamma delta")     // other stratum
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map(
+      (1L, 2L) -> 1000000L,
+      (1L, 3L) -> 600000L,
+      (2L, 3L) -> 600000L))
+    // corpus sanity: any pair found at sf scale respects the floor
+    val corpus = Dedup.sortedNeighborhoodPairs(
+      graft.sources.Tables.documents(spark, sf0001)).collect()
+    corpus.foreach(r =>
+      assert(r.getLong(2) >= Dedup.SnThresholdE6 &&
+        r.getLong(2) <= 1000000L))
+  }
 }
