@@ -345,6 +345,11 @@ object SparkEntry {
     "q202_sorted_neighborhood" -> ((s, d) =>
       graft.operators.Dedup.sortedNeighborhoodPairs(
         graft.sources.Tables.documents(s, d))),
+    // q203: label-noise suspects by exact k-NN disagreement (the
+    // confident-learning pre-training pass; LSH/IVF is the scale
+    // path for the candidate set, the voting is unchanged).
+    "q203_label_noise"     ->
+      (graft.operators.Similarity.labelNoiseQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1461,6 +1466,8 @@ object SparkEntry {
       graft.operators.CorpusStats.trigramLikeOracleSql,
     "q202_sorted_neighborhood" ->
       graft.operators.Dedup.sortedNeighborhoodOracleSql(),
+    "q203_label_noise" ->
+      graft.operators.Similarity.labelNoiseOracleSql(),
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

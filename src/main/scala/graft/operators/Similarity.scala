@@ -712,4 +712,69 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("norm_i")).as("sum_norm"))
       .orderBy("label")
   }
+
+  /** Neighbor count for [[labelNoiseQuery]] and its suspect rule
+    * (flag when ≥ NoiseK − 1 of the NoiseK neighbors disagree). */
+  val NoiseK = 5
+
+  /** q203: label-noise detection by k-NN disagreement — the
+    * confident-learning-style pass a labeled training set runs before
+    * training: for every vector, its [[NoiseK]] nearest neighbors by
+    * cosine vote on the label; a row whose neighborhood almost
+    * unanimously disagrees is a mislabeling suspect. Neighbors are
+    * EXACT here (the q26 discipline: the exhaustive all-pairs scoring
+    * is the intentionally-verifiable baseline; at 100 TB the
+    * candidate set comes from the LSH/IVF machinery of q27/q35/q36
+    * and the voting is unchanged). Ranking uses the QUANTIZED e6
+    * similarity with vec_id tie-break, so the k-th-neighbor boundary
+    * is deterministic on both engines. The corpus side broadcasts
+    * (embeddings are the small table of the schema); the per-vector
+    * window is keyed by the anchor. */
+  def labelNoiseQuery(spark: SparkSession, dir: String): DataFrame =
+    labelNoise(Tables.embeddings(spark, dir))
+
+  /** [[labelNoiseQuery]]'s core over any (vec_id, embedding, label)
+    * frame. */
+  def labelNoise(emb: DataFrame, k: Int = NoiseK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(emb.sparkSession)
+    val anchors = Partitioning.spread(emb).select(col("vec_id").as("a"),
+      col("embedding").as("ea"), col("label").cast("long").as("la"))
+    val others = emb.select(col("vec_id").as("b"),
+      col("embedding").as("eb"), col("label").cast("long").as("lb"))
+    val w = Window.partitionBy("a")
+      .orderBy(col("sim").desc, col("b").asc)
+    anchors.join(broadcast(others), col("a") =!= col("b"))
+      .withColumn("sim",
+        (round(VectorFunctions.cosine(col("ea"), col("eb")), 6) * 1000000)
+          .cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("a"), col("la"))
+      .agg(sum(when(col("lb") =!= col("la"), 1L).otherwise(0L))
+        .cast("long").as("n_disagree"))
+      .select(col("a").as("vec_id"), col("la").as("label"),
+        col("n_disagree"),
+        when(col("n_disagree") >= k - 1, 1).otherwise(0)
+          .cast("int").as("suspect"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[labelNoiseQuery]]. */
+  def labelNoiseOracleSql(k: Int = NoiseK): String =
+    s"""WITH p AS (SELECT a.vec_id AS a, CAST(a.label AS BIGINT) AS la,
+           b.vec_id AS b, CAST(b.label AS BIGINT) AS lb,
+           CAST(round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+             6) * 1000000 AS BIGINT) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       r AS (SELECT a, la, lb,
+           row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+         FROM p)
+     SELECT a AS vec_id, la AS label,
+       CAST(sum(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       CAST(CASE WHEN sum(CASE WHEN lb <> la THEN 1 ELSE 0 END)
+           >= ${k - 1} THEN 1 ELSE 0 END AS INT) AS suspect
+     FROM r WHERE rk <= $k GROUP BY 1, 2 ORDER BY 1"""
 }

@@ -441,6 +441,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(best.getLong(0) == out.head.getLong(1))
   }
 
+  test("label noise: a planted mislabel inside a tight cluster is " +
+    "the only suspect") {
+    // cluster A around (1,0): v1-v3 labeled 0, v4 mislabeled 9;
+    // cluster B around (0,1): v5-v8 labeled 1. k=3 neighborhoods stay
+    // within each cluster, so only v4's neighbors unanimously disagree
+    def v(x: Float, y: Float) = Array(x, y)
+    val emb = Seq(
+      (1L, v(1.00f, 0.01f), 0L), (2L, v(0.99f, 0.02f), 0L),
+      (3L, v(1.01f, 0.00f), 0L), (4L, v(1.00f, 0.03f), 9L),
+      (5L, v(0.01f, 1.00f), 1L), (6L, v(0.02f, 0.99f), 1L),
+      (7L, v(0.00f, 1.01f), 1L), (8L, v(0.03f, 1.00f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoise(emb, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out.size == 8)
+    assert(out(4L) == ((3L, 1)), "the planted mislabel must be flagged")
+    (out - 4L).foreach { case (id, (_, suspect)) =>
+      assert(suspect == 0, s"vec $id wrongly flagged")
+    }
+  }
+
   test("sorted neighborhood: twins collate at 1e6, near variants at " +
     "their exact jaccard, cross-language rows never pair") {
     val docs = Seq(
