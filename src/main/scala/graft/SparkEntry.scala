@@ -350,6 +350,10 @@ object SparkEntry {
     // path for the candidate set, the voting is unchanged).
     "q203_label_noise"     ->
       (graft.operators.Similarity.labelNoiseQuery _),
+    // q204: hard-example mining — per anchor the hardest negative /
+    // positive and the triplet margin (contrastive batch construction).
+    "q204_hard_negatives"  ->
+      (graft.operators.Similarity.hardNegativesQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1468,6 +1472,8 @@ object SparkEntry {
       graft.operators.Dedup.sortedNeighborhoodOracleSql(),
     "q203_label_noise" ->
       graft.operators.Similarity.labelNoiseOracleSql(),
+    "q204_hard_negatives" ->
+      graft.operators.Similarity.hardNegativesOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

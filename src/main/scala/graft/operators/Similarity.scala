@@ -733,21 +733,29 @@ object Similarity {
   def labelNoiseQuery(spark: SparkSession, dir: String): DataFrame =
     labelNoise(Tables.embeddings(spark, dir))
 
-  /** [[labelNoiseQuery]]'s core over any (vec_id, embedding, label)
-    * frame. */
-  def labelNoise(emb: DataFrame, k: Int = NoiseK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The scored all-pairs frame [[labelNoise]] and [[hardNegatives]]
+    * share: (a, la, b, lb, sim) with sim the QUANTIZED e6 cosine —
+    * exhaustive by design (the q26 verification-baseline discipline). */
+  private def labeledPairs(emb: DataFrame): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
     val anchors = Partitioning.spread(emb).select(col("vec_id").as("a"),
       col("embedding").as("ea"), col("label").cast("long").as("la"))
     val others = emb.select(col("vec_id").as("b"),
       col("embedding").as("eb"), col("label").cast("long").as("lb"))
-    val w = Window.partitionBy("a")
-      .orderBy(col("sim").desc, col("b").asc)
     anchors.join(broadcast(others), col("a") =!= col("b"))
       .withColumn("sim",
         (round(VectorFunctions.cosine(col("ea"), col("eb")), 6) * 1000000)
           .cast("long"))
+      .select(col("a"), col("la"), col("b"), col("lb"), col("sim"))
+  }
+
+  /** [[labelNoiseQuery]]'s core over any (vec_id, embedding, label)
+    * frame. */
+  def labelNoise(emb: DataFrame, k: Int = NoiseK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("a")
+      .orderBy(col("sim").desc, col("b").asc)
+    labeledPairs(emb)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy(col("a"), col("la"))
@@ -759,6 +767,69 @@ object Similarity {
           .cast("int").as("suspect"))
       .orderBy("vec_id")
   }
+
+  /** q204: hard-example mining for contrastive training — per
+    * anchor: the HARDEST NEGATIVE (most-similar vector with a
+    * different label — the pair a contrastive loss must push apart)
+    * and the HARDEST POSITIVE (least-similar vector with the same
+    * label — the pair it must pull together). The standard batch-
+    * construction signal for embedding finetuning. Same exhaustive
+    * scored-pairs frame as q203 ([[labeledPairs]], the q26
+    * discipline), two windows over it keyed by the anchor; quantized
+    * similarity + id tie-break keeps both argmins deterministic.
+    * Anchors whose class has no other member emit no hard positive
+    * and are dropped by the inner join (nothing to pull). */
+  def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir))
+
+  /** [[hardNegativesQuery]]'s core. */
+  def hardNegatives(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = labeledPairs(emb).localCheckpoint()
+    val negW = Window.partitionBy("a")
+      .orderBy(col("sim").desc, col("b").asc)
+    val posW = Window.partitionBy("a")
+      .orderBy(col("sim").asc, col("b").asc)
+    val hardNeg = pairs.filter(col("lb") =!= col("la"))
+      .withColumn("rk", row_number().over(negW)).filter(col("rk") === 1)
+      .select(col("a"), col("la"), col("b").as("neg_id"),
+        col("sim").as("neg_sim"))
+    val hardPos = pairs.filter(col("lb") === col("la"))
+      .withColumn("rk", row_number().over(posW)).filter(col("rk") === 1)
+      .select(col("a"), col("b").as("pos_id"), col("sim").as("pos_sim"))
+    hardNeg.join(hardPos, Seq("a"))
+      .select(col("a").as("vec_id"), col("la").as("label"),
+        col("neg_id"), col("neg_sim"), col("pos_id"), col("pos_sim"),
+        // the margin a triplet loss would see (can be negative:
+        // a hard negative closer than the farthest positive)
+        (col("pos_sim") - col("neg_sim")).as("margin_e6"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[hardNegativesQuery]]. Unlike q26/q203 (where
+    * sims only rank), this query OUTPUTS the quantized sims, so the
+    * cast semantics must match exactly: Spark's double→long cast
+    * truncates toward zero while DuckDB's CAST rounds — hence the
+    * explicit trunc() around the scaled similarity. */
+  def hardNegativesOracleSql: String =
+    s"""WITH p AS (SELECT a.vec_id AS a, CAST(a.label AS BIGINT) AS la,
+           b.vec_id AS b, CAST(b.label AS BIGINT) AS lb,
+           CAST(trunc(round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+             6) * 1000000) AS BIGINT) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       hn AS (SELECT a, la, b AS neg_id, sim AS neg_sim FROM p
+              WHERE lb <> la
+              QUALIFY row_number() OVER (PARTITION BY a
+                ORDER BY sim DESC, b) = 1),
+       hp AS (SELECT a, b AS pos_id, sim AS pos_sim FROM p
+              WHERE lb = la
+              QUALIFY row_number() OVER (PARTITION BY a
+                ORDER BY sim ASC, b) = 1)
+     SELECT hn.a AS vec_id, la AS label, neg_id, neg_sim, pos_id,
+       pos_sim, CAST(pos_sim - neg_sim AS BIGINT) AS margin_e6
+     FROM hn JOIN hp ON hn.a = hp.a
+     ORDER BY vec_id"""
 
   /** DuckDB oracle for [[labelNoiseQuery]]. */
   def labelNoiseOracleSql(k: Int = NoiseK): String =

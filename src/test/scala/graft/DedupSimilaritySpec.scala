@@ -462,6 +462,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: cross-cluster vectors are the negatives, " +
+    "the cluster outlier is the hardest positive, margins signed") {
+    def v(x: Float, y: Float) = Array(x, y)
+    // label 0: two tight (v1, v2) plus one outlier (v3, orthogonal-ish)
+    // label 1: v4, v5 near the outlier — v3's hardest negative is
+    // closer than its hardest positive, so its margin is negative
+    val emb = Seq(
+      (1L, v(1.00f, 0.00f), 0L), (2L, v(0.99f, 0.01f), 0L),
+      (3L, v(0.10f, 0.99f), 0L),
+      (4L, v(0.00f, 1.00f), 1L), (5L, v(0.02f, 0.98f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4),
+        r.getLong(6))).toMap
+    assert(out.size == 5)
+    // v1's hardest positive is the OUTLIER v3 (least-similar same
+    // label); its hardest negative (v5) is further still -> margin > 0
+    assert(out(1L)._2 == 3L && out(1L)._3 > 0)
+    // v3 sits in label-1 territory: hardest negative more similar
+    // than any same-label vector -> negative margin
+    assert(out(3L)._3 < 0, s"outlier margin must be negative: ${out(3L)}")
+    assert(Set(4L, 5L).contains(out(3L)._1))
+  }
+
   test("sorted neighborhood: twins collate at 1e6, near variants at " +
     "their exact jaccard, cross-language rows never pair") {
     val docs = Seq(
