@@ -354,6 +354,10 @@ object SparkEntry {
     // positive and the triplet margin (contrastive batch construction).
     "q204_hard_negatives"  ->
       (graft.operators.Similarity.hardNegativesQuery _),
+    // q205: per-class centroid drift between two snapshots — integer
+    // L1 in quantized units, no floating centroid ever materialized.
+    "q205_centroid_drift"  ->
+      (graft.operators.Similarity.centroidDriftQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1474,6 +1478,8 @@ object SparkEntry {
       graft.operators.Similarity.labelNoiseOracleSql(),
     "q204_hard_negatives" ->
       graft.operators.Similarity.hardNegativesOracleSql,
+    "q205_centroid_drift" ->
+      graft.operators.Similarity.centroidDriftOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

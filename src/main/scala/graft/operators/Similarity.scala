@@ -831,6 +831,73 @@ object Similarity {
      FROM hn JOIN hp ON hn.a = hp.a
      ORDER BY vec_id"""
 
+  /** q205: embedding centroid drift between two snapshots — the
+    * model-monitoring question "did this class's embedding
+    * distribution move?": per label, the L1 distance between the two
+    * snapshots' centroids (snapshots = vec_id parity, the stand-in
+    * for two ingest epochs), in quantized-1024 units. All integer:
+    * components quantize per element (round(x·1024), the q56 rule),
+    * per-(label, snapshot, dim) sums are exact BIGINTs, and the
+    * centroid difference avoids division until the end —
+    * |s1·n2 − s2·n1| summed in DECIMAL(38,0) then divided once by
+    * n1·n2 — so no floating centroid ever materializes and the
+    * result is engine-exact. Scale shape: one posexplode scan (rows
+    * × dims, narrow), ONE map-side-combinable aggregation to
+    * (labels × 2 × dims) rows, everything after metadata-scale. */
+  def centroidDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    centroidDrift(Tables.embeddings(spark, dir))
+
+  /** [[centroidDriftQuery]]'s core. */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(col("label").cast("long").as("label"),
+        pmod(col("vec_id"), lit(2L)).as("snap"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("snap"), col("dim"),
+        round(col("x").cast("double") * 1024, 0).cast("long").as("qx"))
+    val sums = q.groupBy("label", "snap", "dim")
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+    val a = sums.filter(col("snap") === 0)
+      .select(col("label"), col("dim"), col("s").as("s1"),
+        col("n").as("n1"))
+    val b = sums.filter(col("snap") === 1)
+      .select(col("label"), col("dim"), col("s").as("s2"),
+        col("n").as("n2"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max(col("n1")).cast("long").as("n1"),
+        max(col("n2")).cast("long").as("n2"),
+        sum(expr("abs(CAST(s1 AS DECIMAL(38,0)) * n2 " +
+          "- CAST(s2 AS DECIMAL(38,0)) * n1)")).as("num"))
+      .select(col("label"), col("n1"), col("n2"),
+        expr("CAST(num div (n1 * n2) AS BIGINT)").as("l1_drift_q"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[centroidDriftQuery]] — same quantization,
+    * same division-free centroid difference (HUGEINT intermediates
+    * mirror the DECIMAL(38,0) path). */
+  def centroidDriftOracleSql: String =
+    """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+           vec_id % 2 AS snap,
+           unnest(range(1, len(embedding) + 1)) AS dim,
+           unnest(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1024)
+               AS BIGINT))) AS qx
+         FROM embeddings),
+       s AS (SELECT label, snap, dim, CAST(sum(qx) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+             FROM q GROUP BY 1, 2, 3),
+       j AS (SELECT a.label, a.s AS s1, a.n AS n1, b.s AS s2,
+               b.n AS n2
+             FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+               AND a.snap = 0 AND b.snap = 1)
+     SELECT label, CAST(max(n1) AS BIGINT) AS n1,
+       CAST(max(n2) AS BIGINT) AS n2,
+       CAST(sum(abs(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1))
+         // (max(n1) * max(n2)) AS BIGINT) AS l1_drift_q
+     FROM j GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for [[labelNoiseQuery]]. */
   def labelNoiseOracleSql(k: Int = NoiseK): String =
     s"""WITH p AS (SELECT a.vec_id AS a, CAST(a.label AS BIGINT) AS la,

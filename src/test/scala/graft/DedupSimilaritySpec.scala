@@ -462,6 +462,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroid drift: mirrored snapshots drift zero, a planted " +
+    "shift reports its exact quantized L1") {
+    def v(x: Float, y: Float) = Array(x, y)
+    // label 0: snapshots identical (even/odd ids mirror) -> drift 0
+    // label 1: odd snapshot shifted +0.25 in dim 0 -> L1 = 256 units
+    val emb = Seq(
+      (0L, v(0.10f, 0.20f), 0L), (1L, v(0.10f, 0.20f), 0L),
+      (2L, v(0.30f, 0.40f), 0L), (3L, v(0.30f, 0.40f), 0L),
+      (4L, v(0.50f, 0.50f), 1L), (5L, v(0.75f, 0.50f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 2L, 0L)))
+    // 0.25 * 1024 = 256 exactly (quarter is a power-of-two fraction)
+    assert(out(1L) == ((1L, 1L, 256L)))
+  }
+
   test("hard negatives: cross-cluster vectors are the negatives, " +
     "the cluster outlier is the hardest positive, margins signed") {
     def v(x: Float, y: Float) = Array(x, y)
