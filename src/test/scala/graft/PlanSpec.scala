@@ -551,6 +551,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q201/q203/q204/q205: scan-side prefilter, broadcast pair " +
+    "frames, exploded drift aggregation partial") {
+    // q201: the trigram prefilter must be pure scan arithmetic — no
+    // shuffle before the final ordering (the 15x regression shape was
+    // an explode + aggregate)
+    val p201 = planString(
+      graft.operators.CorpusStats.trigramLikeQuery(spark, sf0001))
+    assert(!p201.contains("HashAggregate"),
+      "trigram prefilter must not aggregate:\n" + p201.take(1200))
+    // q203: the exhaustive pair frame is the documented verification
+    // baseline — the corpus side must BROADCAST (a shuffled
+    // CartesianProduct would repartition both sides)
+    val p203 = planString(
+      graft.operators.Similarity.labelNoiseQuery(spark, sf0001))
+    assert(p203.contains("BroadcastNestedLoopJoin"), p203.take(1200))
+    assert(!p203.contains("CartesianProduct"), p203.take(1200))
+    // q204 materializes the pair frame once (checkpoint) — its final
+    // plan must join the two per-anchor extremes by EQUI-join and
+    // never rebuild the cross product
+    val p204 = planString(
+      graft.operators.Similarity.hardNegativesQuery(spark, sf0001))
+    assert(!p204.contains("CartesianProduct") &&
+      !p204.contains("BroadcastNestedLoopJoin"),
+      "q204 must reuse the materialized pairs, not re-cross:\n" +
+        p204.take(1200))
+    // q205: the (label, snap, dim) sums must combine map-side
+    val p205 = planString(
+      graft.operators.Similarity.centroidDriftQuery(spark, sf0001))
+    assert(p205.contains("partial_sum"), p205.take(1200))
+  }
+
   test("q183 leakage split: labels join back by doc_id equi-join, " +
     "no global sort before the output ordering") {
     val p = planString({
