@@ -358,6 +358,11 @@ object SparkEntry {
     // L1 in quantized units, no floating centroid ever materialized.
     "q205_centroid_drift"  ->
       (graft.operators.Similarity.centroidDriftQuery _),
+    // q206: earth-mover drift between snapshot halves — gap-weighted
+    // CDF differences (the transport metric q123's TVD misses).
+    "q206_emd_drift"       -> ((s, d) =>
+      graft.operators.Curation.driftEmdQuery(
+        graft.sources.Tables.documents(s, d))),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1480,6 +1485,8 @@ object SparkEntry {
       graft.operators.Similarity.hardNegativesOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
+    "q206_emd_drift" ->
+      graft.operators.Curation.driftEmdOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

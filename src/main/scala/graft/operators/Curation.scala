@@ -423,6 +423,80 @@ object Curation {
          AS abs_diff_e6
      FROM s, t ORDER BY bucket"""
 
+  /** q206: earth-mover (1-D Wasserstein) drift between the same two
+    * snapshot halves as q123 — the transport metric the TVD misses:
+    * moving mass one bucket over and moving it across the whole range
+    * score the same L1 but very different EMD. On an integer line the
+    * EMD is Σ |CDF_a(x) − CDF_b(x)| over x; over a sparse support
+    * that is the gap-weighted sum at PRESENT buckets (between two
+    * present buckets both CDFs are flat, so each |diff| multiplies by
+    * the gap to the next bucket — no spine materialization needed).
+    * CDFs stay integer: cum counts cross-scaled by the two totals,
+    * one e6 division per row. Output per bucket: both cumulative
+    * counts, the |CDF diff| (e6), the gap, and the gap-weighted
+    * contribution whose sum IS the EMD in e6 bucket units. One
+    * aggregation at bucket grain + windows over the tiny bucket
+    * table. */
+  def driftEmdQuery(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs.select(col("doc_id"),
+      expr("size(split(trim(lower(text)), '\\\\s+')) div 10")
+        .as("bucket"),
+      (col("doc_id") % 2 === 0).as("is_a"))
+    val shares = bucketed.groupBy("bucket")
+      .agg(count(when(col("is_a"), 1)).as("na"),
+        count(when(!col("is_a"), 1)).as("nb"))
+    val byBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = Window.orderBy("bucket")
+    val totals = shares.agg(sum(col("na")).as("ta"),
+      sum(col("nb")).as("tb"))
+    // windows run over the metadata-scale bucket table (q118's
+    // documented single-partition exemption)
+    shares.crossJoin(broadcast(totals))
+      .withColumn("cum_a", sum(col("na")).over(byBucket))
+      .withColumn("cum_b", sum(col("nb")).over(byBucket))
+      .withColumn("gap",
+        coalesce(lead(col("bucket"), 1).over(seq) - col("bucket"),
+          lit(0L)))
+      .select(col("bucket"),
+        col("cum_a").cast("long").as("cum_a"),
+        col("cum_b").cast("long").as("cum_b"),
+        expr("CAST(abs(cum_a * 1000000 div ta " +
+          "- cum_b * 1000000 div tb) AS BIGINT)").as("cdf_diff_e6"),
+        col("gap").cast("long").as("gap"))
+      .withColumn("emd_term_e6",
+        expr("CAST(cdf_diff_e6 * gap AS BIGINT)"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[driftEmdQuery]]. */
+  def driftEmdOracleSql: String =
+    """WITH b AS (SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) // 10
+             AS bucket,
+           doc_id % 2 = 0 AS is_a
+         FROM documents),
+       s AS (SELECT bucket,
+               count(*) FILTER (WHERE is_a) AS na,
+               count(*) FILTER (WHERE NOT is_a) AS nb
+             FROM b GROUP BY 1),
+       t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+               CAST(sum(nb) AS BIGINT) AS tb FROM s),
+       c AS (SELECT bucket,
+               CAST(sum(na) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+               CAST(sum(nb) OVER (ORDER BY bucket) AS BIGINT) AS cum_b,
+               CAST(coalesce(lead(bucket) OVER (ORDER BY bucket)
+                 - bucket, 0) AS BIGINT) AS gap
+             FROM s)
+     SELECT bucket, cum_a, cum_b,
+       CAST(abs(cum_a * 1000000 // ta - cum_b * 1000000 // tb)
+         AS BIGINT) AS cdf_diff_e6,
+       gap,
+       CAST(abs(cum_a * 1000000 // ta - cum_b * 1000000 // tb) * gap
+         AS BIGINT) AS emd_term_e6
+     FROM c, t ORDER BY bucket"""
+
   /** DuckDB oracle for [[weightedSample]] (k=50). */
   def weightedSampleOracleSql(k: Int = 50): String =
     s"""SELECT doc_id, lang, n_chars FROM (

@@ -75,6 +75,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("emd drift: a two-bucket shift scores exactly double a " +
+    "one-bucket shift (the distance-sensitivity TVD lacks)") {
+    import spark.implicits._
+    def corpus(oddWords: Int) = {
+      def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+      Seq(0L, 1L, 2L, 3L).map(i =>
+        (i, if (i % 2 == 0) words(10) else words(oddWords)))
+        .toDF("doc_id", "text")
+    }
+    def emd(oddWords: Int): Long =
+      Curation.driftEmdQuery(corpus(oddWords)).collect()
+        .map(_.getLong(5)).sum
+    // even half at bucket 1; odd half at bucket 3 vs bucket 2
+    assert(emd(30) == 2000000L)
+    assert(emd(20) == 1000000L)
+    // TVD is blind to the distance: q123 scores both shifts equally
+    def tvd(oddWords: Int): Long =
+      Curation.driftTvdQuery(corpus(oddWords)).collect()
+        .map(_.getLong(5)).sum
+    assert(tvd(30) == tvd(20))
+  }
+
   test("temperature mix flattens without reordering: rare sources " +
     "gain share, heavy sources lose it, ranking preserved") {
     val out = Curation.temperatureMix(
