@@ -363,6 +363,10 @@ object SparkEntry {
     "q206_emd_drift"       -> ((s, d) =>
       graft.operators.Curation.driftEmdQuery(
         graft.sources.Tables.documents(s, d))),
+    // q207: burst detection — daily counts vs the trailing-7 baseline
+    // with integer doubling/halving alerts (today never dilutes its
+    // own baseline).
+    "q207_burst_detect"    -> (graft.operators.OlapOps.burstDetectQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1487,6 +1491,8 @@ object SparkEntry {
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->
       graft.operators.Curation.driftEmdOracleSql,
+    "q207_burst_detect" ->
+      graft.operators.OlapOps.burstDetectOracleSql,
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

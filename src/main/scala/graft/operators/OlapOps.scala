@@ -492,6 +492,63 @@ object OlapOps {
        CAST(sum(wc) // count(*) AS BIGINT) AS winsor_mean_cents
      FROM w GROUP BY 1 ORDER BY 1"""
 
+  /** q207: burst detection — the volume-anomaly alert a monitoring
+    * pipeline runs on every (event type, day): today's count against
+    * the trailing-7-day baseline (previous days only, so today never
+    * dilutes its own baseline), with the classic doubling/halving
+    * alert rule in exact integer form: spike when n·days > 2·trail,
+    * drop when 2·n·days < trail (cross-multiplied — no division, no
+    * rationals). Early days with a short baseline still report (the
+    * actual trailing-day count rides along); the trailing sum is a
+    * ROWS window over the per-(type, day) count table — metadata
+    * scale after one map-side-combinable aggregation of events. */
+  def burstDetectQuery(spark: SparkSession, dir: String): DataFrame =
+    burstDetect(Tables.events(spark, dir))
+
+  /** [[burstDetectQuery]]'s core over any (event_type, ts) frame. */
+  def burstDetect(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("trail_n", coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("trail_days", count(lit(1)).over(trail))
+      .select(col("event_type"), col("d"), col("n").cast("long").as("n"),
+        col("trail_n").cast("long").as("trail_n"),
+        col("trail_days").cast("long").as("trail_days"),
+        when(col("trail_days") > 0 &&
+          col("n") * col("trail_days") > col("trail_n") * 2, 1)
+          .otherwise(0).cast("int").as("spike"),
+        when(col("trail_days") > 0 &&
+          col("n") * col("trail_days") * 2 < col("trail_n"), 1)
+          .otherwise(0).cast("int").as("drop"))
+      .orderBy("event_type", "d")
+  }
+
+  /** DuckDB oracle for [[burstDetectQuery]]. */
+  def burstDetectOracleSql: String =
+    """WITH daily AS (SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, d, n,
+           CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS trail_n,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             AS trail_days
+         FROM daily)
+     SELECT event_type, d, n, trail_n, trail_days,
+       CAST(CASE WHEN trail_days > 0 AND n * trail_days > trail_n * 2
+         THEN 1 ELSE 0 END AS INT) AS spike,
+       CAST(CASE WHEN trail_days > 0 AND n * trail_days * 2 < trail_n
+         THEN 1 ELSE 0 END AS INT) AS drop
+     FROM w ORDER BY event_type, d"""
+
   /** q84: set-operation audience segmentation — every customer active
     * in 1994 or 1995 labeled 'both' / 'only_1994' / 'only_1995' via
     * INTERSECT and EXCEPT (the remaining relational-algebra set ops

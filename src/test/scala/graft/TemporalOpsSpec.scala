@@ -272,6 +272,26 @@ class TemporalOpsSpec extends SparkSpec {
       "median must not exceed p95")
   }
 
+  test("burst detect: a planted 5x day flags spike, a collapsed day " +
+    "flags drop, the baseline never includes today") {
+    import org.apache.spark.sql.functions._
+    // 7 baseline days x 4 events, then a 5x day, then a near-zero day
+    val rows = (0 until 7).flatMap(day =>
+      (0 until 4).map(i => (s"2024-01-0${day + 1} 12:0$i:00"))) ++
+      (0 until 20).map(i => s"2024-01-08 12:${10 + i}:00") ++
+      Seq("2024-01-09 12:00:00")
+    val ev = rows.toDF("raw")
+      .select(to_timestamp(col("raw")).as("ts"), lit("t").as("event_type"))
+    val flags = graft.operators.OlapOps.burstDetect(ev)
+      .collect().map(r => r.getString(1) ->
+        (r.getInt(r.fieldIndex("spike")), r.getInt(r.fieldIndex("drop"))))
+      .toMap
+    assert(flags("2024-01-08") == ((1, 0)), "20 vs 4/day must spike")
+    assert(flags("2024-01-09") == ((0, 1)), "1 vs elevated trail must drop")
+    assert(flags("2024-01-01") == ((0, 0)), "no baseline, no alert")
+    assert(flags("2024-01-05") == ((0, 0)), "steady days stay quiet")
+  }
+
   test("markov eval: predictions are the train-half argmax and hit " +
     "counts are consistent") {
     import org.apache.spark.sql.functions._
