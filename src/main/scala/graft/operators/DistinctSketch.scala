@@ -218,19 +218,13 @@ object DistinctSketch {
     * restricted to OBSERVED days, so the series has no phantom tail.
     */
   def slidingRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val offsets = array((0 until SlideDays).map(k => lit(k)): _*)
     val ev = Tables.events(spark, dir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
         col("ts").cast("date").as("dd"), col("user_id"))
     val daily = registers(ev, "d", "user_id").localCheckpoint()
+    val winRegs = slidingFromDaily(daily)
+    val offsets = array((0 until SlideDays).map(k => lit(k)): _*)
     val days = daily.select(col("d")).distinct()
-    val winRegs = daily
-      .select(explode(offsets).as("k"), col("d"), col("register"),
-        col("max_rho"))
-      .withColumn("wd",
-        expr("date_format(date_add(to_date(d), k), 'yyyy-MM-dd')"))
-      .join(broadcast(days.select(col("d").as("wd"))), Seq("wd"))
-      .groupBy("wd", "register").agg(max(col("max_rho")).as("max_rho"))
     val pairs = ev.select(col("dd"), col("user_id")).distinct()
     val exact = pairs
       .select(explode(offsets).as("k"), col("dd"), col("user_id"))
@@ -244,6 +238,24 @@ object DistinctSketch {
         col("max_rho").cast("long").as("max_rho"),
         col("n_exact").cast("long").as("n_exact"))
       .orderBy("d", "register")
+  }
+
+  /** The window-merge core of [[slidingRegistersQuery]] over ANY
+    * daily register table (d, register, max_rho) — shared by the
+    * batch query and the streaming-maintenance equivalence test: the
+    * serving layer does not care whether the partials came from a
+    * batch scan or a foreachBatch maintenance loop, which is the
+    * point of a mergeable sketch. Returns (wd, register, max_rho). */
+  def slidingFromDaily(daily: DataFrame): DataFrame = {
+    val offsets = array((0 until SlideDays).map(k => lit(k)): _*)
+    val days = daily.select(col("d")).distinct()
+    daily
+      .select(explode(offsets).as("k"), col("d"), col("register"),
+        col("max_rho"))
+      .withColumn("wd",
+        expr("date_format(date_add(to_date(d), k), 'yyyy-MM-dd')"))
+      .join(broadcast(days.select(col("d").as("wd"))), Seq("wd"))
+      .groupBy("wd", "register").agg(max(col("max_rho")).as("max_rho"))
   }
 
   /** DuckDB oracle for [[slidingRegistersQuery]] — same daily

@@ -118,6 +118,26 @@ class DistinctSketchSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length == days.length)
   }
 
+  test("sliding windows served from per-batch maintained dailies " +
+    "equal the batch serve (maintenance commutes with the window)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("user_id"), col("event_id"))
+    // two ingest batches arriving separately; maintenance max-merges
+    // their daily partials (the foreachBatch upsert rule)
+    def daily(df: org.apache.spark.sql.DataFrame) =
+      DistinctSketch.registers(df.select("d", "user_id"), "d", "user_id")
+    val maintained = daily(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(daily(ev.filter(col("event_id") % 2 =!= 0)))
+      .groupBy("d", "register").agg(max(col("max_rho")).as("max_rho"))
+    def winMap(dailyDf: org.apache.spark.sql.DataFrame) =
+      DistinctSketch.slidingFromDaily(dailyDf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(winMap(maintained) == winMap(daily(ev)),
+      "partial maintenance must be invisible to the window serve")
+  }
+
   test("fast-hash config keeps shape, merge property, and accuracy") {
     import spark.implicits._
     val keys = (0L until 800L).map(k => ("g", k)).toDF("g", "k")
