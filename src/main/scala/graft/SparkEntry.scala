@@ -367,6 +367,10 @@ object SparkEntry {
     // with integer doubling/halving alerts (today never dilutes its
     // own baseline).
     "q207_burst_detect"    -> (graft.operators.OlapOps.burstDetectQuery _),
+    // q208: incremental cluster assignment — the new batch joins the
+    // STORED clusters by min matched label, no corpus re-clustering.
+    "q208_incremental_clusters" ->
+      (Extensions.q208IncrementalClusters _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -535,6 +539,30 @@ object SparkEntry {
 
   private val dupClusterCte: String =
     "WITH RECURSIVE " + dupClusterCtesOver("documents")
+
+  /** Just the pair-generation half of the clustering chain (shingles
+    * → capped postings → Jaccard pairs) over `rel`, with a NAME
+    * SUFFIX so it can coexist with [[dupClusterCtesOver]] in one
+    * WITH clause (q208 needs old-corpus clusters AND all-corpus
+    * pairs simultaneously). Same constants as the main chain. */
+  private def jaccardPairCtes(rel: String, sfx: String): String =
+    s"""sh$sfx AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))) AS shingles
+           FROM $rel),
+         ex$sfx AS (SELECT doc_id, s
+                FROM (SELECT doc_id, unnest(shingles) AS s FROM sh$sfx)
+                QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+         sizes$sfx AS (SELECT doc_id, len(shingles) AS n FROM sh$sfx),
+         inter$sfx AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+                   FROM ex$sfx a JOIN ex$sfx b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs$sfx AS (SELECT d1, d2 FROM inter$sfx
+                   JOIN sizes$sfx s1 ON d1 = s1.doc_id
+                   JOIN sizes$sfx s2 ON d2 = s2.doc_id
+                   WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6)"""
 
   private def dupClusterTail(rel: String): String = s"""
          ex AS (SELECT doc_id, s
@@ -1493,6 +1521,24 @@ object SparkEntry {
       graft.operators.Curation.driftEmdOracleSql,
     "q207_burst_detect" ->
       graft.operators.OlapOps.burstDetectOracleSql,
+    // q208: old-corpus clusters (the stored table) + all-corpus pairs
+    // filtered to the straddle set + min-label assignment.
+    "q208_incremental_clusters" ->
+      ("""WITH RECURSIVE old_docs AS
+           (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+         """ + dupClusterCtesOver("old_docs") + ",\n" +
+        jaccardPairCtes("documents", "2") + """,
+         str AS (SELECT
+             CASE WHEN d1 % 5 = 4 THEN d1 ELSE d2 END AS new_id,
+             CASE WHEN d1 % 5 = 4 THEN d2 ELSE d1 END AS old_id
+           FROM pairs2 WHERE (d1 % 5 = 4) <> (d2 % 5 = 4)),
+         asg AS (SELECT new_id, min(l.cluster_id) AS cid,
+             CAST(count(*) AS BIGINT) AS n_matches
+           FROM str JOIN lab l ON l.doc_id = str.old_id GROUP BY 1)
+       SELECT d.doc_id, coalesce(a.cid, d.doc_id) AS cluster_id,
+         CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches
+       FROM documents d LEFT JOIN asg a ON a.new_id = d.doc_id
+       WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id"""),
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

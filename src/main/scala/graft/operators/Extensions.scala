@@ -630,6 +630,53 @@ object Extensions {
     DupClusters.clusterReport(docs, dupPairs(docs))
   }
 
+  /** q208: INCREMENTAL cluster assignment — the nightly-load answer
+    * to q45: yesterday's clusters are a stored table; today's batch
+    * (doc_id ≡ 4 mod 5, the q65 split) must join them WITHOUT
+    * re-clustering the corpus. Each new doc takes the MIN cluster
+    * label over its near-dup matches into the old corpus (same q23
+    * pair semantics), unmatched docs open singleton clusters. A new
+    * doc bridging two old clusters keeps the min label and the merge
+    * is deferred to the next full compaction (the standard
+    * incremental-CC approximation — re-labeling the old table would
+    * be the full recompute this query exists to avoid). Output per
+    * new doc: assigned cluster, match count.
+    *
+    * Scale shape: old labels are the stored metadata-scale table;
+    * the only corpus-sized work is the straddling pair generation
+    * (the capped q23 index over old ∪ new — in production the OLD
+    * side's shingle postings are also a stored index the new batch
+    * probes, the q65 shape). */
+  def q208IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 5 === 4
+    val oldDocs = docs.filter(!isNew)
+    val oldLabels = DupClusters.connectedComponents(dupPairs(oldDocs))
+    val oldLabeled = oldDocs.select(col("doc_id").as("old_id"))
+      .join(oldLabels, col("old_id") === col("node"), "left")
+      .select(col("old_id"),
+        coalesce(col("cluster_id"), col("old_id")).as("cluster_id"))
+    // near-dup pairs over the whole corpus, kept only where they
+    // straddle the batch boundary (new ↔ old)
+    val straddle = dupPairs(docs)
+      .filter((col("d1") % 5 === 4) =!= (col("d2") % 5 === 4))
+      .select(
+        when(col("d1") % 5 === 4, col("d1")).otherwise(col("d2"))
+          .as("new_id"),
+        when(col("d1") % 5 === 4, col("d2")).otherwise(col("d1"))
+          .as("old_id"))
+    val assigned = straddle.join(oldLabeled, Seq("old_id"))
+      .groupBy("new_id")
+      .agg(min(col("cluster_id")).as("cid"),
+        count(lit(1)).as("n_matches"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(assigned, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"))
+      .orderBy("doc_id")
+  }
+
   /** q161: the q45 clusters with the survivor chosen by quality
     * (longest text, ties to lowest id) — the keep-rule a production
     * dedup actually applies. */

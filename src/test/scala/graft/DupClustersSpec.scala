@@ -81,4 +81,26 @@ class DupClustersSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(ts == Map(7L -> 7L, 8L -> 7L))
   }
+
+  test("q208 incremental assignment: total batch coverage, singletons " +
+    "keep their id, matched docs land on stored old labels") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val out = graft.operators.Extensions
+      .q208IncrementalClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val newCount = docs.filter(col("doc_id") % 5 === 4).count()
+    assert(out.length.toLong == newCount, "every batch doc must report")
+    val oldLabels = DupClusters.connectedComponents(
+        graft.operators.Extensions.dupPairs(
+          docs.filter(col("doc_id") % 5 =!= 4)))
+      .collect().map(_.getLong(1)).toSet ++
+      docs.filter(col("doc_id") % 5 =!= 4)
+        .collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, cid, n) =>
+      if (n == 0) assert(cid == id, s"unmatched $id must be singleton")
+      else assert(oldLabels.contains(cid),
+        s"matched $id must join a stored old cluster, got $cid")
+    }
+    assert(out.exists(_._3 > 0), "fixture should produce some matches")
+  }
 }
