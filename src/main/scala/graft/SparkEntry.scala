@@ -371,6 +371,10 @@ object SparkEntry {
     // STORED clusters by min matched label, no corpus re-clustering.
     "q208_incremental_clusters" ->
       (Extensions.q208IncrementalClusters _),
+    // q209: dedup method comparison — pair yield and doc coverage of
+    // the three blocking families on the same corpus.
+    "q209_dedup_method_compare" ->
+      (Extensions.q209DedupMethodCompare _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1539,6 +1543,42 @@ object SparkEntry {
          CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches
        FROM documents d LEFT JOIN asg a ON a.new_id = d.doc_id
        WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id"""),
+    // q209: the three pair sets re-derived from their proven chains,
+    // summarized side by side.
+    "q209_dedup_method_compare" ->
+      ("WITH " + jaccardPairCtes("documents", "2") + """,
+         snr AS (SELECT lang, doc_id, lower(trim(text)) AS norm,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+               AS toks
+           FROM documents),
+         snrk AS (SELECT lang, doc_id, toks,
+             row_number() OVER (PARTITION BY lang ORDER BY norm, doc_id)
+               AS rn
+           FROM snr),
+         snp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM snrk a JOIN snrk b
+             ON a.lang = b.lang AND b.rn - a.rn IN (1, 2)
+           WHERE CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+               * 1000000
+               // greatest(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)), 1) >= 600000),
+         exg AS (SELECT md5(text) AS f, count(*) AS g FROM documents
+                 GROUP BY 1 HAVING count(*) > 1)
+       SELECT 'exact' AS method,
+         CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(g), 0) AS BIGINT) AS n_docs
+       FROM exg
+       UNION ALL
+       SELECT 'jaccard_index',
+         (SELECT CAST(count(*) AS BIGINT) FROM pairs2),
+         (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM
+           (SELECT d1 AS u FROM pairs2 UNION SELECT d2 FROM pairs2))
+       UNION ALL
+       SELECT 'sorted_neighborhood',
+         (SELECT CAST(count(*) AS BIGINT) FROM snp),
+         (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM
+           (SELECT d1 AS u FROM snp UNION SELECT d2 FROM snp))
+       ORDER BY method"""),
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.

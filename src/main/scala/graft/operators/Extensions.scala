@@ -794,6 +794,42 @@ object Extensions {
       .orderBy("lang")
   }
 
+  /** q209: dedup METHOD COMPARISON — the evaluation table a curation
+    * team consults when choosing a blocking family: for each of the
+    * three pair-generation methods the engine ships (exact content
+    * groups, the capped shingle inverted index of q23, the
+    * sorted-neighborhood window of q202), the pair yield and the
+    * distinct documents covered, side by side on the same corpus.
+    * Each method's machinery is individually oracle-proven; this
+    * composes their summaries so the TRADE-OFF itself is a checked
+    * artifact (exact finds only identical twins; the index finds
+    * everything above the Jaccard floor at higher cost; the sorted
+    * window finds the collated subset at linear cost). */
+  def q209DedupMethodCompare(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = docs.groupBy(md5(col("text")).as("f"))
+      .agg(count(lit(1)).as("g")).filter(col("g") > 1)
+      .agg(coalesce(expr("sum(g * (g - 1) div 2)"), lit(0L))
+          .cast("long").as("n_pairs"),
+        coalesce(sum(col("g")), lit(0L)).cast("long").as("n_docs"))
+      .select(lit("exact").as("method"), col("n_pairs"), col("n_docs"))
+    def pairStats(pairs: DataFrame, name: String) = {
+      // both summaries read the materialized pair set; the crossJoin
+      // attaches two single-row frames (never data)
+      val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+      val np = p.agg(count(lit(1)).cast("long").as("n_pairs"))
+      val nd = p.select(explode(array(col("d1"), col("d2"))).as("u"))
+        .agg(count_distinct(col("u")).cast("long").as("n_docs"))
+      np.crossJoin(nd).select(lit(name).as("method"),
+        col("n_pairs"), col("n_docs"))
+    }
+    exact
+      .unionByName(pairStats(dupPairs(docs), "jaccard_index"))
+      .unionByName(pairStats(
+        Dedup.sortedNeighborhoodPairs(docs), "sorted_neighborhood"))
+      .orderBy("method")
+  }
+
   /** q178: SCHEMA EVOLUTION under oracle check — the ingestion
     * reality every long-lived 100 TB table faces: files written
     * before a column existed sit next to files written after.

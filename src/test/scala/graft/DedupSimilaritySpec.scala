@@ -462,6 +462,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup method comparison: three methods report, coverage is " +
+    "bounded by pair yield, the index out-finds the exact groups") {
+    val out = graft.operators.Extensions
+      .q209DedupMethodCompare(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet ==
+      Set("exact", "jaccard_index", "sorted_neighborhood"))
+    out.foreach { case (m, (pairs, docs)) =>
+      assert(docs <= 2 * pairs || pairs == 0, s"$m coverage bound")
+      assert(pairs == 0 || docs >= 2, s"$m pairs imply >= 2 docs")
+    }
+    // the fixture has near-dups but no exact twins (checked by the
+    // sorted-neighborhood spec), so the index must strictly out-find
+    assert(out("jaccard_index")._1 > out("exact")._1)
+  }
+
   test("centroid drift: mirrored snapshots drift zero, a planted " +
     "shift reports its exact quantized L1") {
     def v(x: Float, y: Float) = Array(x, y)
