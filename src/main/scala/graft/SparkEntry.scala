@@ -375,6 +375,18 @@ object SparkEntry {
     // the three blocking families on the same corpus.
     "q209_dedup_method_compare" ->
       (Extensions.q209DedupMethodCompare _),
+    // q210: q203's voting over LSH-blocked candidates — the 100 TB
+    // shape (shuffle on bucket, no corpus broadcast, no all-pairs).
+    "q210_label_noise_lsh" ->
+      (graft.operators.Similarity.labelNoiseLshQuery _),
+    // q211: q204's argmins over the same blocked candidate frame.
+    "q211_hard_negatives_lsh" ->
+      (graft.operators.Similarity.hardNegativesLshQuery _),
+    // q212: the blocking faithfulness report — candidate-pair recall
+    // vs the exact top-k set + suspect agreement (the q150 discipline
+    // applied to the kNN-voting family).
+    "q212_knn_block_recall" ->
+      (graft.operators.Similarity.knnBlockRecallQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1519,6 +1531,12 @@ object SparkEntry {
       graft.operators.Similarity.labelNoiseOracleSql(),
     "q204_hard_negatives" ->
       graft.operators.Similarity.hardNegativesOracleSql,
+    "q210_label_noise_lsh" ->
+      graft.operators.Similarity.labelNoiseLshOracleSql(),
+    "q211_hard_negatives_lsh" ->
+      graft.operators.Similarity.hardNegativesLshOracleSql(),
+    "q212_knn_block_recall" ->
+      graft.operators.Similarity.knnBlockRecallOracleSql(),
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -717,15 +717,24 @@ object Similarity {
     * (flag when ≥ NoiseK − 1 of the NoiseK neighbors disagree). */
   val NoiseK = 5
 
+  /** Blocking configuration for the q210/q211 scale path: 4 planes →
+    * 16 buckets, 2 probe flips → each anchor scans ~3/16 of the
+    * corpus. Sized to the sf0.01/sf0.1 embeddings tables; at 100 TB
+    * `planes` rises until buckets fit the pairwise budget (same dial
+    * as q58's SemDeDup). */
+  val BlockPlanes = 4
+  val BlockProbeFlips = 2
+
   /** q203: label-noise detection by k-NN disagreement — the
     * confident-learning-style pass a labeled training set runs before
     * training: for every vector, its [[NoiseK]] nearest neighbors by
     * cosine vote on the label; a row whose neighborhood almost
     * unanimously disagrees is a mislabeling suspect. Neighbors are
     * EXACT here (the q26 discipline: the exhaustive all-pairs scoring
-    * is the intentionally-verifiable baseline; at 100 TB the
-    * candidate set comes from the LSH/IVF machinery of q27/q35/q36
-    * and the voting is unchanged). Ranking uses the QUANTIZED e6
+    * is the intentionally-verifiable baseline; q210
+    * ([[labelNoiseLshQuery]]) runs the SAME voting over LSH-blocked
+    * candidates — the 100 TB shape — and q212 reports its recall
+    * against this baseline). Ranking uses the QUANTIZED e6
     * similarity with vec_id tie-break, so the k-th-neighbor boundary
     * is deterministic on both engines. The corpus side broadcasts
     * (embeddings are the small table of the schema); the per-vector
@@ -749,13 +758,74 @@ object Similarity {
       .select(col("a"), col("la"), col("b"), col("lb"), col("sim"))
   }
 
+  /** BLOCKED labeled pairs — the 100 TB candidate generator the
+    * all-pairs [[labeledPairs]] verifies: the portable hyperplane-LSH
+    * index (the q56/q150 bucket family, bit-identical in any engine)
+    * with multi-probe. Each anchor probes its home bucket plus
+    * `probeFlips` one-flip buckets; every vector whose HOME bucket is
+    * probed becomes a candidate, so each (a, b) pair surfaces at most
+    * once (probe buckets are distinct, b lives in one bucket). The
+    * join shuffles on bucket — no corpus broadcast, no O(N²): with
+    * `planes` bits the scanned fraction is (1+probeFlips)/2^planes,
+    * and at 100 TB you raise planes until buckets fit the pairwise
+    * budget (the SemDeDup q58 rule). Output schema matches
+    * [[labeledPairs]] exactly, so [[labelNoiseFromPairs]] /
+    * [[hardNegativesFromPairs]] run unchanged over either frame. */
+  private[graft] def blockedLabeledPairs(emb: DataFrame, planes: Int,
+      probeFlips: Int, dims: Int = 64): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    // localCheckpoint: the anchor and candidate sides would otherwise
+    // each re-run the interpreted quantize+bucket HOFs (the q24/q58
+    // signature-table lesson)
+    val bucketed = Partitioning.spread(emb)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("lbl"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1024)).cast("long")).as("qv"))
+      .select(col("vec_id"), col("embedding"), col("lbl"),
+        portableBucket(col("qv"), planes, dims).as("bucket"))
+      .localCheckpoint()
+    val flips = lit(0L) +:
+      (0 until math.min(probeFlips, math.max(planes, 0))).map(p => lit(1L << p))
+    val anchors = bucketed.select(col("vec_id").as("a"),
+      col("embedding").as("ea"), col("lbl").as("la"),
+      explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*))
+        .as("pb"))
+    val cands = bucketed.select(col("vec_id").as("b"),
+      col("embedding").as("eb"), col("lbl").as("lb"),
+      col("bucket").as("pb"))
+    anchors.join(cands, Seq("pb"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim",
+        (round(VectorFunctions.cosine(col("ea"), col("eb")), 6) * 1000000)
+          .cast("long"))
+      .select(col("a"), col("la"), col("b"), col("lb"), col("sim"))
+  }
+
   /** [[labelNoiseQuery]]'s core over any (vec_id, embedding, label)
-    * frame. */
-  def labelNoise(emb: DataFrame, k: Int = NoiseK): DataFrame = {
+    * frame — exhaustive candidates. */
+  def labelNoise(emb: DataFrame, k: Int = NoiseK): DataFrame =
+    labelNoiseFromPairs(labeledPairs(emb), k)
+
+  /** q210: [[labelNoise]] at scale — identical voting over LSH-blocked
+    * candidates instead of all pairs. Anchors left with zero
+    * candidates vanish from the output (nothing voted); anchors with
+    * fewer than k candidates vote with what they have. q212 reports
+    * how faithful this approximation is vs the exact baseline. */
+  def labelNoiseLshQuery(spark: SparkSession, dir: String): DataFrame =
+    labelNoiseFromPairs(
+      blockedLabeledPairs(Tables.embeddings(spark, dir),
+        BlockPlanes, BlockProbeFlips))
+
+  /** The k-NN disagreement vote over ANY (a, la, b, lb, sim)
+    * candidate frame — the refactor that lets the q27/q35/q36
+    * blocking machinery feed the same scoring the exhaustive baseline
+    * uses. */
+  def labelNoiseFromPairs(pairs: DataFrame, k: Int = NoiseK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("a")
       .orderBy(col("sim").desc, col("b").asc)
-    labeledPairs(emb)
+    pairs
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy(col("a"), col("la"))
@@ -782,10 +852,27 @@ object Similarity {
   def hardNegativesQuery(spark: SparkSession, dir: String): DataFrame =
     hardNegatives(Tables.embeddings(spark, dir))
 
-  /** [[hardNegativesQuery]]'s core. */
-  def hardNegatives(emb: DataFrame): DataFrame = {
+  /** q211: [[hardNegatives]] at scale — the same two argmins over
+    * LSH-blocked candidates. An anchor's hardest negative/positive is
+    * then the hardest WITHIN ITS PROBED BUCKETS — exactly the
+    * approximation a production miner makes (hard examples are by
+    * definition high-similarity, which is what LSH buckets preserve);
+    * anchors with no same-label candidate in-block drop out via the
+    * same inner join as the exact form. */
+  def hardNegativesLshQuery(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFromPairs(
+      blockedLabeledPairs(Tables.embeddings(spark, dir),
+        BlockPlanes, BlockProbeFlips))
+
+  /** [[hardNegativesQuery]]'s core — exhaustive candidates. */
+  def hardNegatives(emb: DataFrame): DataFrame =
+    hardNegativesFromPairs(labeledPairs(emb))
+
+  /** The hardest-negative / hardest-positive argmins over ANY
+    * (a, la, b, lb, sim) candidate frame. */
+  def hardNegativesFromPairs(candidates: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = labeledPairs(emb).localCheckpoint()
+    val pairs = candidates.localCheckpoint()
     val negW = Window.partitionBy("a")
       .orderBy(col("sim").desc, col("b").asc)
     val posW = Window.partitionBy("a")
@@ -898,13 +985,18 @@ object Similarity {
          // (max(n1) * max(n2)) AS BIGINT) AS l1_drift_q
      FROM j GROUP BY 1 ORDER BY 1"""
 
-  /** DuckDB oracle for [[labelNoiseQuery]]. */
+  /** DuckDB oracle for [[labelNoiseQuery]]. The sim only ranks here,
+    * but the ranking must still be bit-identical: Spark's double→long
+    * cast truncates while DuckDB's CAST rounds, and a one-unit
+    * disagreement at the k-th-neighbor boundary flips the neighbor
+    * set — hence trunc(), the same guard [[hardNegativesOracleSql]]
+    * carries. */
   def labelNoiseOracleSql(k: Int = NoiseK): String =
     s"""WITH p AS (SELECT a.vec_id AS a, CAST(a.label AS BIGINT) AS la,
            b.vec_id AS b, CAST(b.label AS BIGINT) AS lb,
-           CAST(round(list_cosine_similarity(
+           CAST(trunc(round(list_cosine_similarity(
                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
-             6) * 1000000 AS BIGINT) AS sim
+             6) * 1000000) AS BIGINT) AS sim
          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
        r AS (SELECT a, la, lb,
            row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
@@ -915,4 +1007,164 @@ object Similarity {
        CAST(CASE WHEN sum(CASE WHEN lb <> la THEN 1 ELSE 0 END)
            >= ${k - 1} THEN 1 ELSE 0 END AS INT) AS suspect
      FROM r WHERE rk <= $k GROUP BY 1, 2 ORDER BY 1"""
+
+  /** Blocked-pairs CTE block shared by the q210/q211/q212 oracles:
+    * recomputes [[blockedLabeledPairs]] verbatim in DuckDB — same
+    * quantization (round(x·1024), exact), same literal integer plane
+    * family, same probe set, same trunc'd e6 similarity. Defines
+    * `bkt` (bucketed corpus) and `bp` (blocked candidate pairs). */
+  private def blockedPairsCtes(planes: Int, probeFlips: Int,
+      dims: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val cs = (0 until dims).map(i => portablePlaneComponent(p, i))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n           + ")
+    val nf = math.min(probeFlips, math.max(planes, 0))
+    val probeBranches =
+      (s"SELECT vec_id, lbl, emb, bucket AS pb FROM bkt" +:
+        (0 until nf).map(p =>
+          s"SELECT vec_id, lbl, emb, xor(bucket, ${1L << p}) FROM bkt"))
+        .mkString("\n               UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+           CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       qv AS (SELECT vec_id, lbl, emb,
+           list_transform(emb, x -> CAST(round(x * 1024) AS BIGINT)) AS q
+         FROM e),
+       bkt AS (SELECT vec_id, lbl, emb, $bits AS bucket FROM qv),
+       pr AS ($probeBranches),
+       bp AS (SELECT pr.vec_id AS a, pr.lbl AS la, c.vec_id AS b,
+                c.lbl AS lb,
+                CAST(trunc(round(list_cosine_similarity(pr.emb, c.emb), 6)
+                  * 1000000) AS BIGINT) AS sim
+              FROM pr JOIN bkt c ON c.bucket = pr.pb
+                AND c.vec_id <> pr.vec_id)"""
+  }
+
+  /** DuckDB oracle for [[labelNoiseLshQuery]] (q210). */
+  def labelNoiseLshOracleSql(k: Int = NoiseK, planes: Int = BlockPlanes,
+      probeFlips: Int = BlockProbeFlips, dims: Int = 64): String =
+    s"""WITH ${blockedPairsCtes(planes, probeFlips, dims)},
+       r AS (SELECT a, la, lb,
+           row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+         FROM bp)
+     SELECT a AS vec_id, la AS label,
+       CAST(sum(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       CAST(CASE WHEN sum(CASE WHEN lb <> la THEN 1 ELSE 0 END)
+           >= ${k - 1} THEN 1 ELSE 0 END AS INT) AS suspect
+     FROM r WHERE rk <= $k GROUP BY 1, 2 ORDER BY 1"""
+
+  /** DuckDB oracle for [[hardNegativesLshQuery]] (q211) — the
+    * [[hardNegativesOracleSql]] tail over the blocked pair frame. */
+  def hardNegativesLshOracleSql(planes: Int = BlockPlanes,
+      probeFlips: Int = BlockProbeFlips, dims: Int = 64): String =
+    s"""WITH ${blockedPairsCtes(planes, probeFlips, dims)},
+       hn AS (SELECT a, la, b AS neg_id, sim AS neg_sim FROM bp
+              WHERE lb <> la
+              QUALIFY row_number() OVER (PARTITION BY a
+                ORDER BY sim DESC, b) = 1),
+       hp AS (SELECT a, b AS pos_id, sim AS pos_sim FROM bp
+              WHERE lb = la
+              QUALIFY row_number() OVER (PARTITION BY a
+                ORDER BY sim ASC, b) = 1)
+     SELECT hn.a AS vec_id, la AS label, neg_id, neg_sim, pos_id,
+       pos_sim, CAST(pos_sim - neg_sim AS BIGINT) AS margin_e6
+     FROM hn JOIN hp ON hn.a = hp.a
+     ORDER BY vec_id"""
+
+  /** q212: the faithfulness report for the q210/q211 blocking — the
+    * q150/q151 discipline applied to the kNN-voting family: how much
+    * of the EXACT top-k neighborhood do the blocked candidates
+    * recover (pair recall), and do the two pipelines agree on who the
+    * suspects are. One row: anchors, suspect counts from each path,
+    * their intersection, and candidate-pair recall against the exact
+    * top-k pair set. This is the artifact that decides `planes`/
+    * `probeFlips` at any corpus size — rerun it on a sample, tune,
+    * then run q210/q211 at the chosen setting. */
+  def knnBlockRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    knnBlockRecall(Tables.embeddings(spark, dir))
+
+  /** [[knnBlockRecallQuery]]'s core. */
+  def knnBlockRecall(emb: DataFrame, k: Int = NoiseK,
+      planes: Int = BlockPlanes, probeFlips: Int = BlockProbeFlips,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = labeledPairs(emb).localCheckpoint()
+    val blocked = blockedLabeledPairs(emb, planes, probeFlips, dims)
+      .localCheckpoint()
+    val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b").asc)
+    val exactTop = exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("a", "b")
+    val pairStats = exactTop
+      .join(blocked.select("a", "b"), Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_hit_pairs"))
+      .crossJoin(broadcast(
+        exactTop.agg(count(lit(1)).cast("long").as("n_true_pairs"))))
+    val eSusp = labelNoiseFromPairs(exact, k)
+      .select(col("vec_id"), col("suspect").as("s_e"))
+    val bSusp = labelNoiseFromPairs(blocked, k)
+      .select(col("vec_id"), col("suspect").as("s_b"))
+    eSusp.join(bSusp, Seq("vec_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_anchors"),
+        sum(col("s_e")).cast("long").as("exact_suspects"),
+        sum(coalesce(col("s_b"), lit(0))).cast("long")
+          .as("blocked_suspects"),
+        sum(when(col("s_e") === 1 && col("s_b") === 1, 1L).otherwise(0L))
+          .cast("long").as("both_suspects"))
+      .crossJoin(broadcast(pairStats))
+      .select(col("n_anchors"), col("exact_suspects"),
+        col("blocked_suspects"), col("both_suspects"),
+        col("n_true_pairs"), col("n_hit_pairs"),
+        expr("n_hit_pairs * 100 div n_true_pairs").as("pair_recall_pct"))
+  }
+
+  /** DuckDB oracle for [[knnBlockRecallQuery]] (q212) — the exact
+    * pair frame, the blocked pair frame, and the same three
+    * comparisons. */
+  def knnBlockRecallOracleSql(k: Int = NoiseK, planes: Int = BlockPlanes,
+      probeFlips: Int = BlockProbeFlips, dims: Int = 64): String =
+    s"""WITH ${blockedPairsCtes(planes, probeFlips, dims)},
+       ep AS (SELECT a.vec_id AS a, CAST(a.label AS BIGINT) AS la,
+                b.vec_id AS b, CAST(b.label AS BIGINT) AS lb,
+                CAST(trunc(round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6)
+                  * 1000000) AS BIGINT) AS sim
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id),
+       et AS (SELECT a, b FROM (SELECT a, b,
+                row_number() OVER (PARTITION BY a
+                  ORDER BY sim DESC, b) AS rk FROM ep)
+              WHERE rk <= $k),
+       hit AS (SELECT et.a, et.b FROM et
+               JOIN bp ON bp.a = et.a AND bp.b = et.b),
+       ps AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM et)
+                  AS n_true_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM hit)
+                  AS n_hit_pairs),
+       es AS (SELECT a AS vec_id,
+                CASE WHEN sum(CASE WHEN lb <> la THEN 1 ELSE 0 END)
+                  >= ${k - 1} THEN 1 ELSE 0 END AS s_e
+              FROM (SELECT a, la, lb, row_number() OVER (PARTITION BY a
+                      ORDER BY sim DESC, b) AS rk FROM ep)
+              WHERE rk <= $k GROUP BY 1),
+       bs AS (SELECT a AS vec_id,
+                CASE WHEN sum(CASE WHEN lb <> la THEN 1 ELSE 0 END)
+                  >= ${k - 1} THEN 1 ELSE 0 END AS s_b
+              FROM (SELECT a, la, lb, row_number() OVER (PARTITION BY a
+                      ORDER BY sim DESC, b) AS rk FROM bp)
+              WHERE rk <= $k GROUP BY 1),
+       sj AS (SELECT es.vec_id, es.s_e, bs.s_b
+              FROM es LEFT JOIN bs ON bs.vec_id = es.vec_id)
+     SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(s_e) AS BIGINT) AS exact_suspects,
+       CAST(sum(coalesce(s_b, 0)) AS BIGINT) AS blocked_suspects,
+       CAST(sum(CASE WHEN s_e = 1 AND s_b = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS both_suspects,
+       max(ps.n_true_pairs) AS n_true_pairs,
+       max(ps.n_hit_pairs) AS n_hit_pairs,
+       CAST(max(ps.n_hit_pairs) * 100 // max(ps.n_true_pairs)
+         AS BIGINT) AS pair_recall_pct
+     FROM sj CROSS JOIN ps"""
 }

@@ -520,6 +520,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Set(4L, 5L).contains(out(3L)._1))
   }
 
+  test("blocked kNN degenerates to the exact pipeline when the probe " +
+    "set covers every bucket") {
+    // planes=1 + 1 probe flip scans both buckets — the blocked frame
+    // must then equal the exhaustive one, so q210/q211 must reproduce
+    // q203/q204 bit-for-bit
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(60)
+      .localCheckpoint()
+    val exactLn = Similarity.labelNoise(emb).collect()
+    val blockedLn = Similarity.labelNoiseFromPairs(
+      Similarity.blockedLabeledPairs(emb, planes = 1, probeFlips = 1))
+      .collect()
+    assert(exactLn.toSeq == blockedLn.toSeq)
+    val exactHn = Similarity.hardNegatives(emb).collect()
+    val blockedHn = Similarity.hardNegativesFromPairs(
+      Similarity.blockedLabeledPairs(emb, planes = 1, probeFlips = 1))
+      .collect()
+    assert(exactHn.toSeq == blockedHn.toSeq)
+  }
+
+  test("kNN blocking recall report: LSH candidates beat a random " +
+    "same-size candidate set and recover most exact suspects") {
+    val r = Similarity.knnBlockRecallQuery(spark, sf0001).collect().head
+    val (nAnchors, exactS, blockedS, bothS) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val recall = r.getLong(6)
+    assert(nAnchors == 500L)
+    // a RANDOM candidate set of the same size would recover
+    // ~(1+probeFlips)/2^planes = 3/16 ≈ 19% of the exact top-k pairs;
+    // the LSH blocks must do strictly better or the index adds nothing
+    assert(recall > 19L, s"pair recall $recall% no better than random")
+    // suspect-level faithfulness: ≥80% of exact suspects also flagged
+    // by the blocked path (the q150-style grade for this family)
+    assert(exactS > 0 && bothS * 100 / exactS >= 80,
+      s"blocked path recovered $bothS of $exactS exact suspects")
+    assert(blockedS <= nAnchors)
+  }
+
   test("sorted neighborhood: twins collate at 1e6, near variants at " +
     "their exact jaccard, cross-language rows never pair") {
     val docs = Seq(

@@ -582,6 +582,23 @@ class PlanSpec extends SparkSpec {
     assert(p205.contains("partial_sum"), p205.take(1200))
   }
 
+  test("q210/q211: the blocked kNN path shuffles on bucket — no " +
+    "corpus broadcast, no cross product") {
+    // the whole point of the blocking: the candidate join is an
+    // EQUI-join on the bucket key, so at 100 TB it shuffles instead
+    // of broadcasting the corpus (q203's BroadcastNestedLoopJoin is
+    // the verification baseline, not the scale shape)
+    for (df <- Seq(
+        graft.operators.Similarity.labelNoiseLshQuery(spark, sf0001),
+        graft.operators.Similarity.hardNegativesLshQuery(spark, sf0001))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), p.take(1500))
+    }
+  }
+
   test("q183 leakage split: labels join back by doc_id equi-join, " +
     "no global sort before the output ordering") {
     val p = planString({
