@@ -51,6 +51,15 @@ object ScalingCurve {
     ("q194_kcore",          "k-core peeling (bounded rounds)",    "events"),
     ("q195_sliding_registers", "sliding register merge (partials only)", "events"))
 
+  /** Queries whose real input is the DERIVED co-activity edge list,
+    * not the events table: the graph's |E| itself grows superlinearly
+    * in events (denser activity cells pair more users), so judging
+    * their time ratios against event growth mistakes edge growth for
+    * algorithmic superlinearity. Their last column reports the
+    * measured |E| ratio alongside. */
+  private val EdgeDriven = Set("q100_pagerank", "q176_triangles",
+    "q177_bfs_reach", "q194_kcore")
+
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     // shared harness = numbers comparable to BENCH_rN per-query figures
@@ -60,6 +69,10 @@ object ScalingCurve {
     val rowCounts: Map[(String, String), Long] =
       (for (sf <- Sfs; t <- Queries.map(_._3).distinct)
         yield (t, sf) -> spark.read.parquet(s"$sf/$t.parquet").count()).toMap
+    val edgeCounts: Map[String, Long] = Sfs.map { sf =>
+      sf -> operators.GraphRank
+        .coActivityEdges(sources.Tables.events(spark, sf)).count()
+    }.toMap
     val mins = collection.mutable.Map.empty[(String, String), Double]
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
       BenchSession.dropPinnedBlocks(spark)
@@ -94,13 +107,46 @@ object ScalingCurve {
       val cells = ts.map(_.fold("—")(t => f"$t%.2f s"))
       val dataRatio =
         rowCounts((table, Sfs(2))).toDouble / rowCounts((table, Sfs(1)))
+      val edgeRatio = edgeCounts(Sfs(2)).toDouble / edgeCounts(Sfs(1))
       val step = (ts(1), ts(2)) match {
+        case (Some(a), Some(b)) if a > 0 && EdgeDriven(name) =>
+          f"${b / a}%.1fx time on ${edgeRatio}%.1fx edges " +
+            f"(${dataRatio}%.0fx $table)"
         case (Some(a), Some(b)) if a > 0 =>
           f"${b / a}%.1fx time on ${dataRatio}%.0fx $table"
         case _ => "—"
       }
       sb ++= s"| $name | $family | ${cells(0)} | ${cells(1)} | ${cells(2)} | $step |\n"
     }
+    // Edge-growth accounting for the graph family: their driving
+    // structure is |E|, which itself grows superlinearly in events.
+    val eRatio = edgeCounts(Sfs(2)).toDouble / edgeCounts(Sfs(1))
+    sb ++= "\n## Graph family: edge-growth accounting\n\n"
+    sb ++= f"Co-activity edges |E|: ${edgeCounts(Sfs(0))}%,d (sf0.001), " +
+      f"${edgeCounts(Sfs(1))}%,d (sf0.01), ${edgeCounts(Sfs(2))}%,d " +
+      f"(sf0.1) — the last 10x-events step grows |E| ${eRatio}%.1fx\n"
+    sb ++= "(denser activity cells pair more users). Judged against " +
+      "edge growth:\n"
+    Seq(("q100_pagerank", 1.0, "O(|E|) per fixed-point round"),
+        ("q177_bfs_reach", 1.0, "O(|E|) per BFS round"),
+        ("q194_kcore", 1.0, "O(|E|) per peel round"),
+        ("q176_triangles", 1.5,
+          "O(|E|^1.5) worst-case wedge bound (Suri-Vassilvitskii)"))
+      .foreach { case (n, exp, bound) =>
+        (mins.get((n, Sfs(1))), mins.get((n, Sfs(2)))) match {
+          case (Some(a), Some(b)) if a > 0 =>
+            val allowed = math.pow(eRatio, exp)
+            val flag = if (b / a <= allowed) "within" else "EXCEEDS"
+            sb ++= f"- $n: ${b / a}%.1fx time vs ${allowed}%.1fx " +
+              f"allowed by $bound — $flag the bound\n"
+          case _ => ()
+        }
+      }
+    sb ++= "\nTime ratios at or under these bounds mean the curve is " +
+      "edge growth, not\nalgorithmic superlinearity; at 100x events " +
+      "the graph family's cost is set\nby |E|, so capacity planning " +
+      "should size on the edge count (capped per\nactivity cell by " +
+      "MaxGroup) rather than the event count.\n"
     sb ++= "\nGenerated by `graft.ScalingCurve`; host CPU-steal caveats in\n"
     sb ++= "README.md (the min-of-reps discipline applies here too).\n"
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
