@@ -387,6 +387,11 @@ object SparkEntry {
     // applied to the kNN-voting family).
     "q212_knn_block_recall" ->
       (graft.operators.Similarity.knnBlockRecallQuery _),
+    // q213: S14 table introspection as a checked query — schema rows
+    // (canonical engine-neutral types) + deterministic key-ordered
+    // sample, both through the serving route's tableInfo pair.
+    "q213_table_info" ->
+      (graft.operators.SecServing.tableInfoQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1537,6 +1542,8 @@ object SparkEntry {
       graft.operators.Similarity.hardNegativesLshOracleSql(),
     "q212_knn_block_recall" ->
       graft.operators.Similarity.knnBlockRecallOracleSql(),
+    "q213_table_info" ->
+      graft.operators.SecServing.tableInfoOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** The reference's five FastAPI serving endpoints as DataFrame
   * functions (reference backend/main.py). The HTTP/warehouse layers
@@ -24,6 +25,65 @@ object SecServing {
   def tableInfo(df: DataFrame, sampleRows: Int = 3): (Seq[(String, String)], DataFrame) =
     (df.schema.fields.toIndexedSeq.map(f => f.name -> f.dataType.simpleString),
       df.limit(sampleRows))
+
+  /** Engine-neutral names for the types the testdata surface uses, so
+    * [[tableInfoQuery]]'s output is comparable across engines (Spark
+    * says `int`/`string`/`array<float>` where DuckDB says
+    * `INTEGER`/`VARCHAR`/`FLOAT[]` for the same parquet column). */
+  private val CanonicalTypes = Map(
+    "int" -> "int32", "bigint" -> "int64", "string" -> "text",
+    "float" -> "float32", "double" -> "float64", "date" -> "date",
+    "timestamp" -> "timestamp", "array<float>" -> "list<float32>",
+    "array<double>" -> "list<float64>")
+
+  /** q213: S14 as an oracle-checked query — the DESCRIBE-equivalent
+    * over two testdata tables (nation: scalar types; embeddings: the
+    * vector column) plus the first 3 nation rows rendered as strings.
+    * Both halves go through [[tableInfo]] — the same (schema, sample)
+    * pair the serving route returns — with the sample DETERMINISTIC
+    * (ordered by key before the limit) and every value canonicalized
+    * so DuckDB re-derives the identical rows from the same parquet
+    * via information_schema + its own scan. */
+  def tableInfoQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tables = Seq("nation" -> Tables.nation(spark, dir),
+      "embeddings" -> Tables.embeddings(spark, dir))
+    val colRows = tables.flatMap { case (t, df) =>
+      tableInfo(df)._1.zipWithIndex.map { case ((n, ty), i) =>
+        (t, "column", (i + 1).toLong, n, CanonicalTypes.getOrElse(ty, ty))
+      }
+    }.toDF("tbl", "section", "ord", "name", "value")
+    val sample = tableInfo(Tables.nation(spark, dir)
+        .orderBy("n_nationkey"))._2
+      .select(lit("nation").as("tbl"), lit("sample").as("section"),
+        (col("n_nationkey") + 1).cast("long").as("ord"),
+        lit("row").as("name"),
+        concat_ws("|", col("n_nationkey").cast("string"), col("n_name"),
+          col("n_regionkey").cast("string")).as("value"))
+    colRows.unionAll(sample).orderBy("tbl", "section", "ord")
+  }
+
+  /** DuckDB oracle for [[tableInfoQuery]]. */
+  def tableInfoOracleSql: String =
+    """WITH cols AS (SELECT table_name AS tbl, 'column' AS section,
+           CAST(ordinal_position AS BIGINT) AS ord, column_name AS name,
+           CASE data_type
+             WHEN 'INTEGER' THEN 'int32' WHEN 'BIGINT' THEN 'int64'
+             WHEN 'VARCHAR' THEN 'text' WHEN 'FLOAT' THEN 'float32'
+             WHEN 'DOUBLE' THEN 'float64' WHEN 'DATE' THEN 'date'
+             WHEN 'TIMESTAMP' THEN 'timestamp'
+             WHEN 'FLOAT[]' THEN 'list<float32>'
+             WHEN 'DOUBLE[]' THEN 'list<float64>'
+             ELSE lower(data_type) END AS value
+         FROM information_schema.columns
+         WHERE table_name IN ('nation', 'embeddings')),
+       samp AS (SELECT 'nation' AS tbl, 'sample' AS section,
+           CAST(n_nationkey + 1 AS BIGINT) AS ord, 'row' AS name,
+           concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+             CAST(n_regionkey AS VARCHAR)) AS value
+         FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 3))
+     SELECT * FROM cols UNION ALL SELECT * FROM samp
+     ORDER BY tbl, section, ord"""
 
   /** J1+P3+O1: the RAW-source statement query (backend/main.py:163-176):
     * sub⋈pre on adsh, ⋈num on (adsh, tag, version) — note `version` IS
