@@ -34,28 +34,42 @@ import graft.operators.{SecJsonDocs, SecServing}
   * rows to the serving process — in front of a cluster-scale table you
   * page, you don't dump.
   *
-  * Thread-safe for concurrent requests (SparkSession is; the server
-  * uses the default executor). `start(0)` binds an ephemeral port and
-  * returns it — how ApiSpec drives a live round-trip.
+  * Concurrent by construction: requests dispatch on a fixed thread
+  * pool (`threads` in [[start]]; the JDK server's default executor
+  * would serialize every exchange on the dispatcher thread), and
+  * SparkSession is thread-safe — concurrent actions become concurrent
+  * Spark jobs sharing the session's pools. Temp-view REGISTRATION is
+  * session-global and not serialized against in-flight readers, so
+  * the contract is the warehouse one: register views before serving
+  * (ApiSpec's concurrent case proves N mixed-route in-flight requests
+  * don't interfere). `start(0)` binds an ephemeral port and returns
+  * it — how ApiSpec drives a live round-trip.
   */
 class Api(spark: SparkSession, maxRows: Int = 10000) {
 
   private var server: Option[HttpServer] = None
+  private var pool: Option[java.util.concurrent.ExecutorService] = None
   private val mapper = new ObjectMapper()
 
-  def start(port: Int = 0): Int = {
+  def start(port: Int = 0, threads: Int = 8): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/check-availability", ex => handle(ex)(checkAvailability))
     s.createContext("/get-table-info", ex => handle(ex)(getTableInfo))
     s.createContext("/execute-custom-query", ex => handle(ex)(executeCustomQuery))
     s.createContext("/get-financial-data", ex => handle(ex)(getFinancialData))
     s.createContext("/query-data", ex => handle(ex)(queryData))
+    val p = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    s.setExecutor(p)
+    pool = Some(p)
     s.start()
     server = Some(s)
     s.getAddress.getPort
   }
 
-  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+  def stop(): Unit = {
+    server.foreach(_.stop(0)); server = None
+    pool.foreach(_.shutdown()); pool = None
+  }
 
   // ---- endpoints ----
 

@@ -173,6 +173,58 @@ class ApiSpec extends SparkSpec {
     assert(bad == 400)
   }
 
+  test("concurrent mixed-route requests share one SparkSession " +
+    "without interference") {
+    // 32 in-flight requests across all routes against the 8-thread
+    // server pool. Each custom query carries a request-unique constant
+    // that must come back in ITS OWN response — the cross-talk probe:
+    // any request served another's result fails the equality, not
+    // just a count.
+    val t0 = System.nanoTime()
+    val futures = (0 until 32).map { i =>
+      i % 4 match {
+        case 0 => client.sendAsync(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/execute-custom-query"))
+            .POST(HttpRequest.BodyPublishers.ofString(
+              s"""{"query": "SELECT $i AS probe, count(*) AS n FROM sec_num_2023Q4"}"""))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        case 1 => client.sendAsync(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/query-data?query=SELECT%20${i}%20AS%20probe"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        case 2 => client.sendAsync(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/check-availability?year=2023&quarter=Q4"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        case _ => client.sendAsync(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/get-table-info?data_source=RAW&year=2023&quarter=Q4"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    }
+    val responses = futures.map(_.join())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    responses.zipWithIndex.foreach { case (r, i) =>
+      assert(r.statusCode() == 200, s"request $i: ${r.body().take(200)}")
+      val body = mapper.readTree(r.body())
+      i % 4 match {
+        case 0 | 1 =>
+          assert(body.get("data").get(0).get("probe").asInt == i,
+            s"request $i got another request's result: ${r.body().take(200)}")
+        case 2 => assert(body.get("available").asBoolean)
+        case _ => assert(body.size > 0)
+      }
+    }
+    // sanity, not a microbenchmark: 32 requests through an 8-thread
+    // pool on a warm session must not serialize into minutes
+    assert(elapsed < 60.0, f"32 concurrent requests took $elapsed%.1fs")
+  }
+
   override def afterAll(): Unit = {
     api.foreach(_.stop())
     super.afterAll()
