@@ -216,7 +216,20 @@ object PrepPipeline {
     * materialized once per the materialize-once criterion (it sits
     * behind a window dedup, not a bare scan). Clustering and split
     * are the q45/q183 shapes unchanged; the manifest is one final
-    * keyed aggregation over |survivors| rows. */
+    * keyed aggregation over |survivors| rows.
+    *
+    * Cost accounting (sf0.1, min-of-3, same session): full query
+    * ≈3.0s = the embedded q45 machinery ≈2.0s (pair generation alone
+    * 1.3s — it inherits every q45 tuning, including the r9 label
+    * seeding, automatically since the code is shared) + gates/split/
+    * rollup ≈1.0s, each linear (SCALING.md: 1.8x time on 10x docs).
+    * Two measured non-wins, recorded so they are not retried: exact
+    * dedup via aggregate+semi-join instead of the fp window re-scans
+    * the corpus and re-evaluates the gate expressions (+0.8s), and
+    * checkpointing the pre-dedup frame materializes text twice
+    * (+0.5s) — at this scale the window's text shuffle is cheaper
+    * than either; at 100 TB the aggregate form's scan-vs-shuffle
+    * trade flips, which is a one-line swap here. */
   def curationManifestQuery(spark: SparkSession, dir: String,
                             minWords: Long = 20): DataFrame = {
     val gated = gatedDocs(spark, dir, minWords).localCheckpoint()
