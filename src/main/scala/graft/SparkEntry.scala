@@ -392,6 +392,21 @@ object SparkEntry {
     // sample, both through the serving route's tableInfo pair.
     "q213_table_info" ->
       (graft.operators.SecServing.tableInfoQuery _),
+    // q214: blocking fidelity for the argmin family — same neg/pos
+    // extremes as exhaustive, per-anchor, plus the e6 error mass.
+    "q214_hard_negative_fidelity" ->
+      (graft.operators.Similarity.hardNegativeFidelityQuery _),
+    // q215: the sketch cube — one finest-grain register table serves
+    // the whole grouping-set lattice by metadata-scale max-merge.
+    "q215_sketch_cube" ->
+      (graft.operators.DistinctSketch.rollupRegistersQuery _),
+    // q216: product-quantization ADC top-k — candidates scored only
+    // through their codes + the query LUT (the third ANN family).
+    "q216_pq_topk" ->
+      (graft.operators.ProductQuant.pqTopKQuery _),
+    // q217: PQ recall vs the exact ranking on the same integer grid.
+    "q217_pq_recall" ->
+      (graft.operators.ProductQuant.pqRecallQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1544,6 +1559,14 @@ object SparkEntry {
       graft.operators.Similarity.knnBlockRecallOracleSql(),
     "q213_table_info" ->
       graft.operators.SecServing.tableInfoOracleSql,
+    "q214_hard_negative_fidelity" ->
+      graft.operators.Similarity.hardNegativeFidelityOracleSql(),
+    "q215_sketch_cube" ->
+      graft.operators.DistinctSketch.rollupRegistersOracleSql,
+    "q216_pq_topk" ->
+      graft.operators.ProductQuant.pqTopKOracleSql(),
+    "q217_pq_recall" ->
+      graft.operators.ProductQuant.pqRecallOracleSql(),
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -50,17 +50,24 @@ object DistinctSketch {
     * discipline). */
   def registers(df: DataFrame, groupCol: String, keyCol: String,
                 portable: Boolean = true): DataFrame =
-    df.select(col(groupCol),
-        graft.functions.TextFunctions
-          .hash60(col(keyCol).cast("string"), portable).as("h"))
-      .select(col(groupCol),
-        col("h").bitwiseAND(lit((M - 1).toLong)).as("register"),
-        shiftright(col("h"), P).as("w"))
-      .select(col(groupCol), col("register"),
+    registers(df, Seq(groupCol), keyCol, portable)
+
+  /** [[registers]] over a COMPOSITE group key — the finest-grain form
+    * q215's grouping-set rollup stores (one register set per
+    * (day, type) cell; every coarser grain merges from it). */
+  def registers(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                portable: Boolean): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ graft.functions.TextFunctions
+          .hash60(col(keyCol).cast("string"), portable).as("h"): _*)
+      .select(g :+ col("h").bitwiseAND(lit((M - 1).toLong)).as("register")
+        :+ shiftright(col("h"), P).as("w"): _*)
+      .select(g :+ col("register") :+
         when(col("w") === 0L, lit(RhoCap.toLong))
-          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
-      .groupBy(groupCol, "register")
+          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"): _*)
+      .groupBy(g :+ col("register"): _*)
       .agg(max(col("rho")).as("max_rho"))
+  }
 
   /** q152: per-event-type HLL registers with the exact distinct user
     * count alongside, plus a merged `__all__` row set that is computed
@@ -443,4 +450,100 @@ object DistinctSketch {
     val zeros = (0 until M).count(j => registers.getOrElse(j.toLong, 0L) == 0L)
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
+
+  /** q215: the SKETCH CUBE — distinct-user registers for the whole
+    * grouping-set lattice {(day, type), (day), (type), ()} where
+    * every coarse grain is computed ONLY by max-merging the finest
+    * (day × type) register table, while the oracle recomputes each
+    * grain from raw rows. q64/q172 answer grouping sets with exact
+    * counts by grouping the corpus per set; at 100 TB the sketch cube
+    * is how this is actually served — ONE hashed scan builds the
+    * finest partials, and every rollup (including axes the fine scan
+    * never grouped by alone) is a metadata-scale register merge.
+    * q152 certified one merge axis (type→all) and q160 the time axis;
+    * this certifies the full lattice from one stored table. Exact
+    * distincts per cell ride along as the verification baseline. */
+  def rollupRegistersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("event_type").as("et"), col("user_id"))
+    val fine = registers(ev, Seq("d", "et"), "user_id", portable = true)
+      .localCheckpoint()
+    val cellEx = ev.groupBy("d", "et")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val dayEx = ev.groupBy("d")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val typeEx = ev.groupBy("et")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val allEx = ev.agg(count_distinct(col("user_id")).as("n_exact"))
+    val cells = fine.join(cellEx, Seq("d", "et"))
+      .select(lit("d_et").as("grain"), col("d"), col("et"),
+        col("register"), col("max_rho"), col("n_exact"))
+    val byDay = fine.groupBy("d", "register")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .join(dayEx, Seq("d"))
+      .select(lit("d").as("grain"), col("d"), lit("__all__").as("et"),
+        col("register"), col("max_rho"), col("n_exact"))
+    val byType = fine.groupBy("et", "register")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .join(typeEx, Seq("et"))
+      .select(lit("et").as("grain"), lit("__all__").as("d"), col("et"),
+        col("register"), col("max_rho"), col("n_exact"))
+    val total = fine.groupBy("register")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .crossJoin(broadcast(allEx))
+      .select(lit("all").as("grain"), lit("__all__").as("d"),
+        lit("__all__").as("et"), col("register"), col("max_rho"),
+        col("n_exact"))
+    cells.unionAll(byDay).unionAll(byType).unionAll(total)
+      .orderBy("grain", "d", "et", "register")
+  }
+
+  /** DuckDB oracle for [[rollupRegistersQuery]] — every grain's
+    * registers recomputed from the RAW hashed rows, so the hash match
+    * certifies that the engine's fine-grain merges equal direct
+    * computation at every lattice point. */
+  def rollupRegistersOracleSql: String =
+    s"""WITH ev AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           event_type AS et, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+         FROM events),
+       r AS (SELECT d, et, user_id, h & ${M - 1} AS register,
+           CASE WHEN (h >> $P) = 0 THEN $RhoCap
+                ELSE length(bin((h >> $P) & -(h >> $P))) END AS rho
+         FROM ev),
+       cells AS (SELECT 'd_et' AS grain, d, et, register,
+           CAST(max(rho) AS BIGINT) AS max_rho
+         FROM r GROUP BY 2, 3, 4),
+       cex AS (SELECT d, et, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS n_exact FROM ev GROUP BY 1, 2),
+       byday AS (SELECT 'd' AS grain, d, '__all__' AS et, register,
+           CAST(max(rho) AS BIGINT) AS max_rho
+         FROM r GROUP BY 2, 4),
+       dex AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS n_exact FROM ev GROUP BY 1),
+       bytype AS (SELECT 'et' AS grain, '__all__' AS d, et, register,
+           CAST(max(rho) AS BIGINT) AS max_rho
+         FROM r GROUP BY 3, 4),
+       tex AS (SELECT et, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS n_exact FROM ev GROUP BY 1),
+       tot AS (SELECT 'all' AS grain, '__all__' AS d, '__all__' AS et,
+           register, CAST(max(rho) AS BIGINT) AS max_rho
+         FROM r GROUP BY 4),
+       aex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM ev)
+     SELECT * FROM (
+       SELECT c.grain, c.d, c.et, c.register, c.max_rho, cex.n_exact
+       FROM cells c JOIN cex ON c.d = cex.d AND c.et = cex.et
+       UNION ALL
+       SELECT b.grain, b.d, b.et, b.register, b.max_rho, dex.n_exact
+       FROM byday b JOIN dex ON b.d = dex.d
+       UNION ALL
+       SELECT b.grain, b.d, b.et, b.register, b.max_rho, tex.n_exact
+       FROM bytype b JOIN tex ON b.et = tex.et
+       UNION ALL
+       SELECT t.grain, t.d, t.et, t.register, t.max_rho, aex.n_exact
+       FROM tot t CROSS JOIN aex)
+     ORDER BY grain, d, et, register"""
 }

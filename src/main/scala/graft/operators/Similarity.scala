@@ -1119,6 +1119,85 @@ object Similarity {
         expr("n_hit_pairs * 100 div n_true_pairs").as("pair_recall_pct"))
   }
 
+  /** q214: blocking fidelity for the ARGMIN family — q212 grades the
+    * voting (set) side; this grades q211 against q204: how often the
+    * blocked candidates produce the SAME hardest negative / positive
+    * the exhaustive pass finds, and the total e6 error in the
+    * hardest-negative similarity where they differ. One row:
+    * (n_exact, n_blocked, same_neg, same_pos, neg_sim_l1). A high
+    * same_neg with small l1 says the buckets keep exactly the
+    * high-similarity region the miner needs — the property LSH is
+    * built to preserve. */
+  def hardNegativeFidelityQuery(spark: SparkSession, dir: String): DataFrame =
+    hardNegativeFidelity(Tables.embeddings(spark, dir))
+
+  /** [[hardNegativeFidelityQuery]]'s core. */
+  def hardNegativeFidelity(emb: DataFrame, planes: Int = BlockPlanes,
+      probeFlips: Int = BlockProbeFlips, dims: Int = 64): DataFrame = {
+    val ex = hardNegatives(emb)
+      .select(col("vec_id"), col("neg_id").as("e_neg"),
+        col("neg_sim").as("e_negsim"), col("pos_id").as("e_pos"))
+    val bl = hardNegativesFromPairs(
+        blockedLabeledPairs(emb, planes, probeFlips, dims))
+      .select(col("vec_id"), col("neg_id").as("b_neg"),
+        col("neg_sim").as("b_negsim"), col("pos_id").as("b_pos"))
+    ex.join(bl, Seq("vec_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(when(col("b_neg").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_blocked"),
+        sum(when(col("b_neg") === col("e_neg"), 1L).otherwise(0L))
+          .cast("long").as("same_neg"),
+        sum(when(col("b_pos") === col("e_pos"), 1L).otherwise(0L))
+          .cast("long").as("same_pos"),
+        sum(when(col("b_negsim").isNotNull,
+            abs(col("e_negsim") - col("b_negsim"))).otherwise(0L))
+          .cast("long").as("neg_sim_l1"))
+  }
+
+  /** DuckDB oracle for [[hardNegativeFidelityQuery]] (q214). */
+  def hardNegativeFidelityOracleSql(planes: Int = BlockPlanes,
+      probeFlips: Int = BlockProbeFlips, dims: Int = 64): String =
+    s"""WITH ${blockedPairsCtes(planes, probeFlips, dims)},
+       ep AS (SELECT a.vec_id AS a, CAST(a.label AS BIGINT) AS la,
+                b.vec_id AS b, CAST(b.label AS BIGINT) AS lb,
+                CAST(trunc(round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6)
+                  * 1000000) AS BIGINT) AS sim
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id),
+       ehn AS (SELECT a, b AS neg_id, sim AS neg_sim FROM ep
+               WHERE lb <> la
+               QUALIFY row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b) = 1),
+       ehp AS (SELECT a, b AS pos_id FROM ep WHERE lb = la
+               QUALIFY row_number() OVER (PARTITION BY a
+                 ORDER BY sim ASC, b) = 1),
+       ex AS (SELECT ehn.a AS vec_id, neg_id AS e_neg,
+                neg_sim AS e_negsim, pos_id AS e_pos
+              FROM ehn JOIN ehp ON ehn.a = ehp.a),
+       bhn AS (SELECT a, b AS neg_id, sim AS neg_sim FROM bp
+               WHERE lb <> la
+               QUALIFY row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b) = 1),
+       bhp AS (SELECT a, b AS pos_id FROM bp WHERE lb = la
+               QUALIFY row_number() OVER (PARTITION BY a
+                 ORDER BY sim ASC, b) = 1),
+       bl AS (SELECT bhn.a AS vec_id, neg_id AS b_neg,
+                neg_sim AS b_negsim, pos_id AS b_pos
+              FROM bhn JOIN bhp ON bhn.a = bhp.a)
+     SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN bl.b_neg IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN bl.b_neg = ex.e_neg THEN 1 ELSE 0 END)
+         AS BIGINT) AS same_neg,
+       CAST(sum(CASE WHEN bl.b_pos = ex.e_pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS same_pos,
+       CAST(sum(CASE WHEN bl.b_negsim IS NOT NULL
+           THEN abs(ex.e_negsim - bl.b_negsim) ELSE 0 END)
+         AS BIGINT) AS neg_sim_l1
+     FROM ex LEFT JOIN bl ON bl.vec_id = ex.vec_id"""
+
   /** DuckDB oracle for [[knnBlockRecallQuery]] (q212) — the exact
     * pair frame, the blocked pair frame, and the same three
     * comparisons. */

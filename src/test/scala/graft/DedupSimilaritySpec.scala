@@ -539,6 +539,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exactHn.toSeq == blockedHn.toSeq)
   }
 
+  test("hard-negative fidelity: full probe coverage degenerates to " +
+    "perfect agreement; the sf0.001 report is internally consistent") {
+    // planes=1 + 1 flip covers both buckets -> blocked == exact
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(60)
+      .localCheckpoint()
+    val full = Similarity.hardNegativeFidelity(emb, planes = 1,
+      probeFlips = 1).collect().head
+    assert(full.getLong(0) == full.getLong(1), "coverage must be total")
+    assert(full.getLong(2) == full.getLong(0), "same_neg must be total")
+    assert(full.getLong(3) == full.getLong(0), "same_pos must be total")
+    assert(full.getLong(4) == 0L, "sim error must vanish")
+    // real blocking: blocked ⊆ exact, agreements ⊆ blocked, error ≥ 0
+    val r = Similarity.hardNegativeFidelityQuery(spark, sf0001)
+      .collect().head
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+    assert(r.getLong(4) >= 0L)
+  }
+
   test("kNN blocking recall report: LSH candidates beat a random " +
     "same-size candidate set and recover most exact suspects") {
     val r = Similarity.knnBlockRecallQuery(spark, sf0001).collect().head

@@ -159,6 +159,37 @@ class DistinctSketchSpec extends SparkSpec {
     assert(merged == regs)
   }
 
+  test("sketch cube: every lattice point equals registers computed " +
+    "directly at that grain") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("event_type").as("et"), col("user_id"))
+      .localCheckpoint()
+    val cube = DistinctSketch.rollupRegistersQuery(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    def direct(groupCol: String): Map[(String, Long), Long] =
+      DistinctSketch.registers(ev, groupCol, "user_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // day grain: rolled-up rows == direct per-day registers
+    for (((d, reg), rho) <- direct("d"))
+      assert(cube(("d", d, "__all__", reg)) == rho, s"day $d reg $reg")
+    // type grain likewise
+    for (((et, reg), rho) <- direct("et"))
+      assert(cube(("et", "__all__", et, reg)) == rho, s"type $et reg $reg")
+    // apex: max over every fine cell
+    // .toSeq first: collect on a Map would re-key by register and
+    // silently keep one arbitrary cell per register
+    val apex = cube.toSeq
+      .collect { case (("d_et", _, _, reg), rho) => reg -> rho }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for ((reg, rho) <- apex)
+      assert(cube(("all", "__all__", "__all__", reg)) == rho,
+        s"apex register $reg")
+  }
+
   test("estimate handles empty and saturated register maps") {
     // all-zero registers -> linear counting -> 0 distinct
     assert(DistinctSketch.estimate(Map.empty) == 0.0)
