@@ -407,6 +407,10 @@ object SparkEntry {
     // q217: PQ recall vs the exact ranking on the same integer grid.
     "q217_pq_recall" ->
       (graft.operators.ProductQuant.pqRecallQuery _),
+    // q218: streaming ingest-dedup, oracle-checked — doubled corpus
+    // drained through the stateful dedup; every fp survives once.
+    "q218_stream_dedup" ->
+      (graft.streaming.DocStream.streamDedupQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1567,6 +1571,8 @@ object SparkEntry {
       graft.operators.ProductQuant.pqTopKOracleSql(),
     "q217_pq_recall" ->
       graft.operators.ProductQuant.pqRecallOracleSql(),
+    "q218_stream_dedup" ->
+      graft.streaming.DocStream.streamDedupOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -74,6 +74,60 @@ object DocStream {
   def corpusFingerprintIndex(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Drop-file / trigger shape for [[streamDedupQuery]] — 6 files at
+    * 2 per trigger = 3 micro-batches, `require`d after the drain (the
+    * q145/q149 discipline: the multi-batch claim is checked, not
+    * assumed). */
+  val DedupDropFiles = 6
+  val DedupFilesPerTrigger = 2
+
+  /** q218: streaming ingest-dedup as an ORACLE-CHECKED query — the
+    * corpus is staged TWICE (ids offset, timestamps identical per
+    * content) into round-robin drop files, drained through
+    * [[dedupedDocs]] across 3 micro-batches, and the sunk survivors
+    * grouped by fingerprint. If the stateful dedup works, every
+    * distinct fingerprint surfaces EXACTLY once — n_rows = 1 — which
+    * is precisely what the oracle asserts from the batch table
+    * (GROUP BY fp, literal 1): a duplicate that slipped through
+    * state (same batch, cross batch, or across the doubled corpus)
+    * lands as n_rows = 2 and breaks the hash. Survivor doc_ids are
+    * deliberately NOT output — which arrival of a dup family is kept
+    * depends on batch order (real stream semantics), while the
+    * surviving fingerprint SET is exactly determined. */
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q218_sunk")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    // same ts for both arrivals of a content (pmod strips the copy
+    // offset), all inside one watermark horizon -> no state eviction
+    // can race the second arrival
+    val staged = docs
+      .unionAll(docs.select(col("doc_id") + lit(10000000L), col("text")))
+      .select(col("doc_id"),
+        timestamp_millis(lit(1700000000000L) +
+          pmod(col("doc_id"), lit(10000000L))).as("ts"),
+        col("text"), lit("drop").as("source"))
+    val batches = EventStream.stageAndDrain(spark, staged, docSchema,
+      DedupDropFiles, DedupFilesPerTrigger, "q218")(
+      df => dedupedDocs(df, "1 hour")
+        .writeStream.format("parquet").option("path", sunk))
+    val expected =
+      (DedupDropFiles + DedupFilesPerTrigger - 1) / DedupFilesPerTrigger
+    require(batches == expected,
+      s"q218 staged $DedupDropFiles drop files but streamed $batches " +
+        s"micro-batches (expected $expected)")
+    spark.read.parquet(sunk)
+      .groupBy("fp").agg(count(lit(1)).cast("long").as("n_rows"))
+      .orderBy("fp")
+  }
+
+  /** DuckDB oracle for [[streamDedupQuery]] — the surviving
+    * fingerprint set with multiplicity one, from the batch table. */
+  def streamDedupOracleSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS fp, CAST(1 AS BIGINT) AS n_rows
+       FROM documents GROUP BY 1 ORDER BY fp"""
+
   /** Drain the drop dir through the dedup into a parquet sink, then
     * stop (AvailableNow; checkpointed state carries the seen-set
     * across invocations, so a duplicate arriving in a LATER drain is
