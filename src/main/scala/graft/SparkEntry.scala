@@ -411,6 +411,10 @@ object SparkEntry {
     // drained through the stateful dedup; every fp survives once.
     "q218_stream_dedup" ->
       (graft.streaming.DocStream.streamDedupQuery _),
+    // q219: reciprocal-rank fusion of the three ANN families' top-k
+    // lists (LSH + IVF + PQ) with integer RRF scores.
+    "q219_rank_fusion" ->
+      (graft.operators.Similarity.rankFusionQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1573,6 +1577,8 @@ object SparkEntry {
       graft.operators.ProductQuant.pqRecallOracleSql(),
     "q218_stream_dedup" ->
       graft.streaming.DocStream.streamDedupOracleSql,
+    "q219_rank_fusion" ->
+      graft.operators.Similarity.rankFusionOracleSql(),
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

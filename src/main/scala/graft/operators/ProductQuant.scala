@@ -128,7 +128,7 @@ object ProductQuant {
   /** Shared oracle CTE prefix: quantized vectors, per-subspace
     * sub-vectors, codebook, distances, codes, and the query LUT —
     * [[subDistances]]/[[codes]] re-derived verbatim in DuckDB. */
-  private def pqCtes(queryId: Long): String =
+  private[operators] def pqCtes(queryId: Long): String =
     s"""e AS (SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(round(x * 1024) AS BIGINT)) AS qv

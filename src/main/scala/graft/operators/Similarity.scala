@@ -1119,6 +1119,115 @@ object Similarity {
         expr("n_hit_pairs * 100 div n_true_pairs").as("pair_recall_pct"))
   }
 
+  /** RRF's standard dampening constant (Cormack et al. 2009). */
+  val RrfK = 60
+
+  /** q219: RECIPROCAL RANK FUSION over the three ANN families — the
+    * standard way heterogeneous retrievers combine (Cormack,
+    * Clarke & Büttcher 2009): each family contributes its top-k
+    * ranked list (portable hyperplane LSH in the q56 serving config,
+    * anchor-centroid IVF in the q81 config, PQ's ADC scan from q216)
+    * and a candidate's fused score is Σ 1/(RrfK + rank) over the
+    * lists that surfaced it — kept integer as 1e6 div (RrfK + rank)
+    * so both engines fuse identically. The point at 100 TB: the three
+    * indexes fail differently (LSH misses across bucket boundaries,
+    * IVF at cell edges, PQ by quantization), so fusion recovers
+    * neighbors any single index drops, for three cheap index scans
+    * and a metadata-scale merge. Output (vec_id, n_lists, rrf). */
+  def rankFusionQuery(spark: SparkSession, dir: String): DataFrame =
+    rankFusion(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
+
+  /** [[rankFusionQuery]]'s core. */
+  def rankFusion(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lsh = portableLshTopK(emb, queryId, k, planes = 6, probeFlips = 2)
+      .select(col("vec_id"), col("sim").as("score"))
+    val ivf = ivfAnchorTopK(emb, queryId, k, nAnchors = 8, nprobe = 2)
+      .select(col("vec_id"), col("sim").as("score"))
+    val pq = ProductQuant.pqTopK(emb, queryId, k)
+      .select(col("vec_id"), (-col("adist")).as("score"))
+    // each list is <= k rows: the single-partition rank window is a
+    // deliberate driver-scale step, not a corpus sort
+    val ranked = Seq(lsh, ivf, pq).map { l =>
+      val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+      l.withColumn("rnk", row_number().over(w))
+        .select(col("vec_id"), col("rnk"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(expr(s"1000000 div ($RrfK + rnk)")).as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[rankFusionQuery]] (q219) — all three lists
+    * re-derived (LSH buckets from the literal plane family, IVF
+    * anchor assignment, PQ codes + LUT via [[ProductQuant.pqCtes]]),
+    * ranked and fused with the same integer arithmetic. Similarity
+    * quantizations are trunc'd (Spark's long cast) wherever a
+    * quantized value decides a rank. */
+  def rankFusionOracleSql(queryId: Long = 0L, k: Int = 10,
+      planes: Int = 6, probeFlips: Int = 2, nAnchors: Int = 8,
+      nprobe: Int = 2, dims: Int = 64): String = {
+    val bits = (0 until planes).map { p =>
+      val cs = (0 until dims).map(i => portablePlaneComponent(p, i))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(qv AS DOUBLE[]), $cs) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n           + ")
+    val probeBranches = (s"SELECT qb AS pb FROM qq" +:
+      (0 until math.min(probeFlips, planes)).map(p =>
+        s"SELECT xor(qb, ${1L << p}) FROM qq")).mkString(" UNION ALL ")
+    s"""WITH ${ProductQuant.pqCtes(queryId)},
+       emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+       bb AS (SELECT e.vec_id, emb0.emb, $bits AS bucket
+              FROM e JOIN emb0 ON e.vec_id = emb0.vec_id),
+       qq AS (SELECT emb AS qe, bucket AS qb FROM bb
+              WHERE vec_id = $queryId),
+       pp AS ($probeBranches),
+       lshl AS (SELECT b.vec_id,
+           CAST(trunc(round(list_cosine_similarity(b.emb, qq.qe), 6)
+             * 1000000) AS BIGINT) AS score
+         FROM bb b, pp, qq
+         WHERE b.bucket = pp.pb AND b.vec_id <> $queryId
+         ORDER BY list_cosine_similarity(b.emb, qq.qe) DESC, b.vec_id
+         LIMIT $k),
+       anch AS (SELECT CAST(vec_id AS INT) AS cluster_id, emb AS a_emb
+                FROM emb0 WHERE vec_id BETWEEN 1 AND $nAnchors),
+       qv0 AS (SELECT emb AS q_emb FROM emb0 WHERE vec_id = $queryId),
+       asg AS (SELECT vec_id, cluster_id, emb FROM (
+           SELECT e2.vec_id, a.cluster_id, e2.emb,
+             row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+               CAST(trunc(round(list_cosine_similarity(e2.emb, a.a_emb),
+                 6) * 1000000) AS BIGINT) DESC, a.cluster_id) AS rn
+           FROM emb0 e2 CROSS JOIN anch a WHERE e2.vec_id <> $queryId)
+         WHERE rn = 1),
+       prb AS (SELECT cluster_id FROM anch CROSS JOIN qv0
+               ORDER BY CAST(trunc(round(list_cosine_similarity(a_emb,
+                 q_emb), 6) * 1000000) AS BIGINT) DESC, cluster_id
+               LIMIT $nprobe),
+       ivfl AS (SELECT asg.vec_id,
+           CAST(trunc(round(list_cosine_similarity(asg.emb, q_emb), 6)
+             * 1000000) AS BIGINT) AS score
+         FROM asg JOIN prb USING (cluster_id) CROSS JOIN qv0
+         ORDER BY score DESC, asg.vec_id LIMIT $k),
+       pql AS (SELECT vec_id, adist FROM ad
+               ORDER BY adist, vec_id LIMIT $k),
+       lshr AS (SELECT vec_id, row_number() OVER
+                  (ORDER BY score DESC, vec_id) AS rnk FROM lshl),
+       ivfr AS (SELECT vec_id, row_number() OVER
+                  (ORDER BY score DESC, vec_id) AS rnk FROM ivfl),
+       pqr AS (SELECT vec_id, row_number() OVER
+                 (ORDER BY adist ASC, vec_id) AS rnk FROM pql),
+       u AS (SELECT vec_id, rnk FROM lshr
+             UNION ALL SELECT vec_id, rnk FROM ivfr
+             UNION ALL SELECT vec_id, rnk FROM pqr)
+     SELECT vec_id, CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(1000000 // ($RrfK + rnk)) AS BIGINT) AS rrf
+     FROM u GROUP BY 1 ORDER BY rrf DESC, vec_id LIMIT $k"""
+  }
+
   /** q214: blocking fidelity for the ARGMIN family — q212 grades the
     * voting (set) side; this grades q211 against q204: how often the
     * blocked candidates produce the SAME hardest negative / positive

@@ -539,6 +539,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exactHn.toSeq == blockedHn.toSeq)
   }
 
+  test("rank fusion: well-formed fused list; consensus outranks " +
+    "single-list membership at equal ranks") {
+    val rows = graft.operators.Similarity
+      .rankFusionQuery(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 3L,
+        s"n_lists out of range: $r")
+      // rrf bounds: best possible = 3 lists at rank 1; worst = one
+      // list at rank 10
+      assert(r.getLong(2) >= 1000000L / 70 && r.getLong(2) <= 3 * (1000000L / 61))
+    }
+    // descending fused score with vec_id tie-break
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a.getLong(2) > b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0))
+    })
+    // RRF algebra: a 2-list member always beats any single-list
+    // member whose best rank is no better (1e6/(60+r) decreasing)
+    val byLists = rows.groupBy(_.getLong(1))
+    for (two <- byLists.get(2L); one <- byLists.get(1L))
+      assert(two.map(_.getLong(2)).min > 0 &&
+        one.map(_.getLong(2)).max <= 1000000L / 61)
+  }
+
   test("hard-negative fidelity: full probe coverage degenerates to " +
     "perfect agreement; the sf0.001 report is internally consistent") {
     // planes=1 + 1 flip covers both buckets -> blocked == exact
