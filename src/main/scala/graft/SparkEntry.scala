@@ -415,6 +415,10 @@ object SparkEntry {
     // lists (LSH + IVF + PQ) with integer RRF scores.
     "q219_rank_fusion" ->
       (graft.operators.Similarity.rankFusionQuery _),
+    // q220: per-type CUSUM changepoint detection — the sustained
+    // level-shift complement to q207's spike rule, all integer.
+    "q220_cusum" ->
+      (graft.operators.OlapOps.cusumQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1579,6 +1583,8 @@ object SparkEntry {
       graft.streaming.DocStream.streamDedupOracleSql,
     "q219_rank_fusion" ->
       graft.operators.Similarity.rankFusionOracleSql(),
+    "q220_cusum" ->
+      graft.operators.OlapOps.cusumOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

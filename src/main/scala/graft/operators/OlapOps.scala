@@ -528,6 +528,87 @@ object OlapOps {
       .orderBy("event_type", "d")
   }
 
+  /** q220: CUSUM changepoint detection per event type — the
+    * sustained-shift complement to q207's spike rule (Page 1954): a
+    * one-sided CUSUM accumulates deviations from a baseline mean and
+    * alarms when the SUM crosses a threshold, catching small level
+    * shifts a per-day ratio test never sees. All integer: the
+    * baseline is the first 7 days' TOTAL (so the per-day mean enters
+    * scaled by 7 — no division), slack is mu7 div 20 (5%), and the
+    * recursive S_t = max(0, S_{t-1} + d_t) is computed by its closed
+    * form S_t = pref_t − min(0, min_{j≤t} pref_j) — a running sum and
+    * a running min, both plain windows, so the "recursion" costs two
+    * ROWS-window passes over the per-(type, day) table (metadata
+    * scale; series run in parallel under partitionBy). */
+  def cusumQuery(spark: SparkSession, dir: String): DataFrame =
+    cusumDetect(Tables.events(spark, dir))
+
+  /** [[cusumQuery]]'s core over any (event_type, ts) frame. */
+  def cusumDetect(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val byD = Window.partitionBy("event_type").orderBy("d")
+    val run = byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRn = daily.withColumn("rn", row_number().over(byD))
+    val base = withRn.filter(col("rn") <= 7)
+      .groupBy("event_type").agg(sum(col("n")).as("mu7"))
+    withRn.join(broadcast(base), Seq("event_type"))
+      .withColumn("dev_up",
+        col("n") * 7 - col("mu7") - expr("mu7 div 20"))
+      .withColumn("dev_dn",
+        col("mu7") - col("n") * 7 - expr("mu7 div 20"))
+      .withColumn("pu", sum(col("dev_up")).over(run))
+      .withColumn("pd", sum(col("dev_dn")).over(run))
+      .withColumn("cusum_up",
+        col("pu") - least(lit(0L), min(col("pu")).over(run)))
+      .withColumn("cusum_dn",
+        col("pd") - least(lit(0L), min(col("pd")).over(run)))
+      .select(col("event_type"), col("d"), col("n").cast("long").as("n"),
+        col("cusum_up").cast("long").as("cusum_up"),
+        col("cusum_dn").cast("long").as("cusum_dn"),
+        when(col("cusum_up") > col("mu7"), 1).otherwise(0)
+          .cast("int").as("alert_up"),
+        when(col("cusum_dn") > col("mu7"), 1).otherwise(0)
+          .cast("int").as("alert_dn"))
+      .orderBy("event_type", "d")
+  }
+
+  /** DuckDB oracle for [[cusumQuery]] — same scaled-integer CUSUM via
+    * the same running-sum/running-min closed form. */
+  def cusumOracleSql: String =
+    """WITH daily AS (SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       rn AS (SELECT event_type, d, n,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+         FROM daily),
+       mu AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS mu7
+              FROM rn WHERE rn <= 7 GROUP BY 1),
+       dev AS (SELECT r.event_type, d, n, mu7,
+           7 * n - mu7 - mu7 // 20 AS dev_up,
+           mu7 - 7 * n - mu7 // 20 AS dev_dn
+         FROM rn r JOIN mu ON r.event_type = mu.event_type),
+       pref AS (SELECT event_type, d, n, mu7,
+           sum(dev_up) OVER (PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS pu,
+           sum(dev_dn) OVER (PARTITION BY event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS pd
+         FROM dev),
+       cs AS (SELECT event_type, d, n, mu7,
+           pu - least(0, min(pu) OVER (PARTITION BY event_type
+             ORDER BY d ROWS UNBOUNDED PRECEDING)) AS cu,
+           pd - least(0, min(pd) OVER (PARTITION BY event_type
+             ORDER BY d ROWS UNBOUNDED PRECEDING)) AS cd
+         FROM pref)
+     SELECT event_type, d, n, CAST(cu AS BIGINT) AS cusum_up,
+       CAST(cd AS BIGINT) AS cusum_dn,
+       CAST(CASE WHEN cu > mu7 THEN 1 ELSE 0 END AS INT) AS alert_up,
+       CAST(CASE WHEN cd > mu7 THEN 1 ELSE 0 END AS INT) AS alert_dn
+     FROM cs ORDER BY event_type, d"""
+
   /** DuckDB oracle for [[burstDetectQuery]]. */
   def burstDetectOracleSql: String =
     """WITH daily AS (SELECT event_type,

@@ -272,6 +272,34 @@ class TemporalOpsSpec extends SparkSpec {
       "median must not exceed p95")
   }
 
+  test("cusum: a sustained +50% shift alarms within days while the " +
+    "stable prefix never does; cusum resets under the baseline") {
+    import org.apache.spark.sql.functions._
+    // 7 baseline days x 4 events (mu7 = 28, slack = 1, h = 28), then
+    // 8 days at 6 events: dev_up = 42-28-1 = 13/day -> the scaled
+    // cusum crosses h=28 on the 3rd shifted day (13, 26, 39)
+    val rows = (0 until 7).flatMap(day =>
+      (0 until 4).map(i => s"2024-01-0${day + 1} 12:0$i:00")) ++
+      (8 until 16).flatMap(day =>
+        (0 until 6).map(i => f"2024-01-$day%02d 12:0$i:00"))
+    val ev = rows.toDF("raw")
+      .select(to_timestamp(col("raw")).as("ts"), lit("t").as("event_type"))
+    val out = graft.operators.OlapOps.cusumDetect(ev).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(r.fieldIndex("cusum_up")),
+          r.getInt(r.fieldIndex("alert_up")))).toMap
+    // stable week: dev_up = 28-28-1 = -1/day, cusum pinned at 0
+    for (day <- 1 to 7) {
+      val (cu, a) = out(f"2024-01-$day%02d")
+      assert(cu == 0L && a == 0, s"day $day: ($cu, $a)")
+    }
+    assert(out("2024-01-08")._1 == 13L && out("2024-01-08")._2 == 0)
+    assert(out("2024-01-09")._1 == 26L && out("2024-01-09")._2 == 0)
+    assert(out("2024-01-10")._2 == 1, "3rd shifted day must alarm")
+    assert((10 to 15).forall(d => out(f"2024-01-$d%02d")._2 == 1),
+      "alarm latches while the shift persists")
+  }
+
   test("burst detect: a planted 5x day flags spike, a collapsed day " +
     "flags drop, the baseline never includes today") {
     import org.apache.spark.sql.functions._
