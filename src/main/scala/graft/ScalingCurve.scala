@@ -49,7 +49,10 @@ object ScalingCurve {
     ("q184_auc",            "ranking metrics (histogram AUC)",    "embeddings"),
     ("q192_curation_manifest", "composed curation pipeline (gates+clusters+split)", "documents"),
     ("q194_kcore",          "k-core peeling (bounded rounds)",    "events"),
-    ("q195_sliding_registers", "sliding register merge (partials only)", "events"))
+    ("q195_sliding_registers", "sliding register merge (partials only)", "events"),
+    ("q212_knn_block_recall", "blocked-kNN recall report (exhaustive + LSH sides)", "embeddings"),
+    ("q215_sketch_cube",    "HLL grouping-set lattice (one fine scan + merges)", "events"),
+    ("q216_pq_topk",        "PQ encode + ADC top-k",              "embeddings"))
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly

@@ -582,6 +582,25 @@ class PlanSpec extends SparkSpec {
     assert(p205.contains("partial_sum"), p205.take(1200))
   }
 
+  test("q215/q216: sketch-cube aggregations combine map-side; the " +
+    "ADC scan joins codes to a broadcast LUT, never a cross product") {
+    val p215 = planString(
+      graft.operators.DistinctSketch.rollupRegistersQuery(spark, sf0001))
+    assert(p215.contains("partial_max") || p215.contains("partial_"),
+      p215.take(1500))
+    assert(!p215.contains("CartesianProduct"), p215.take(1500))
+    val p216 = planString(
+      graft.operators.ProductQuant.pqTopKQuery(spark, sf0001))
+    assert(p216.contains("BroadcastHashJoin"), p216.take(1500))
+    assert(!p216.contains("CartesianProduct") &&
+      !p216.contains("SortMergeJoin"),
+      "ADC must join through broadcasts only:\n" + p216.take(1500))
+    // q219 composes three index scans — still no cross product on data
+    val p219 = planString(
+      graft.operators.Similarity.rankFusionQuery(spark, sf0001))
+    assert(!p219.contains("CartesianProduct"), p219.take(1500))
+  }
+
   test("q210/q211: the blocked kNN path shuffles on bucket — no " +
     "corpus broadcast, no cross product") {
     // the whole point of the blocking: the candidate join is an
