@@ -1610,11 +1610,14 @@ object SparkEntry {
        FROM documents d LEFT JOIN asg a ON a.new_id = d.doc_id
        WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id"""),
     // q209: the three pair sets re-derived from their proven chains,
-    // summarized side by side.
+    // summarized side by side. The sorted-neighborhood CTE interpolates
+    // Dedup.SnWindow / Dedup.SnThresholdE6 so changing either constant
+    // cannot desync this oracle from the query (same discipline as the
+    // q202 oracle, sortedNeighborhoodOracleSql).
     "q209_dedup_method_compare" ->
-      ("WITH " + jaccardPairCtes("documents", "2") + """,
+      ("WITH " + jaccardPairCtes("documents", "2") + s""",
          snr AS (SELECT lang, doc_id, lower(trim(text)) AS norm,
-             list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
                AS toks
            FROM documents),
          snrk AS (SELECT lang, doc_id, toks,
@@ -1623,11 +1626,13 @@ object SparkEntry {
            FROM snr),
          snp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
            FROM snrk a JOIN snrk b
-             ON a.lang = b.lang AND b.rn - a.rn IN (1, 2)
+             ON a.lang = b.lang
+               AND b.rn - a.rn IN (${(1 until graft.operators.Dedup.SnWindow).mkString(", ")})
            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
                * 1000000
                // greatest(len(a.toks) + len(b.toks)
-                 - len(list_intersect(a.toks, b.toks)), 1) >= 600000),
+                 - len(list_intersect(a.toks, b.toks)), 1)
+               >= ${graft.operators.Dedup.SnThresholdE6}),
          exg AS (SELECT md5(text) AS f, count(*) AS g FROM documents
                  GROUP BY 1 HAVING count(*) > 1)
        SELECT 'exact' AS method,

@@ -100,20 +100,30 @@ object CurveFunctions {
   private val hilbertInfo = new ExpressionInfo(
     classOf[HilbertIndexExpr].getName, hilbertName)
 
+  /** Shared SQL-side builder: validates arity up front so a call with
+    * the wrong argument count fails with an analysis-readable message
+    * naming the expected signature, not an IndexOutOfBoundsException.
+    * Used by both registration sites ([[register]] and
+    * [[graft.plans.GraftSparkExtensions]]). */
+  def buildHilbert(children: Seq[Expression]): HilbertIndexExpr = {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"$hilbertName expects exactly 3 arguments " +
+          s"(x BIGINT, y BIGINT, bits INT literal); got ${children.length}")
+    val bits = children(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$hilbertName bits must be an INT literal, got $other")
+    }
+    HilbertIndexExpr(children(0), children(1), bits)
+  }
+
   /** Idempotently register in a session's function registry. The
     * third argument must be a foldable INT literal (the key width). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.registerFunction(
-      FunctionIdentifier(hilbertName), hilbertInfo,
-      (children: Seq[Expression]) => {
-        val bits = children(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"$hilbertName bits must be an INT literal, got $other")
-        }
-        HilbertIndexExpr(children(0), children(1), bits)
-      })
+      FunctionIdentifier(hilbertName), hilbertInfo, buildHilbert _)
   }
 
   /** Codegen'd Hilbert index of two BIGINT cell coordinates.

@@ -2,8 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CurveFunctions, DotProductFloat, HilbertIndexExpr, TextExpressionFunctions, VectorFunctions, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
@@ -34,14 +33,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CurveFunctions.hilbertName),
       new ExpressionInfo(classOf[HilbertIndexExpr].getName,
         CurveFunctions.hilbertName),
-      (children: Seq[Expression]) => {
-        val bits = children(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"${CurveFunctions.hilbertName} bits must be an INT literal," +
-              s" got $other")
-        }
-        HilbertIndexExpr(children(0), children(1), bits)
-      }))
+      CurveFunctions.buildHilbert _))
   }
 }
