@@ -419,6 +419,11 @@ object SparkEntry {
     // level-shift complement to q207's spike rule, all integer.
     "q220_cusum" ->
       (graft.operators.OlapOps.cusumQuery _),
+    // q221: resource-allocation link prediction — top non-adjacent
+    // pairs by Σ 1e6 div deg(w) over common neighbors (the no-log
+    // member of the common-neighbors family, integer-exact).
+    "q221_link_prediction" ->
+      (graft.operators.GraphTopology.linkPredictionQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1585,6 +1590,8 @@ object SparkEntry {
       graft.operators.Similarity.rankFusionOracleSql(),
     "q220_cusum" ->
       graft.operators.OlapOps.cusumOracleSql,
+    "q221_link_prediction" ->
+      graft.operators.GraphTopology.linkPredictionOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

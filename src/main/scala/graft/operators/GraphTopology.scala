@@ -248,4 +248,91 @@ object GraphTopology {
      SELECT u AS user_id, CAST(count(*) AS BIGINT) AS core_deg
      FROM p$PeelRounds GROUP BY 1 ORDER BY 1"""
   }
+
+  /** Wedge centers above this degree are excluded from q221's
+    * link-prediction score. Principled, not just a perf cap: a
+    * center's resource-allocation contribution is 1e6/deg ≤
+    * 1e6/[[LinkCenterCap]] per pair, so high-degree hubs add at most
+    * noise-level weight while emitting deg² wedges — the same
+    * hub-pruning argument as [[GraphRank.MaxGroup]], applied at the
+    * node tier. The cap is part of the score's DEFINITION (the oracle
+    * applies it identically), so the result stays hash-exact. */
+  val LinkCenterCap = 128L
+
+  /** Rows q221 returns (top predicted links). */
+  val LinkTopN = 100
+
+  /** q221: link prediction by the resource-allocation index (Zhou,
+    * Lü & Zhang 2009) — for each NON-adjacent pair (a, b), RA =
+    * Σ_{w ∈ Γ(a)∩Γ(b)} 1/deg(w), kept as the exact integer rational
+    * Σ 1e6 div deg(w) so the oracle hash-checks bit-for-bit (the
+    * integer-arithmetic discipline of the whole graph family; RA is
+    * the member of the common-neighbors family that needs no
+    * logarithm, unlike Adamic-Adar). The "who should be connected
+    * but isn't" primitive: recommendation candidates, missing-edge
+    * repair, collusion-ring discovery.
+    *
+    * Scale shape: wedges are enumerated per CENTER from the directed
+    * edge list — one self-join keyed on the center node, fan-out
+    * deg(w)² bounded by [[LinkCenterCap]]² per key (the skew guard;
+    * an uncapped degree-10⁶ hub would emit 10¹² wedges from one key).
+    * One hash aggregation on the candidate pair, one anti-join
+    * against the edge list to keep non-adjacent pairs only — all
+    * shuffle-keyed, nothing driver-side. */
+  def linkPredictionQuery(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(
+      GraphRank.coActivityEdges(Tables.events(spark, dir)), LinkTopN)
+
+  /** [[linkPredictionQuery]]'s core over undirected distinct (u, v)
+    * edges with u < v. */
+  def linkPrediction(edges: DataFrame, topN: Int,
+      centerCap: Long = LinkCenterCap): DataFrame = {
+    // e feeds degrees, wedge enumeration, and the non-adjacency
+    // anti-join — materialize the capped self-join subtree once
+    // (the family's measured pattern).
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val dirE = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = dirE.groupBy("u").agg(count(lit(1)).as("deg"))
+    val centers = dirE
+      .join(deg.filter(col("deg") <= centerCap), Seq("u"))
+      .select(col("u").as("w"), col("v").as("n"), col("deg"))
+    val wedges = centers.as("c1").join(centers.as("c2"),
+        col("c1.w") === col("c2.w") && col("c1.n") < col("c2.n"))
+      .select(col("c1.n").as("a"), col("c2.n").as("b"),
+        col("c1.deg").as("wdeg"))
+    val scored = wedges.groupBy("a", "b").agg(
+      count(lit(1)).as("cn"),
+      sum(expr("1000000 div wdeg")).as("ra"))
+    scored.join(e, scored("a") === e("u") && scored("b") === e("v"),
+        "left_anti")
+      .select(col("a").cast("long").as("user_a"),
+        col("b").cast("long").as("user_b"),
+        col("cn").cast("long").as("common_neighbors"),
+        col("ra").cast("long").as("ra_e6"))
+      .orderBy(col("ra_e6").desc, col("common_neighbors").desc,
+        col("user_a"), col("user_b"))
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[linkPredictionQuery]] — same graph CTE,
+    * same capped wedge enumeration and integer RA weights. */
+  def linkPredictionOracleSql: String =
+    s"""${GraphRank.edgesOracleCte},
+       c AS (SELECT dir.u AS w, dir.v AS n, deg.deg
+             FROM dir JOIN deg ON deg.u = dir.u
+             WHERE deg.deg <= $LinkCenterCap),
+       wg AS (SELECT c1.n AS a, c2.n AS b, c1.deg AS wdeg
+              FROM c c1 JOIN c c2 ON c1.w = c2.w AND c1.n < c2.n),
+       sc AS (SELECT a, b, count(*) AS cn,
+                sum(1000000 // wdeg) AS ra
+              FROM wg GROUP BY 1, 2),
+       nonadj AS (SELECT sc.* FROM sc
+                  LEFT JOIN e ON e.u = sc.a AND e.v = sc.b
+                  WHERE e.u IS NULL)
+     SELECT a AS user_a, b AS user_b,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       CAST(ra AS BIGINT) AS ra_e6
+     FROM nonadj
+     ORDER BY ra_e6 DESC, common_neighbors DESC, user_a, user_b
+     LIMIT $LinkTopN"""
 }

@@ -88,6 +88,45 @@ class GraphTopologySpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("link prediction: path endpoints predicted, adjacent pairs " +
+    "and closed triangles excluded") {
+    // path 1-2-3: (1,3) shares center 2 (deg 2) -> ra 500000, cn 1
+    val path = edges((1L, 2L), (2L, 3L))
+    val out = GraphTopology.linkPrediction(path, 10)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List((1L, 3L, 1L, 500000L)))
+    // triangle: every common-neighbor pair is already adjacent
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(GraphTopology.linkPrediction(tri, 10).count() == 0)
+  }
+
+  test("link prediction: square diagonals tie on two 2-degree " +
+    "centers each; order breaks by id") {
+    val sq = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val out = GraphTopology.linkPrediction(sq, 10)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("link prediction: centers above the degree cap contribute " +
+    "no wedges (the hub guard is part of the score definition)") {
+    // star hub 1 with leaves 2..5 (deg 4): under cap 3 the hub is
+    // excluded, so no leaf pair is predicted
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(GraphTopology.linkPrediction(star, 10, centerCap = 3).count() == 0)
+    // at cap 4 the hub qualifies: C(4,2) = 6 leaf pairs, ra = 250000
+    val out = GraphTopology.linkPrediction(star, 10, centerCap = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 6 && out.forall(r => r._3 == 1L && r._4 == 250000L))
+  }
+
+  test("q221 full plan: equi-joins only, nothing cartesian") {
+    val p = GraphTopology.linkPredictionQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
   test("kcore: an unconverged round cap still yields the exact " +
     "cap-round state (the bounded-unrolling contract)") {
     // long tail 1-2-...-7 + triangle at the end: each round peels
