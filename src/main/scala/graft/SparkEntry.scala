@@ -424,6 +424,11 @@ object SparkEntry {
     // member of the common-neighbors family, integer-exact).
     "q221_link_prediction" ->
       (graft.operators.GraphTopology.linkPredictionQuery _),
+    // q222: n-gram test-set contamination audit — fraction of each
+    // held-out doc's distinct 5-grams present anywhere in the train
+    // split (the GPT-3 App. C decontamination rule, integer-exact).
+    "q222_ngram_contamination" ->
+      (graft.operators.CorpusStats.contaminationQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1592,6 +1597,8 @@ object SparkEntry {
       graft.operators.OlapOps.cusumOracleSql,
     "q221_link_prediction" ->
       graft.operators.GraphTopology.linkPredictionOracleSql,
+    "q222_ngram_contamination" ->
+      graft.operators.CorpusStats.contaminationOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

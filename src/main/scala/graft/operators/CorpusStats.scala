@@ -557,4 +557,107 @@ object CorpusStats {
        CAST(sum(p_e6) AS BIGINT) AS sum_p_e6,
        CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6
      FROM sc GROUP BY 1 ORDER BY doc_id"""
+
+  /** q222 n-gram width. GPT-3's decontamination used 13-grams on
+    * web-scale documents (Brown et al. 2020, App. C); 5 matches this
+    * corpus' ~40-token documents while exercising the identical
+    * machinery. */
+  val ContamN = 5
+
+  /** contamination_e6 at or above this flags the document. */
+  val ContamFlagE6 = 100000L
+
+  /** Which held-out residue class is "test" (doc_id mod 10). */
+  val ContamTestMod = 7L
+
+  /** q222: n-gram test-set contamination — for every held-out (test)
+    * document, the fraction of its distinct [[ContamN]]-grams that
+    * also occur anywhere in the train split. The decontamination
+    * audit every LLM data pipeline runs before reporting eval numbers
+    * (GPT-3 App. C; Dodge et al. 2021 found exact-overlap
+    * contamination in C4): a test doc whose n-grams are largely
+    * present in training data is measuring memorization, not
+    * generalization. Complements q43/q73's embedding-level
+    * decontamination with the exact lexical-overlap rule, and q183's
+    * by-construction leakage-safe split with the AUDIT of an
+    * arbitrary split.
+    *
+    * Scale shape: one array-transform pass builds distinct per-doc
+    * shingles (no window, no self-join); the train side collapses to
+    * DISTINCT grams (linear, map-side combined); the probe is ONE
+    * left-semi join keyed on the gram plus one doc-keyed aggregation.
+    * 5-gram specificity keeps the gram key's skew minimal (no
+    * stopword hotkeys at n ≥ 3); at 100 TB the join key would be a
+    * 64-bit gram fingerprint to cut shuffle width — kept as the full
+    * string here so both engines join on identical values and the
+    * hash check stays exact. Short test docs (< [[ContamN]] tokens)
+    * report 0 grams / 0 contamination rather than vanishing — the
+    * audit must be a total function over the test split. */
+  def contaminationQuery(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir))
+
+  /** [[contaminationQuery]]'s core over any (doc_id, text) frame. */
+  def contamination(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val base = docs.select(col("doc_id"),
+      wordShingles(tokens(col("text")), ContamN).as("grams"),
+      (pmod(col("doc_id"), lit(10L)) === ContamTestMod).as("is_test"))
+    val trainGrams = base.filter(!col("is_test"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val testGrams = base.filter(col("is_test"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hits = testGrams.join(trainGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    base.filter(col("is_test"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_hit"), lit(0L)).cast("long"))
+      .withColumn("contamination_e6",
+        when(col("n_grams") > 0,
+          expr("n_contaminated * 1000000 div n_grams"))
+          .otherwise(lit(0L)).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        col("contamination_e6"),
+        when(col("contamination_e6") >= ContamFlagE6, 1).otherwise(0)
+          .cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[contaminationQuery]] — same tokenizer, same
+    * distinct shingles, same split rule and integer rationals (all
+    * constants interpolated so they cannot desync). */
+  def contaminationOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+       g0 AS (SELECT doc_id, t,
+           unnest(range(1, CAST(len(t) AS BIGINT) - ${ContamN - 2})) AS i
+         FROM tk WHERE len(t) >= $ContamN),
+       gr AS (SELECT DISTINCT doc_id,
+           array_to_string(t[i : i + ${ContamN - 1}], ' ') AS gram
+         FROM g0),
+       hits AS (SELECT g.doc_id, count(*) AS n FROM gr g
+         WHERE g.doc_id % 10 = $ContamTestMod
+           AND EXISTS (SELECT 1 FROM gr tr
+             WHERE tr.doc_id % 10 <> $ContamTestMod AND tr.gram = g.gram)
+         GROUP BY 1),
+       tot AS (SELECT tk.doc_id,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated
+         FROM tk
+         LEFT JOIN (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1) c
+           ON c.doc_id = tk.doc_id
+         LEFT JOIN hits h ON h.doc_id = tk.doc_id
+         WHERE tk.doc_id % 10 = $ContamTestMod),
+       sc AS (SELECT doc_id, n_grams, n_contaminated,
+           CASE WHEN n_grams > 0
+             THEN n_contaminated * 1000000 // n_grams
+             ELSE 0 END AS contamination_e6
+         FROM tot)
+     SELECT doc_id, n_grams, n_contaminated,
+       CAST(contamination_e6 AS BIGINT) AS contamination_e6,
+       CAST(CASE WHEN contamination_e6 >= $ContamFlagE6 THEN 1 ELSE 0 END
+         AS INT) AS flagged
+     FROM sc ORDER BY doc_id"""
 }

@@ -84,4 +84,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(candidateMatches == direct,
       "index probe + verify must equal the direct scan")
   }
+
+  test("contamination: shared 5-grams flag a test doc, clean and " +
+    "short test docs report zero (total function over the split)") {
+    import spark.implicits._
+    // ids ending in 7 are the test split (ContamTestMod)
+    val docs = Seq(
+      (1L, "a b c d e f"),          // train: grams "a b c d e", "b c d e f"
+      (7L, "a b c d e z"),          // test: 1 of 2 grams in train
+      (17L, "p q r s t u"),         // test: clean
+      (27L, "short text")           // test: < 5 tokens, 0 grams
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.contamination(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out.keySet == Set(7L, 17L, 27L), "only the test split")
+    assert(out(7L) == ((2L, 1L, 500000L, 1)), s"doc7: ${out(7L)}")
+    assert(out(17L) == ((2L, 0L, 0L, 0)), s"doc17: ${out(17L)}")
+    assert(out(27L) == ((0L, 0L, 0L, 0)), s"doc27: ${out(27L)}")
+  }
+
+  test("contamination: repeated grams inside one doc count once " +
+    "(distinct-shingle semantics on both sides)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      // 10 tokens, 6 gram positions but "a b c d e" appears twice ->
+      // 5 distinct grams, 1 contaminated
+      (7L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val out = CorpusStats.contamination(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toList
+    assert(out == List((7L, 5L, 1L, 200000L, 1)), out.toString)
+  }
 }
