@@ -429,6 +429,11 @@ object SparkEntry {
     // split (the GPT-3 App. C decontamination rule, integer-exact).
     "q222_ngram_contamination" ->
       (graft.operators.CorpusStats.contaminationQuery _),
+    // q223: BM25 ranked retrieval — Okapi tf-saturation and length
+    // normalization as exact integer rationals; only the term-level
+    // idf touches doubles (round-6/truncate quantized).
+    "q223_bm25" ->
+      (graft.operators.Retrieval.bm25Query _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1599,6 +1604,8 @@ object SparkEntry {
       graft.operators.GraphTopology.linkPredictionOracleSql,
     "q222_ngram_contamination" ->
       graft.operators.CorpusStats.contaminationOracleSql,
+    "q223_bm25" ->
+      graft.operators.Retrieval.bm25OracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->
