@@ -434,6 +434,11 @@ object SparkEntry {
     // idf touches doubles (round-6/truncate quantized).
     "q223_bm25" ->
       (graft.operators.Retrieval.bm25Query _),
+    // q224: blocking-family agreement matrix — pairwise overlap and
+    // pair-set Jaccard of the three near-dup methods (q209's counts
+    // extended to their set algebra).
+    "q224_dedup_agreement" ->
+      (Extensions.q224DedupAgreement _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1631,29 +1636,13 @@ object SparkEntry {
        FROM documents d LEFT JOIN asg a ON a.new_id = d.doc_id
        WHERE d.doc_id % 5 = 4 ORDER BY d.doc_id"""),
     // q209: the three pair sets re-derived from their proven chains,
-    // summarized side by side. The sorted-neighborhood CTE interpolates
-    // Dedup.SnWindow / Dedup.SnThresholdE6 so changing either constant
-    // cannot desync this oracle from the query (same discipline as the
-    // q202 oracle, sortedNeighborhoodOracleSql).
+    // summarized side by side. The sorted-neighborhood CTEs come from
+    // [[snPairCtes]], which interpolates Dedup.SnWindow /
+    // Dedup.SnThresholdE6 so changing either constant cannot desync
+    // this oracle from the query (same discipline as the q202 oracle).
     "q209_dedup_method_compare" ->
       ("WITH " + jaccardPairCtes("documents", "2") + s""",
-         snr AS (SELECT lang, doc_id, lower(trim(text)) AS norm,
-             list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
-               AS toks
-           FROM documents),
-         snrk AS (SELECT lang, doc_id, toks,
-             row_number() OVER (PARTITION BY lang ORDER BY norm, doc_id)
-               AS rn
-           FROM snr),
-         snp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-           FROM snrk a JOIN snrk b
-             ON a.lang = b.lang
-               AND b.rn - a.rn IN (${(1 until graft.operators.Dedup.SnWindow).mkString(", ")})
-           WHERE CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
-               * 1000000
-               // greatest(len(a.toks) + len(b.toks)
-                 - len(list_intersect(a.toks, b.toks)), 1)
-               >= ${graft.operators.Dedup.SnThresholdE6}),
+         $snPairCtes,
          exg AS (SELECT md5(text) AS f, count(*) AS g FROM documents
                  GROUP BY 1 HAVING count(*) > 1)
        SELECT 'exact' AS method,
@@ -1671,6 +1660,54 @@ object SparkEntry {
          (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM
            (SELECT d1 AS u FROM snp UNION SELECT d2 FROM snp))
        ORDER BY method"""),
+    // q224: the three pair chains (inverted index, portable MinHash,
+    // sorted neighborhood) in one WITH clause, intersected pairwise.
+    // All from the shared CTE builders, so the oracle can only drift
+    // if the chains' semantics do.
+    "q224_dedup_agreement" ->
+      ("WITH " + jaccardPairCtes("documents", "2") + s""",
+         $minHashCtePrefix,
+         mhcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.k = b.k
+                      AND a.doc_id < b.doc_id),
+         mh AS (SELECT d1, d2 FROM
+                  (SELECT d1, d2, ($minHashEqSum) AS cnt
+                   FROM mhcand JOIN sig s1 ON d1 = s1.doc_id
+                   JOIN sig s2 ON d2 = s2.doc_id)
+                WHERE cnt / 64.0 >= 0.5),
+         $snPairCtes,
+         ji AS (SELECT d1, d2 FROM pairs2),
+         a1 AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM ji) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ji JOIN mh USING (d1, d2)) AS n_common),
+         a2 AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM ji) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM snp) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ji JOIN snp USING (d1, d2)) AS n_common),
+         a3 AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM snp) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM mh JOIN snp USING (d1, d2)) AS n_common)
+       SELECT 'jaccard_index' AS method_a, 'minhash_lsh' AS method_b,
+         n_a, n_b, n_common,
+         CAST(n_common * 1000000 // greatest(n_a + n_b - n_common, 1)
+           AS BIGINT) AS agreement_e6 FROM a1
+       UNION ALL
+       SELECT 'jaccard_index', 'sorted_neighborhood',
+         n_a, n_b, n_common,
+         CAST(n_common * 1000000 // greatest(n_a + n_b - n_common, 1)
+           AS BIGINT) FROM a2
+       UNION ALL
+       SELECT 'minhash_lsh', 'sorted_neighborhood',
+         n_a, n_b, n_common,
+         CAST(n_common * 1000000 // greatest(n_a + n_b - n_common, 1)
+           AS BIGINT) FROM a3
+       ORDER BY method_a, method_b"""),
   )
 
   // --- generated oracle SQL for the portable-hash sketch queries.
@@ -1710,6 +1747,30 @@ object SparkEntry {
   /** Signature-equality sum between sig aliases s1 and s2. */
   private lazy val minHashEqSum: String =
     (0 until 64).map(i => s"CAST(s1.m$i = s2.m$i AS INT)").mkString(" + ")
+
+  /** The q202 sorted-neighborhood pair chain as composable CTEs
+    * (snr → snrk → snp), constants interpolated from the Dedup
+    * object so the oracle cannot desync from the query. Shared by
+    * the q209 comparison and the q224 agreement matrix. */
+  private lazy val snPairCtes: String =
+    s"""snr AS (SELECT lang, doc_id, lower(trim(text)) AS norm,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+               AS toks
+           FROM documents),
+         snrk AS (SELECT lang, doc_id, toks,
+             row_number() OVER (PARTITION BY lang ORDER BY norm, doc_id)
+               AS rn
+           FROM snr),
+         snp AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+             greatest(a.doc_id, b.doc_id) AS d2
+           FROM snrk a JOIN snrk b
+             ON a.lang = b.lang
+               AND b.rn - a.rn IN (${(1 until graft.operators.Dedup.SnWindow).mkString(", ")})
+           WHERE CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+               * 1000000
+               // greatest(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)), 1)
+               >= ${graft.operators.Dedup.SnThresholdE6})"""
 
   /** q24: the full MinHash+LSH pipeline — 3-gram shingles, 64
     * universal-hash min-signatures, 16 band keys, bucket join,

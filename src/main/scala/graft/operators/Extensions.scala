@@ -830,6 +830,56 @@ object Extensions {
       .orderBy("method")
   }
 
+  /** q224: blocking-family AGREEMENT MATRIX — q209 counts each pair
+    * set; this measures how much they overlap: for every unordered
+    * pair of the three near-dup methods (the capped shingle inverted
+    * index of q23, the portable MinHash+LSH of q24, the
+    * sorted-neighborhood window of q202), the two set sizes, the
+    * intersection, and the Jaccard of the PAIR SETS themselves as an
+    * e6 integer. The decision evidence behind "are these methods
+    * finding the same duplicates or different ones": high agreement
+    * means the cheap method substitutes for the expensive one; low
+    * agreement means they block on genuinely different signals and a
+    * pipeline should union them. Each chain is individually
+    * oracle-proven; this certifies their set algebra.
+    *
+    * Scale shape: each pair set is materialized once (the q209
+    * pattern), intersections are (d1, d2)-keyed left-semi joins —
+    * pair-set-sized, never corpus-sized; the six summary counts are
+    * single-row frames crossed by broadcast. */
+  def q224DedupAgreement(s: SparkSession, d: String): DataFrame =
+    dedupAgreement(Tables.documents(s, d))
+
+  /** [[q224DedupAgreement]]'s core over any (doc_id, lang, text)
+    * frame. */
+  def dedupAgreement(docs: DataFrame): DataFrame = {
+    val sets: Seq[(String, DataFrame)] = Seq(
+      "jaccard_index" -> dupPairs(docs),
+      "minhash_lsh" -> Dedup.minHashLshPairs(docs,
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        portable = true).select("d1", "d2"),
+      "sorted_neighborhood" ->
+        Dedup.sortedNeighborhoodPairs(docs).select("d1", "d2"))
+      .map { case (n, df) => n -> df.localCheckpoint() }
+    val rows = for {
+      i <- sets.indices
+      j <- sets.indices if i < j
+    } yield {
+      val (na, a) = sets(i)
+      val (nb, b) = sets(j)
+      val ca = a.agg(count(lit(1)).cast("long").as("n_a"))
+      val cb = b.agg(count(lit(1)).cast("long").as("n_b"))
+      val cc = a.join(b, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      ca.crossJoin(cb).crossJoin(cc)
+        .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+          col("n_a"), col("n_b"), col("n_common"),
+          expr("n_common * 1000000 div greatest(n_a + n_b - n_common, 1)")
+            .cast("long").as("agreement_e6"))
+    }
+    rows.reduce(_ unionByName _).orderBy("method_a", "method_b")
+  }
+
   /** q178: SCHEMA EVOLUTION under oracle check — the ingestion
     * reality every long-lived 100 TB table faces: files written
     * before a column existed sit next to files written after.

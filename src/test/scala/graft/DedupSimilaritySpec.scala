@@ -623,4 +623,33 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getLong(2) >= Dedup.SnThresholdE6 &&
         r.getLong(2) <= 1000000L))
   }
+
+  test("dedup agreement: identical twins are found by all three " +
+    "families — full matrix at agreement 1.0") {
+    val twins = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "en", "completely different words appear here right now"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Extensions.dedupAgreement(twins)
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(out.map(r => (r._1, r._2)) == List(
+      ("jaccard_index", "minhash_lsh"),
+      ("jaccard_index", "sorted_neighborhood"),
+      ("minhash_lsh", "sorted_neighborhood")))
+    assert(out.forall(r => r._3 == 1L && r._4 == 1L && r._5 == 1L &&
+      r._6 == 1000000L), out.toString)
+  }
+
+  test("dedup agreement: intersection bounded by both sets, " +
+    "agreement within [0, 1e6] on the real corpus") {
+    val out = graft.operators.Extensions
+      .q224DedupAgreement(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r._5 <= math.min(r._3, r._4), r.toString)
+      assert(r._6 >= 0L && r._6 <= 1000000L, r.toString)
+    }
+  }
 }
