@@ -439,6 +439,13 @@ object SparkEntry {
     // extended to their set algebra).
     "q224_dedup_agreement" ->
       (Extensions.q224DedupAgreement _),
+    // q225: prefix-filtered set-similarity join (PPJoin family) —
+    // the lossless fourth blocking family; its oracle is the UNCAPPED
+    // exact threshold join, so the hash-match certifies the
+    // losslessness theorem itself.
+    "q225_ppjoin" -> ((s, d) =>
+      graft.operators.Dedup.ppjoinPairs(
+        graft.sources.Tables.documents(s, d))),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1611,6 +1618,8 @@ object SparkEntry {
       graft.operators.CorpusStats.contaminationOracleSql,
     "q223_bm25" ->
       graft.operators.Retrieval.bm25OracleSql,
+    "q225_ppjoin" ->
+      graft.operators.Dedup.ppjoinOracleSql(),
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

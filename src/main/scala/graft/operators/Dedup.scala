@@ -736,4 +736,100 @@ object Dedup {
      FROM p WHERE inter * 1000000 // greatest(uni, 1) >= $thresholdE6
      ORDER BY d1, d2"""
   }
+
+  /** q225 Jaccard floor (matches q23's, so the two algorithms answer
+    * the same question through different machinery). */
+  val PpThresholdE6 = 600000L
+
+  /** q225: PREFIX-FILTERED set-similarity join (the PPJoin family,
+    * Chaudhuri-Ganti-Kaushik 2006 / Xiao et al. 2008, prefix filter
+    * only) — the FOURTH blocking family, and the only one that is
+    * provably LOSSLESS: order every document's shingles by a global
+    * (df asc, shingle) total order and keep only the first
+    * n − ⌈t·n⌉ + 1 as its prefix; any pair with Jaccard ≥ t must
+    * share a prefix shingle, so the candidate set generated from
+    * prefix postings contains every qualifying pair. The oracle for
+    * this query is therefore the UNCAPPED exact threshold join
+    * computed the straightforward way — the hash-match certifies the
+    * losslessness theorem on real data, not just the plumbing
+    * (contrast q23, whose df-cap trades exactness for hot-shingle
+    * safety, and q24, whose banding is probabilistic).
+    *
+    * Scale shape: document frequencies are one token-keyed
+    * aggregation; prefix selection is a doc-keyed window (rank within
+    * the doc's own shingles — never a global rank, so no vocab-sized
+    * sort); candidate generation joins prefix postings on the
+    * shingle, and rare-first ordering makes prefix postings hit the
+    * LOW-df end of the vocabulary — the algorithm's own skew guard
+    * (hot shingles land at the back of every prefix and rarely
+    * qualify). Verification attaches the two shingle arrays to the
+    * candidate-pair frame by doc-id equi-joins and evaluates exact
+    * Jaccard per pair — pair-sized work, never all-pairs. */
+  def ppjoinPairs(docs: DataFrame, n: Int = 3,
+      thresholdE6: Long = PpThresholdE6): DataFrame = {
+    graft.functions.TextExpressionFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    // shingle table feeds postings, sizes, and both verify sides
+    val sh = Partitioning.spread(docs)
+      .select(col("doc_id"),
+        wordShinglesFast(tokens(col("text")), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
+    val post = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val dfreq = post.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix size: n_d - ceil(t * n_d) + 1, all integer
+    // (ceil(a*t_e6/1e6) = (a*t_e6 + 999999) div 1e6)
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = post.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(byDoc))
+      .join(sh.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("nd")), Seq("doc_id"))
+      .filter(col("rn") <=
+        col("nd") - expr(s"(nd * $thresholdE6 + 999999) div 1000000")
+          + lit(1L))
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")),
+        Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")),
+        Seq("d2"))
+      .withColumn("inter",
+        size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("uni",
+        size(col("s1")).cast("long") + size(col("s2")) - col("inter"))
+      .withColumn("jac_e6", expr("inter * 1000000 div greatest(uni, 1)"))
+      .filter(col("jac_e6") >= thresholdE6)
+      .select(col("d1"), col("d2"), col("jac_e6"))
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[ppjoinPairs]] — the UNCAPPED exact
+    * threshold join (semantics, not algorithm): equality certifies
+    * prefix filtering loses nothing. */
+  def ppjoinOracleSql(n: Int = 3,
+      thresholdE6: Long = PpThresholdE6): String =
+    s"""WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - ${n - 1}, 0) + 1),
+             i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+${n - 1}], ' '))) AS shingles
+           FROM documents),
+       sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS nd
+              FROM sh WHERE len(shingles) > 0),
+       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(count(*) AS BIGINT) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+       p AS (SELECT d1, d2, c, s1.nd AS n1, s2.nd AS n2
+             FROM inter JOIN sz s1 ON d1 = s1.doc_id
+             JOIN sz s2 ON d2 = s2.doc_id)
+     SELECT d1, d2,
+       CAST(c * 1000000 // greatest(n1 + n2 - c, 1) AS BIGINT) AS jac_e6
+     FROM p WHERE c * 1000000 // greatest(n1 + n2 - c, 1) >= $thresholdE6
+     ORDER BY d1, d2"""
 }

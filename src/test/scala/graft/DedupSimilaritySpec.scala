@@ -624,6 +624,48 @@ class DedupSimilaritySpec extends SparkSpec {
         r.getLong(2) <= 1000000L))
   }
 
+  test("ppjoin: planted pairs found with exact scores; sub-threshold " +
+    "near-dups excluded; single-shingle docs handled") {
+    val corpus = Seq(
+      // identical pair
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),
+      // 11 shared tokens, last differs: inter 9, union 11 -> 818181
+      (3L, "a b c d e f g h i j k z"),
+      // unrelated
+      (4L, "p q r s t u v w x y zz ab"),
+      // three tokens -> exactly one shingle each, identical pair
+      (5L, "tiny doc here"),
+      (6L, "tiny doc here")).toDF("doc_id", "text")
+    val out = Dedup.ppjoinPairs(corpus).as[(Long, Long, Long)]
+      .collect().toList
+    assert(out == List(
+      (1L, 2L, 1000000L), (1L, 3L, 818181L), (2L, 3L, 818181L),
+      (5L, 6L, 1000000L)), out.toString)
+  }
+
+  test("ppjoin: lossless vs the brute-force exact join on the real " +
+    "sf0.001 corpus (the prefix-filter theorem end to end)") {
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val fast = Dedup.ppjoinPairs(corpus).as[(Long, Long, Long)]
+      .collect().toSet
+    // reference: all-pairs exact Jaccard over the same shingles
+    val sh = corpus.select(col("doc_id"),
+      TextFunctions.wordShingles(
+        TextFunctions.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ref = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("""CAST(size(array_intersect(a.sh, b.sh)) AS BIGINT)
+                * 1000000 div greatest(size(a.sh) + size(b.sh)
+                - size(array_intersect(a.sh, b.sh)), 1)""").as("jac_e6"))
+      .filter(col("jac_e6") >= Dedup.PpThresholdE6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == ref,
+      s"missing=${ref -- fast} extra=${fast -- ref}")
+  }
+
   test("dedup agreement: identical twins are found by all three " +
     "families — full matrix at agreement 1.0") {
     val twins = Seq(
