@@ -446,6 +446,11 @@ object SparkEntry {
     "q225_ppjoin" -> ((s, d) =>
       graft.operators.Dedup.ppjoinPairs(
         graft.sources.Tables.documents(s, d))),
+    // q226: time-respecting earliest-arrival reachability — q177's
+    // BFS with causally-valid paths only (edge usable iff its hour
+    // >= the source's arrival), bounded min-arrival rounds.
+    "q226_temporal_reach" ->
+      (graft.operators.GraphTopology.temporalReachQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1620,6 +1625,8 @@ object SparkEntry {
       graft.operators.Retrieval.bm25OracleSql,
     "q225_ppjoin" ->
       graft.operators.Dedup.ppjoinOracleSql(),
+    "q226_temporal_reach" ->
+      graft.operators.GraphTopology.temporalReachOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -335,4 +335,124 @@ object GraphTopology {
      FROM nonadj
      ORDER BY ra_e6 DESC, common_neighbors DESC, user_a, user_b
      LIMIT $LinkTopN"""
+
+  /** Expansion rounds q226 unrolls (oracle replays the same count). */
+  val TemporalHops = 3
+
+  /** q226: TIME-RESPECTING reachability — earliest-arrival BFS over
+    * the co-activity graph with each edge stamped by its cell's epoch
+    * hour: a node is reached at time t only through an edge whose
+    * timestamp is ≥ the arrival time at its source (information /
+    * influence cannot travel backwards in time). The temporal member
+    * of the graph family: q177's static BFS answers "is there a
+    * path", this answers "is there a CAUSALLY VALID path and how
+    * early does it land" (Holme & Saramäki 2012's temporal-path
+    * semantics) — the shape of contagion tracing, rumor-source
+    * analysis, and leak propagation audits. Same seeds as q177 (the
+    * heaviest purchasers), arrivals as integer epoch hours, -1 where
+    * unreached within [[TemporalHops]] rounds.
+    *
+    * Scale shape: per round ONE keyed join of the temporal edge list
+    * against the current arrival table with the t ≥ arr predicate
+    * evaluated at the join row (never a time-unrolled blowup), one
+    * min-aggregation on the destination — a Pregel superstep with a
+    * monotone min combiner, the bounded-unrolling discipline of
+    * q177/q194 so the oracle replays the exact round count. */
+  def temporalReachQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = GraphRank.activityCells(Tables.events(spark, dir))
+      .localCheckpoint()
+    val seeds = cells.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("nc"))
+      .orderBy(col("nc").desc, col("user_id").asc).limit(3)
+      .select(col("user_id").as("u"))
+    temporalReach(temporalEdges(cells), seeds, TemporalHops)
+  }
+
+  /** Timestamped undirected co-activity edges (u, v, t) — the q100
+    * graph with each edge carrying its cell's epoch hour. A pair
+    * co-active in several cells keeps one edge per distinct hour. */
+  def temporalEdges(cells: DataFrame): DataFrame = {
+    val kept = cells.groupBy("d", "h", "event_type")
+      .agg(count(lit(1)).as("nu"))
+      .filter(col("nu") <= GraphRank.MaxGroup)
+      .select("d", "h", "event_type")
+    val members = cells.join(kept, Seq("d", "h", "event_type"))
+      .withColumn("t",
+        (datediff(col("d"), lit("1970-01-01")).cast("long") * 24
+          + col("h")).as("t"))
+    members.as("a").join(members.as("b"),
+        col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
+          col("a.event_type") === col("b.event_type") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
+        col("a.t").as("t"))
+      .distinct()
+  }
+
+  /** [[temporalReachQuery]]'s core over (u, v, t) undirected edges:
+    * earliest arrival (hours since epoch) from `seeds` (arrival 0),
+    * -1 where unreached within `hops` rounds. */
+  def temporalReach(edges: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    val dirE = edges.select(col("u"), col("v"), col("t"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"),
+        col("t")))
+      .localCheckpoint()
+    val nodes = dirE.select(col("u")).distinct()
+    var arr = seeds.select(col("u"), lit(0L).as("arr"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val cand = dirE.join(arr, Seq("u"))
+        .filter(col("t") >= col("arr"))
+        .select(col("v").as("u"), col("t").as("arr"))
+      arr = arr.unionAll(cand)
+        .groupBy("u").agg(min(col("arr")).as("arr"))
+        .localCheckpoint()
+    }
+    nodes.unionAll(seeds.select(col("u"))).distinct()
+      .join(arr, Seq("u"), "left")
+      .select(col("u").as("user_id"),
+        coalesce(col("arr"), lit(-1L)).cast("long").as("arrival_hour"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[temporalReachQuery]] — same timestamped
+    * graph, same seeds, [[TemporalHops]] unrolled min-arrival
+    * rounds. */
+  def temporalReachOracleSql: String = {
+    val rounds = (1 to TemporalHops).map { k =>
+      s"""a$k AS (SELECT u, min(arr) AS arr FROM (
+             SELECT u, arr FROM a${k - 1}
+             UNION ALL
+             SELECT dir.v AS u, dir.t AS arr
+             FROM dir JOIN a${k - 1} p ON p.u = dir.u
+             WHERE dir.t >= p.arr
+           ) GROUP BY 1)"""
+    }.mkString(",\n       ")
+    s"""WITH cells AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(date_part('hour', ts) AS INT) AS h, event_type, user_id
+         FROM events),
+       kept AS (SELECT d, h, event_type FROM cells
+                GROUP BY 1, 2, 3 HAVING count(*) <= ${GraphRank.MaxGroup}),
+       m AS (SELECT cells.*,
+               CAST(d - DATE '1970-01-01' AS BIGINT) * 24 + h AS t
+             FROM cells JOIN kept USING (d, h, event_type)),
+       te AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v, a.t
+              FROM m a JOIN m b
+                ON a.d = b.d AND a.h = b.h
+                  AND a.event_type = b.event_type
+                  AND a.user_id < b.user_id),
+       dir AS (SELECT u, v, t FROM te UNION ALL SELECT v, u, t FROM te),
+       nodes AS (SELECT DISTINCT u FROM dir),
+       seeds AS (SELECT user_id AS u FROM cells
+                 WHERE event_type = 'purchase'
+                 GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 3),
+       a0 AS (SELECT u, CAST(0 AS BIGINT) AS arr FROM seeds),
+       $rounds,
+       n AS (SELECT u FROM nodes UNION SELECT u FROM seeds)
+     SELECT n.u AS user_id,
+       CAST(coalesce(a$TemporalHops.arr, -1) AS BIGINT) AS arrival_hour
+     FROM n LEFT JOIN a$TemporalHops ON a$TemporalHops.u = n.u
+     ORDER BY user_id"""
+  }
 }

@@ -127,6 +127,42 @@ class GraphTopologySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
   }
 
+  private def tedges(es: (Long, Long, Long)*) = es.toDF("u", "v", "t")
+
+  test("temporal reach: paths must respect time — a static path " +
+    "with a backwards edge is NOT causally reachable") {
+    // 1-2 at hour 5, 2-3 at hour 3: statically connected, but the
+    // 2-3 edge happened before anything could arrive at 2
+    val g = tedges((1L, 2L, 5L), (2L, 3L, 3L))
+    val out = GraphTopology.temporalReach(g, Seq(1L).toDF("u"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> -1L))
+  }
+
+  test("temporal reach: a later re-occurrence of the edge rescues " +
+    "the path; arrival is the earliest valid hour") {
+    val g = tedges((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 7L))
+    val out = GraphTopology.temporalReach(g, Seq(1L).toDF("u"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 7L))
+  }
+
+  test("temporal reach: min arrival over competing causal paths, " +
+    "found across rounds") {
+    // direct 1-2 at hour 2; indirect 1-3 (h1) then 3-2 (h1) lands at 1
+    val g = tedges((1L, 2L, 2L), (1L, 3L, 1L), (3L, 2L, 1L))
+    val out = GraphTopology.temporalReach(g, Seq(1L).toDF("u"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("q226 full plan: equi-joins only, nothing cartesian") {
+    val p = GraphTopology.temporalReachQuery(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  }
+
   test("kcore: an unconverged round cap still yields the exact " +
     "cap-round state (the bounded-unrolling contract)") {
     // long tail 1-2-...-7 + triangle at the end: each round peels
