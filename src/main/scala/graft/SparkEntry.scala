@@ -451,6 +451,11 @@ object SparkEntry {
     // >= the source's arrival), bounded min-arrival rounds.
     "q226_temporal_reach" ->
       (graft.operators.GraphTopology.temporalReachQuery _),
+    // q227: communities by deterministic synchronous label
+    // propagation (mode-of-neighbors, min-label ties, bounded
+    // rounds) — the dense-core complement to q45's connectivity.
+    "q227_lpa_communities" ->
+      (graft.operators.GraphTopology.labelPropagationQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1627,6 +1632,8 @@ object SparkEntry {
       graft.operators.Dedup.ppjoinOracleSql(),
     "q226_temporal_reach" ->
       graft.operators.GraphTopology.temporalReachOracleSql,
+    "q227_lpa_communities" ->
+      graft.operators.GraphTopology.labelPropagationOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

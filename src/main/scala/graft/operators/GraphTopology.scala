@@ -455,4 +455,74 @@ object GraphTopology {
      FROM n LEFT JOIN a$TemporalHops ON a$TemporalHops.u = n.u
      ORDER BY user_id"""
   }
+
+  /** Synchronous label-propagation rounds q227 runs (oracle replays
+    * the same count). */
+  val LpaRounds = 4
+
+  /** q227: COMMUNITY DETECTION by synchronous label propagation
+    * (Raghavan, Albert & Kumara 2007), made fully deterministic:
+    * labels start as node ids; each round every node adopts the label
+    * most frequent among its NEIGHBORS, ties broken by the smallest
+    * label; [[LpaRounds]] bounded rounds (classic LPA's random order
+    * and random tie-breaks are replaced by the synchronous schedule +
+    * min-label rule, so both engines replay the identical fixpoint
+    * prefix). Communities are denser-than-cut groups — the modularity
+    * cousin of [[DupClusters]]' pure connectivity: components answer
+    * "connected at all", LPA answers "which side of the dense cores".
+    *
+    * Scale shape: per round ONE neighbor-label join keyed on the
+    * endpoint + one (node, label) count + one per-node argmax window
+    * over the node's OWN candidate labels (group sizes bounded by
+    * degree — never a global window); labels localCheckpoint between
+    * rounds exactly like the rank family's supersteps. */
+  def labelPropagationQuery(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(
+      GraphRank.coActivityEdges(Tables.events(spark, dir)), LpaRounds)
+
+  /** [[labelPropagationQuery]]'s core over undirected distinct
+    * (u, v) edges with u < v. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("u"), col("v"))
+    val dirE = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var lab = dirE.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label"))
+      .localCheckpoint()
+    val byNode = Window.partitionBy("u")
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      lab = dirE
+        .join(lab.select(col("u").as("v"), col("label")), Seq("v"))
+        .groupBy("u", "label").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(byNode))
+        .filter(col("rk") === 1)
+        .select(col("u"), col("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("u").cast("long").as("user_id"),
+        col("label").cast("long").as("community"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[labelPropagationQuery]] — same graph CTE,
+    * [[LpaRounds]] unrolled synchronous rounds with the min-label
+    * tie-break. */
+  def labelPropagationOracleSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""l$k AS (SELECT u, label FROM (
+             SELECT dir.u, p.label, count(*) AS c,
+               row_number() OVER (PARTITION BY dir.u
+                 ORDER BY count(*) DESC, p.label ASC) AS rk
+             FROM dir JOIN l${k - 1} p ON p.u = dir.v
+             GROUP BY dir.u, p.label)
+           WHERE rk = 1)"""
+    }.mkString(",\n       ")
+    s"""${GraphRank.edgesOracleCte},
+       l0 AS (SELECT u, u AS label FROM deg),
+       $rounds
+     SELECT u AS user_id, CAST(label AS BIGINT) AS community
+     FROM l$LpaRounds ORDER BY user_id"""
+  }
 }

@@ -156,11 +156,24 @@ class GraphTopologySpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("q226 full plan: equi-joins only, nothing cartesian") {
-    val p = GraphTopology.temporalReachQuery(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), p.take(1000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+  test("lpa: two triangles with one bridge resolve to two " +
+    "communities (connectivity alone would merge them)") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val out = GraphTopology.labelPropagation(g, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), out.toString)
+    assert(out.values.toSet.size == 2)
+  }
+
+  test("q226/q227 full plans: equi-joins only, nothing cartesian") {
+    for (df <- Seq(GraphTopology.temporalReachQuery(spark, sf0001),
+        GraphTopology.labelPropagationQuery(spark, sf0001))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p.take(1000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    }
   }
 
   test("kcore: an unconverged round cap still yields the exact " +
