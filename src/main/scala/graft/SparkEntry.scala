@@ -456,6 +456,12 @@ object SparkEntry {
     // rounds) — the dense-core complement to q45's connectivity.
     "q227_lpa_communities" ->
       (graft.operators.GraphTopology.labelPropagationQuery _),
+    // q228: dimension-truncation fidelity — recall@k of prefix-width
+    // cosine rankings vs the full-width exact ranking (the
+    // Matryoshka-serving report; q150/q217's discipline on the
+    // truncation axis).
+    "q228_trunc_recall" ->
+      (graft.operators.Similarity.truncationRecallQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1634,6 +1640,8 @@ object SparkEntry {
       graft.operators.GraphTopology.temporalReachOracleSql,
     "q227_lpa_communities" ->
       graft.operators.GraphTopology.labelPropagationOracleSql,
+    "q228_trunc_recall" ->
+      graft.operators.Similarity.truncationRecallOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

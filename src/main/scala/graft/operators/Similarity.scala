@@ -1355,4 +1355,111 @@ object Similarity {
        CAST(max(ps.n_hit_pairs) * 100 // max(ps.n_true_pairs)
          AS BIGINT) AS pair_recall_pct
      FROM sj CROSS JOIN ps"""
+
+  /** q228 prefix widths (the last = full width, the built-in sanity
+    * row: its recall is 1.0 by definition). */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+  val TruncQueries = 8
+  val TruncK = 10
+
+  /** q228: DIMENSION-TRUNCATION fidelity — recall@k of cosine top-k
+    * computed on each PREFIX of the embedding (8/16/32 of 64 dims)
+    * against the full-width exact ranking, over a fixed query sample.
+    * The report behind Matryoshka-style representation serving
+    * (Kusupati et al. 2022): if the 16-dim prefix already carries
+    * recall ~0.9, the ANN index can store a quarter of the bytes and
+    * rescore survivors at full width. Completes the fidelity family:
+    * q150/q151 measure the LSH index, q217 the PQ codes, this the
+    * truncation axis itself.
+    *
+    * Scale shape: the q150 sampled-query discipline — the pair frame
+    * is |queries| × corpus (linear in the corpus, queries broadcast),
+    * scanned ONCE with all prefix similarities computed per row and
+    * unpivoted via stack, so adding a width adds arithmetic, not a
+    * rescan. Rank windows are per (query, width): sample-bounded.
+    * All similarities e6-quantized with the round-6/truncate pattern
+    * before ranking (ties broken by id), so both engines rank
+    * identical integers. */
+  def truncationRecallQuery(spark: SparkSession, dir: String): DataFrame =
+    truncationRecall(Tables.embeddings(spark, dir),
+      TruncDims, TruncQueries, TruncK)
+
+  /** [[truncationRecallQuery]]'s core over a (vec_id, embedding)
+    * frame. */
+  def truncationRecall(embeddings: DataFrame, dims: Seq[Int],
+      nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(embeddings.sparkSession)
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = Partitioning.spread(emb)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+    val simCols = dims.map { d =>
+      (round(cosine(slice(col("embedding"), 1, d),
+        slice(col("qe"), 1, d)), 6) * 1000000).cast("long").as(s"sim_$d")
+    }
+    val stacked = pairs
+      .select(col("qid") +: col("vec_id") +: simCols: _*)
+      .select(col("qid"), col("vec_id"),
+        expr("stack(" + dims.length + ", " +
+          dims.map(d => s"$d, sim_$d").mkString(", ") +
+          ") AS (dims, sim)"))
+    val ranked = stacked.withColumn("rn",
+        row_number().over(Window.partitionBy("qid", "dims")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dims"))
+      .localCheckpoint()
+    val full = ranked.filter(col("dims") === dims.max)
+      .select(col("qid"), col("vec_id"))
+    val nq = queries.agg(count(lit(1)).as("nq"))
+    // left join + sum, not a semi-join: a width with ZERO hits must
+    // still report its row
+    ranked.join(full.withColumn("hit", lit(1L)), Seq("qid", "vec_id"),
+        "left")
+      .groupBy("dims")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("dims").cast("long").as("dims"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (nq * $k)").cast("long")
+          .as("recall_e6"))
+      .orderBy("dims")
+  }
+
+  /** DuckDB oracle for [[truncationRecallQuery]] — same prefixes,
+    * same quantization, same tie-breaks. */
+  def truncationRecallOracleSql: String = {
+    val dimVals = TruncDims.map(d => s"($d)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       q AS (SELECT vec_id AS qid, embedding AS qe FROM e
+             WHERE vec_id < $TruncQueries),
+       p AS (SELECT q.qid, e.vec_id, e.embedding, q.qe
+             FROM e, q WHERE e.vec_id <> q.qid),
+       s AS (SELECT qid, vec_id, d.dims,
+           CAST(trunc(round(list_cosine_similarity(
+             embedding[1:d.dims], qe[1:d.dims]), 6) * 1000000)
+             AS BIGINT) AS sim
+         FROM p, (VALUES $dimVals) AS d(dims)),
+       r AS (SELECT qid, vec_id, dims,
+           row_number() OVER (PARTITION BY qid, dims
+             ORDER BY sim DESC, vec_id ASC) AS rn
+         FROM s),
+       topk AS (SELECT qid, vec_id, dims FROM r WHERE rn <= $TruncK),
+       full64 AS (SELECT qid, vec_id FROM topk
+                  WHERE dims = ${TruncDims.max}),
+       hits AS (SELECT t.dims,
+                  sum(CASE WHEN f.qid IS NULL THEN 0 ELSE 1 END)
+                    AS n_hits
+                FROM topk t
+                LEFT JOIN full64 f
+                  ON f.qid = t.qid AND f.vec_id = t.vec_id
+                GROUP BY 1),
+       nq AS (SELECT count(*) AS n FROM q)
+     SELECT CAST(dims AS BIGINT) AS dims,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // (n * $TruncK) AS BIGINT) AS recall_e6
+     FROM hits CROSS JOIN nq ORDER BY dims"""
+  }
 }

@@ -666,6 +666,40 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing=${ref -- fast} extra=${fast -- ref}")
   }
 
+  test("truncation recall: a prefix that misranks scores 0, the " +
+    "full width is 1.0 by definition, zero-hit widths keep their row") {
+    // query 0 = [1,0,0,1]; v1 = [1,0,0,-1] (full cos 0, prefix-2
+    // cos 1), v2 = [1,0,0,1] (full cos 1, prefix-2 cos 1, loses the
+    // prefix tie to v1 by id) -> recall@1: dims 2 = 0, dims 4 = 1
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(1f, 0f, 0f, -1f)),
+      (2L, Array(1f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.truncationRecall(emb, Seq(2, 4),
+        nQueries = 1, k = 1)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((2L, 0L, 0L), (4L, 1L, 1000000L)), out.toString)
+  }
+
+  test("truncation recall: widths that preserve the ranking score " +
+    "full recall; real-corpus report is monotone-bounded") {
+    // all information in the first two dims -> every width agrees
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(1f, 1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.truncationRecall(emb, Seq(2, 4),
+        nQueries = 1, k = 2)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((2L, 2L, 1000000L), (4L, 2L, 1000000L)))
+    val real = Similarity.truncationRecallQuery(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(real.length == 4)
+    assert(real.last._3 == 1000000L, "full width must be exact")
+    real.foreach(r => assert(r._3 >= 0L && r._3 <= 1000000L))
+  }
+
   test("dedup agreement: identical twins are found by all three " +
     "families — full matrix at agreement 1.0") {
     val twins = Seq(
