@@ -52,7 +52,13 @@ object ScalingCurve {
     ("q195_sliding_registers", "sliding register merge (partials only)", "events"),
     ("q212_knn_block_recall", "blocked-kNN recall report (exhaustive + LSH sides)", "embeddings"),
     ("q215_sketch_cube",    "HLL grouping-set lattice (one fine scan + merges)", "events"),
-    ("q216_pq_topk",        "PQ encode + ADC top-k",              "embeddings"))
+    ("q216_pq_topk",        "PQ encode + ADC top-k",              "embeddings"),
+    ("q221_link_prediction", "RA link prediction (capped wedges)", "events"),
+    ("q222_ngram_contamination", "n-gram contamination audit (gram semi-join)", "documents"),
+    ("q224_dedup_agreement", "blocking-family agreement (3 pair chains)", "documents"),
+    ("q225_ppjoin",         "prefix-filtered similarity join (lossless)", "documents"),
+    ("q226_temporal_reach", "earliest-arrival temporal BFS",      "events"),
+    ("q227_lpa_communities", "synchronous label propagation",     "events"))
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -61,7 +67,8 @@ object ScalingCurve {
     * algorithmic superlinearity. Their last column reports the
     * measured |E| ratio alongside. */
   private val EdgeDriven = Set("q100_pagerank", "q176_triangles",
-    "q177_bfs_reach", "q194_kcore")
+    "q177_bfs_reach", "q194_kcore", "q221_link_prediction",
+    "q226_temporal_reach", "q227_lpa_communities")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)

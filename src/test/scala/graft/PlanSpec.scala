@@ -601,6 +601,34 @@ class PlanSpec extends SparkSpec {
     assert(!p219.contains("CartesianProduct"), p219.take(1500))
   }
 
+  test("q222/q225: contamination probes via a gram SEMI-join; the " +
+    "ppjoin prefix window is doc-keyed and nothing goes cartesian") {
+    val p222 = planString(
+      graft.operators.CorpusStats.contaminationQuery(spark, sf0001))
+    assert(p222.contains("LeftSemi"), p222.take(1500))
+    assert(!p222.contains("CartesianProduct"), p222.take(1500))
+    val p225 = planString(graft.operators.Dedup.ppjoinPairs(
+      graft.sources.Tables.documents(spark, sf0001)))
+    assert(!p225.contains("CartesianProduct"), p225.take(1500))
+    assert(!p225.contains("BroadcastNestedLoopJoin"), p225.take(1500))
+    // the prefix-rank window must be keyed on doc_id, never global
+    assert(!p225.contains("Window [") ||
+      !p225.contains("No Partition Defined"), p225.take(1500))
+  }
+
+  test("q224/q228: pair-set algebra and the truncation report keep " +
+    "data joins keyed; only tiny summary/query frames attach by " +
+    "broadcast") {
+    val p224 = planString(
+      graft.operators.Extensions.q224DedupAgreement(spark, sf0001))
+    assert(!p224.contains("CartesianProduct"), p224.take(1500))
+    val p228 = planString(
+      graft.operators.Similarity.truncationRecallQuery(spark, sf0001))
+    // (the ranked stage is localCheckpointed, so its window sits
+    // behind the scan — only the summary algebra is visible here)
+    assert(!p228.contains("CartesianProduct"), p228.take(1500))
+  }
+
   test("q210/q211: the blocked kNN path shuffles on bucket — no " +
     "corpus broadcast, no cross product") {
     // the whole point of the blocking: the candidate join is an
