@@ -462,6 +462,11 @@ object SparkEntry {
     // truncation axis).
     "q228_trunc_recall" ->
       (graft.operators.Similarity.truncationRecallQuery _),
+    // q229: the watermarked stream-stream interval join driven to a
+    // hash-checked answer (single-batch drain = complete result; the
+    // batch interval join is the oracle).
+    "q229_stream_join" ->
+      (graft.streaming.StreamJoin.streamJoinQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1642,6 +1647,8 @@ object SparkEntry {
       graft.operators.GraphTopology.labelPropagationOracleSql,
     "q228_trunc_recall" ->
       graft.operators.Similarity.truncationRecallOracleSql,
+    "q229_stream_join" ->
+      graft.streaming.StreamJoin.streamJoinOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->
