@@ -467,6 +467,11 @@ object SparkEntry {
     // batch interval join is the oracle).
     "q229_stream_join" ->
       (graft.streaming.StreamJoin.streamJoinQuery _),
+    // q230: graph feature propagation — activity features smoothed
+    // by bounded neighbor-mean rounds (the SGC/GraphSAGE-mean
+    // primitive in exact integer arithmetic).
+    "q230_feature_prop" ->
+      (graft.operators.GraphTopology.featurePropagationQuery _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1649,6 +1654,8 @@ object SparkEntry {
       graft.operators.Similarity.truncationRecallOracleSql,
     "q229_stream_join" ->
       graft.streaming.StreamJoin.streamJoinOracleSql,
+    "q230_feature_prop" ->
+      graft.operators.GraphTopology.featurePropagationOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -506,6 +506,96 @@ object GraphTopology {
       .orderBy("user_id")
   }
 
+  /** Neighbor-mean smoothing rounds q230 applies (oracle replays the
+    * same count). */
+  val SmoothRounds = 2
+
+  /** q230: graph FEATURE PROPAGATION — each user's activity features
+    * (event count, decimal-cents value) smoothed by [[SmoothRounds]]
+    * rounds of neighbor averaging over the co-activity graph: h_k(u)
+    * = floor-mean of h_{k-1} over Γ(u). The simplified-GCN /
+    * GraphSAGE-mean primitive (Wu et al. 2019 SGC; Hamilton et al.
+    * 2017) stripped of learned weights — exactly the feature-
+    * enrichment pass a training-data pipeline runs to give each
+    * entity its neighborhood context before a downstream model ever
+    * sees it. Floor division keeps every number an exact integer.
+    *
+    * Scale shape: per round ONE neighbor equi-join + one sum
+    * aggregation + one degree division — a Pregel superstep with a
+    * sum combiner over a constant-width feature vector; rounds
+    * bounded and unrolled identically by the oracle. */
+  def featurePropagationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val feats = events.groupBy("user_id").agg(
+      count(lit(1)).cast("long").as("f_cnt"),
+      graft.operators.OlapOps.decSumCents(col("value")).as("f_val"))
+    featurePropagation(GraphRank.coActivityEdges(events), feats,
+      SmoothRounds)
+  }
+
+  /** [[featurePropagationQuery]]'s core: smooth (f_cnt, f_val) per
+    * node over undirected distinct (u, v) edges. Output covers the
+    * GRAPH's nodes (every node has ≥ 1 neighbor by construction). */
+  def featurePropagation(edges: DataFrame, feats: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val dirE = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = dirE.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val h0 = deg
+      .join(feats.withColumnRenamed("user_id", "u"), Seq("u"), "left")
+      .select(col("u"), coalesce(col("f_cnt"), lit(0L)).as("c"),
+        coalesce(col("f_val"), lit(0L)).as("v"))
+      .localCheckpoint()
+    var h = h0
+    for (_ <- 1 to rounds) {
+      h = dirE
+        .join(h.select(col("u").as("v"), col("c"), col("v").as("vv")),
+          Seq("v"))
+        .groupBy("u").agg(sum(col("c")).as("sc"), sum(col("vv")).as("sv"))
+        .join(deg, Seq("u"))
+        .select(col("u"), expr("sc div deg").as("c"),
+          expr("sv div deg").as("v"))
+        .localCheckpoint()
+    }
+    h0.select(col("u"), col("c").as("n_events"),
+        col("v").as("value_cents"))
+      .join(h.select(col("u"), col("c").as("smooth_events"),
+        col("v").as("smooth_value_cents")), Seq("u"))
+      .select(col("u").cast("long").as("user_id"),
+        col("n_events").cast("long").as("n_events"),
+        col("value_cents").cast("long").as("value_cents"),
+        col("smooth_events").cast("long").as("smooth_events"),
+        col("smooth_value_cents").cast("long").as("smooth_value_cents"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[featurePropagationQuery]] — same graph CTE,
+    * same features, [[SmoothRounds]] unrolled floor-mean rounds. */
+  def featurePropagationOracleSql: String = {
+    val rounds = (1 to SmoothRounds).map { k =>
+      s"""s$k AS (SELECT dir.u, CAST(sum(p.c) AS BIGINT) AS sc,
+             CAST(sum(p.v) AS BIGINT) AS sv
+           FROM dir JOIN h${k - 1} p ON p.u = dir.v GROUP BY dir.u),
+         h$k AS (SELECT s$k.u, sc // deg.deg AS c, sv // deg.deg AS v
+           FROM s$k JOIN deg ON deg.u = s$k.u)"""
+    }.mkString(",\n       ")
+    s"""${GraphRank.edgesOracleCte},
+       f AS (SELECT user_id AS u, CAST(count(*) AS BIGINT) AS c,
+               CAST(round(sum(CAST(value AS DECIMAL(38,10))), 2) * 100
+                 AS BIGINT) AS v
+             FROM events GROUP BY 1),
+       h0 AS (SELECT deg.u, coalesce(f.c, 0) AS c, coalesce(f.v, 0) AS v
+              FROM deg LEFT JOIN f ON f.u = deg.u),
+       $rounds
+     SELECT h0.u AS user_id, h0.c AS n_events, h0.v AS value_cents,
+       h$SmoothRounds.c AS smooth_events,
+       h$SmoothRounds.v AS smooth_value_cents
+     FROM h0 JOIN h$SmoothRounds ON h$SmoothRounds.u = h0.u
+     ORDER BY user_id"""
+  }
+
   /** DuckDB oracle for [[labelPropagationQuery]] — same graph CTE,
     * [[LpaRounds]] unrolled synchronous rounds with the min-label
     * tie-break. */

@@ -167,9 +167,24 @@ class GraphTopologySpec extends SparkSpec {
     assert(out.values.toSet.size == 2)
   }
 
-  test("q226/q227 full plans: equi-joins only, nothing cartesian") {
+  test("feature propagation: neighbor floor-means on a path; " +
+    "original features ride along") {
+    val g = edges((1L, 2L), (2L, 3L))
+    val feats = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 4L, 4L))
+      .toDF("user_id", "f_cnt", "f_val")
+    val out = GraphTopology.featurePropagation(g, feats, rounds = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // node 2 averages (1 + 4) / 2 = 2 (floor); endpoints copy node 2
+    assert(out == List(
+      (1L, 1L, 1L, 2L, 2L),
+      (2L, 2L, 2L, 2L, 2L),
+      (3L, 4L, 4L, 2L, 2L)), out.toString)
+  }
+
+  test("q226/q227/q230 full plans: equi-joins only, nothing cartesian") {
     for (df <- Seq(GraphTopology.temporalReachQuery(spark, sf0001),
-        GraphTopology.labelPropagationQuery(spark, sf0001))) {
+        GraphTopology.labelPropagationQuery(spark, sf0001),
+        GraphTopology.featurePropagationQuery(spark, sf0001))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), p.take(1000))
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
