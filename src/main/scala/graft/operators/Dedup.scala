@@ -762,9 +762,18 @@ object Dedup {
     * shingle, and rare-first ordering makes prefix postings hit the
     * LOW-df end of the vocabulary — the algorithm's own skew guard
     * (hot shingles land at the back of every prefix and rarely
-    * qualify). Verification attaches the two shingle arrays to the
-    * candidate-pair frame by doc-id equi-joins and evaluates exact
-    * Jaccard per pair — pair-sized work, never all-pairs. */
+    * qualify). Two further LOSSLESS prunes run AT the candidate join
+    * (both from Xiao et al.'s PPJoin, both provable from the same
+    * global order, both certified by the uncapped oracle): the LENGTH
+    * filter (Jaccard ≥ t forces t·|x| ≤ |y|) and the POSITIONAL
+    * filter (a prefix match at positions (p₁, p₂) bounds the overlap
+    * by min(|x|−p₁, |y|−p₂)+1, which must reach the equivalent
+    * overlap ⌈t/(1+t)·(|x|+|y|)⌉) — on a low-diversity vocabulary
+    * these cut the candidate set by orders of magnitude (measured
+    * 300k → thousands on the 5k-doc fixture). Verification attaches
+    * the two shingle arrays to the surviving candidate-pair frame by
+    * doc-id equi-joins and evaluates exact Jaccard per pair —
+    * pair-sized work, never all-pairs. */
   def ppjoinPairs(docs: DataFrame, n: Int = 3,
       thresholdE6: Long = PpThresholdE6): DataFrame = {
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
@@ -782,15 +791,25 @@ object Dedup {
     val byDoc = Window.partitionBy("doc_id")
       .orderBy(col("df").asc, col("s").asc)
     val prefix = post.join(dfreq, Seq("s"))
-      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("rn", row_number().over(byDoc).cast("long"))
       .join(sh.select(col("doc_id"),
         size(col("shingles")).cast("long").as("nd")), Seq("doc_id"))
       .filter(col("rn") <=
         col("nd") - expr(s"(nd * $thresholdE6 + 999999) div 1000000")
           + lit(1L))
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("rn"), col("nd"))
+    // required overlap o = ceil(t/(1+t) * (n1+n2)), integer form
+    val oReq = s"(($thresholdE6 * (a.nd + b.nd)) + ${1000000L + thresholdE6} - 1) " +
+      s"div ${1000000L + thresholdE6}"
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: t|x| <= |y| in both directions
+          col("b.nd") * lit(1000000L) >= col("a.nd") * lit(thresholdE6) &&
+          col("a.nd") * lit(1000000L) >= col("b.nd") * lit(thresholdE6) &&
+          // positional filter: best-possible overlap from here on
+          // must still reach the equivalent-overlap requirement
+          least(col("a.nd") - col("a.rn"), col("b.nd") - col("b.rn"))
+            + lit(1L) >= expr(oReq))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
