@@ -472,6 +472,10 @@ object SparkEntry {
     // primitive in exact integer arithmetic).
     "q230_feature_prop" ->
       (graft.operators.GraphTopology.featurePropagationQuery _),
+    // q231: weighted PageRank — q100 with mass split by tie strength
+    // (shared-cell counts) over the co-activity multigraph.
+    "q231_weighted_pagerank" -> ((s, d) =>
+      graft.operators.GraphRank.weightedPageRankQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1656,6 +1660,8 @@ object SparkEntry {
       graft.streaming.StreamJoin.streamJoinOracleSql,
     "q230_feature_prop" ->
       graft.operators.GraphTopology.featurePropagationOracleSql,
+    "q231_weighted_pagerank" ->
+      graft.operators.GraphRank.weightedPageRankOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -304,4 +304,100 @@ object GraphRank {
      SELECT u AS user_id, CAST(rank_e6 AS BIGINT) AS rank_e6
      FROM r3 ORDER BY rank_e6 DESC, u LIMIT 100"""
   }
+
+  /** Weighted co-activity edges: same capped cells as
+    * [[coActivityEdges]], but each (u, v) pair keeps HOW MANY cells
+    * it shared — the multigraph the distinct() of the unweighted
+    * build collapses. */
+  def weightedCoActivityEdges(cells: DataFrame): DataFrame = {
+    val kept = cells.groupBy("d", "h", "event_type")
+      .agg(count(lit(1)).as("nu"))
+      .filter(col("nu") <= MaxGroup)
+      .select("d", "h", "event_type")
+    val members = cells.join(kept, Seq("d", "h", "event_type"))
+    members.as("a").join(members.as("b"),
+        col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
+          col("a.event_type") === col("b.event_type") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).cast("long").as("w"))
+  }
+
+  /** q231: WEIGHTED PageRank — q100 with mass split proportionally
+    * to tie strength (shared-cell count) instead of uniformly: the
+    * realistic variant, since co-activity ties are not all equal and
+    * a pair that shares fifty cells should pull more rank than a
+    * one-cell coincidence. Per-edge contribution is
+    * rank·w div strength(u) with floor division AT the edge (both
+    * engines lose the same remainders), damping 85/100, rank scale
+    * 1e6, [[Iterations]] unrolled rounds — the q100 integer
+    * discipline on the weighted multigraph.
+    *
+    * Scale shape: identical to q100 — materialized weighted
+    * adjacency + strength table checkpointed once, each round one
+    * edge-keyed join + destination-keyed sum. */
+  def weightedPageRankQuery(spark: SparkSession, dir: String,
+      topN: Int = 100): DataFrame = {
+    val edges = weightedCoActivityEdges(
+      activityCells(Tables.events(spark, dir)))
+    weightedPageRank(edges, Iterations)
+      .select(col("u").as("user_id"), col("rank_e6"))
+      .orderBy(col("rank_e6").desc, col("user_id").asc)
+      .limit(topN)
+  }
+
+  /** [[weightedPageRankQuery]]'s core over (u, v, w) undirected
+    * weighted edges. */
+  def weightedPageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    val dir = edges.select(col("u"), col("v"), col("w"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      .localCheckpoint()
+    val strength = dir.groupBy("u").agg(sum(col("w")).as("s"))
+      .localCheckpoint()
+    var ranks = strength.select(col("u"), lit(RankScale).as("rank_e6"))
+    for (_ <- 1 to iterations) {
+      ranks = dir
+        .join(ranks, Seq("u")).join(strength, Seq("u"))
+        .select(col("v").as("u"),
+          expr("rank_e6 * w div s").as("c"))
+        .groupBy("u").agg(sum(col("c")).as("in_mass"))
+        .select(col("u"),
+          (lit(RankScale * 15 / 100) +
+            expr("85 * in_mass div 100")).as("rank_e6"))
+    }
+    ranks
+  }
+
+  /** DuckDB oracle for [[weightedPageRankQuery]] — same weighted
+    * graph, same [[Iterations]] unrolled integer rounds. */
+  def weightedPageRankOracleSql: String = {
+    val iter = (prev: String, out: String) =>
+      s"""$out AS (SELECT wdir.v AS u,
+             ${RankScale * 15 / 100} + 85 *
+               sum($prev.rank_e6 * wdir.w // st.s) // 100 AS rank_e6
+           FROM wdir JOIN $prev ON $prev.u = wdir.u
+             JOIN st ON st.u = wdir.u
+           GROUP BY 1)"""
+    s"""WITH cells AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+           CAST(date_part('hour', ts) AS INT) AS h, event_type, user_id
+         FROM events),
+       kept AS (SELECT d, h, event_type FROM cells
+                GROUP BY 1, 2, 3 HAVING count(*) <= $MaxGroup),
+       m AS (SELECT cells.* FROM cells JOIN kept USING (d, h, event_type)),
+       we AS (SELECT a.user_id AS u, b.user_id AS v,
+               CAST(count(*) AS BIGINT) AS w
+             FROM m a JOIN m b
+               ON a.d = b.d AND a.h = b.h AND a.event_type = b.event_type
+                 AND a.user_id < b.user_id
+             GROUP BY 1, 2),
+       wdir AS (SELECT u, v, w FROM we UNION ALL SELECT v, u, w FROM we),
+       st AS (SELECT u, sum(w) AS s FROM wdir GROUP BY 1),
+       r0 AS (SELECT u, $RankScale AS rank_e6 FROM st),
+       ${iter("r0", "r1")},
+       ${iter("r1", "r2")},
+       ${iter("r2", "r3")}
+     SELECT u AS user_id, CAST(rank_e6 AS BIGINT) AS rank_e6
+     FROM r3 ORDER BY rank_e6 DESC, u LIMIT 100"""
+  }
 }

@@ -136,4 +136,25 @@ class SamplingGraphSpec extends SparkSpec {
         s"CMS must never underestimate: ${r.getString(0)}")
     }
   }
+
+  test("weighted pageRank: hand-unrolled star with asymmetric tie " +
+    "strengths; strong tie outranks weak") {
+    // center 1, leaf 2 at weight 10, leaf 3 at weight 1
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L)).toDF("u", "v", "w")
+    val out = GraphRank.weightedPageRank(e, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1850000L, 2L -> 922726L, 3L -> 227272L),
+      out.toString)
+  }
+
+  test("weighted pageRank with uniform weights reduces exactly to " +
+    "the unweighted ranks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("u", "v")
+    val w = edges.withColumn("w", lit(1L))
+    val a = GraphRank.pageRank(edges).as[(Long, Long)].collect().toMap
+    val b = GraphRank.weightedPageRank(w, GraphRank.Iterations)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
