@@ -476,6 +476,10 @@ object SparkEntry {
     // (shared-cell counts) over the co-activity multigraph.
     "q231_weighted_pagerank" -> ((s, d) =>
       graft.operators.GraphRank.weightedPageRankQuery(s, d)),
+    // q232: union-dedup keeper map — connected components over the
+    // UNION of all four blocking families' pair sets; the
+    // per-document keeper verdict a dedup stage applies.
+    "q232_union_dedup" -> (Extensions.q232UnionDedup _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1662,6 +1666,50 @@ object SparkEntry {
       graft.operators.GraphTopology.featurePropagationOracleSql,
     "q231_weighted_pagerank" ->
       graft.operators.GraphRank.weightedPageRankOracleSql,
+    // q232: the four pair chains unioned, then the q45 recursive
+    // component labeling over the combined edge set. The uncapped
+    // prefix-join pairs re-derive from the suffix-2 shingle CTE
+    // (no df cap), the exact groups link to their min doc, and the
+    // sorted-neighborhood CTEs come from the shared builder.
+    "q232_union_dedup" ->
+      ("WITH RECURSIVE " + jaccardPairCtes("documents", "2") + s""",
+         $snPairCtes,
+         exg AS (SELECT mn AS d1, doc_id AS d2 FROM (
+             SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+             FROM documents)
+           WHERE doc_id <> mn),
+         exall AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+         ia AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(count(*) AS BIGINT) AS c
+             FROM exall a JOIN exall b
+               ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+         pp AS (SELECT d1, d2 FROM ia
+             JOIN sizes2 s1 ON d1 = s1.doc_id
+             JOIN sizes2 s2 ON d2 = s2.doc_id
+             WHERE c * 1000000 // greatest(s1.n + s2.n - c, 1)
+               >= ${graft.operators.Dedup.PpThresholdE6}),
+         allp AS (SELECT d1, d2 FROM pairs2
+                  UNION SELECT d1, d2 FROM snp
+                  UNION SELECT d1, d2 FROM exg
+                  UNION SELECT d1, d2 FROM pp),
+         edges AS (SELECT d1 AS a, d2 AS b FROM allp
+                   UNION SELECT d2, d1 FROM allp),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+         lab AS (SELECT d.doc_id,
+                   coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       SELECT doc_id, cluster_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size,
+         CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
+           AS is_canonical
+       FROM lab ORDER BY doc_id"""),
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

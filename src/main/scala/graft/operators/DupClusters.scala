@@ -11,31 +11,45 @@ import org.apache.spark.sql.functions._
   * canonical survivor, or the pipeline keeps one doc per PAIR instead
   * of one per FAMILY.
   *
-  * Algorithm: distributed min-label propagation with pointer jumping.
-  * Each round
-  *   1. label(v) <- min(label(v), min over neighbors u of label(u))
-  *      — one shuffle join edges⋈labels + one groupBy, and
-  *   2. label(v) <- label(label(v)) (pointer jump: labels are node
-  *      ids, so one self-join) — this halves tree depth per round,
-  *      making convergence O(log d) rounds for diameter d instead of
-  *      the O(d) of plain propagation (the same doubling idea as the
-  *      large-star/small-star alternation of Kiveris et al.,
-  *      "Connected Components in MapReduce and Beyond", SoCC'14).
-  * Every round ends in `localCheckpoint` — iterative DataFrame loops
-  * otherwise grow the lineage linearly and re-execute the whole
-  * history each action; the checkpoint also backs the convergence
-  * probe's action, so the probe reads cached blocks instead of
-  * re-running the round. Labels are SEEDED with the direct-neighbor
-  * minimum (round one's propagation fused into the node extraction),
-  * so near-clique dup families — the common case — converge in the
-  * seeding itself and the loop's first round merely confirms the
-  * fixpoint. The iteration cap is a safety rail, not the expected
-  * path.
+  * Algorithm: the alternating LARGE-STAR / SMALL-STAR edge rewriting
+  * of Kiveris et al., "Connected Components in MapReduce and Beyond"
+  * (SoCC'14). Each operator rewrites the edge set in one keyed
+  * shuffle pass:
+  *   - large-star: every node u links each STRICTLY LARGER neighbor
+  *     to min(Γ(u) ∪ {u});
+  *   - small-star: every node u links its smaller-or-equal
+  *     neighborhood (and itself) to its minimum.
+  * Alternating the two provably converges to disjoint stars rooted
+  * at each component's minimum id in O(log² n) rounds — ~10 in
+  * practice for ANY topology, including long paths whose ids are
+  * uncorrelated with adjacency. That worst case is not hypothetical
+  * here: sorted-neighborhood dup chains (q202, and q232's union
+  * graph) produce exactly such paths, and the previous min-label
+  * propagation scheme — whose per-round "pointer jump" is provably a
+  * no-op because min-propagation keeps every label pointing at a
+  * root — crawled them at one hop per round, O(diameter) rounds.
   *
-  * At 100 TB the label table is one row per doc in any dup pair —
-  * orders of magnitude smaller than the corpus — and each round is
-  * two key-partitioned shuffles of that table; nothing is ever
-  * collected to the driver except the single-row convergence probe.
+  * Every rewrite ends in `localCheckpoint` — iterative DataFrame
+  * loops otherwise grow the lineage linearly and re-execute the
+  * whole history each action; the checkpoint also backs the
+  * convergence probe, which reads cached blocks instead of re-running
+  * the pass. The probe is the (row count, endpoint sum) pair: both
+  * star operators only ever rewrite an edge to one with an
+  * equal-or-smaller endpoint sum, so an unchanged pair implies the
+  * pass was an identity, and two consecutive unchanged passes (one
+  * full alternation) prove the joint fixpoint with one cheap
+  * aggregate per pass. The iteration cap is a
+  * safety rail; non-convergence inside it fails loudly rather than
+  * returning a silently wrong clustering.
+  *
+  * At 100 TB the edge table is one row per duplicate pair — orders
+  * of magnitude smaller than the corpus — and each pass is two
+  * key-partitioned shuffles of that table; nothing is ever collected
+  * to the driver except the single-row convergence probe. Skewed
+  * hubs (one doc duplicated millions of times) are exactly what the
+  * star operators handle: a hub's neighborhood collapses onto its
+  * minimum in one pass instead of funneling through per-node label
+  * lookups.
   */
 object DupClusters {
 
@@ -43,65 +57,90 @@ object DupClusters {
     * (node, cluster_id) where cluster_id is the MIN node id of the
     * component — deterministic canonical labels. `pairs` needs
     * columns `d1`/`d2`; direction does not matter. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Canonicalize each pair to (min,max) BEFORE the dedup shuffle:
-    // distinct then moves half the volume of the doubled edge set, and
-    // still collapses a pair present in both directions. Doubling
-    // afterwards is a free union feeding the next keyed shuffle.
-    val canon = pairs.select(
-      least(col("d1"), col("d2")).as("a"),
-      greatest(col("d1"), col("d2")).as("b")).distinct()
-    // Undirected: propagate both ways. Computed once, pinned — every
-    // round re-reads it.
-    val edges = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Canonicalize each pair to (child=max, parent=min) BEFORE the
+    // dedup shuffle: distinct then moves half the volume of the
+    // doubled form, and collapses pairs present in both directions.
+    // The (a > b) orientation is the invariant BOTH star operators
+    // preserve, so it is established exactly once.
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("a"),
+        least(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")) // self-pairs carry no information
+      .distinct()
       .localCheckpoint()
-    // Seed with round one's neighbor minimum folded into the own id.
-    // Extracting the node set alone would cost the same groupBy
-    // shuffle; doing the min(b) aggregation in it lands the final
-    // label immediately for near-clique dup families (every member
-    // sees the minimum directly), so the loop usually only has to
-    // CONFIRM convergence instead of running a full extra round.
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("nbr"))
-      .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
-      .localCheckpoint()
-    // Convergence probe: labels only ever DECREASE, so the label sum
-    // is strictly monotone until the fixpoint — equality of two
-    // consecutive sums proves convergence with ONE cheap aggregate
-    // per round instead of a change-detection join. Decimal
-    // accumulation cannot overflow at any node-id scale.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head()
-        .getDecimal(0) // coalesce: an empty pair set must not NPE
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      // (1) neighbor minimum, folded with the node's own label. Every
-      // labeled node has at least one edge (labels come from edges),
-      // so the inner join loses nothing.
-      val nbrMin = edges
-        .join(labels.select(col("node").as("b"), col("lbl")), "b")
-        .groupBy("a").agg(min("lbl").as("nbr"))
-      val propagated = labels
-        .join(nbrMin, col("node") === col("a"))
-        .select(col("node"), least(col("lbl"), col("nbr")).as("lbl"))
-      // (2) pointer jump: a label is itself a node id of the same
-      // component, so label(label(v)) is one self-join away
-      val next = propagated.as("x")
-        .join(propagated.select(col("node").as("ln"), col("lbl").as("ll")),
-          col("x.lbl") === col("ln"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("ll"), col("x.lbl")).as("lbl"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      iter += 1
+    // Convergence probe: both operators rewrite each edge (u,w) to
+    // (w,m) with m = a neighborhood MINIMUM ≤ u, so the per-row delta
+    // u−m is ≥ 0 whatever the sign of the ids, and `distinct` only
+    // removes rows. Hence (row count, endpoint sum) UNCHANGED across
+    // a pass proves every delta was zero and nothing collapsed — the
+    // pass was an identity. One cheap two-column aggregate per pass
+    // instead of a change-detection join. Decimal accumulation cannot
+    // overflow at any node-id scale.
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum((col("a") + col("b")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1)) // coalesce: empty set must not NPE
     }
-    labels.select(col("node"), col("lbl").as("cluster_id"))
+    // LARGE-STAR: each node u links every strictly larger neighbor to
+    // the minimum of its full neighborhood (u included). One groupBy
+    // over the doubled edge set + one keyed join back.
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      dir.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+    }
+    // SMALL-STAR: each node u links its smaller neighbors AND itself
+    // to the minimum of that set. Canonical edges already point
+    // child→smaller-parent, so the smaller neighborhood of u is
+    // exactly the rows with a = u — no doubling needed.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val moved = e.select(col("a").as("u"), col("b").as("v"))
+        .join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+      val self = mins.select(col("u").as("a"), col("m").as("b"))
+      moved.union(self)
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+    }
+    var prev = probe(edges)
+    var stablePasses = 0 // consecutive identity passes; 2 = both ops
+    var pass = 0
+    while (stablePasses < 2 && pass < maxIters) {
+      edges = if (pass % 2 == 0) largeStar(edges) else smallStar(edges)
+      val cur = probe(edges)
+      stablePasses =
+        if (cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0)
+          stablePasses + 1
+        else 0
+      prev = cur
+      pass += 1
+    }
+    // a silent non-converged exit returns a WRONG clustering — fail
+    // loudly instead (raise maxIters at the call site if a graph
+    // legitimately needs more passes)
+    require(stablePasses >= 2,
+      s"connectedComponents did not converge in $maxIters star passes")
+    // Fixpoint edges are disjoint stars (child, component-min root):
+    // every non-root node appears exactly once on the child side.
+    // Roots label themselves.
+    val roots = edges.select(col("b")).distinct()
+      .join(edges.select(col("a").as("b")), Seq("b"), "left_anti")
+      .select(col("b").as("node"), col("b").as("lbl"))
+    edges.select(col("a").as("node"), col("b").as("lbl"))
+      .union(roots)
+      .select(col("node"), col("lbl").as("cluster_id"))
   }
 
   /** Full clustering report over a document table: every doc labeled

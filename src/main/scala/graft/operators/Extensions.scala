@@ -880,6 +880,36 @@ object Extensions {
     rows.reduce(_ unionByName _).orderBy("method_a", "method_b")
   }
 
+  /** q232: UNION-DEDUP keeper map — the decision q224's agreement
+    * matrix motivates, executed: when the blocking families find
+    * genuinely different duplicates (low pairwise agreement), a
+    * curation pipeline should union them; this materializes that
+    * union — exact content groups + the capped shingle index (q23) +
+    * the sorted-neighborhood window (q202) + the lossless prefix
+    * join (q225) — runs connected components over the combined edge
+    * set, and assigns every document its canonical keeper. The
+    * per-document verdict a dedup stage actually applies.
+    *
+    * Scale shape: each pair chain is its proven linear/blocked form;
+    * the union is a distinct over pair-sized frames; the components
+    * run the q45 seeded label propagation with pointer jumping. */
+  def q232UnionDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val exact = docs.select(col("doc_id"), md5(col("text")).as("f"))
+      .withColumn("mn",
+        min(col("doc_id")).over(Window.partitionBy("f")))
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("d1"), col("doc_id").as("d2"))
+    val allPairs = dupPairs(docs)
+      .unionByName(
+        Dedup.sortedNeighborhoodPairs(docs).select("d1", "d2"))
+      .unionByName(Dedup.ppjoinPairs(docs).select("d1", "d2"))
+      .unionByName(exact)
+      .distinct()
+    DupClusters.clusterReport(docs, allPairs)
+  }
+
   /** q178: SCHEMA EVOLUTION under oracle check — the ingestion
     * reality every long-lived 100 TB table faces: files written
     * before a column existed sit next to files written after.

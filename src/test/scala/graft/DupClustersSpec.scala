@@ -15,13 +15,29 @@ class DupClustersSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("connected components: long path converges via pointer jumping") {
+  test("connected components: long path converges inside the pass cap") {
     // a 33-node path: plain min-propagation needs 32 rounds; the
-    // pointer-jump variant must finish inside the 20-round cap
+    // star alternation must finish in O(log n) passes
     val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("d1", "d2")
     val cc = DupClusters.connectedComponents(pairs).collect()
     assert(cc.length == 33)
     assert(cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connected components: long path with SHUFFLED ids (adjacency " +
+    "uncorrelated with id order) still converges exactly") {
+    // the q232 regression: a sequential-id path lets min-propagation
+    // look sufficient because labels happen to encode position;
+    // permuting the ids breaks that crutch — the union graph's
+    // sorted-neighborhood chains are exactly this shape, and only the
+    // large-star/small-star alternation converges inside the cap
+    val n = 400
+    val perm = new scala.util.Random(12345).shuffle((0 until n).toVector)
+    val pairs = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("d1", "d2")
+    val cc = DupClusters.connectedComponents(pairs).collect()
+    assert(cc.length == n)
+    assert(cc.forall(_.getLong(1) == 0L), "every node labels to min 0")
   }
 
   test("connected components: edge direction and duplicates don't matter") {
