@@ -33,7 +33,7 @@ object ScalingCurve {
     ("q08_latest_per_key",  "keyed window (latest-per-key)",      "events"),
     ("q23_ngram_jaccard",   "n-gram Jaccard near-dup (capped inverted index)", "documents"),
     ("q24_minhash_lsh",     "MinHash + banded LSH",               "documents"),
-    ("q45_dup_clusters",    "connected components (seeded label propagation)", "documents"),
+    ("q45_dup_clusters",    "connected components (star alternation)", "documents"),
     ("q26_cosine_topk",     "brute-force cosine top-k (exhaustive BASELINE)", "embeddings"),
     ("q27_ann_lsh",         "hyperplane-LSH ANN top-k (scale path)", "embeddings"),
     ("q63_funnel",          "event funnel (single keyed shuffle)", "events"),
@@ -58,7 +58,8 @@ object ScalingCurve {
     ("q224_dedup_agreement", "blocking-family agreement (3 pair chains)", "documents"),
     ("q225_ppjoin",         "prefix-filtered similarity join (lossless)", "documents"),
     ("q226_temporal_reach", "earliest-arrival temporal BFS",      "events"),
-    ("q227_lpa_communities", "synchronous label propagation",     "events"))
+    ("q227_lpa_communities", "synchronous label propagation",     "events"),
+    ("q232_union_dedup",    "union-of-4-blocking-families CC (star alternation)", "documents"))
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly

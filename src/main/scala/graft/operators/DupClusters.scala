@@ -34,13 +34,11 @@ import org.apache.spark.sql.functions._
   * whole history each action; the checkpoint also backs the
   * convergence probe, which reads cached blocks instead of re-running
   * the pass. The probe is the (row count, endpoint sum) pair: both
-  * star operators only ever rewrite an edge to one with an
-  * equal-or-smaller endpoint sum, so an unchanged pair implies the
-  * pass was an identity, and two consecutive unchanged passes (one
-  * full alternation) prove the joint fixpoint with one cheap
-  * aggregate per pass. The iteration cap is a
-  * safety rail; non-convergence inside it fails loudly rather than
-  * returning a silently wrong clustering.
+  * star operators are individually nonincreasing in count and sum,
+  * so ONE probe per full alternation suffices — an unchanged pair
+  * across large∘small proves both passes were identities. The
+  * iteration cap is a safety rail; non-convergence inside it fails
+  * loudly rather than returning a silently wrong clustering.
   *
   * At 100 TB the edge table is one row per duplicate pair — orders
   * of magnitude smaller than the corpus — and each pass is two
@@ -86,7 +84,10 @@ object DupClusters {
     }
     // LARGE-STAR: each node u links every strictly larger neighbor to
     // the minimum of its full neighborhood (u included). One groupBy
-    // over the doubled edge set + one keyed join back.
+    // over the doubled edge set + one keyed join back. Emits EXACTLY
+    // one edge per input edge (each undirected edge is handled at its
+    // smaller endpoint), so no dedup shuffle here — the small-star
+    // pass that always follows ends in the distinct.
     def largeStar(e: DataFrame): DataFrame = {
       val dir = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
@@ -96,13 +97,14 @@ object DupClusters {
         .join(mins, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
         .localCheckpoint()
     }
     // SMALL-STAR: each node u links its smaller neighbors AND itself
     // to the minimum of that set. Canonical edges already point
     // child→smaller-parent, so the smaller neighborhood of u is
-    // exactly the rows with a = u — no doubling needed.
+    // exactly the rows with a = u — no doubling needed. Input
+    // duplicates (large-star runs without a distinct) are absorbed by
+    // the min aggregate and collapsed by the closing distinct.
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
       val moved = e.select(col("a").as("u"), col("b").as("v"))
@@ -114,24 +116,28 @@ object DupClusters {
         .distinct()
         .localCheckpoint()
     }
+    // One probe per FULL alternation, not per pass: both operators are
+    // individually nonincreasing in (count, sum) — large-star maps
+    // each edge to one edge of equal-or-smaller sum, small-star maps a
+    // k-edge owner to k edges of equal-or-smaller total, distinct only
+    // removes — so an unchanged pair across large∘small proves BOTH
+    // passes were identities. Halves the probe actions of the naive
+    // per-pass check.
     var prev = probe(edges)
-    var stablePasses = 0 // consecutive identity passes; 2 = both ops
-    var pass = 0
-    while (stablePasses < 2 && pass < maxIters) {
-      edges = if (pass % 2 == 0) largeStar(edges) else smallStar(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      edges = smallStar(largeStar(edges))
       val cur = probe(edges)
-      stablePasses =
-        if (cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0)
-          stablePasses + 1
-        else 0
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur
-      pass += 1
+      rounds += 1
     }
     // a silent non-converged exit returns a WRONG clustering — fail
     // loudly instead (raise maxIters at the call site if a graph
-    // legitimately needs more passes)
-    require(stablePasses >= 2,
-      s"connectedComponents did not converge in $maxIters star passes")
+    // legitimately needs more rounds)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters alternations")
     // Fixpoint edges are disjoint stars (child, component-min root):
     // every non-root node appears exactly once on the child side.
     // Roots label themselves.
@@ -171,7 +177,7 @@ object DupClusters {
     * whatever crawled first, best-of-cluster keeps the fullest copy
     * (the Lee et al. 2022 recommendation for near-dup groups).
     *
-    * Scale shape: same label propagation as q45, then one PARTITIONED
+    * Scale shape: same star-alternation clustering as q45, then one PARTITIONED
     * window per cluster (clusters are bounded by the capped pair
     * generation — a keyed shuffle, never a global sort) to rank
     * members by (len DESC, id ASC), and one join back to flag every

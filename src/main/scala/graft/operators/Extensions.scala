@@ -614,8 +614,8 @@ object Extensions {
     Dedup.dedupSavingsQuery(s, d)
 
   /** q45: dup-cluster connected components — q23's near-dup pairs
-    * collapsed into transitive-closure clusters (min-label propagation
-    * + pointer jumping), every doc labeled with cluster id, size, and
+    * collapsed into transitive-closure clusters (alternating large-star/
+    * small-star edge rewriting), every doc labeled with cluster id, size, and
     * the canonical-survivor flag. The oracle recomputes the closure
     * with a recursive CTE. */
   /** The q45/q161 clustering input — ONE definition of the pair
@@ -892,7 +892,7 @@ object Extensions {
     *
     * Scale shape: each pair chain is its proven linear/blocked form;
     * the union is a distinct over pair-sized frames; the components
-    * run the q45 seeded label propagation with pointer jumping. */
+    * run the q45 large-star/small-star alternation. */
   def q232UnionDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
