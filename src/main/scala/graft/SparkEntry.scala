@@ -480,6 +480,28 @@ object SparkEntry {
     // UNION of all four blocking families' pair sets; the
     // per-document keeper verdict a dedup stage applies.
     "q232_union_dedup" -> (Extensions.q232UnionDedup _),
+    // q233: Gopher-style within-document repetition gate — top
+    // unigram/bigram shares and duplicate-trigram fraction in ppm,
+    // with the documented keep thresholds.
+    "q233_repetition_filter" -> ((s, d) =>
+      graft.operators.RepetitionFilter.repetitionQuery(s, d)),
+    // q234: deterministic content-hash sampling balancing the
+    // language strata — the reproducible class-balancing step.
+    "q234_balanced_sample" -> ((s, d) =>
+      graft.operators.Sampling.balancedSampleQuery(s, d)),
+    // q235: cross-document shared-span coverage (Lee et al. exact-
+    // substring dedup signal) — per-doc tokens covered by any
+    // 5-gram appearing verbatim in another document.
+    "q235_shared_spans" -> ((s, d) =>
+      graft.operators.RepetitionFilter.sharedSpanQuery(s, d)),
+    // q236: exact-budget largest-remainder quota manifest over the
+    // q200 temperature weights, filled by md5 rank per source.
+    "q236_quota_manifest" -> ((s, d) =>
+      graft.operators.Sampling.quotaManifestQuery(s, d)),
+    // q237: concat-and-split context-window assignment per source
+    // shard — start window, offset, span, split flag per document.
+    "q237_context_windows" -> ((s, d) =>
+      graft.operators.Packing.contextWindowsQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1710,6 +1732,16 @@ object SparkEntry {
          CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
            AS is_canonical
        FROM lab ORDER BY doc_id"""),
+    "q233_repetition_filter" ->
+      graft.operators.RepetitionFilter.repetitionOracleSql,
+    "q234_balanced_sample" ->
+      graft.operators.Sampling.balancedSampleOracleSql,
+    "q235_shared_spans" ->
+      graft.operators.RepetitionFilter.sharedSpanOracleSql,
+    "q236_quota_manifest" ->
+      graft.operators.Sampling.quotaManifestOracleSql,
+    "q237_context_windows" ->
+      graft.operators.Packing.contextWindowsOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

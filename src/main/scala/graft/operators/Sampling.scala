@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic content-hash sampling (q234) — the reproducibility
+  * primitive of a production training-data pipeline: sampling
+  * decisions must be a PURE FUNCTION of the document, not of RNG
+  * state, partition layout, or cluster size, so that re-running the
+  * pipeline (or re-running one partition after a failure) keeps
+  * exactly the same documents. The standard construction: a
+  * cryptographic digest of the content is read as a uniform draw in
+  * [0, 2^32) and compared against a per-stratum threshold.
+  *
+  * q234 balances the language strata: every stratum is downsampled to
+  * the size of the smallest one (rate_l = min_count / count_l), the
+  * class-balancing step before training on skewed multilingual
+  * corpora. The keep test compares the first 8 hex digits of
+  * md5(text) LEXICOGRAPHICALLY against the threshold rendered with
+  * %08x — both engines order lowercase-hex strings identically, so
+  * the decision is engine-portable without parsing hex into integers
+  * (which the two SQL dialects do differently).
+  *
+  * Scale shape: md5 + substring are scan-side codegen'd expressions;
+  * the stratum-count aggregate is a handful of rows broadcast back;
+  * the keep flag is one string compare per row. Linear, no shuffle of
+  * the corpus itself, deterministic under any partitioning.
+  */
+object Sampling {
+
+  /** 2^32 as the hash-space size; thresholds are capped at 2^32 - 1
+    * because %08x of 2^32 would be 9 digits and break the
+    * lexicographic compare (the min stratum then keeps everything
+    * except the single hash value 'ffffffff' — deterministic on both
+    * engines and vanishingly unlikely to matter). */
+  val HashSpace = 4294967296L
+  val HashCap = 4294967295L
+
+  def balancedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    balancedSample(Tables.documents(spark, dir))
+
+  def balancedSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("cnt")).as("mn"))))
+      .select(col("lang"),
+        format_string("%08x",
+          least(floor(col("mn") * HashSpace / col("cnt")).cast("long"),
+            lit(HashCap))).as("thr8"))
+    docs.select(col("doc_id"), col("lang"),
+        substring(md5(col("text")), 1, 8).as("h8"))
+      .join(broadcast(withMin), "lang")
+      .select(col("doc_id"), col("lang"), col("h8"),
+        when(col("h8") < col("thr8"), 1).otherwise(0).cast("int")
+          .as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB re-derivation: same md5 prefix, same %08x threshold
+    * rendering, same string compare. Integer floor division on
+    * nonnegative operands matches Spark's floor(). */
+  def balancedSampleOracleSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+       m AS (SELECT min(cnt) AS mn FROM c),
+       thr AS (SELECT lang,
+           printf('%08x', least(mn * $HashSpace // cnt, $HashCap)) AS thr8
+         FROM c, m)
+     SELECT d.doc_id, d.lang, substr(md5(d.text), 1, 8) AS h8,
+       CAST(CASE WHEN substr(md5(d.text), 1, 8) < t.thr8
+            THEN 1 ELSE 0 END AS INT) AS is_kept
+     FROM documents d JOIN thr t ON d.lang = t.lang
+     ORDER BY d.doc_id"""
+
+  /** q236: EXACT-BUDGET quota manifest — q200 computes temperature
+    * mixing weights; this spends them: a fixed document budget
+    * [[Budget]] is allocated across sources by LARGEST-REMAINDER
+    * apportionment (Hamilton's method) over the α=0.5 weights
+    * w_s = floor(sqrt(token_mass_s)), then each source's quota is
+    * filled by the md5-rank order of its documents. Every step is
+    * integer arithmetic or a hash rank, so the manifest — the exact
+    * document list a fixed-budget training mix would pull — is
+    * reproducible on any engine and any partitioning.
+    *
+    * Apportionment in integers: seats_s = B·w_s div W; the leftover
+    * B − Σ seats_s goes one each to the largest remainder NUMERATORS
+    * B·w_s − seats_s·W (ties by source id) — no fractions anywhere.
+    *
+    * Scale shape: the weight/seat table is |sources| rows computed
+    * from one tokenized aggregate and broadcast; the per-source fill
+    * is a rank-and-filter (top-quota-by-hash — a keyed TopK, not a
+    * global sort). */
+  val Budget = 100L
+
+  def quotaManifestQuery(spark: SparkSession, dir: String): DataFrame =
+    quotaManifest(Tables.documents(spark, dir))
+
+  def quotaManifest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_toks"))
+      .groupBy("source")
+      .agg(sum(col("n_toks")).as("mass"))
+      .withColumn("w", floor(sqrt(col("mass").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("w")).as("tw"))
+    val seats = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("w"), col("tw"),
+        expr(s"CAST($Budget * w AS DECIMAL(38,0)) div tw").cast("long")
+          .as("base"),
+        (lit(Budget) * col("w")
+          - expr(s"CAST($Budget * w AS DECIMAL(38,0)) div tw")
+            .cast("long") * col("tw")).as("rem_num"))
+    val extra = seats.agg((lit(Budget) - sum(col("base"))).as("extra"))
+    val quotas = seats.crossJoin(broadcast(extra))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem_num").desc, col("source").asc)))
+      .select(col("source"),
+        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .as("quota"))
+    val ranked = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+    ranked.join(broadcast(quotas), "source")
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"),
+        col("pick_rank").cast("int").as("pick_rank"),
+        col("quota").cast("long").as("quota"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB re-derivation of [[quotaManifest]] — identical integer
+    * apportionment and md5 rank order. The |sources|-row window in
+    * the quota CTE is driver-scale on both engines. */
+  def quotaManifestOracleSql: String = {
+    val ws = "\\s+"
+    s"""WITH per AS (SELECT source,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '$ws')))
+             AS BIGINT) AS mass
+         FROM documents GROUP BY 1),
+       w AS (SELECT source, CAST(floor(sqrt(mass)) AS BIGINT) AS w
+         FROM per),
+       g AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       seats AS (SELECT source, w, tw,
+           $Budget * w // tw AS base,
+           $Budget * w - ($Budget * w // tw) * tw AS rem_num
+         FROM w, g),
+       e AS (SELECT $Budget - sum(base) AS extra FROM seats),
+       q AS (SELECT source,
+           base + CASE WHEN row_number() OVER
+               (ORDER BY rem_num DESC, source ASC) <= extra
+             THEN 1 ELSE 0 END AS quota
+         FROM seats, e),
+       r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(text) ASC, doc_id ASC) AS pick_rank
+         FROM documents)
+     SELECT r.doc_id, r.source, CAST(r.pick_rank AS INT) AS pick_rank,
+       CAST(q.quota AS BIGINT) AS quota
+     FROM r JOIN q USING (source)
+     WHERE r.pick_rank <= q.quota
+     ORDER BY r.doc_id"""
+  }
+}
