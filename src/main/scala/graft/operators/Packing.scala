@@ -21,7 +21,10 @@ import graft.sources.Tables
   * sum is a keyed window Spark executes shard-parallel, where a
   * single global ordering would funnel the corpus through one
   * partition. q143 audits the padding arithmetic of the fixed-stride
-  * chunker; this is the cross-document packing map.
+  * chunker; q55 maps documents onto a single GLOBAL stream (whose
+  * total-order window is exactly the funnel this query avoids); this
+  * is the sharded packing map with the split-document accounting
+  * neither reports.
   */
 object Packing {
 

@@ -10,7 +10,11 @@ import graft.sources.Tables
   * documents dominated by one repeated token, phrase, or copied span
   * are low-quality training data even when their character-level
   * stats (q29) look fine. The reference has no analogue; this is
-  * beyond-parity LLM-pipeline surface.
+  * beyond-parity LLM-pipeline surface. q48 reports two raw signals
+  * of this family (duplicate-word fraction, top-bigram share); this
+  * is the full GATE: the top-unigram share and duplicate-trigram
+  * fraction q48 lacks, plus the thresholded keep verdict a curation
+  * pipeline actually branches on.
   *
   * Word-level formulation (the testdata corpus is single-line, so the
   * paper's duplicate-line/paragraph fractions are degenerate here;
@@ -141,7 +145,11 @@ object RepetitionFilter {
     * ≥ 2 distinct docs marks its K token positions covered; per doc,
     * report how many positions any shared span covers and the ppm
     * coverage — the per-document signal a span-removal or
-    * drop-document policy consumes.
+    * drop-document policy consumes. q71 charges duplicated spans per
+    * INSTANCE (how much duplicated mass exists); this measures
+    * POSITION coverage with overlapping spans unioned — the tokens
+    * that would actually be removed, which instance counts
+    * double-charge wherever duplicate windows overlap.
     *
     * Scale shape: grams are built scan-side from the token array
     * (start index carried in a struct — no position self-join), the

@@ -16,7 +16,14 @@ import graft.sources.Tables
   * q234 balances the language strata: every stratum is downsampled to
   * the size of the smallest one (rate_l = min_count / count_l), the
   * class-balancing step before training on skewed multilingual
-  * corpora. The keep test compares the first 8 hex digits of
+  * corpora. q59 draws the same balanced sample from a hash of the
+  * DOCUMENT ID; this one hashes the CONTENT, which survives the
+  * re-crawl/re-shard reality where ids are reassigned but text is
+  * not — the same document keeps the same verdict across corpus
+  * versions, which is what makes longitudinal ablations comparable.
+  * It also emits the full per-document verdict column rather than
+  * the kept rows only, so downstream stages can audit the rejected
+  * side without a second pass. The keep test compares the first 8 hex digits of
   * md5(text) LEXICOGRAPHICALLY against the threshold rendered with
   * %08x — both engines order lowercase-hex strings identically, so
   * the decision is engine-portable without parsing hex into integers
@@ -75,9 +82,14 @@ object Sampling {
   /** q236: EXACT-BUDGET quota manifest — q200 computes temperature
     * mixing weights; this spends them: a fixed document budget
     * [[Budget]] is allocated across sources by LARGEST-REMAINDER
-    * apportionment (Hamilton's method) over the α=0.5 weights
+    * apportionment (Hamilton's method, the q104 mechanism — q104
+    * apportions raw token mass per language and stops at the
+    * per-stratum NUMBERS; here the weights are the α=0.5 tempered
+    * masses and the output is the document MANIFEST) over
     * w_s = floor(sqrt(token_mass_s)), then each source's quota is
-    * filled by the md5-rank order of its documents. Every step is
+    * filled by the md5-rank order of its documents (q61 fills a
+    * FIXED per-stratum quota by a quality score; here the quotas
+    * themselves are the apportionment result). Every step is
     * integer arithmetic or a hash rank, so the manifest — the exact
     * document list a fixed-budget training mix would pull — is
     * reproducible on any engine and any partitioning.
