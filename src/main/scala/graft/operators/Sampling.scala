@@ -107,6 +107,30 @@ object Sampling {
   def quotaManifestQuery(spark: SparkSession, dir: String): DataFrame =
     quotaManifest(Tables.documents(spark, dir))
 
+  /** Hamilton (largest-remainder) apportionment of `budget` seats
+    * over a (source, w) weight frame — all-integer: floor quotas
+    * first, the leftover seats one each to the largest remainder
+    * NUMERATORS budget·w − base·W, ties by source. Each quota is
+    * floor or ceil of its exact share (property-tested). */
+  def apportion(weights: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = weights.agg(sum(col("w")).as("tw"))
+    val seats = weights.crossJoin(broadcast(tot))
+      .select(col("source"), col("w"), col("tw"),
+        expr(s"CAST($budget * w AS DECIMAL(38,0)) div tw").cast("long")
+          .as("base"),
+        (lit(budget) * col("w")
+          - expr(s"CAST($budget * w AS DECIMAL(38,0)) div tw")
+            .cast("long") * col("tw")).as("rem_num"))
+    val extra = seats.agg((lit(budget) - sum(col("base"))).as("extra"))
+    seats.crossJoin(broadcast(extra))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem_num").desc, col("source").asc)))
+      .select(col("source"),
+        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
   def quotaManifest(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = docs.select(col("source"),
@@ -115,21 +139,7 @@ object Sampling {
       .groupBy("source")
       .agg(sum(col("n_toks")).as("mass"))
       .withColumn("w", floor(sqrt(col("mass").cast("double"))).cast("long"))
-    val tot = per.agg(sum(col("w")).as("tw"))
-    val seats = per.crossJoin(broadcast(tot))
-      .select(col("source"), col("w"), col("tw"),
-        expr(s"CAST($Budget * w AS DECIMAL(38,0)) div tw").cast("long")
-          .as("base"),
-        (lit(Budget) * col("w")
-          - expr(s"CAST($Budget * w AS DECIMAL(38,0)) div tw")
-            .cast("long") * col("tw")).as("rem_num"))
-    val extra = seats.agg((lit(Budget) - sum(col("base"))).as("extra"))
-    val quotas = seats.crossJoin(broadcast(extra))
-      .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem_num").desc, col("source").asc)))
-      .select(col("source"),
-        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
-          .as("quota"))
+    val quotas = apportion(per.select(col("source"), col("w")), Budget)
     val ranked = docs.select(col("doc_id"), col("source"),
         md5(col("text")).as("h"))
       .withColumn("pick_rank", row_number().over(

@@ -660,4 +660,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), "bucket must be the portable hash:\n" +
       p.take(1500))
   }
+
+  test("q233/q235: n-grams are built scan-side (no adjacency join), " +
+    "the doc-keyed aggregates stay equi-joined") {
+    val p233 = planString(
+      graft.operators.RepetitionFilter.repetitionQuery(spark, sf0001))
+    assert(!p233.contains("CartesianProduct"), p233.take(1500))
+    assert(!p233.contains("BroadcastNestedLoopJoin"), p233.take(1500))
+    // grams come from transform() over the token array inside the
+    // projection — a position self-join would surface as an extra
+    // join on the gram side
+    assert(p233.contains("transform"), p233.take(1500))
+    val p235 = planString(
+      graft.operators.RepetitionFilter.sharedSpanQuery(spark, sf0001))
+    assert(!p235.contains("CartesianProduct"), p235.take(1500))
+    assert(p235.contains("transform"), p235.take(1500))
+  }
+
+  test("q234/q236: sampling thresholds and quotas attach by " +
+    "BROADCAST; the corpus is never shuffled for the verdict") {
+    val p234 = planString(
+      graft.operators.Sampling.balancedSampleQuery(spark, sf0001))
+    assert(p234.contains("BroadcastHashJoin"), p234.take(1500))
+    assert(!p234.contains("CartesianProduct"), p234.take(1500))
+    val p236 = planString(
+      graft.operators.Sampling.quotaManifestQuery(spark, sf0001))
+    assert(!p236.contains("CartesianProduct"), p236.take(1500))
+    // the rank window is per-source, never a global total order
+    assert(!p236.contains("Window [") ||
+      !p236.contains("No Partition Defined"), p236.take(1500))
+  }
+
+  test("q237: the packing running sum is a source-keyed window — " +
+    "one hash-partitioned exchange, no single-partition funnel") {
+    val p = planString(
+      graft.operators.Packing.contextWindowsQuery(spark, sf0001))
+    assert(p.contains("hashpartitioning(source"),
+      "the cumulative sum must partition by source:\n" + p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
 }

@@ -668,4 +668,63 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("largest-remainder apportionment: quotas sum to the budget and " +
+    "each is floor/ceil of its exact share, for random weights") {
+    val gen = for {
+      n <- Gen.choose(2, 9)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 500L))
+      budget <- Gen.choose(1L, 300L)
+    } yield (ws, budget)
+    forAll(gen, trials = 10) { case (ws, budget) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val weights = ws.zipWithIndex
+        .map { case (w, i) => (f"s$i%02d", w) }.toDF("source", "w")
+      val q = graft.operators.Sampling.apportion(weights, budget)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(q.values.sum == budget, s"ws=$ws budget=$budget got=$q")
+      val tw = ws.sum
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val exactFloor = budget * w / tw
+        val quota = q(f"s$i%02d")
+        assert(quota == exactFloor || quota == exactFloor + 1,
+          s"quota $quota outside [floor, ceil] of ${budget.toDouble * w / tw}")
+      }
+    }
+  }
+
+  test("context windows agree with a sequential per-source fold for " +
+    "random doc lengths") {
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      lens <- Gen.listOfN(n, Gen.choose(1, 300))
+      srcs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield lens.zip(srcs)
+    forAll(gen, trials = 8) { docsSpec =>
+      val spark2 = spark
+      import spark2.implicits._
+      val rows = docsSpec.zipWithIndex.map { case ((len, src), i) =>
+        (i.toLong, Seq.fill(len)("t").mkString(" "), src)
+      }
+      val got = graft.operators.Packing
+        .contextWindows(rows.toDF("doc_id", "text", "source"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+        .toMap
+      val c = graft.operators.Packing.ContextLen
+      val cums = collection.mutable.Map.empty[String, Long]
+      rows.foreach { case (id, text, src) =>
+        val n = text.split(" ").length.toLong
+        val cum = cums.getOrElse(src, 0L)
+        val first = cum / c
+        val last = (cum + n - 1) / c
+        assert(got(id) == ((first, cum % c, last - first + 1,
+          if (first != last) 1 else 0)),
+          s"doc $id (src=$src, n=$n, cum=$cum): got ${got(id)}")
+        cums(src) = cum + n
+      }
+    }
+  }
 }
