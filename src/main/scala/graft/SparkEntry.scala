@@ -502,6 +502,11 @@ object SparkEntry {
     // shard — start window, offset, span, split flag per document.
     "q237_context_windows" -> ((s, d) =>
       graft.operators.Packing.contextWindowsQuery(s, d)),
+    // q238: the STREAMING packer — per-source running offsets carried
+    // in keyed state across micro-batches; the batch q237 arithmetic
+    // is the oracle for the drained stream (q218/q229 discipline).
+    "q238_stream_packing" -> ((s, d) =>
+      graft.streaming.PackStream.streamPackingQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1741,6 +1746,10 @@ object SparkEntry {
     "q236_quota_manifest" ->
       graft.operators.Sampling.quotaManifestOracleSql,
     "q237_context_windows" ->
+      graft.operators.Packing.contextWindowsOracleSql,
+    // q238: the drained stateful stream must reproduce the batch
+    // packing arithmetic exactly — same oracle as q237.
+    "q238_stream_packing" ->
       graft.operators.Packing.contextWindowsOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,

@@ -66,6 +66,50 @@ object EventStream {
     }
   }
 
+  /** [[stageAndDrain]] with an ORDER CONTRACT: the caller's
+    * partitioning is preserved (no round-robin repartition — stage
+    * with repartitionByRange so file k holds the k-th key range), and
+    * each part file's mtime is pinned to its part number, because the
+    * file source replays files in TIMESTAMP order and parallel write
+    * tasks finish in arbitrary order — without the pin, "file order"
+    * is a race. This is the replayed-ingest-log shape a stateful
+    * order-sensitive operator (the q238 packer) needs; order-free
+    * drains (q218's dedup set) use [[stageAndDrain]]. */
+  def stageAndDrainOrdered(spark: SparkSession, staged: DataFrame,
+      dropSchema: StructType, dropFiles: Int, filesPerTrigger: Int,
+      prefix: String)(
+      attachSink: DataFrame => org.apache.spark.sql.streaming
+        .DataStreamWriter[org.apache.spark.sql.Row]): Long = {
+    val drop = graft.sources.Scratch.dir(spark, s"${prefix}_drop")
+    val ck = graft.sources.Scratch.dir(spark, s"${prefix}_ck")
+    staged.write.mode("overwrite").json(drop)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(drop))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    require(parts.length == dropFiles,
+      s"staging wrote ${parts.length} part files, expected $dropFiles " +
+        "(repartition the staged frame to dropFiles)")
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.setTimes(st.getPath, 1700000000000L + i * 1000L, -1L)
+    }
+    try {
+      val q = attachSink(
+          spark.readStream
+            .schema(dropSchema)
+            .option("maxFilesPerTrigger", filesPerTrigger.toString)
+            .json(drop))
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    } finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+  }
+
   /** File-source stream over a drop directory of JSONL files. */
   def readEventStream(spark: SparkSession, dropDir: String): DataFrame =
     spark.readStream
