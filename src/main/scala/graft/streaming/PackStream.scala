@@ -62,6 +62,25 @@ object PackStream {
       .toDF()
   }
 
+  /** Drain whatever is in the drop dir through the packer, then stop.
+    * The checkpoint carries BOTH the file-source progress and the
+    * per-source offset state, so a later invocation (a restarted
+    * job) continues the window numbering exactly where this one
+    * stopped — the recovery property PackStreamSpec drives with a
+    * two-phase drain. */
+  def packAvailableNow(spark: SparkSession, dropDir: String,
+      outDir: String, checkpointDir: String,
+      contextLen: Long = graft.operators.Packing.ContextLen): Unit = {
+    val q = packedDocs(DocStream.readDocStream(spark, dropDir), contextLen)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val PackDropFiles = 6
   val PackFilesPerTrigger = 2
 
