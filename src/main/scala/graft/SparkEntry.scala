@@ -507,6 +507,11 @@ object SparkEntry {
     // is the oracle for the drained stream (q218/q229 discipline).
     "q238_stream_packing" -> ((s, d) =>
       graft.streaming.PackStream.streamPackingQuery(s, d)),
+    // q239: per-source boilerplate coverage (the C4 repeated-lines
+    // rule) — grams occurring in a large fraction of one source's
+    // docs, and the per-doc token mass a strip would remove.
+    "q239_boilerplate" -> ((s, d) =>
+      graft.operators.RepetitionFilter.boilerplateQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1751,6 +1756,8 @@ object SparkEntry {
     // packing arithmetic exactly — same oracle as q237.
     "q238_stream_packing" ->
       graft.operators.Packing.contextWindowsOracleSql,
+    "q239_boilerplate" ->
+      graft.operators.RepetitionFilter.boilerplateOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -223,4 +223,115 @@ object RepetitionFilter {
      FROM t LEFT JOIN c2 USING (doc_id)
      ORDER BY t.doc_id"""
   }
+
+  /** q239 gram width. Boilerplate in a web corpus is line-sized
+    * (nav bars, cookie banners, license footers — the C4 "lines
+    * repeated across pages" rule, Raffel et al. 2020 §2.2); this
+    * corpus' synthetic docs have no line structure, so the unit is
+    * the narrowest content-bearing gram. At production K would be a
+    * full line hash — same plan, one key per line instead of per
+    * bigram. */
+  val BoilerK = 2
+
+  /** A gram must appear in at least this many distinct docs of its
+    * source to count as boilerplate... */
+  val BoilerMinDocs = 3
+
+  /** ...AND in at least this fraction (ppm) of the source's docs —
+    * the fraction is what makes the rule scale-invariant: a 3-doc
+    * coincidence in a million-doc source is noise, the same 3 docs
+    * out of 10 is a template. */
+  val BoilerFracE6 = 160000L
+
+  /** q239: per-SOURCE boilerplate coverage — the C4-style template
+    * detector. q235 flags spans shared across ANY two docs
+    * (memorization risk); boilerplate is the narrower, stronger
+    * signal: content repeated across a large FRACTION of one
+    * source's documents (headers, footers, injected banners), which
+    * a cleaning stage strips while leaving cross-source quotation
+    * alone. A gram is boilerplate for source S when it occurs in
+    * ≥ [[BoilerMinDocs]] distinct docs of S and in ≥ [[BoilerFracE6]]
+    * ppm of S's docs; per document, reports how many token positions
+    * source-boilerplate grams cover — the mass the strip would
+    * remove.
+    *
+    * Scale shape: grams build scan-side from the token array (start
+    * index carried in a struct, q235's pattern); the doc-frequency
+    * test is one (source, gram)-keyed aggregation joined to a
+    * source-sized doc-count frame (broadcast — one row per source);
+    * coverage explodes K positions per boilerplate occurrence only.
+    * Nothing quadratic, all shuffles on content keys. At 100 TB the
+    * gram key becomes xxhash64; string form registered so the oracle
+    * re-derives identical keys. */
+  def boilerplateQuery(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCoverage(Tables.documents(spark, dir))
+
+  /** [[boilerplateQuery]]'s core over any (doc_id, source, text). */
+  def boilerplateCoverage(docs: DataFrame): DataFrame = {
+    val k = BoilerK
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+    val joined = (0 until k).map(i => s"w[i + $i]").mkString(", ' ', ")
+    val grams = toks.select(col("doc_id"), col("source"),
+        explode(when(size(col("w")) >= k,
+          expr(s"transform(sequence(0, size(w) - $k), " +
+            s"i -> struct(i AS i, concat($joined) AS g))"))
+          .otherwise(expr("array()")
+            .cast("array<struct<i:int,g:string>>"))).as("s"))
+      .select(col("doc_id"), col("source"), col("s.i").as("i"),
+        col("s.g").as("g"))
+    val srcDocs = docs.groupBy("source")
+      .agg(count(lit(1)).as("src_docs"))
+    val boiler = grams.groupBy("source", "g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("nd") >= BoilerMinDocs)
+      .filter(expr(s"nd * 1000000 div src_docs >= $BoilerFracE6"))
+      .select("source", "g")
+    val covered = grams.join(boiler, Seq("source", "g"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${k - 1})")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        coalesce(col("covered"), lit(0L)).cast("long")
+          .as("boiler_tokens"),
+        expr("coalesce(covered, 0) * 1000000 div greatest(n_words, 1)")
+          .cast("long").as("boiler_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB re-derivation of [[boilerplateQuery]] — same gram unit,
+    * same two-condition threshold, integer div throughout. */
+  def boilerplateOracleSql: String = {
+    val ws = "\\s+"
+    val k = BoilerK
+    val cat = (1 to k).map(i => s"w[i + ${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, source,
+           string_split_regex(trim(text), '$ws') AS w FROM documents),
+       grams AS (SELECT doc_id, source, i, $cat AS g
+         FROM t, unnest(range(1, len(w) - ${k - 2})) AS r(i)),
+       sd AS (SELECT source, count(*) AS src_docs
+         FROM documents GROUP BY 1),
+       boiler AS (SELECT source, g FROM (
+           SELECT source, g, count(DISTINCT doc_id) AS nd
+           FROM grams GROUP BY 1, 2) b
+         JOIN sd USING (source)
+         WHERE nd >= $BoilerMinDocs
+           AND nd * 1000000 // src_docs >= $BoilerFracE6),
+       cov AS (SELECT DISTINCT doc_id, p
+         FROM grams JOIN boiler USING (source, g),
+           unnest(generate_series(i, i + ${k - 1})) AS s(p)),
+       c2 AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY 1)
+     SELECT t.doc_id, t.source, CAST(len(t.w) AS BIGINT) AS n_words,
+       CAST(coalesce(c2.covered, 0) AS BIGINT) AS boiler_tokens,
+       CAST(coalesce(c2.covered, 0) * 1000000
+         // greatest(len(t.w), 1) AS BIGINT) AS boiler_e6
+     FROM t LEFT JOIN c2 USING (doc_id)
+     ORDER BY t.doc_id"""
+  }
 }

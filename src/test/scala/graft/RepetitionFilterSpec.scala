@@ -80,4 +80,54 @@ class RepetitionFilterSpec extends SparkSpec {
     assert(kept > 0 && kept < rep.length,
       s"gate should split the corpus, kept=$kept of ${rep.length}")
   }
+
+  private def boiler(rows: (Long, String, String)*) =
+    RepetitionFilter.boilerplateCoverage(
+        rows.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  test("boilerplate: a gram in 3 of 4 source docs is stripped; " +
+    "2-doc overlap and other sources are not") {
+    val m = boiler(
+      // srcA: "hdr foo" in docs 1-3 (nd=3, 75% of 4 docs) -> boiler
+      (1L, "A", "hdr foo a b"),
+      (2L, "A", "hdr foo c d"),
+      (3L, "A", "x hdr foo e"),
+      (4L, "A", "p q r s"),
+      // srcB: shared by BOTH docs but nd=2 < BoilerMinDocs -> kept
+      (5L, "B", "dup pair x"),
+      (6L, "B", "dup pair y"))
+    assert(m(1L) == ((4L, 2L, 500000L)))
+    assert(m(2L) == ((4L, 2L, 500000L)))
+    assert(m(3L) == ((4L, 2L, 500000L)), "mid-doc position covered")
+    assert(m(4L) == ((4L, 0L, 0L)))
+    assert(m(5L)._2 == 0L && m(6L)._2 == 0L,
+      "two docs do not make a template")
+  }
+
+  test("boilerplate: the fraction condition bites — 3 docs out of 19 " +
+    "is under the 16% line") {
+    val fillers = (10L until 26L).map(i =>
+      (i, "C", s"u$i v$i w$i z$i"))
+    val m = boiler((Seq(
+      (7L, "C", "cc dd a1 b1"),
+      (8L, "C", "cc dd a2 b2"),
+      (9L, "C", "cc dd a3 b3")) ++ fillers): _*)
+    // nd=3 passes min-docs but 3/19 = 157894 ppm < 160000 -> excluded
+    assert(m.values.forall(_._2 == 0L), s"expected no boilerplate: $m")
+  }
+
+  test("boilerplate: overlapping gram hits union their positions") {
+    // "m m m": bigram "m m" at offsets 0 and 1 in all 3 docs of the
+    // source -> covered positions {0,1,2} = 3 tokens, not 4
+    val m = boiler(
+      (1L, "D", "m m m q"),
+      (2L, "D", "m m m r"),
+      (3L, "D", "m m m s"))
+    assert(m(1L) == ((4L, 3L, 750000L)))
+    assert(m(2L) == ((4L, 3L, 750000L)))
+    assert(m(3L) == ((4L, 3L, 750000L)))
+  }
 }
