@@ -512,6 +512,11 @@ object SparkEntry {
     // docs, and the per-doc token mass a strip would remove.
     "q239_boilerplate" -> ((s, d) =>
       graft.operators.RepetitionFilter.boilerplateQuery(s, d)),
+    // q240: the bucketed co-located join driven write→catalog→
+    // bucketed-read→merge-join→aggregate; the shuffle-elision layout
+    // discipline as an oracle-checked round-trip (q170's pattern).
+    "q240_bucketed_join" -> ((s, d) =>
+      graft.operators.JoinStrategies.bucketedRevenueQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1758,6 +1763,8 @@ object SparkEntry {
       graft.operators.Packing.contextWindowsOracleSql,
     "q239_boilerplate" ->
       graft.operators.RepetitionFilter.boilerplateOracleSql,
+    "q240_bucketed_join" ->
+      graft.operators.JoinStrategies.bucketedRevenueOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

@@ -461,4 +461,65 @@ object JoinStrategies {
             // ex.exact_f2 AS BIGINT) AS abs_err_e6
      FROM ests, ex, med ORDER BY r"""
   }
+
+  /** q240 bucket count. At 100 TB this is sized so one bucket of the
+    * LARGER table fits an executor's shuffle-free merge (thousands);
+    * 8 keeps the sf-scale files non-degenerate. */
+  val BucketCount = 8
+
+  /** q240: the bucketed co-located join as an ORACLE-CHECKED
+    * round-trip — [[writeBucketed]]'s layout discipline driven end to
+    * end: both fact tables written bucketed+sorted by their join key
+    * into the catalog, read back through the bucketed scan, joined,
+    * and aggregated. The join itself plans with NO exchange on either
+    * side (the property JoinStrategiesSpec pins on the physical
+    * plan); what the DuckDB hash-match adds is that the write→
+    * catalog→bucketed-read→merge-join path loses and duplicates
+    * nothing — q170's sink-round-trip discipline applied to the
+    * layout operator that matters most at 100 TB, where the shuffle
+    * this elides IS the cost of a repeated fact⋈fact join.
+    *
+    * The aggregate after the join shuffles priority-sized groups —
+    * five rows; the join's o(|lineitem|) shuffle is the one that
+    * matters and it is gone. */
+  def bucketedRevenueQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val loc = graft.sources.Scratch.dirOutliving(spark, "q240_buckets")
+    def sink(df: DataFrame, name: String, key: String): Unit =
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(BucketCount, key).sortBy(key)
+        .option("path", s"$loc/$name").saveAsTable(name)
+    sink(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      "graft_q240_orders", "o_orderkey")
+    sink(Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+      "graft_q240_lineitem", "l_orderkey")
+    bucketedRevenue(spark)
+  }
+
+  /** The read-back half of [[bucketedRevenueQuery]] — separated so a
+    * spec can inspect the join plan over the already-written tables. */
+  def bucketedRevenue(spark: SparkSession): DataFrame =
+    spark.table("graft_q240_orders")
+      .join(spark.table("graft_q240_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"),
+        OlapOps.decSumCents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue_cents"))
+      .orderBy("o_orderpriority")
+
+  /** DuckDB oracle for [[bucketedRevenueQuery]] — the same join and
+    * aggregate over the ORIGINAL parquet: bucketing must be pure
+    * layout, invisible in the result. */
+  def bucketedRevenueOracleSql: String =
+    """SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+              AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS revenue_cents
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY 1 ORDER BY 1"""
 }

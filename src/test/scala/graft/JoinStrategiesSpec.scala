@@ -98,6 +98,43 @@ class JoinStrategiesSpec extends SparkSpec {
     }
   }
 
+  test("q240 round-trip: bucketed join aggregate equals the plain-" +
+    "parquet aggregate, and the join plans with no join-key exchange") {
+    try {
+      val got = JoinStrategies.bucketedRevenueQuery(spark, sf0001)
+        .collect().toSeq
+      val want = Tables.orders(spark, sf0001)
+        .join(Tables.lineitem(spark, sf0001),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"),
+          (round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,10)")), 2) * 100).cast("long")
+            .as("revenue_cents"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(got == want)
+      // the join sub-plan over the bucketed tables: no shuffle on
+      // either join key (the groupBy's 5-row exchange is the only one
+      // allowed in the full query)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val p = JoinStrategies.bucketedRevenue(spark)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p)
+        assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+          !p.contains("Exchange hashpartitioning(l_orderkey"),
+          "bucketed layout must elide the join shuffle:\n" + p)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q240_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_q240_lineitem")
+    }
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     val li = Tables.lineitem(spark, sf0001)
     val or = Tables.orders(spark, sf0001)
