@@ -517,6 +517,14 @@ object SparkEntry {
     // discipline as an oracle-checked round-trip (q170's pattern).
     "q240_bucketed_join" -> ((s, d) =>
       graft.operators.JoinStrategies.bucketedRevenueQuery(s, d)),
+    // q241: Zipf rank-frequency constancy by decimal-magnitude rank
+    // band — the corpus-mix diagnostic (flat mean rank×freq = Zipfian).
+    "q241_zipf_bands" -> ((s, d) =>
+      graft.operators.TextAnalysis.zipfQuery(s, d)),
+    // q242: Heaps-law vocabulary growth per corpus decile — one
+    // first-occurrence pass, not ten prefix distincts.
+    "q242_heaps_growth" -> ((s, d) =>
+      graft.operators.TextAnalysis.heapsQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1765,6 +1773,10 @@ object SparkEntry {
       graft.operators.RepetitionFilter.boilerplateOracleSql,
     "q240_bucketed_join" ->
       graft.operators.JoinStrategies.bucketedRevenueOracleSql,
+    "q241_zipf_bands" ->
+      graft.operators.TextAnalysis.zipfOracleSql,
+    "q242_heaps_growth" ->
+      graft.operators.TextAnalysis.heapsOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

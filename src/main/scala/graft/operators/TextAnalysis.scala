@@ -695,4 +695,129 @@ object TextAnalysis {
      SELECT ne.w1, ne.w2, CAST(ne.k AS INT) AS k, vocab.term AS neg_term
      FROM ne JOIN vocab ON vocab.vocab_id = ne.neg_vid
      ORDER BY w1, w2, k"""
+
+  /** q241: Zipf rank-frequency diagnostic — Zipf's law predicts
+    * rank × frequency ≈ constant across the vocabulary; a corpus
+    * whose curve breaks that shape (a too-flat head = boilerplate
+    * flooding; a truncated tail = template text) is mis-mixed before
+    * any model sees it. Terms are ranked by (count DESC, term ASC)
+    * and grouped into decimal-magnitude bands (rank 1-9, 10-99, …:
+    * `length(CAST(rank AS VARCHAR))` — the only log-bucketing that is
+    * bit-identical in every engine, where floor(log(x)) inherits libm
+    * rounding); per band, the mean rank×frequency product and the
+    * band's token share. Flat mean_rank_freq across bands = Zipfian.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the token
+    * stream builds the frequency table; everything after runs on the
+    * VOCABULARY (orders of magnitude below the corpus — the rank
+    * window is single-partition but vocabulary-sized, the q68
+    * precedent). */
+  def zipfQuery(spark: SparkSession, dir: String): DataFrame =
+    zipfBands(Tables.documents(spark, dir))
+
+  /** [[zipfQuery]]'s core over any frame with a `text` column. */
+  def zipfBands(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = tf.withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term").asc))
+        .cast("long"))
+    val tot = tf.agg(sum(col("cnt")).as("t"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(length(col("rank").cast("string")).cast("int").as("band"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        min(col("rank")).cast("long").as("rank_lo"),
+        max(col("rank")).cast("long").as("rank_hi"),
+        sum(col("cnt")).cast("long").as("band_tokens"),
+        expr("sum(rank * cnt) div count(1)").cast("long")
+          .as("mean_rank_freq"),
+        expr("sum(cnt) * 1000000 div first(t)").cast("long")
+          .as("share_e6"))
+      .orderBy("band")
+  }
+
+  /** DuckDB oracle for [[zipfQuery]] — same rank order, same decimal
+    * bands, integer div throughout. */
+  def zipfOracleSql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)),
+           '\s+')) AS term FROM documents),
+       tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+       rk AS (SELECT term, cnt,
+           row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM tf),
+       tot AS (SELECT sum(cnt) AS t FROM tf)
+     SELECT CAST(length(CAST(rank AS VARCHAR)) AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(min(rank) AS BIGINT) AS rank_lo,
+       CAST(max(rank) AS BIGINT) AS rank_hi,
+       CAST(sum(cnt) AS BIGINT) AS band_tokens,
+       CAST(sum(rank * cnt) // count(*) AS BIGINT) AS mean_rank_freq,
+       CAST(sum(cnt) * 1000000 // t AS BIGINT) AS share_e6
+     FROM rk, tot GROUP BY 1, t ORDER BY 1"""
+
+  /** q242: Heaps-law vocabulary growth — V(n) ≈ K·n^β: how fast the
+    * vocabulary grows as the corpus accumulates tells a pipeline
+    * whether more data still buys new content (β holding) or the
+    * crawl has saturated its sources (curve flattening early — the
+    * di-minishing-returns signal a data-acquisition loop acts on).
+    * Documents accumulate in doc_id order; per decile of the corpus,
+    * the cumulative token count and cumulative distinct vocabulary.
+    *
+    * Scale shape: "first time a term appears" is min(doc_id) per term
+    * — one token-keyed aggregation, no distinct-per-prefix recompute
+    * (the naive form is 10 distincts over growing prefixes; this is
+    * ONE pass + a doc-count-sized running sum). The running windows
+    * order by doc_id over the per-DOC frame (corpus/40-ish rows), not
+    * the token stream. */
+  def heapsQuery(spark: SparkSession, dir: String): DataFrame =
+    heapsGrowth(Tables.documents(spark, dir))
+
+  /** [[heapsQuery]]'s core over any (doc_id, text) frame. */
+  def heapsGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val newPerDoc = toks.groupBy("term").agg(min("doc_id").as("fd"))
+      .groupBy(col("fd").as("doc_id"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy("doc_id")
+    val run = perDoc.join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("tok_cum", sum("n_tok").over(w))
+      .withColumn("voc_cum", sum("new_terms").over(w))
+    val nd = perDoc.agg(count(lit(1)).as("nd"))
+    run.crossJoin(broadcast(nd))
+      .groupBy(expr("(rn - 1) * 10 div nd + 1").cast("int").as("decile"))
+      .agg(max(col("rn")).cast("long").as("docs"),
+        max(col("tok_cum")).cast("long").as("tokens_cum"),
+        max(col("voc_cum")).cast("long").as("vocab_cum"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB oracle for [[heapsQuery]] — same first-occurrence
+    * formulation, same decile arithmetic. */
+  def heapsOracleSql: String =
+    """WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)),
+           '\s+') AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+       pd AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+       fd AS (SELECT term, min(doc_id) AS fdoc FROM tok GROUP BY 1),
+       nw AS (SELECT fdoc AS doc_id, count(*) AS new_terms
+              FROM fd GROUP BY 1),
+       o AS (SELECT pd.doc_id, n_tok, coalesce(new_terms, 0) AS nt,
+           row_number() OVER (ORDER BY pd.doc_id) AS rn,
+           sum(n_tok) OVER (ORDER BY pd.doc_id) AS tok_cum,
+           sum(coalesce(new_terms, 0)) OVER (ORDER BY pd.doc_id)
+             AS voc_cum
+         FROM pd LEFT JOIN nw USING (doc_id)),
+       n AS (SELECT count(*) AS nd FROM pd)
+     SELECT CAST((rn - 1) * 10 // nd + 1 AS INT) AS decile,
+       CAST(max(rn) AS BIGINT) AS docs,
+       CAST(max(tok_cum) AS BIGINT) AS tokens_cum,
+       CAST(max(voc_cum) AS BIGINT) AS vocab_cum
+     FROM o, n GROUP BY 1 ORDER BY 1"""
 }

@@ -264,4 +264,30 @@ class TextAnalysisSpec extends SparkSpec {
     val (hi, lo) = Analytics.topAndBottomK(li, "l_extendedprice", "l_orderkey", 3)
     assert(hi.count() == 3 && lo.count() == 3)
   }
+
+  test("zipf bands: hand-computed ranks, bands, and products") {
+    // a(3) + t1..t11 once each: rank 1 = a, ranks 2-12 = t-terms in
+    // STRING order (t1, t10, t11, t2, ..., t9) — band 1 holds ranks
+    // 1-9, band 2 ranks 10-12
+    val text = "a a a " + (1 to 11).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.zipfBands(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // band 1: 9 terms, tokens 3+8, mean = (1*3 + 2+..+9) div 9 = 5
+    assert(out(1) == ((9L, 1L, 9L, 11L, 5L, 785714L)))
+    // band 2: ranks 10-12, mean = 33 div 3 = 11
+    assert(out(2) == ((3L, 10L, 12L, 3L, 11L, 214285L)))
+  }
+
+  test("heaps growth: cumulative vocab counts new terms once") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "c a"), (4L, "d d"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.heapsGrowth(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 docs land in deciles 1, 3, 6, 8; vocab grows 2, 3, 3, 4
+    assert(rows.toSeq == Seq(
+      (1, 1L, 2L, 2L), (3, 2L, 4L, 3L), (6, 3L, 6L, 3L), (8, 4L, 8L, 4L)))
+  }
 }
