@@ -525,6 +525,19 @@ object SparkEntry {
     // first-occurrence pass, not ten prefix distincts.
     "q242_heaps_growth" -> ((s, d) =>
       graft.operators.TextAnalysis.heapsQuery(s, d)),
+    // q243: watermark LATE-DATA accounting — three staged arrival
+    // waves with deterministic stragglers; the oracle replays the
+    // accept/late-drop/close-emit lifecycle from the batch table
+    // (the one streaming semantic q145/q218/q229/q238 never late).
+    "q243_late_audit" -> ((s, d) =>
+      graft.streaming.LateStream.lateAuditQuery(s, d)),
+    // q244: the BUILT-IN session_window operator (state-store-backed
+    // gap sessions, touch-merge boundary, end = last + gap) drained
+    // across a two-wave split so sessions must merge across batches;
+    // the custom flatMapGroupsWithState sessionizer (q46 twin) covers
+    // the beyond-gap semantics, this covers the engine-native path.
+    "q244_session_window" -> ((s, d) =>
+      graft.streaming.SessionStream.sessionWindowQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1777,6 +1790,15 @@ object SparkEntry {
       graft.operators.TextAnalysis.zipfOracleSql,
     "q242_heaps_growth" ->
       graft.operators.TextAnalysis.heapsOracleSql,
+    // q243: the watermark lifecycle replayed in SQL — per-wave max
+    // event time, drop-late against prior waves' watermark, emit
+    // against the final watermark.
+    "q243_late_audit" ->
+      graft.streaming.LateStream.lateAuditOracleSql,
+    // q244: inclusive-gap sessions per user, end = last + gap,
+    // emitted iff closed by the final watermark.
+    "q244_session_window" ->
+      graft.streaming.SessionStream.sessionWindowOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

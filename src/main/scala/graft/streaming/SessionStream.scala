@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Built-in `session_window` sessionization (q244) — the Spark-native
+  * counterpart to [[EventSessionizer]]'s custom
+  * `flatMapGroupsWithState` loop. The custom operator earns its keep
+  * where semantics go beyond gaps (q46's value-sum carry, funnel
+  * stages); for PLAIN gap sessions the engine's own operator is what
+  * a 100 TB deployment should run: state lives in the state store
+  * with per-key session merging handled by
+  * `MergingSessionsExec`/`SessionWindowStateStoreSaveExec`, no
+  * user-code row loop, and the same dual-watermark lifecycle q243
+  * certified for tumbling windows.
+  *
+  * Two semantics pinned here and in the oracle (both measured before
+  * the oracle was written — StreamingSpec has the boundary cases):
+  *
+  *  1. **The merge boundary is INCLUSIVE.** Per-event windows
+  *     `[ts, ts + gap)` merge when they overlap OR TOUCH, so an event
+  *     arriving exactly `gap` after the last one still extends the
+  *     session — the same `diff <= gap` rule
+  *     `Sessionize.sessionsFromMs`/[[EventSessionizer.advance]] use,
+  *     which is what lets q46's custom sessionizer and this operator
+  *     share a definition of "session".
+  *  2. **The session end is `last + gap`,** not the last event time —
+  *     the merged window's upper bound, which is also what the
+  *     watermark eviction compares against.
+  *
+  * Arrival schedule: two waves split at the median event time, files
+  * mtime-pinned so the stream sees them in event-time order — no
+  * stragglers; the claim under test is cross-batch SESSION MERGING
+  * (wave-0 leaves thousands of open sessions in the state store;
+  * wave-1 must extend them, not restart them) plus close-and-emit
+  * against the final watermark. Lateness/drop semantics are q243's
+  * claim; this query holds them at zero by construction.
+  *
+  * Tie-safety: event times are floored to the second, so session ends
+  * (`last + gap`, gap a whole second) sit at .000 ms while the
+  * watermark (`max - horizon`, horizon 600.5 s) sits at .500 ms —
+  * eviction comparisons can never tie. Merge comparisons CAN tie
+  * (whole-second diffs vs a whole-second gap) — that is deliberate,
+  * and both engines apply the same inclusive rule to identical
+  * integers.
+  */
+object SessionStream {
+
+  /** Session gap (30 min) in ms. */
+  val SessGapMs: Long = 1800000L
+
+  /** Watermark horizon: 600.5 s — the .5 offsets every eviction
+    * comparison away from the whole-second session ends. */
+  val SessHorizonMs: Long = 600500L
+
+  val sessSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType)))
+
+  /** The aggregate under test: per-user gap sessions via the built-in
+    * `session_window`, counting events per session. */
+  def sessionCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", s"$SessHorizonMs milliseconds")
+      .groupBy(session_window(col("ts"), s"${SessGapMs / 1000} seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("sess_start_ms"),
+        unix_millis(col("session_window.end")).as("sess_end_ms"),
+        col("n"))
+
+  /** q244: stage events in two median-split waves, drain through
+    * [[sessionCounts]], return the emitted (closed) sessions. */
+  def sessionWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q244_sunk")
+    val drop = graft.sources.Scratch.dir(spark, "q244_drop")
+    val ck = graft.sources.Scratch.dir(spark, "q244_ck")
+    val staged = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+      .withColumn("wave",
+        (ntile(2).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
+      .localCheckpoint() // one schedule build, two filtered writes
+    val fs = new Path(drop)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 1).foreach { k =>
+      val tmp = s"$drop/_w$k"
+      staged.filter(col("wave") === k)
+        .select("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val target = new Path(s"$drop/wave$k.json")
+      fs.rename(part, target)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
+    }
+    try {
+      val q = sessionCounts(
+          spark.readStream.schema(sessSchema)
+            .option("maxFilesPerTrigger", "1").json(drop))
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == 2,
+        s"q244 staged 2 wave files but streamed $batches micro-batches")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      require(dropped == 0,
+        s"q244's in-order schedule must never drop rows, saw $dropped")
+    } finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+    spark.read.parquet(sunk)
+      .select(col("user_id").cast("long"),
+        col("sess_start_ms").cast("long"),
+        col("sess_end_ms").cast("long"), col("n").cast("long"))
+      .orderBy("user_id", "sess_start_ms")
+  }
+
+  /** DuckDB oracle for [[sessionWindowQuery]]: inclusive-gap sessions
+    * per user over second-floored times, session end = last + gap,
+    * emitted iff the end has passed the final watermark
+    * (max - horizon). */
+  def sessionWindowOracleSql: String =
+    s"""WITH e AS (SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ms
+         FROM events),
+       d AS (SELECT user_id, ms,
+           CASE WHEN ms - lag(ms) OVER
+               (PARTITION BY user_id ORDER BY ms) <= $SessGapMs
+             THEN 0 ELSE 1 END AS brk
+         FROM e),
+       s AS (SELECT user_id, ms,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM d),
+       g AS (SELECT user_id, min(ms) AS sess_start_ms,
+           max(ms) + $SessGapMs AS sess_end_ms,
+           CAST(count(*) AS BIGINT) AS n
+         FROM s GROUP BY user_id, sid),
+       fin AS (SELECT max(ms) - $SessHorizonMs AS fwm FROM e)
+     SELECT user_id, sess_start_ms, sess_end_ms, n
+     FROM g, fin WHERE sess_end_ms <= fwm
+     ORDER BY user_id, sess_start_ms"""
+}

@@ -408,6 +408,103 @@ class StreamingSpec extends SparkSpec {
       "sessions over the sunk table must equal sessions over raw events")
   }
 
+  test("dual watermark: one-wave-late merges, two-waves-late drops") {
+    import graft.streaming.LateStream
+    import org.apache.spark.sql.streaming.Trigger
+    val drop = tmpDir("late_drop")
+    val out = tmpDir("late_out")
+    val ckpt = tmpDir("late_ckpt")
+    def ev(id: Int, ts: String) =
+      s"""{"event_id":$id,"ts":"2024-01-01T$ts:00Z","event_type":"click"}"""
+    // horizon = 10 min, window = 1 h.
+    // wave 0: 01:00 row opens window [01,02); 02:30 max -> wm1 = 02:20
+    // wave 1: 01:10 is ONE wave late (window end 02:00 < wm1) but the
+    //         late filter in batch 1 uses wm0 = -inf -> MERGES;
+    //         05:00 max -> wm2 = 04:50
+    // wave 2: 01:20 is TWO waves late — batch 2's late filter uses
+    //         wm1 = 02:20 > window end 02:00 -> DROPPED;
+    //         09:00 pushes the final watermark to 08:50
+    val waves = Seq(
+      Seq(ev(1, "01:00"), ev(2, "02:30")),
+      Seq(ev(3, "01:10"), ev(4, "05:00")),
+      Seq(ev(5, "01:20"), ev(6, "09:00")))
+    waves.zipWithIndex.foreach { case (lines, k) =>
+      writeDrop(drop, s"wave$k.json", lines)
+      Files.setLastModifiedTime(Paths.get(drop, s"wave$k.json"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 1000L))
+    }
+    val q = LateStream.windowedCounts(
+        spark.readStream.schema(LateStream.lateSchema)
+          .option("maxFilesPerTrigger", "1").json(drop))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1, s"exactly the two-waves-late row drops: $dropped")
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hour = 3600000L
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .toEpochMilli
+    // [01,02): wave-0 row + merged one-wave-late row, NOT the dropped
+    // two-waves-late row; [02,03) and [05,06) close under the final
+    // 08:50 watermark; [09,10) stays open and is never emitted.
+    assert(got == Map(
+      base + 1 * hour -> 2L,
+      base + 2 * hour -> 1L,
+      base + 5 * hour -> 1L), s"emitted windows diverge: $got")
+  }
+
+  test("session_window: touch-merge gap boundary, cross-batch session merge") {
+    import graft.streaming.SessionStream
+    import org.apache.spark.sql.streaming.Trigger
+    val drop = tmpDir("sess_drop")
+    val out = tmpDir("sess_out")
+    val ckpt = tmpDir("sess_ckpt")
+    def ev(id: Int, user: Int, ts: String) =
+      s"""{"event_id":$id,"user_id":$user,"ts":"2024-01-01T$ts:00Z"}"""
+    // gap = 30 min. user 1: events exactly 30 min apart -> the
+    // windows [01:00,01:30) and [01:30,02:00) TOUCH and session
+    // windows merge on touch (inclusive boundary — measured, and what
+    // this test pins); user 2: 29 min apart -> one session; user 3:
+    // wave-0 event extended by a wave-1 event 10 min later -> the
+    // open session must MERGE across batches.
+    writeDrop(drop, "wave0.json", Seq(
+      ev(1, 1, "01:00"), ev(2, 1, "01:30"),
+      ev(3, 2, "01:00"), ev(4, 2, "01:29"),
+      ev(5, 3, "02:50")))
+    writeDrop(drop, "wave1.json", Seq(
+      ev(6, 3, "03:00"),
+      ev(7, 9, "12:00"))) // watermark pusher closes everything above
+    Seq("wave0.json", "wave1.json").zipWithIndex.foreach { case (f, k) =>
+      Files.setLastModifiedTime(Paths.get(drop, f),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 1000L))
+    }
+    val q = SessionStream.sessionCounts(
+        spark.readStream.schema(SessionStream.sessSchema)
+          .option("maxFilesPerTrigger", "1").json(drop))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def m(min: Int) = base + min * 60000L
+    assert(got == Set(
+      (1L, m(60), m(120), 2L),  // exactly-gap windows touch -> merge
+      (2L, m(60), m(119), 2L),  // 29 min merges; end = last + gap
+      (3L, m(170), m(210), 2L)  // merged across the two micro-batches
+    ), s"sessions diverge: $got")
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
