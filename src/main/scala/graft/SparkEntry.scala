@@ -538,6 +538,12 @@ object SparkEntry {
     // the beyond-gap semantics, this covers the engine-native path.
     "q244_session_window" -> ((s, d) =>
       graft.streaming.SessionStream.sessionWindowQuery(s, d)),
+    // q245: single-pass piggybacked QC metrics — gate → observe →
+    // parquet write in ONE action; the returned row is what the
+    // write's own tasks accumulated (CollectMetricsExec), no second
+    // scan. The oracle recomputes the aggregates the expensive way.
+    "q245_observed_qc" -> ((s, d) =>
+      graft.quality.ObservedMetrics.observedWriteQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1799,6 +1805,8 @@ object SparkEntry {
     // emitted iff closed by the final watermark.
     "q244_session_window" ->
       graft.streaming.SessionStream.sessionWindowOracleSql,
+    "q245_observed_qc" ->
+      graft.quality.ObservedMetrics.observedWriteOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->
