@@ -544,6 +544,12 @@ object SparkEntry {
     // scan. The oracle recomputes the aggregates the expensive way.
     "q245_observed_qc" -> ((s, d) =>
       graft.quality.ObservedMetrics.observedWriteQuery(s, d)),
+    // q246: per-user power-of-two milestone crossings via the Spark 4
+    // transformWithState API on the RocksDB state store — named state
+    // primitives instead of one encoded blob per key, the state
+    // backend that survives keyed state larger than executor memory.
+    "q246_milestones" -> ((s, d) =>
+      graft.streaming.MilestoneStream.milestoneQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1807,6 +1813,10 @@ object SparkEntry {
       graft.streaming.SessionStream.sessionWindowOracleSql,
     "q245_observed_qc" ->
       graft.quality.ObservedMetrics.observedWriteOracleSql,
+    // q246: per-user row_number over (ms, event_id) kept at powers of
+    // two — any lost or double-counted row across batches breaks it.
+    "q246_milestones" ->
+      graft.streaming.MilestoneStream.milestoneOracleSql,
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

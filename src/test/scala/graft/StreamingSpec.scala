@@ -505,6 +505,54 @@ class StreamingSpec extends SparkSpec {
     ), s"sessions diverge: $got")
   }
 
+  test("transformWithState milestones: exactly-once crossings across batches") {
+    import graft.streaming.MilestoneStream
+    import org.apache.spark.sql.streaming.Trigger
+    val drop = tmpDir("ms_drop")
+    val out = tmpDir("ms_out")
+    val ckpt = tmpDir("ms_ckpt")
+    def ev(id: Int, user: Int, min: Int) =
+      s"""{"event_id":$id,"user_id":$user,"ts":"2024-01-01T${"%02d".format(min / 60)}:${"%02d".format(min % 60)}:00Z"}"""
+    // user 1: 3 events in wave 0, 2 in wave 1 — the 4th-event
+    // crossing must fire in batch 1 from carried count=3, and only
+    // once; user 2: single event (milestone 1 only).
+    writeDrop(drop, "wave0.json", Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), ev(10, 2, 15)))
+    writeDrop(drop, "wave1.json", Seq(
+      ev(4, 1, 30), ev(5, 1, 40)))
+    Seq("wave0.json", "wave1.json").zipWithIndex.foreach { case (f, k) =>
+      Files.setLastModifiedTime(Paths.get(drop, f),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 1000L))
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val q = MilestoneStream.milestones(spark,
+          spark.readStream.schema(MilestoneStream.milestoneSchema)
+            .option("maxFilesPerTrigger", "1").json(drop))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("milestone_n"),
+        r.getAs[Long]("at_ms"))).toSet
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def m(min: Int) = base + min * 60000L
+    assert(got == Set(
+      (1L, 1L, m(0)), (1L, 2L, m(10)), (1L, 4L, m(30)),
+      (2L, 1L, m(15))), s"milestones diverge: $got")
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
