@@ -550,6 +550,9 @@ object SparkEntry {
     // backend that survives keyed state larger than executor memory.
     "q246_milestones" -> ((s, d) =>
       graft.streaming.MilestoneStream.milestoneQuery(s, d)),
+    // q247: the ORC sink + pushdown read-back (q170's round-trip
+    // discipline on the second columnar format).
+    "q247_orc_roundtrip" -> (Extensions.q247OrcRoundtrip _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1817,6 +1820,14 @@ object SparkEntry {
     // two — any lost or double-counted row across batches breaks it.
     "q246_milestones" ->
       graft.streaming.MilestoneStream.milestoneOracleSql,
+    // the oracle filters+aggregates the ORIGINAL lineitem; the Spark
+    // side filters its ORC round-trip through pushed predicates.
+    "q247_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS total_cents
+         FROM lineitem WHERE l_quantity >= 25.0
+         GROUP BY 1 ORDER BY 1""",
     "q205_centroid_drift" ->
       graft.operators.Similarity.centroidDriftOracleSql,
     "q206_emd_drift" ->

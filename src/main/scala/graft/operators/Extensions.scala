@@ -705,6 +705,28 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** q247: the ORC sink + predicate-pushdown read-back under oracle
+    * check — the second columnar format a 100 TB estate actually
+    * contains next to parquet (q170's round-trip discipline applied
+    * to the other on-disk layout). The read-back FILTERS on
+    * `l_quantity`, which the ORC reader serves from stripe/row-group
+    * statistics — OrcSinkSpec pins `PushedFilters` in the scan — so
+    * equality against DuckDB's aggregate over the ORIGINAL parquet
+    * certifies type round-trip (longs, doubles, strings, date-ints)
+    * AND that the pushed predicate selects exactly the right rows. */
+  def q247OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.sources.Scratch.dirOutliving(s, "q247_orc")
+    Tables.lineitem(s, d)
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("l_quantity") >= 25.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_orderkey")).cast("long").as("key_sum"),
+        OlapOps.decSumCents(col("l_extendedprice")).as("total_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** q171: the JSON doc sink + schema'd load under oracle check
     * (S9/S10, previously unit-only): documents written as JSON lines,
     * read back with the declared schema, aggregated per language. The

@@ -699,4 +699,13 @@ class PlanSpec extends SparkSpec {
       "the cumulative sum must partition by source:\n" + p.take(2000))
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
+
+  test("q247: the ORC read-back pushes the quantity predicate into " +
+    "the scan (stripe statistics serve it, not a post-filter)") {
+    val p = planString(
+      graft.operators.Extensions.q247OrcRoundtrip(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), p.take(2000))
+    graft.sources.Scratch.sweep(spark)
+  }
 }
