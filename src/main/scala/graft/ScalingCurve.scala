@@ -59,7 +59,10 @@ object ScalingCurve {
     ("q225_ppjoin",         "prefix-filtered similarity join (lossless)", "documents"),
     ("q226_temporal_reach", "earliest-arrival temporal BFS",      "events"),
     ("q227_lpa_communities", "synchronous label propagation",     "events"),
-    ("q232_union_dedup",    "union-of-4-blocking-families CC (star alternation)", "documents"))
+    ("q232_union_dedup",    "union-of-4-blocking-families CC (star alternation)", "documents"),
+    ("q244_session_window", "native session_window drain (2 staged waves)", "events"),
+    ("q246_milestones",     "transformWithState on RocksDB (2 staged waves)", "events"),
+    ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"))
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly

@@ -553,6 +553,10 @@ object SparkEntry {
     // q247: the ORC sink + pushdown read-back (q170's round-trip
     // discipline on the second columnar format).
     "q247_orc_roundtrip" -> (Extensions.q247OrcRoundtrip _),
+    // q248: the UNTYPED document route — Spark VARIANT standing in
+    // for the reference's Snowflake raw_json, flattened by path to
+    // exactly q166's typed view (same oracle).
+    "q248_variant_flatten" -> (q248VariantFlatten _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -585,10 +589,28 @@ object SparkEntry {
     * itself gets a DuckDB oracle. Values are deterministic per-row
     * fields (no float arithmetic), making the hash compare exact.
     */
-  private def q166FlattenView(s: SparkSession, d: String): DataFrame = {
+  /** One oracle for both flatten routes (q166 typed, q248 VARIANT):
+    * DuckDB rebuilds the statement view from the documents table. */
+  private val flattenViewOracleSql: String =
+    """WITH base AS (
+         SELECT CAST(doc_id AS VARCHAR) AS adsh, source AS symbol,
+           lang AS name,
+           [{'label': 'Characters', 'concept': 'n_chars', 'unit': 'chars',
+             'value': CAST(n_chars AS DOUBLE)},
+            {'label': 'TextLength', 'concept': 'text_len', 'unit': 'chars',
+             'value': CAST(length(text) AS DOUBLE)}] AS bs
+         FROM documents),
+       flat AS (SELECT adsh, symbol, name, unnest(bs) AS e FROM base)
+       SELECT adsh, symbol, name, e.label AS label, e.concept AS concept,
+         e.unit AS unit, e.value AS value
+       FROM flat ORDER BY CAST(adsh AS BIGINT), concept"""
+
+  /** The reference-shaped doc frame both flatten routes share:
+    * q166 (typed struct) and q248 (VARIANT). */
+  private def docStructFrame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val entry = "struct<label:string,concept:string,info:string,unit:string,value:double>"
-    val docs = graft.sources.Tables.documents(s, d).select(
+    graft.sources.Tables.documents(s, d).select(
       col("doc_id").cast("string").as("adsh"),
       col("source").as("symbol"),
       col("lang").as("name"),
@@ -603,7 +625,17 @@ object SparkEntry {
         ).as("bs"),
         array().cast(s"array<$entry>").as("cf"),
         array().cast(s"array<$entry>").as("ic")).as("data"))
-    graft.operators.SecJsonDocs.statementView(docs, "bs")
+  }
+
+  private def q166FlattenView(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.SecJsonDocs.statementView(docStructFrame(s, d), "bs")
+      .orderBy(col("adsh").cast("long"), col("concept"))
+  }
+
+  private def q248VariantFlatten(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.SecJsonDocs.variantFlattenView(docStructFrame(s, d))
       .orderBy(col("adsh").cast("long"), col("concept"))
   }
 
@@ -1532,19 +1564,10 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
-    "q166_flatten_view" ->
-      """WITH base AS (
-           SELECT CAST(doc_id AS VARCHAR) AS adsh, source AS symbol,
-             lang AS name,
-             [{'label': 'Characters', 'concept': 'n_chars', 'unit': 'chars',
-               'value': CAST(n_chars AS DOUBLE)},
-              {'label': 'TextLength', 'concept': 'text_len', 'unit': 'chars',
-               'value': CAST(length(text) AS DOUBLE)}] AS bs
-           FROM documents),
-         flat AS (SELECT adsh, symbol, name, unnest(bs) AS e FROM base)
-         SELECT adsh, symbol, name, e.label AS label, e.concept AS concept,
-           e.unit AS unit, e.value AS value
-         FROM flat ORDER BY CAST(adsh AS BIGINT), concept""",
+    "q166_flatten_view" -> flattenViewOracleSql,
+    // q248 re-derives the SAME view through the untyped VARIANT
+    // route — equality against the same oracle is the claim.
+    "q248_variant_flatten" -> flattenViewOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

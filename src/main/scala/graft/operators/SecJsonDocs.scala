@@ -116,6 +116,41 @@ object SecJsonDocs {
         col("e.label").as("label"), col("e.concept").as("concept"),
         col("e.unit").as("unit"), col("e.value").as("value"))
 
+  /** §1.1 VARIANT parity (q248): the reference stores each document
+    * as an UNTYPED Snowflake `VARIANT` column (`raw_json`,
+    * load_json_data_snowflake.py:126-161) and every view
+    * LATERAL-FLATTENs paths out of it (`raw_json:data:bs`). q166
+    * models the typed-struct route the survey recommended; this is
+    * the native analogue now that Spark has a VARIANT type:
+    * `to_json → parse_json` yields the same untyped raw_json column,
+    * `variant_get` extracts typed scalars and the statement array BY
+    * PATH, `explode` flattens. Emitting exactly q166's view under the
+    * same oracle proves the untyped route loses nothing against the
+    * declared-schema route — the Snowflake-semantics guarantee a
+    * migrating user needs.
+    *
+    * Scale shape: parse_json/variant_get are codegen'd expressions on
+    * the scan projection — no shuffle is added over q166's plan; the
+    * variant binary encoding (not re-parsed JSON text) is what each
+    * path access reads. */
+  def variantFlattenView(docs: DataFrame): DataFrame = {
+    val entry = "struct<label:string,concept:string,info:string," +
+      "unit:string,value:double>"
+    docs
+      .select(parse_json(to_json(struct(
+        col("adsh"), col("symbol"), col("name"), col("data"))))
+        .as("raw_json"))
+      .select(
+        variant_get(col("raw_json"), "$.adsh", "string").as("adsh"),
+        variant_get(col("raw_json"), "$.symbol", "string").as("symbol"),
+        variant_get(col("raw_json"), "$.name", "string").as("name"),
+        explode(variant_get(col("raw_json"), "$.data.bs",
+          s"array<$entry>")).as("e"))
+      .select(col("adsh"), col("symbol"), col("name"),
+        col("e.label").as("label"), col("e.concept").as("concept"),
+        col("e.unit").as("unit"), col("e.value").as("value"))
+  }
+
   /** J6: the self-MERGE that collapses the company table to one row per
     * symbol, last write wins (reference load_json_data_snowflake.py:
     * 165-187). Batch equivalent: latest row per symbol by (endDate,

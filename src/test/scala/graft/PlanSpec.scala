@@ -435,6 +435,19 @@ class PlanSpec extends SparkSpec {
       "no hash shuffle belongs in a pure flatten:\n" + p.take(1500))
   }
 
+  test("q248 VARIANT flatten equals the typed route row-for-row, " +
+    "and path access adds no shuffle over q166's plan") {
+    val typed = SparkEntry.queries("q166_flatten_view")(spark, sf0001)
+    val untyped = SparkEntry.queries("q248_variant_flatten")(spark, sf0001)
+    assert(typed.collect().toSeq == untyped.collect().toSeq,
+      "the untyped VARIANT route must lose nothing vs the struct route")
+    val p = planString(untyped)
+    assert(p.contains("Generate explode"), p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "variant_get is a scan-side projection, not a shuffle:\n" +
+        p.take(1500))
+  }
+
   /** File scans of `table` reachable from the query's executed plan —
     * the PlanAudit counter, inline so the graph locks below can pin
     * "the fact table is read N times" against a refactor. */
