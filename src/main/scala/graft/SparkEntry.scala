@@ -557,6 +557,9 @@ object SparkEntry {
     // for the reference's Snowflake raw_json, flattened by path to
     // exactly q166's typed view (same oracle).
     "q248_variant_flatten" -> (q248VariantFlatten _),
+    // q249: the XML sink + schema'd load (q171's fidelity discipline
+    // on the markup format — element escaping must round-trip).
+    "q249_xml_roundtrip" -> (Extensions.q249XmlRoundtrip _),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1568,6 +1571,14 @@ object SparkEntry {
     // q248 re-derives the SAME view through the untyped VARIANT
     // route — equality against the same oracle is the claim.
     "q248_variant_flatten" -> flattenViewOracleSql,
+    // the oracle aggregates the ORIGINAL documents; the Spark side
+    // aggregates its XML write → schema'd read round-trip (q171's
+    // shape on the markup format).
+    "q249_xml_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(length(text)) AS BIGINT) AS text_len,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

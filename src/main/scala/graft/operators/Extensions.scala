@@ -727,6 +727,29 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** q249: the XML sink + schema'd load under oracle check — Spark 4
+    * folded the spark-xml datasource into core, making XML the last
+    * mainstream built-in format the repo had not exercised (parquet
+    * q170, JSON q171, TSV q175, CSV q198, ZIP q180, ORC q247). The
+    * documents table round-trips through XML element escaping
+    * (&lt;/&amp;/newlines in text content), so matching DuckDB's
+    * per-language `sum(length(text))` over the ORIGINAL parquet
+    * proves content fidelity through the XML writer/parser pair, not
+    * just row counts — q171's discipline on the markup format. */
+  def q249XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = graft.sources.Scratch.dirOutliving(s, "q249_xml")
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(out)
+    s.read.schema(docs.schema).option("rowTag", "doc")
+      .format("xml").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(length(col("text"))).cast("long").as("text_len"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("lang")
+  }
+
   /** q171: the JSON doc sink + schema'd load under oracle check
     * (S9/S10, previously unit-only): documents written as JSON lines,
     * read back with the declared schema, aggregated per language. The
