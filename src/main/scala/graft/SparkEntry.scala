@@ -560,6 +560,11 @@ object SparkEntry {
     // q249: the XML sink + schema'd load (q171's fidelity discipline
     // on the markup format — element escaping must round-trip).
     "q249_xml_roundtrip" -> (Extensions.q249XmlRoundtrip _),
+    // q250: idle-close per-user summaries via transformWithState
+    // EVENT-TIME TIMERS + MapState on RocksDB — the push-based "key
+    // went quiet" primitive (q246's sibling on the timer surface).
+    "q250_idle_close" -> ((s, d) =>
+      graft.streaming.IdleCloseStream.idleCloseQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1579,6 +1584,10 @@ object SparkEntry {
          CAST(sum(length(text)) AS BIGINT) AS text_len,
          CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // q250: a user emits exactly once iff last event + idle passed
+    // the final watermark; rows are total per-type counts.
+    "q250_idle_close" ->
+      graft.streaming.IdleCloseStream.idleCloseOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

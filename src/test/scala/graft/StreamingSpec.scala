@@ -553,6 +553,68 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, m(15))), s"milestones diverge: $got")
   }
 
+  test("event-time timers: idle close fires once, merge re-arms the timer") {
+    import graft.streaming.IdleCloseStream
+    import org.apache.spark.sql.streaming.Trigger
+    val drop = tmpDir("idle_drop")
+    val out = tmpDir("idle_out")
+    val ckpt = tmpDir("idle_ckpt")
+    def ev(id: Int, user: Int, typ: String, ts: String) =
+      s"""{"event_id":$id,"user_id":$user,"event_type":"$typ","ts":"2024-01-01T$ts:00Z"}"""
+    // idle = 2 h, horizon = 600.5 s.
+    // user 1: three wave-0 events, last 01:20 -> timer 03:20 fires at
+    //   the end of batch 1 (wm = 04:00 - 10:00.5 = 03:49:59.5) — a
+    //   MID-STREAM close.
+    // user 2: wave-0 event 01:30 (timer 03:30 would fire in batch 1)
+    //   but a wave-1 event at 05:00 merges FIRST and re-arms to 07:00
+    //   -> closes in the final batch with BOTH events. Pins the
+    //   deleteTimer discipline: a stale 03:30 timer would emit a
+    //   premature single-event summary.
+    // user 4: wave-0 event 04:00 (timer 06:00, fwm-closed).
+    // user 9: pusher at 23:00 -> fwm 22:49:59.5; its own timer 25:00
+    //   never fires.
+    writeDrop(drop, "wave0.json", Seq(
+      ev(1, 1, "click", "01:00"), ev(2, 1, "click", "01:10"),
+      ev(3, 1, "view", "01:20"),
+      ev(4, 2, "click", "01:30"),
+      ev(5, 4, "purchase", "04:00")))
+    writeDrop(drop, "wave1.json", Seq(
+      ev(6, 2, "view", "05:00"),
+      ev(7, 9, "click", "23:00")))
+    Seq("wave0.json", "wave1.json").zipWithIndex.foreach { case (f, k) =>
+      Files.setLastModifiedTime(Paths.get(drop, f),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 1000L))
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val q = IdleCloseStream.idleSummaries(spark,
+          spark.readStream.schema(IdleCloseStream.idleSchema)
+            .option("maxFilesPerTrigger", "1").json(drop))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("last_ms"))).toSet
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def m(min: Int) = base + min * 60000L
+    assert(got == Set(
+      (1L, "click", 2L, m(80)), (1L, "view", 1L, m(80)),
+      (2L, "click", 1L, m(300)), (2L, "view", 1L, m(300)),
+      (4L, "purchase", 1L, m(240))), s"summaries diverge: $got")
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
