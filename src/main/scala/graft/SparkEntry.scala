@@ -565,6 +565,11 @@ object SparkEntry {
     // went quiet" primitive (q246's sibling on the timer surface).
     "q250_idle_close" -> ((s, d) =>
       graft.streaming.IdleCloseStream.idleCloseQuery(s, d)),
+    // q251: the LEFT OUTER stream-stream interval join — q229's
+    // sibling on the null-completion path (unmatched clicks emit once
+    // the watermark proves no purchase can still match).
+    "q251_stream_left_join" -> ((s, d) =>
+      graft.streaming.StreamJoin.leftJoinQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1588,6 +1593,8 @@ object SparkEntry {
     // the final watermark; rows are total per-type counts.
     "q250_idle_close" ->
       graft.streaming.IdleCloseStream.idleCloseOracleSql,
+    "q251_stream_left_join" ->
+      graft.streaming.StreamJoin.leftJoinOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -44,6 +44,31 @@ object StreamJoin {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Same interval join with LEFT OUTER semantics (q251): an
+    * unattributed click is emitted with a null purchase once the
+    * watermark proves no matching purchase can still arrive. The
+    * time-interval condition is doubly load-bearing here — it bounds
+    * state AND defines when a null-completion row may be emitted. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+                            windowMinutes: Int,
+                            watermark: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") -
+          expr(s"interval $windowMinutes minutes"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** q229 attribution window; 60 minutes yields a non-trivial match
     * set on the fixture's 30-day event span. */
   val AttributionMinutes = 60
@@ -109,6 +134,98 @@ object StreamJoin {
           .as("value_cents"))
       .orderBy("user_id")
   }
+
+  /** q251 watermark horizon: 600.5 s — second-floored event times sit
+    * at .000 ms, the watermark at .500 ms, so the null-completion
+    * boundary can never tie (q244's dodge). */
+  val LeftJoinHorizonMs = 600500L
+
+  /** q251: the LEFT OUTER stream-stream interval join driven to a
+    * hash-checked answer. Staging is q229's single-batch drop with
+    * event times floored to the second; the drain then runs one final
+    * no-data batch whose watermark closes unmatched clicks. Emission
+    * semantics measured before the oracle was written (a synthetic
+    * cutoff probe, then confirmed on the corpus): a matched pair
+    * emits immediately (inner rows never wait); an UNMATCHED click
+    * emits its null-completion row once the GLOBAL watermark passes
+    * the click time — and with TWO `withWatermark` nodes the global
+    * watermark follows `spark.sql.streaming.multipleWatermarkPolicy`
+    * = `min` (the default): `min(max click ts, max purchase ts) -
+    * horizon`, NOT the overall max. The slower side gates the
+    * completion of the faster one — exactly the cross-feed safety a
+    * production attribution pipeline needs, and the detail a naive
+    * single-watermark oracle gets wrong (it emitted one extra null
+    * row for the click between the two sides' maxima). Clicks after
+    * that watermark stay buffered and never emit: the oracle drops
+    * them. Output keys nulls as purchase_id = -1 (hash-stable). */
+  def leftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q251_sunk")
+    val drop = graft.sources.Scratch.dir(spark, "q251_drop")
+    val ck = graft.sources.Scratch.dir(spark, "q251_ck")
+    val staged = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"),
+        (unix_timestamp(col("ts")) * lit(1000L)).as("t"),
+        col("user_id"), col("event_type"), col("value"))
+    val dropSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("t", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    staged.repartition(JoinDropFiles).write.mode("overwrite").json(drop)
+    try {
+      def side(eventType: String): DataFrame = spark.readStream
+        .schema(dropSchema)
+        .option("maxFilesPerTrigger", JoinFilesPerTrigger.toString)
+        .json(drop)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
+          col("user_id"), col("value"))
+      val q = clickPurchaseLeftJoin(side("click"), side("purchase"),
+          AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+    val landed = spark.read.parquet(sunk)
+    val nulls = landed.filter(col("purchase_id").isNull).limit(1).count()
+    require(nulls > 0,
+      "q251 drained without any null-completion row — the outer path " +
+        "was not exercised")
+    landed
+      .select(col("user_id").cast("long"), col("click_id").cast("long"),
+        coalesce(col("purchase_id"), lit(-1L)).cast("long")
+          .as("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** DuckDB oracle for [[leftJoinQuery]]: the batch left join; null
+    * completions survive only for clicks the final MIN-policy
+    * watermark closed (min over the two sides' maxima - horizon). */
+  def leftJoinOracleSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ms
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       c AS (SELECT event_id AS click_id, user_id, ms AS ct FROM e
+         WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, user_id, ms AS pt FROM e
+         WHERE event_type = 'purchase'),
+       fin AS (SELECT least((SELECT max(ct) FROM c),
+           (SELECT max(pt) FROM p)) - $LeftJoinHorizonMs AS fwm),
+       j AS (SELECT c.user_id, c.click_id, c.ct, p.purchase_id
+             FROM c LEFT JOIN p ON p.user_id = c.user_id
+               AND p.pt <= c.ct
+               AND p.pt >= c.ct - ${AttributionMinutes * 60000L})
+     SELECT user_id, click_id,
+       coalesce(purchase_id, -1) AS purchase_id
+     FROM j, fin
+     WHERE purchase_id IS NOT NULL OR ct <= fwm
+     ORDER BY user_id, click_id, purchase_id"""
 
   /** DuckDB oracle for [[streamJoinQuery]] — the batch interval join
     * over the raw events at the staged ms precision. */
