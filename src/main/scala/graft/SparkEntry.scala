@@ -570,6 +570,11 @@ object SparkEntry {
     // the watermark proves no purchase can still match).
     "q251_stream_left_join" -> ((s, d) =>
       graft.streaming.StreamJoin.leftJoinQuery(s, d)),
+    // q252: CHAINED stateful operators — the interval join feeding a
+    // windowed aggregation in one streaming query (SPARK-42376's
+    // multi-stateful support; two state stores, one watermark).
+    "q252_join_then_window" -> ((s, d) =>
+      graft.streaming.StreamJoin.joinedWindowQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1595,6 +1600,8 @@ object SparkEntry {
       graft.streaming.IdleCloseStream.idleCloseOracleSql,
     "q251_stream_left_join" ->
       graft.streaming.StreamJoin.leftJoinOracleSql,
+    "q252_join_then_window" ->
+      graft.streaming.StreamJoin.joinedWindowOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

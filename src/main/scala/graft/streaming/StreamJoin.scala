@@ -227,6 +227,88 @@ object StreamJoin {
      WHERE purchase_id IS NOT NULL OR ct <= fwm
      ORDER BY user_id, click_id, purchase_id"""
 
+  /** q252: CHAINED stateful operators — the stream-stream interval
+    * join feeding a windowed aggregation in the SAME streaming query,
+    * the multi-stateful-operator support Spark added in 3.5
+    * (SPARK-42376); before that this pipeline needed two queries with
+    * an intermediate sink. Attribution pairs roll up into hourly
+    * click-time windows while the join is still buffering state — two
+    * state stores, one watermark lifecycle.
+    *
+    * Emission semantics measured before the oracle was written: the
+    * hourly window closes against the same MIN-policy final watermark
+    * q251 pinned (min of the two sides' maxima - horizon), with NO
+    * extra join-induced delay subtracted — a pair's click_ts is never
+    * older than the purchase that completes it, so the join's output
+    * event time is already watermark-safe and the downstream window
+    * needs no allowance. Windows whose end passed that watermark emit
+    * exactly once with their full pair count. */
+  def joinedWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q252_sunk")
+    val drop = graft.sources.Scratch.dir(spark, "q252_drop")
+    val ck = graft.sources.Scratch.dir(spark, "q252_ck")
+    val staged = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"),
+        (unix_timestamp(col("ts")) * lit(1000L)).as("t"),
+        col("user_id"), col("event_type"), col("value"))
+    val dropSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("t", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    staged.repartition(JoinDropFiles).write.mode("overwrite").json(drop)
+    try {
+      def side(eventType: String): DataFrame = spark.readStream
+        .schema(dropSchema)
+        .option("maxFilesPerTrigger", JoinFilesPerTrigger.toString)
+        .json(drop)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
+          col("user_id"), col("value"))
+      val q = clickPurchaseJoin(side("click"), side("purchase"),
+          AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
+        .groupBy(window(col("click_ts"), "3600 seconds"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .select(unix_millis(col("window.start")).as("window_ms"),
+          col("n_pairs"))
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+    spark.read.parquet(sunk)
+      .select(col("window_ms").cast("long"),
+        col("n_pairs").cast("long"))
+      .orderBy("window_ms")
+  }
+
+  /** DuckDB oracle for [[joinedWindowQuery]]: the batch interval join
+    * windowed by click hour; windows survive iff closed by the
+    * min-policy final watermark. */
+  def joinedWindowOracleSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ms
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       c AS (SELECT event_id AS click_id, user_id, ms AS ct FROM e
+         WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, user_id, ms AS pt FROM e
+         WHERE event_type = 'purchase'),
+       fin AS (SELECT least((SELECT max(ct) FROM c),
+           (SELECT max(pt) FROM p)) - $LeftJoinHorizonMs AS fwm),
+       j AS (SELECT c.ct FROM c JOIN p ON p.user_id = c.user_id
+               AND p.pt <= c.ct
+               AND p.pt >= c.ct - ${AttributionMinutes * 60000L})
+     SELECT CAST((ct // 3600000) * 3600000 AS BIGINT) AS window_ms,
+       CAST(count(*) AS BIGINT) AS n_pairs
+     FROM j, fin
+     WHERE (ct // 3600000) * 3600000 + 3600000 <= fwm
+     GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB oracle for [[streamJoinQuery]] — the batch interval join
     * over the raw events at the staged ms precision. */
   def streamJoinOracleSql: String =
