@@ -615,6 +615,52 @@ class StreamingSpec extends SparkSpec {
       (4L, "purchase", 1L, m(240))), s"summaries diverge: $got")
   }
 
+  test("transformWithState state survives a query restart from checkpoint") {
+    import graft.streaming.MilestoneStream
+    import org.apache.spark.sql.streaming.Trigger
+    val drop = tmpDir("msr_drop")
+    val out = tmpDir("msr_out")
+    val ckpt = tmpDir("msr_ckpt")
+    def ev(id: Int, user: Int, min: Int) =
+      s"""{"event_id":$id,"user_id":$user,"ts":"2024-01-01T${"%02d".format(min / 60)}:${"%02d".format(min % 60)}:00Z"}"""
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    def drain(): Unit = {
+      val q = MilestoneStream.milestones(spark,
+          spark.readStream.schema(MilestoneStream.milestoneSchema)
+            .json(drop))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      // run 1: three events -> milestones 1 and 2; count=3 in state
+      writeDrop(drop, "w0.json", Seq(
+        ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20)))
+      drain()
+      // run 2: a SEPARATE query (same checkpoint) sees one more file;
+      // the 4th-event crossing must come from RESTORED count=3 —
+      // a lost state store would emit milestone 1 again instead.
+      writeDrop(drop, "w1.json", Seq(ev(4, 1, 30), ev(5, 1, 40)))
+      drain()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("milestone_n"), r.getAs[Long]("at_ms")))
+      .toSet
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def m(min: Int) = base + min * 60000L
+    assert(got == Set((1L, m(0)), (2L, m(10)), (4L, m(30))),
+      s"restart broke milestone state carry: $got")
+  }
+
   test("streaming rolling actives match batch on watermark-closed windows") {
     import graft.streaming.ActiveUsersStream
     import org.apache.spark.sql.functions._
