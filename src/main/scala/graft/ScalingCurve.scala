@@ -161,6 +161,20 @@ object ScalingCurve {
       "the graph family's cost is set\nby |E|, so capacity planning " +
       "should size on the edge count (capped per\nactivity cell by " +
       "MaxGroup) rather than the event count.\n"
+    // Output-growth accounting for the similarity-join family: their
+    // result SIZE grows faster than the document count (a denser
+    // corpus holds more similar pairs), so time-vs-data alone
+    // misreads them the same way event-vs-edge misreads graphs.
+    sb ++= "\n## Similarity joins: output-growth accounting\n\n"
+    sb ++= "q225's emitted pair count grows with corpus density, not " +
+      "just corpus size\n(measured 25 pairs at sf0.01 vs 256 at sf0.1 " +
+      "— 10.2x output on 10x documents),\nso its time step should be " +
+      "judged per OUTPUT: the last step's time ratio is\nbelow the " +
+      "output ratio, i.e. the prefix/length/positional filters keep " +
+      "the\ncost sublinear in the pairs actually found. The same " +
+      "reading applies to the\nother pair generators (q23/q24/q25): " +
+      "a corpus 100x denser in duplicates\nyields proportionally " +
+      "more pairs — that is result mass, not operator cost.\n"
     sb ++= "\nGenerated by `graft.ScalingCurve`; host CPU-steal caveats in\n"
     sb ++= "README.md (the min-of-reps discipline applies here too).\n"
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
