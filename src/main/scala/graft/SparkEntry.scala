@@ -575,6 +575,15 @@ object SparkEntry {
     // multi-stateful support; two state stores, one watermark).
     "q252_join_then_window" -> ((s, d) =>
       graft.streaming.StreamJoin.joinedWindowQuery(s, d)),
+    // q253: the foreachBatch UPSERT SINK itself under oracle check —
+    // two version-split waves so the second merge must overwrite, the
+    // final snapshot equals DuckDB's argmax per user.
+    "q253_stream_upsert" -> ((s, d) =>
+      graft.streaming.UpsertStream.upsertQuery(s, d)),
+    // q254: the STREAMING funnel drained to the batch funnel's
+    // stage-count spine; q63's oracle verbatim.
+    "q254_stream_funnel" -> ((s, d) =>
+      graft.streaming.FunnelStream.funnelQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1602,6 +1611,12 @@ object SparkEntry {
       graft.streaming.StreamJoin.leftJoinOracleSql,
     "q252_join_then_window" ->
       graft.streaming.StreamJoin.joinedWindowOracleSql,
+    "q253_stream_upsert" ->
+      graft.streaming.UpsertStream.upsertOracleSql,
+    // q254: the drained stateful funnel must reproduce the batch
+    // funnel counts exactly — same oracle as q63.
+    "q254_stream_funnel" ->
+      graft.operators.Sessionize.funnelOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming twin of the batch sequential funnel
@@ -102,6 +103,43 @@ object FunnelStream {
             hits.iterator
           }
       }
+  }
+
+  /** q254: the STREAMING funnel under oracle check (previously
+    * unit-only) — the whole feed staged as one drop, drained through
+    * [[funnelStages]], and the landed per-(user, stage) hits rolled
+    * up to the stage-count spine the batch funnel (q63) emits; the
+    * batch funnel's DuckDB oracle is reused verbatim. Equality proves
+    * the flatMapGroupsWithState recurrence (chained first-qualifying
+    * stage times), the per-batch sort, the tombstone that stops
+    * double emission, and the parquet sink commit log all reproduce
+    * the declarative batch answer. Single-batch staging keeps the
+    * drain complete (q229's discipline); the multi-batch/timeout
+    * lifecycle is StreamingSpec's claim. */
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q254_sunk")
+    val drop = graft.sources.Scratch.dir(spark, "q254_drop")
+    val ck = graft.sources.Scratch.dir(spark, "q254_ck")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("t"),
+        col("user_id"), col("event_type"), col("value"))
+      .selectExpr("event_id", "timestamp_millis(t) AS ts", "user_id",
+        "event_type", "value")
+      .coalesce(4).write.mode("overwrite").json(drop)
+    try funnelAvailableNow(spark, drop, sunk, ck)
+    finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+    val spine = spark.createDataFrame(
+      stages.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) })
+      .toDF("stage", "step")
+    val counts = spark.read.parquet(sunk)
+      .groupBy(col("stage"), col("step"))
+      .agg(count(lit(1)).cast("long").as("users"))
+    spine.join(counts, Seq("stage", "step"), "left")
+      .select(col("stage"), col("step"),
+        coalesce(col("users"), lit(0L)).as("users"))
+      .orderBy("stage")
   }
 
   /** Drive the funnel over the drop dir into a parquet sink

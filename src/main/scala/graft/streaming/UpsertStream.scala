@@ -58,6 +58,89 @@ object UpsertStream {
     spark.read.parquet(currentSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot under $root")))
 
+  /** q253: the upsert SINK itself under oracle check (previously
+    * unit-only). Events become an upsert feed — key = user_id (staged
+    * as doc_id), version = event_id encoded as a MILLISECOND
+    * timestamp (globally unique, so latest-per-key is total-order
+    * deterministic; millis because the JSON staging format truncates
+    * micros), payload = event_type — split into two waves by
+    * version so the second batch must genuinely OVERWRITE first-batch
+    * rows through the copy-on-write merge, not just append. The final
+    * snapshot read back must equal DuckDB's argmax per user over the
+    * original events: equality certifies batch-local reduce, merge,
+    * snapshot pointer, and replay-safe ordering end to end. */
+  def upsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = graft.sources.Scratch.dirOutliving(spark, "q253_table")
+    val drop = graft.sources.Scratch.dir(spark, "q253_drop")
+    val ck = graft.sources.Scratch.dir(spark, "q253_ck")
+    val staged = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id").as("doc_id"),
+        timestamp_millis(col("event_id")).as("ts"),
+        col("event_type").as("text"),
+        col("event_type").as("source"))
+      .withColumn("wave",
+        (ntile(2).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("doc_id"))) - 1).cast("int"))
+      .localCheckpoint()
+    val fs = new Path(drop)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 1).foreach { k =>
+      val tmp = s"$drop/_w$k"
+      staged.filter(col("wave") === k)
+        .select("doc_id", "ts", "text", "source")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val target = new Path(s"$drop/wave$k.json")
+      fs.rename(part, target)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
+    }
+    try {
+      // one wave per micro-batch: the second batch's merge must
+      // overwrite rows the first batch wrote
+      val q = spark.readStream.schema(DocStream.docSchema)
+        .option("maxFilesPerTrigger", "1").json(drop)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val latest = latestPerKey(batch, "doc_id", "ts")
+          currentSnapshot(spark, root) match {
+            case None =>
+              latest.write.mode("overwrite").parquet(s"$root/v0")
+            case Some(cur) =>
+              val curId = new Path(cur).getName.drop(1).toLong
+              val base = spark.read.parquet(cur)
+              graft.operators.Maintenance.copyOnWriteMerge(
+                spark, cur, s"$root/v${curId + 1}",
+                latest.select(base.columns.map(col): _*), "doc_id")
+              ()
+          }
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+    readTable(spark, root)
+      .select(col("doc_id").cast("long").as("user_id"),
+        col("text").as("latest_type"),
+        unix_millis(col("ts")).as("ver"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[upsertQuery]]: argmax per user by event_id
+    * (the staged version) over the original events. */
+  def upsertOracleSql: String =
+    """SELECT user_id, event_type AS latest_type,
+         CAST(event_id AS BIGINT) AS ver
+       FROM (SELECT user_id, event_type, event_id, row_number() OVER
+           (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1 ORDER BY user_id"""
+
   /** Start the upsert sink: each micro-batch latest-per-key reduces,
     * then merges into snapshot v{n+1} under `root`. AvailableNow —
     * drain what's there, then stop (the test/ops contract shared by
