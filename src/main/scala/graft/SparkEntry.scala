@@ -584,6 +584,11 @@ object SparkEntry {
     // stage-count spine; q63's oracle verbatim.
     "q254_stream_funnel" -> ((s, d) =>
       graft.streaming.FunnelStream.funnelQuery(s, d)),
+    // q255: the rolling-actives stream (chained dropDuplicates →
+    // sliding-window count) drained to the watermark-closed WAU
+    // curve — the last unit-only streaming surface promoted.
+    "q255_stream_actives" -> ((s, d) =>
+      graft.streaming.ActiveUsersStream.activeUsersQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1617,6 +1622,8 @@ object SparkEntry {
     // funnel counts exactly — same oracle as q63.
     "q254_stream_funnel" ->
       graft.operators.Sessionize.funnelOracleSql,
+    "q255_stream_actives" ->
+      graft.streaming.ActiveUsersStream.activeUsersOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

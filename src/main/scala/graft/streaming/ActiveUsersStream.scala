@@ -47,6 +47,58 @@ object ActiveUsersStream {
           .as("day"),
         col("active_users"))
 
+  /** q255: the rolling-actives STREAM under oracle check (previously
+    * unit-only) — the corpus staged as one drop with event times
+    * floored to the second + 17 ms (so day-boundary window ends can
+    * never tie with the watermark), drained through [[activeUsers]],
+    * and the emitted curve matched against DuckDB's explode-and-
+    * count-distinct over the original events restricted to windows
+    * the final watermark closed (end ≤ max - 1 day). Certifies the
+    * chained dropDuplicates → windowed-count pair (two state stores)
+    * and the append-mode close rule on SLIDING windows — q243 pinned
+    * it for tumbling. */
+  def activeUsersQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q255_sunk")
+    val drop = graft.sources.Scratch.dir(spark, "q255_drop")
+    val ck = graft.sources.Scratch.dir(spark, "q255_ck")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"),
+        timestamp_millis(unix_timestamp(col("ts")) * lit(1000L) +
+          lit(17L)).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .coalesce(4).write.mode("overwrite").json(drop)
+    try activeUsersAvailableNow(spark, drop, sunk, ck)
+    finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+    spark.read.parquet(sunk)
+      .select(col("day"), col("active_users").cast("long"))
+      .orderBy("day")
+  }
+
+  /** DuckDB oracle for [[activeUsersQuery]]: each event touches the 7
+    * epoch-aligned sliding windows ending on days d+1..d+7; distinct
+    * users per window; emitted iff the window end passed the final
+    * watermark (max staged ms - 1 day). */
+  def activeUsersOracleSql: String =
+    """WITH e AS (SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 + 17 AS ms
+         FROM events),
+       fin AS (SELECT max(ms) - 86400000 AS fwm FROM e),
+       p AS (SELECT DISTINCT user_id,
+           ms // 86400000 + o AS end_day
+         FROM e, range(1, 8) r(o)),
+       w AS (SELECT end_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+         FROM p GROUP BY 1)
+     SELECT strftime(DATE '1970-01-01'
+         + CAST(end_day - 1 AS BIGINT) * INTERVAL 1 DAY,
+         '%Y-%m-%d') AS day,
+       active_users
+     FROM w, fin WHERE end_day * 86400000 <= fwm
+     ORDER BY day"""
+
   /** Drive [[activeUsers]] over a drop directory with AvailableNow to
     * a parquet sink; returns after the run completes. */
   def activeUsersAvailableNow(spark: org.apache.spark.sql.SparkSession,
