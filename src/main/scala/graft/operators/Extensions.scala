@@ -741,7 +741,12 @@ object Extensions {
     val docs = Tables.documents(s, d)
     docs.write.mode("overwrite").option("rowTag", "doc")
       .format("xml").save(out)
+    // ignoreSurroundingSpaces defaults to TRUE and would trim
+    // whitespace-edged text on read-back — a silent fidelity loss the
+    // oracle (which aggregates the ORIGINAL text) would catch only on
+    // a corpus that has such docs; pin the lossless behavior instead
     s.read.schema(docs.schema).option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
       .format("xml").load(out)
       .groupBy(col("lang"))
       .agg(count(lit(1)).cast("long").as("n"),

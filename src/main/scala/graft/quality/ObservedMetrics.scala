@@ -66,6 +66,12 @@ object ObservedMetrics {
         .observe(obs, metricColumns.head, metricColumns.tail: _*)
         .write.mode("overwrite").parquet(out)
       val m = obs.get // blocks only until the finished write reports
+      // an empty gate yields NULL sums/min/max, which asInstanceOf
+      // would silently unbox to 0 — fail loudly instead of emitting a
+      // fabricated zero row the oracle (all NULLs) would reject
+      require(m("n_docs").asInstanceOf[Long] > 0L,
+        "q245 gate matched zero documents — observed sums/min/max " +
+          "are undefined on this corpus")
       val names = Seq("n_docs", "n_chars_total", "n_empty",
         "min_doc_id", "max_doc_id", "n_en", "n_spaces")
       import spark.implicits._

@@ -110,6 +110,54 @@ object EventStream {
     }
   }
 
+  /** Stage `staged` as EXACTLY one JSONL file per wave, named and
+    * mtime-pinned in wave order — the arrival-schedule scaffold the
+    * watermark-lifecycle queries (q243/q244/q246/q250/q253) share.
+    * Unlike [[stageAndDrainOrdered]]'s repartitionByRange (exact
+    * enough for q238's key RANGES), wave→file assignment here must be
+    * exact — a sampling-based boundary folding two waves into one
+    * file would silently change which rows each batch's watermark
+    * governs — so each wave is a filtered single-file write renamed
+    * into place. `staged` must carry an int `wave` column in
+    * [0, waves); the listed `cols` are what lands in the drop. */
+  def stageWaveFiles(spark: SparkSession, staged: DataFrame,
+      cols: Seq[String], waves: Int, drop: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(drop)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until waves).foreach { k =>
+      val tmp = s"$drop/_w$k"
+      staged.filter(col("wave") === k)
+        .select(cols.map(col): _*)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val target = new Path(s"$drop/wave$k.json")
+      fs.rename(part, target)
+      fs.delete(new Path(tmp), true)
+      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
+    }
+  }
+
+  /** Run `body` with the RocksDB state store provider set, restoring
+    * the prior session setting afterwards — the loan pattern for the
+    * transformWithState queries/specs (the API refuses the default
+    * HDFS-backed store), so a missed restore can't leak the provider
+    * into unrelated queries sharing the session. */
+  def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      body
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** File-source stream over a drop directory of JSONL files. */
   def readEventStream(spark: SparkSession, dropDir: String): DataFrame =
     spark.readStream

@@ -41,22 +41,32 @@ object FunnelStream {
   /** Pure per-user transition: fold sorted events into the state,
     * emitting a StageHit for each stage newly completed. Exactly the
     * batch recurrence: stage i completes at the first event of its
-    * type at or after stage i-1's completion. One documented edge
-    * differs: two events at the IDENTICAL timestamp resolve here by
-    * (ts, event_id) processing order, while the batch array filter
-    * would accept either; equivalence is exact whenever timestamps
-    * are distinct (the event stream's microsecond stamps are). */
+    * type at or after stage i-1's completion — including on TIES. The
+    * batch rule is order-free (a sorted-array filter on timestamps),
+    * so two events at the identical timestamp must complete both
+    * their stages regardless of which is processed first; a single
+    * left-to-right scan would skip a later-stage event that precedes
+    * its enabler in (ts, event_id) order at the same stamp. The scan
+    * therefore reruns over the batch until no stage advances — at
+    * most `stages.length` passes, and a no-op for the distinct-
+    * timestamp common case (pass 2 finds nothing). Cross-BATCH ties
+    * remain the watermark contract, as for ordering generally. */
   def advance(state: FunnelState, events: Seq[Event],
               userId: Long): (Seq[StageHit], FunnelState) = {
     val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
     var times = state.times
     val hits = Seq.newBuilder[StageHit]
-    for (e <- sorted if times.length < stages.length) {
-      val next = stages(times.length)
-      val t = e.ts.getTime
-      if (e.event_type == next && (times.isEmpty || t >= times.last)) {
-        times = times :+ t
-        hits += StageHit(userId, times.length.toLong, next, t)
+    var progressed = true
+    while (progressed && times.length < stages.length) {
+      progressed = false
+      for (e <- sorted if times.length < stages.length) {
+        val next = stages(times.length)
+        val t = e.ts.getTime
+        if (e.event_type == next && (times.isEmpty || t >= times.last)) {
+          times = times :+ t
+          hits += StageHit(userId, times.length.toLong, next, t)
+          progressed = true
+        }
       }
     }
     (hits.result(), FunnelState(times))

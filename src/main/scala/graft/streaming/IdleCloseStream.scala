@@ -68,15 +68,17 @@ object IdleCloseStream {
         timerValues: TimerValues): Iterator[TypeSummary] = {
       val sorted = rows.toArray.sortBy(e => (e.ms, e.event_id))
       if (sorted.nonEmpty) {
-        if (lastSeen.exists()) {
-          getHandle.deleteTimer(lastSeen.get() + IdleMs) // dis-arm stale
-        }
+        val prior = if (lastSeen.exists()) Some(lastSeen.get()) else None
+        prior.foreach(p => getHandle.deleteTimer(p + IdleMs)) // dis-arm
         for (e <- sorted) {
           val n = if (counts.containsKey(e.event_type))
             counts.getValue(e.event_type) else 0L
           counts.updateValue(e.event_type, n + 1L)
         }
-        val last = sorted.last.ms
+        // max against stored state: a batch of LATE rows (older than
+        // the stored last-seen but inside the watermark horizon) must
+        // not regress the idle clock and close the key early
+        val last = math.max(sorted.last.ms, prior.getOrElse(Long.MinValue))
         lastSeen.update(last)
         getHandle.registerTimer(last + IdleMs)
       }
@@ -111,8 +113,6 @@ object IdleCloseStream {
   /** q250: two median-split waves (q244's staging) drained through
     * [[idleSummaries]] on the RocksDB state store. */
   def idleCloseQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q250_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q250_drop")
     val ck = graft.sources.Scratch.dir(spark, "q250_ck")
@@ -123,25 +123,9 @@ object IdleCloseStream {
         (ntile(2).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
       .localCheckpoint()
-    val fs = new Path(drop)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 to 1).foreach { k =>
-      val tmp = s"$drop/_w$k"
-      staged.filter(col("wave") === k)
-        .select("event_id", "user_id", "event_type", "ts")
-        .coalesce(1).write.mode("overwrite").json(tmp)
-      val part = fs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val target = new Path(s"$drop/wave$k.json")
-      fs.rename(part, target)
-      fs.delete(new Path(tmp), true)
-      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
-    }
-    val prior = spark.conf.getOption(providerKey)
-    try {
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+    EventStream.stageWaveFiles(spark, staged,
+      Seq("event_id", "user_id", "event_type", "ts"), 2, drop)
+    try EventStream.withRocksDbProvider(spark) {
       val q = idleSummaries(spark,
           spark.readStream.schema(idleSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -154,10 +138,6 @@ object IdleCloseStream {
       require(batches == 2,
         s"q250 staged 2 wave files but streamed $batches micro-batches")
     } finally {
-      prior match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
       for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }
     spark.read.parquet(sunk)

@@ -103,26 +103,13 @@ object LateStream {
     * file source replays them in wave order), drain through
     * [[windowedCounts]], and return the emitted windows. */
   def lateAuditQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q243_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q243_drop")
     val ck = graft.sources.Scratch.dir(spark, "q243_ck")
     val staged = stagedWaves(graft.sources.Tables.events(spark, dir))
       .localCheckpoint() // one schedule build, three filtered writes
-    val fs = new Path(drop)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 to 2).foreach { k =>
-      val tmp = s"$drop/_w$k"
-      staged.filter(col("wave") === k)
-        .select("event_id", "ts", "event_type")
-        .coalesce(1).write.mode("overwrite").json(tmp)
-      val part = fs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val target = new Path(s"$drop/wave$k.json")
-      fs.rename(part, target)
-      fs.delete(new Path(tmp), true)
-      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
-    }
+    EventStream.stageWaveFiles(spark, staged,
+      Seq("event_id", "ts", "event_type"), 3, drop)
     try {
       val q = windowedCounts(
           spark.readStream.schema(lateSchema)

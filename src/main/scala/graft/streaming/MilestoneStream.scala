@@ -90,8 +90,6 @@ object MilestoneStream {
   /** q246: two median-split waves (q244's staging) drained through
     * [[milestones]] on the RocksDB state store. */
   def milestoneQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q246_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q246_drop")
     val ck = graft.sources.Scratch.dir(spark, "q246_ck")
@@ -102,25 +100,9 @@ object MilestoneStream {
         (ntile(2).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
       .localCheckpoint()
-    val fs = new Path(drop)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 to 1).foreach { k =>
-      val tmp = s"$drop/_w$k"
-      staged.filter(col("wave") === k)
-        .select("event_id", "user_id", "ts")
-        .coalesce(1).write.mode("overwrite").json(tmp)
-      val part = fs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val target = new Path(s"$drop/wave$k.json")
-      fs.rename(part, target)
-      fs.delete(new Path(tmp), true)
-      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
-    }
-    val prior = spark.conf.getOption(providerKey)
-    try {
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+    EventStream.stageWaveFiles(spark, staged,
+      Seq("event_id", "user_id", "ts"), 2, drop)
+    try EventStream.withRocksDbProvider(spark) {
       val q = milestones(spark,
           spark.readStream.schema(milestoneSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -133,10 +115,6 @@ object MilestoneStream {
       require(batches == 2,
         s"q246 staged 2 wave files but streamed $batches micro-batches")
     } finally {
-      prior match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
       for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }
     spark.read.parquet(sunk)

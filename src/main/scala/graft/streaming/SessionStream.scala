@@ -76,7 +76,6 @@ object SessionStream {
   /** q244: stage events in two median-split waves, drain through
     * [[sessionCounts]], return the emitted (closed) sessions. */
   def sessionWindowQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q244_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q244_drop")
     val ck = graft.sources.Scratch.dir(spark, "q244_ck")
@@ -87,20 +86,8 @@ object SessionStream {
         (ntile(2).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
       .localCheckpoint() // one schedule build, two filtered writes
-    val fs = new Path(drop)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 to 1).foreach { k =>
-      val tmp = s"$drop/_w$k"
-      staged.filter(col("wave") === k)
-        .select("event_id", "user_id", "ts")
-        .coalesce(1).write.mode("overwrite").json(tmp)
-      val part = fs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val target = new Path(s"$drop/wave$k.json")
-      fs.rename(part, target)
-      fs.delete(new Path(tmp), true)
-      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
-    }
+    EventStream.stageWaveFiles(spark, staged,
+      Seq("event_id", "user_id", "ts"), 2, drop)
     try {
       val q = sessionCounts(
           spark.readStream.schema(sessSchema)

@@ -83,6 +83,39 @@ object StreamJoin {
   val JoinDropFiles = 4
   val JoinFilesPerTrigger = 8
 
+  /** The click/purchase drop schema the three join drains share. */
+  private val joinDropSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("t", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Stage click/purchase events as the shared JSONL drop.
+    * `floorSeconds` = the q251/q252 tie-dodge (second-floored ms, so
+    * event times sit at .000 against the .500 watermark); q229 keeps
+    * raw ms precision. */
+  private def stageJoinDrop(spark: SparkSession, dir: String,
+      drop: String, floorSeconds: Boolean): Unit = {
+    val t = if (floorSeconds) unix_timestamp(col("ts")) * lit(1000L)
+            else unix_millis(col("ts"))
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), t.as("t"),
+        col("user_id"), col("event_type"), col("value"))
+      .repartition(JoinDropFiles).write.mode("overwrite").json(drop)
+  }
+
+  /** One side of the dual-stream read over the shared drop. */
+  private def joinSide(spark: SparkSession, drop: String,
+      eventType: String): DataFrame = spark.readStream
+    .schema(joinDropSchema)
+    .option("maxFilesPerTrigger", JoinFilesPerTrigger.toString)
+    .json(drop)
+    .filter(col("event_type") === eventType)
+    .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
+      col("user_id"), col("value"))
+
   /** q229: the watermarked STREAM-STREAM interval join driven to a
     * hash-checked answer — clicks and purchases staged as one JSONL
     * drop (epoch-ms longs, exact integer round-trip — the q149
@@ -97,25 +130,10 @@ object StreamJoin {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q229_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q229_drop")
     val ck = graft.sources.Scratch.dir(spark, "q229_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), unix_millis(col("ts")).as("t"),
-        col("user_id"), col("event_type"), col("value"))
-    val dropSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("t", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-    staged.repartition(JoinDropFiles).write.mode("overwrite").json(drop)
+    stageJoinDrop(spark, dir, drop, floorSeconds = false)
     try {
-      def side(eventType: String): DataFrame = spark.readStream
-        .schema(dropSchema)
-        .option("maxFilesPerTrigger", JoinFilesPerTrigger.toString)
-        .json(drop)
-        .filter(col("event_type") === eventType)
-        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
-          col("user_id"), col("value"))
+      def side(eventType: String): DataFrame =
+        joinSide(spark, drop, eventType)
       val q = clickPurchaseJoin(side("click"), side("purchase"),
           AttributionMinutes)
         .writeStream.format("parquet").option("path", sunk)
@@ -162,26 +180,10 @@ object StreamJoin {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q251_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q251_drop")
     val ck = graft.sources.Scratch.dir(spark, "q251_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"),
-        (unix_timestamp(col("ts")) * lit(1000L)).as("t"),
-        col("user_id"), col("event_type"), col("value"))
-    val dropSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("t", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-    staged.repartition(JoinDropFiles).write.mode("overwrite").json(drop)
+    stageJoinDrop(spark, dir, drop, floorSeconds = true)
     try {
-      def side(eventType: String): DataFrame = spark.readStream
-        .schema(dropSchema)
-        .option("maxFilesPerTrigger", JoinFilesPerTrigger.toString)
-        .json(drop)
-        .filter(col("event_type") === eventType)
-        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
-          col("user_id"), col("value"))
+      def side(eventType: String): DataFrame =
+        joinSide(spark, drop, eventType)
       val q = clickPurchaseLeftJoin(side("click"), side("purchase"),
           AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
         .writeStream.format("parquet").option("path", sunk)
@@ -247,26 +249,10 @@ object StreamJoin {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q252_sunk")
     val drop = graft.sources.Scratch.dir(spark, "q252_drop")
     val ck = graft.sources.Scratch.dir(spark, "q252_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"),
-        (unix_timestamp(col("ts")) * lit(1000L)).as("t"),
-        col("user_id"), col("event_type"), col("value"))
-    val dropSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("t", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-    staged.repartition(JoinDropFiles).write.mode("overwrite").json(drop)
+    stageJoinDrop(spark, dir, drop, floorSeconds = true)
     try {
-      def side(eventType: String): DataFrame = spark.readStream
-        .schema(dropSchema)
-        .option("maxFilesPerTrigger", JoinFilesPerTrigger.toString)
-        .json(drop)
-        .filter(col("event_type") === eventType)
-        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
-          col("user_id"), col("value"))
+      def side(eventType: String): DataFrame =
+        joinSide(spark, drop, eventType)
       val q = clickPurchaseJoin(side("click"), side("purchase"),
           AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
         .groupBy(window(col("click_ts"), "3600 seconds"))

@@ -83,20 +83,8 @@ object UpsertStream {
         (ntile(2).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("doc_id"))) - 1).cast("int"))
       .localCheckpoint()
-    val fs = new Path(drop)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 to 1).foreach { k =>
-      val tmp = s"$drop/_w$k"
-      staged.filter(col("wave") === k)
-        .select("doc_id", "ts", "text", "source")
-        .coalesce(1).write.mode("overwrite").json(tmp)
-      val part = fs.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      val target = new Path(s"$drop/wave$k.json")
-      fs.rename(part, target)
-      fs.delete(new Path(tmp), true)
-      fs.setTimes(target, 1700000000000L + k * 1000L, -1L)
-    }
+    EventStream.stageWaveFiles(spark, staged,
+      Seq("doc_id", "ts", "text", "source"), 2, drop)
     try {
       // one wave per micro-batch: the second batch's merge must
       // overwrite rows the first batch wrote
@@ -121,6 +109,10 @@ object UpsertStream {
         }
         .start()
       q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == 2,
+        s"q253 staged 2 wave files but streamed $batches micro-batches " +
+          "— a single batch never exercises the overwrite merge")
     } finally {
       for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }

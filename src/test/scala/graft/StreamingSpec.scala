@@ -525,12 +525,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(
           1700000000000L + k * 1000L))
     }
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    try {
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+    graft.streaming.EventStream.withRocksDbProvider(spark) {
       val q = MilestoneStream.milestones(spark,
           spark.readStream.schema(MilestoneStream.milestoneSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -539,9 +534,6 @@ class StreamingSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("milestone_n"),
@@ -586,12 +578,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(
           1700000000000L + k * 1000L))
     }
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    try {
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+    graft.streaming.EventStream.withRocksDbProvider(spark) {
       val q = IdleCloseStream.idleSummaries(spark,
           spark.readStream.schema(IdleCloseStream.idleSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -600,9 +587,6 @@ class StreamingSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
@@ -623,8 +607,6 @@ class StreamingSpec extends SparkSpec {
     val ckpt = tmpDir("msr_ckpt")
     def ev(id: Int, user: Int, min: Int) =
       s"""{"event_id":$id,"user_id":$user,"ts":"2024-01-01T${"%02d".format(min / 60)}:${"%02d".format(min % 60)}:00Z"}"""
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
     def drain(): Unit = {
       val q = MilestoneStream.milestones(spark,
           spark.readStream.schema(MilestoneStream.milestoneSchema)
@@ -635,10 +617,7 @@ class StreamingSpec extends SparkSpec {
         .start()
       q.awaitTermination()
     }
-    try {
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+    graft.streaming.EventStream.withRocksDbProvider(spark) {
       // run 1: three events -> milestones 1 and 2; count=3 in state
       writeDrop(drop, "w0.json", Seq(
         ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20)))
@@ -648,9 +627,6 @@ class StreamingSpec extends SparkSpec {
       // a lost state store would emit milestone 1 again instead.
       writeDrop(drop, "w1.json", Seq(ev(4, 1, 30), ev(5, 1, 40)))
       drain()
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getAs[Long]("milestone_n"), r.getAs[Long]("at_ms")))
