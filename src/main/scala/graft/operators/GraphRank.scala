@@ -50,21 +50,36 @@ object GraphRank {
   def coActivityEdges(events: DataFrame): DataFrame =
     edgesFromCells(activityCells(events))
 
-  /** [[coActivityEdges]] from a pre-built (possibly checkpointed)
-    * [[activityCells]] frame. */
-  def edgesFromCells(cells: DataFrame): DataFrame = {
+  /** Members of hub-pruned cells (≤ [[MaxGroup]] distinct users) —
+    * THE capped-membership rule, defined once: every co-activity
+    * edge builder (unweighted, weighted, temporal) and its DuckDB
+    * oracle CTE derive from this same subquery, so a change to the
+    * hub rule cannot desync one graph family from the rest. Extra
+    * columns on `cells` (e.g. the temporal variant's hour stamp)
+    * pass through. */
+  private[operators] def cappedMembers(cells: DataFrame): DataFrame = {
     val kept = cells.groupBy("d", "h", "event_type")
       .agg(count(lit(1)).as("nu"))
       .filter(col("nu") <= MaxGroup)
       .select("d", "h", "event_type")
-    val members = cells.join(kept, Seq("d", "h", "event_type"))
+    cells.join(kept, Seq("d", "h", "event_type"))
+  }
+
+  /** Ordered same-cell user pairs over a [[cappedMembers]] frame —
+    * aliases `a`/`b` stay visible so callers can project carried
+    * columns (the temporal builder reads `a.t`). */
+  private[operators] def cellPairs(members: DataFrame): DataFrame =
     members.as("a").join(members.as("b"),
-        col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
-          col("a.event_type") === col("b.event_type") &&
-          col("a.user_id") < col("b.user_id"))
+      col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
+        col("a.event_type") === col("b.event_type") &&
+        col("a.user_id") < col("b.user_id"))
+
+  /** [[coActivityEdges]] from a pre-built (possibly checkpointed)
+    * [[activityCells]] frame. */
+  def edgesFromCells(cells: DataFrame): DataFrame =
+    cellPairs(cappedMembers(cells))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .distinct()
-  }
 
   /** Fixed-point PageRank over undirected (u, v) edges: rank scale
     * 1e6, damping 85/100, [[Iterations]] rounds, floor division
@@ -309,19 +324,10 @@ object GraphRank {
     * [[coActivityEdges]], but each (u, v) pair keeps HOW MANY cells
     * it shared — the multigraph the distinct() of the unweighted
     * build collapses. */
-  def weightedCoActivityEdges(cells: DataFrame): DataFrame = {
-    val kept = cells.groupBy("d", "h", "event_type")
-      .agg(count(lit(1)).as("nu"))
-      .filter(col("nu") <= MaxGroup)
-      .select("d", "h", "event_type")
-    val members = cells.join(kept, Seq("d", "h", "event_type"))
-    members.as("a").join(members.as("b"),
-        col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
-          col("a.event_type") === col("b.event_type") &&
-          col("a.user_id") < col("b.user_id"))
+  def weightedCoActivityEdges(cells: DataFrame): DataFrame =
+    cellPairs(cappedMembers(cells))
       .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .agg(count(lit(1)).cast("long").as("w"))
-  }
 
   /** q231: WEIGHTED PageRank — q100 with mass split proportionally
     * to tie strength (shared-cell count) instead of uniformly: the

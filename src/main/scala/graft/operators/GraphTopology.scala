@@ -371,23 +371,14 @@ object GraphTopology {
   /** Timestamped undirected co-activity edges (u, v, t) — the q100
     * graph with each edge carrying its cell's epoch hour. A pair
     * co-active in several cells keeps one edge per distinct hour. */
-  def temporalEdges(cells: DataFrame): DataFrame = {
-    val kept = cells.groupBy("d", "h", "event_type")
-      .agg(count(lit(1)).as("nu"))
-      .filter(col("nu") <= GraphRank.MaxGroup)
-      .select("d", "h", "event_type")
-    val members = cells.join(kept, Seq("d", "h", "event_type"))
-      .withColumn("t",
-        (datediff(col("d"), lit("1970-01-01")).cast("long") * 24
-          + col("h")).as("t"))
-    members.as("a").join(members.as("b"),
-        col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
-          col("a.event_type") === col("b.event_type") &&
-          col("a.user_id") < col("b.user_id"))
+  def temporalEdges(cells: DataFrame): DataFrame =
+    GraphRank.cellPairs(
+        GraphRank.cappedMembers(cells).withColumn("t",
+          (datediff(col("d"), lit("1970-01-01")).cast("long") * 24
+            + col("h")).as("t")))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
         col("a.t").as("t"))
       .distinct()
-  }
 
   /** [[temporalReachQuery]]'s core over (u, v, t) undirected edges:
     * earliest arrival (hours since epoch) from `seeds` (arrival 0),

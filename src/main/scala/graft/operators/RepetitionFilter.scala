@@ -59,6 +59,19 @@ object RepetitionFilter {
       .otherwise(expr("array()").cast("array<string>"))
   }
 
+  /** POSITIONED n-grams — (start index, gram text) structs over the
+    * token array `w`, with the same size-gate as [[grams]] (the
+    * descending `sequence(0, -1)` pitfall documented there applies
+    * identically). Defined once for both span-coverage operators so
+    * a change to the gram unit or the guard cannot drift them. */
+  private def indexedGrams(k: Int): org.apache.spark.sql.Column = {
+    val joined = (0 until k).map(i => s"w[i + $i]").mkString(", ' ', ")
+    when(size(col("w")) >= k,
+      expr(s"transform(sequence(0, size(w) - $k), " +
+        s"i -> struct(i AS i, concat($joined) AS g))"))
+      .otherwise(expr("array()").cast("array<struct<i:int,g:string>>"))
+  }
+
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
     repetitionReport(Tables.documents(spark, dir))
 
@@ -169,13 +182,8 @@ object RepetitionFilter {
     val k = SpanK
     val toks = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    val joined = (0 until k).map(i => s"w[i + $i]").mkString(", ' ', ")
     val grams = toks.select(col("doc_id"), size(col("w")).as("nw"),
-        explode(when(size(col("w")) >= k,
-          expr(s"transform(sequence(0, size(w) - $k), " +
-            s"i -> struct(i AS i, concat($joined) AS g))"))
-          .otherwise(expr("array()")
-            .cast("array<struct<i:int,g:string>>"))).as("s"))
+        explode(indexedGrams(k)).as("s"))
       .select(col("doc_id"), col("nw"), col("s.i").as("i"),
         col("s.g").as("g"))
     val shared = grams.groupBy("g")
@@ -272,13 +280,8 @@ object RepetitionFilter {
     val toks = docs
       .select(col("doc_id"), col("source"),
         split(trim(col("text")), "\\s+").as("w"))
-    val joined = (0 until k).map(i => s"w[i + $i]").mkString(", ' ', ")
     val grams = toks.select(col("doc_id"), col("source"),
-        explode(when(size(col("w")) >= k,
-          expr(s"transform(sequence(0, size(w) - $k), " +
-            s"i -> struct(i AS i, concat($joined) AS g))"))
-          .otherwise(expr("array()")
-            .cast("array<struct<i:int,g:string>>"))).as("s"))
+        explode(indexedGrams(k)).as("s"))
       .select(col("doc_id"), col("source"), col("s.i").as("i"),
         col("s.g").as("g"))
     val srcDocs = docs.groupBy("source")

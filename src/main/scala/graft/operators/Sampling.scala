@@ -49,11 +49,18 @@ object Sampling {
 
   def balancedSample(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    // EXACT integer threshold: decimal multiply + integral `div`,
+    // never double division — long `/` is double in Spark, and
+    // mn * 2^32 loses ulps past mn = 2^21 (and overflows long past
+    // 2^31), which would desync the %08x boundary from DuckDB's exact
+    // `//` on a large min stratum even though the fixture never
+    // shows it
     val withMin = counts.crossJoin(
       broadcast(counts.agg(min(col("cnt")).as("mn"))))
       .select(col("lang"),
         format_string("%08x",
-          least(floor(col("mn") * HashSpace / col("cnt")).cast("long"),
+          least(expr(s"CAST((CAST(mn AS DECIMAL(38,0)) * $HashSpace)" +
+              " div cnt AS BIGINT)"),
             lit(HashCap))).as("thr8"))
     docs.select(col("doc_id"), col("lang"),
         substring(md5(col("text")), 1, 8).as("h8"))

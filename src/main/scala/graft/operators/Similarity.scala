@@ -1432,7 +1432,8 @@ object Similarity {
     * same quantization, same tie-breaks. */
   def truncationRecallOracleSql: String = {
     val dimVals = TruncDims.map(d => s"($d)").mkString(",")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
        q AS (SELECT vec_id AS qid, embedding AS qe FROM e
              WHERE vec_id < $TruncQueries),
        p AS (SELECT q.qid, e.vec_id, e.embedding, q.qe

@@ -100,7 +100,16 @@ object DocStream {
       .select(col("doc_id"), col("text"))
     // same ts for both arrivals of a content (pmod strips the copy
     // offset), all inside one watermark horizon -> no state eviction
-    // can race the second arrival
+    // can race the second arrival. Both properties are PRECONDITIONS
+    // on doc_id range, so fail loudly rather than let a bigger corpus
+    // silently spread ts past the 1-hour horizon (a high-ts doc in an
+    // early batch could then evict a fingerprint before its duplicate
+    // arrives) or collide the doubled ids
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 3600000L,
+      s"q218 staging maps doc_id to ms offsets; max doc_id $maxId " +
+        "exceeds the 1-hour dedup horizon — widen the horizon or " +
+        "rescale the offsets")
     val staged = docs
       .unionAll(docs.select(col("doc_id") + lit(10000000L), col("text")))
       .select(col("doc_id"),

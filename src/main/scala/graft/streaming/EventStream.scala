@@ -50,6 +50,18 @@ object EventStream {
     val drop = graft.sources.Scratch.dir(spark, s"${prefix}_drop")
     val ck = graft.sources.Scratch.dir(spark, s"${prefix}_ck")
     staged.repartition(dropFiles).write.mode("overwrite").json(drop)
+    drainDrop(spark, drop, ck, dropSchema, filesPerTrigger)(attachSink)
+  }
+
+  /** The shared drain tail of [[stageAndDrain]]/[[stageAndDrainOrdered]]:
+    * stream the staged drop AvailableNow through the caller's sink,
+    * return the carried-rows batch count, and reclaim drop +
+    * checkpoint even on failure. ONE definition of the multi-batch
+    * counting contract the q-queries `require` against. */
+  private def drainDrop(spark: SparkSession, drop: String, ck: String,
+      dropSchema: StructType, filesPerTrigger: Int)(
+      attachSink: DataFrame => org.apache.spark.sql.streaming
+        .DataStreamWriter[org.apache.spark.sql.Row]): Long =
     try {
       val q = attachSink(
           spark.readStream
@@ -64,7 +76,6 @@ object EventStream {
     } finally {
       for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }
-  }
 
   /** [[stageAndDrain]] with an ORDER CONTRACT: the caller's
     * partitioning is preserved (no round-robin repartition — stage
@@ -94,20 +105,7 @@ object EventStream {
     parts.zipWithIndex.foreach { case (st, i) =>
       fs.setTimes(st.getPath, 1700000000000L + i * 1000L, -1L)
     }
-    try {
-      val q = attachSink(
-          spark.readStream
-            .schema(dropSchema)
-            .option("maxFilesPerTrigger", filesPerTrigger.toString)
-            .json(drop))
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      q.recentProgress.count(_.numInputRows > 0).toLong
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
-    }
+    drainDrop(spark, drop, ck, dropSchema, filesPerTrigger)(attachSink)
   }
 
   /** Stage `staged` as EXACTLY one JSONL file per wave, named and
