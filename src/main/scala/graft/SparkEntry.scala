@@ -589,6 +589,14 @@ object SparkEntry {
     // curve — the last unit-only streaming surface promoted.
     "q255_stream_actives" -> ((s, d) =>
       graft.streaming.ActiveUsersStream.activeUsersQuery(s, d)),
+    // q256/q257: the two output modes the rest of the streaming
+    // family never uses — UPDATE feeding a last-writer-wins keyed
+    // merge, COMPLETE feeding a snapshot-overwritten top-K
+    // leaderboard (global sort+limit is legal only in complete mode).
+    "q256_update_mode" -> ((s, d) =>
+      graft.streaming.UpdateModeStream.updateModeQuery(s, d)),
+    "q257_complete_topk" -> ((s, d) =>
+      graft.streaming.UpdateModeStream.completeModeQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1624,6 +1632,10 @@ object SparkEntry {
       graft.operators.Sessionize.funnelOracleSql,
     "q255_stream_actives" ->
       graft.streaming.ActiveUsersStream.activeUsersOracleSql,
+    "q256_update_mode" ->
+      graft.streaming.UpdateModeStream.updateModeOracleSql,
+    "q257_complete_topk" ->
+      graft.streaming.UpdateModeStream.completeModeOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem
