@@ -58,8 +58,11 @@ object GraphRank {
     * columns on `cells` (e.g. the temporal variant's hour stamp)
     * pass through. */
   private[operators] def cappedMembers(cells: DataFrame): DataFrame = {
+    // distinct USERS, not rows: the advertised pass-through of extra
+    // columns would otherwise inflate nu on a frame whose extra
+    // column is not functionally dependent on the cell key
     val kept = cells.groupBy("d", "h", "event_type")
-      .agg(count(lit(1)).as("nu"))
+      .agg(countDistinct(col("user_id")).as("nu"))
       .filter(col("nu") <= MaxGroup)
       .select("d", "h", "event_type")
     cells.join(kept, Seq("d", "h", "event_type"))

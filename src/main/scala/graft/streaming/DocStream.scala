@@ -105,11 +105,12 @@ object DocStream {
     // silently spread ts past the 1-hour horizon (a high-ts doc in an
     // early batch could then evict a fingerprint before its duplicate
     // arrives) or collide the doubled ids
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-    require(maxId < 3600000L,
+    val maxId = Option(docs.agg(max(col("doc_id"))).head
+      .getAs[java.lang.Long](0)).map(_.toLong)
+    require(maxId.exists(_ < 3600000L),
       s"q218 staging maps doc_id to ms offsets; max doc_id $maxId " +
-        "exceeds the 1-hour dedup horizon — widen the horizon or " +
-        "rescale the offsets")
+        "must exist and stay under the 1-hour dedup horizon — widen " +
+        "the horizon or rescale the offsets")
     val staged = docs
       .unionAll(docs.select(col("doc_id") + lit(10000000L), col("text")))
       .select(col("doc_id"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** The two OUTPUT MODES the rest of the streaming family never uses
   * (every other drained query appends): UPDATE mode feeding an
@@ -28,15 +28,16 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 object UpdateModeStream {
 
-  /** q256: hourly per-type counts in UPDATE mode, merged per batch
-    * into a keyed snapshot (last writer wins); two arrival waves so
-    * second-batch emissions must OVERWRITE first-batch rows for every
-    * window straddling the split. Final snapshot = the batch GROUP BY,
-    * which is the oracle. */
-  def updateModeQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.sources.Scratch.dirOutliving(spark, "q256_table")
-    val drop = graft.sources.Scratch.dir(spark, "q256_drop")
-    val ck = graft.sources.Scratch.dir(spark, "q256_ck")
+  /** The shared two-wave arrival schedule + drain: stage events split
+    * at the median (q244's staging), stream one wave per micro-batch
+    * through the caller's writer, and require both batches ran —
+    * defined once so the two output-mode queries cannot drift apart
+    * in their arrival schedules. */
+  private def drainTwoWaves(spark: SparkSession, dir: String,
+      label: String, ck: String)(
+      attach: DataFrame => DataStreamWriter[org.apache.spark.sql.Row])
+      : Unit = {
+    val drop = graft.sources.Scratch.dir(spark, s"${label}_drop")
     val staged = graft.sources.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"))
@@ -47,39 +48,58 @@ object UpdateModeStream {
     EventStream.stageWaveFiles(spark, staged,
       Seq("event_id", "user_id", "event_type", "ts"), 2, drop)
     try {
-      val q = spark.readStream
-        .schema(graft.streaming.IdleCloseStream.idleSchema)
-        .option("maxFilesPerTrigger", "1").json(drop)
+      val q = attach(spark.readStream
+          .schema(graft.streaming.IdleCloseStream.idleSchema)
+          .option("maxFilesPerTrigger", "1").json(drop))
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == 2,
+        s"$label staged 2 wave files but streamed $batches " +
+          "micro-batches — a single batch never exercises the " +
+          "second-batch overwrite")
+    } finally {
+      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    }
+  }
+
+  /** q256: hourly per-type counts in UPDATE mode, merged per batch
+    * into a keyed snapshot (last writer wins); two arrival waves so
+    * second-batch emissions must OVERWRITE first-batch rows for every
+    * window straddling the split. Final snapshot = the batch GROUP BY,
+    * which is the oracle. */
+  def updateModeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q256_table")
+    val ck = graft.sources.Scratch.dir(spark, "q256_ck")
+    drainTwoWaves(spark, dir, "q256", ck) { stream =>
+      stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"))
         .select(unix_millis(col("w.start")).as("window_ms"),
           col("event_type"), col("n"))
         .writeStream
         .outputMode(OutputMode.Update())
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // last-writer-wins keyed merge: this batch's rows replace
           // the stored rows for the same (window, type); update mode
-          // guarantees the latest emission carries the current total
-          val cur = s"$root/v$batchId"
-          val prev = s"$root/v${batchId - 1}"
-          val base =
-            if (batchId == 0) batch.limit(0)
-            else spark.read.parquet(prev)
-              .join(batch.select("window_ms", "event_type"),
-                Seq("window_ms", "event_type"), "left_anti")
-          base.unionByName(batch).write.mode("overwrite").parquet(cur)
+          // guarantees the latest emission carries the current total.
+          // The batch frame feeds BOTH the anti-join probe and the
+          // union — persist it so the streaming aggregation subtree
+          // runs once, not twice, per micro-batch
+          batch.persist()
+          try {
+            val cur = s"$root/v$batchId"
+            val base =
+              if (batchId == 0) batch.limit(0)
+              else spark.read.parquet(s"$root/v${batchId - 1}")
+                .join(batch.select("window_ms", "event_type"),
+                  Seq("window_ms", "event_type"), "left_anti")
+            base.unionByName(batch).write.mode("overwrite").parquet(cur)
+          } finally batch.unpersist()
           ()
         }
-        .start()
-      q.awaitTermination()
-      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
-      require(batches == 2,
-        s"q256 staged 2 wave files but streamed $batches micro-batches" +
-          " — a single batch never exercises the update-overwrite")
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }
     spark.read.parquet(s"$root/v1")
       .select(col("window_ms").cast("long"), col("event_type"),
@@ -106,42 +126,21 @@ object UpdateModeStream {
     * deterministically). */
   def completeModeQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dirOutliving(spark, "q257_table")
-    val drop = graft.sources.Scratch.dir(spark, "q257_drop")
     val ck = graft.sources.Scratch.dir(spark, "q257_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts"))
-      .withColumn("wave",
-        (ntile(2).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
-      .localCheckpoint()
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("event_id", "user_id", "event_type", "ts"), 2, drop)
-    try {
-      val q = spark.readStream
-        .schema(graft.streaming.IdleCloseStream.idleSchema)
-        .option("maxFilesPerTrigger", "1").json(drop)
+    drainTwoWaves(spark, dir, "q257", ck) { stream =>
+      stream
         .groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("user_id").asc)
         .limit(TopK)
         .writeStream
         .outputMode(OutputMode.Complete())
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // complete mode re-emits the whole leaderboard: the merge
           // IS a snapshot overwrite
           batch.write.mode("overwrite").parquet(s"$root/v$batchId")
           ()
         }
-        .start()
-      q.awaitTermination()
-      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
-      require(batches == 2,
-        s"q257 staged 2 wave files but streamed $batches micro-batches")
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
     }
     spark.read.parquet(s"$root/v1")
       .select(col("user_id").cast("long"), col("n").cast("long"))
