@@ -94,12 +94,14 @@ object RepetitionFilter {
       .na.fill(0L, Seq("top2", "nb", "n3", "d3"))
       .select(col("doc_id"),
         col("nw").cast("long").as("n_words"),
-        (col("top1") * 1000000L / col("nw")).cast("long")
+        // exact integer floor (div), matching the oracle's `//` —
+        // double division re-cast to long can round a near-integer
+        // quotient the wrong way at large magnitudes
+        expr("top1 * 1000000 div nw").cast("long")
           .as("top1_share_e6"),
-        (col("top2") * 1000000L / greatest(col("nb"), lit(1L)))
+        expr("top2 * 1000000 div greatest(nb, 1)")
           .cast("long").as("top2_share_e6"),
-        ((col("n3") - col("d3")) * 1000000L
-          / greatest(col("n3"), lit(1L))).cast("long")
+        expr("(n3 - d3) * 1000000 div greatest(n3, 1)").cast("long")
           .as("dup3_share_e6"))
       .withColumn("is_kept",
         when(col("top1_share_e6") < Top1E6 &&
@@ -200,9 +202,8 @@ object RepetitionFilter {
       .select(col("doc_id"), col("n_words"),
         coalesce(col("covered"), lit(0L)).cast("long")
           .as("covered_tokens"),
-        (coalesce(col("covered"), lit(0L)) * 1000000L
-          / greatest(col("n_words"), lit(1L))).cast("long")
-          .as("coverage_e6"))
+        expr("coalesce(covered, 0) * 1000000 div greatest(n_words, 1)")
+          .cast("long").as("coverage_e6"))
       .orderBy("doc_id")
   }
 

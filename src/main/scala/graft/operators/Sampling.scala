@@ -78,7 +78,9 @@ object Sampling {
     s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
        m AS (SELECT min(cnt) AS mn FROM c),
        thr AS (SELECT lang,
-           printf('%08x', least(mn * $HashSpace // cnt, $HashCap)) AS thr8
+           printf('%08x', CAST(least(
+               CAST(mn AS HUGEINT) * $HashSpace // cnt,
+               $HashCap) AS BIGINT)) AS thr8
          FROM c, m)
      SELECT d.doc_id, d.lang, substr(md5(d.text), 1, 8) AS h8,
        CAST(CASE WHEN substr(md5(d.text), 1, 8) < t.thr8

@@ -708,10 +708,19 @@ object TextAnalysis {
     * band's token share. Flat mean_rank_freq across bands = Zipfian.
     *
     * Scale shape: ONE map-side-combined aggregation over the token
-    * stream builds the frequency table; everything after runs on the
-    * VOCABULARY (orders of magnitude below the corpus — the rank
-    * window is single-partition but vocabulary-sized, the q68
-    * precedent). */
+    * stream builds the frequency table — and NOTHING after it touches
+    * per-term rows again. The band statistics depend only on the
+    * (rank, cnt) MULTISET: terms tying on cnt occupy a contiguous
+    * rank run (rank order is cnt DESC with term ASC breaking ties,
+    * and every output is tie-order-invariant), so the whole query
+    * reduces to per-COUNT group sizes. Each count-group's rank run
+    * [r0+1, r0+c] is split at the ≤19 decimal band boundaries and
+    * each segment contributes closed-form arithmetic-series sums —
+    * sum(rank·cnt) over ranks lo..hi = cnt·(lo+hi)(hi−lo+1)/2. The
+    * only windows are the prefix sums over the distinct-count table,
+    * blocked by count magnitude (≤19 partitions of ≤√N_tokens rows
+    * each — distinct counts are O(√N) since they sum to N). No
+    * vocabulary-sized single-partition window anywhere. */
   def zipfQuery(spark: SparkSession, dir: String): DataFrame =
     zipfBands(Tables.documents(spark, dir))
 
@@ -721,19 +730,54 @@ object TextAnalysis {
     val tf = docs
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val ranked = tf.withColumn("rank", row_number()
-        .over(Window.orderBy(col("cnt").desc, col("term").asc))
-        .cast("long"))
-    val tot = tf.agg(sum(col("cnt")).as("t"))
-    ranked.crossJoin(broadcast(tot))
-      .groupBy(length(col("rank").cast("string")).cast("int").as("band"))
-      .agg(count(lit(1)).cast("long").as("n_terms"),
-        min(col("rank")).cast("long").as("rank_lo"),
-        max(col("rank")).cast("long").as("rank_hi"),
-        sum(col("cnt")).cast("long").as("band_tokens"),
-        expr("sum(rank * cnt) div count(1)").cast("long")
+    // collapse to count-groups: c terms share this cnt → one
+    // contiguous rank run; three branches read this (offsets, total,
+    // the segment expansion), so materialize once (distinct-count
+    // cardinality is O(√N_tokens) — bounded)
+    val grp = tf.groupBy("cnt").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // rank offset r0 of a count-group = #terms with (cnt' > cnt),
+    // blocked prefix sum: block by decimal magnitude of cnt (≤19
+    // blocks; larger magnitude ⇒ earlier in cnt-DESC rank order).
+    // Block offsets come from a broadcast triangular self-join over
+    // the ≤19-row block table — NO unpartitioned WindowExec anywhere
+    // in this plan (pinned by PlanSpec)
+    val blk = grp.withColumn("blk",
+      length(col("cnt").cast("string")).cast("int"))
+    val inBlkW = Window.partitionBy("blk").orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bc = blk.groupBy("blk").agg(sum(col("c")).as("bc"))
+    val bc2 = bc.select(col("blk").as("blk2"), col("bc").as("bc2"))
+    val blkOff = bc.join(broadcast(bc2), col("blk2") > col("blk"), "left")
+      .groupBy("blk")
+      .agg(coalesce(sum(col("bc2")), lit(0L)).as("boff"))
+    val offs = blk
+      .withColumn("loc", coalesce(sum(col("c")).over(inBlkW), lit(0L)))
+      .join(broadcast(blkOff), "blk")
+      .withColumn("r0", col("boff") + col("loc"))
+      .select("cnt", "c", "r0")
+    val tot = grp.agg(expr("sum(cnt * c)").as("t"))
+    // split each rank run [r0+1, r0+c] at decimal band boundaries:
+    // band b covers ranks [10^(b-1), 10^b-1]; 10^(b-1) rendered as
+    // substring('1e18-as-digits', 1, b) to stay in exact integer land
+    val p10 = "CAST(substring('1000000000000000000', 1, band) AS BIGINT)"
+    offs.crossJoin(broadcast(tot))
+      .withColumn("band", explode(expr(
+        "sequence(length(CAST(r0 + 1 AS STRING)), " +
+          "length(CAST(r0 + c AS STRING)))")))
+      .withColumn("lo", expr(s"greatest(r0 + 1, $p10)"))
+      .withColumn("hi", expr(s"least(r0 + c, $p10 * 10 - 1)"))
+      .withColumn("len", col("hi") - col("lo") + lit(1L))
+      // (lo+hi)·len is always even → div 2 is exact
+      .withColumn("rank_sum", expr("(lo + hi) * len div 2"))
+      .groupBy(col("band").cast("int").as("band"))
+      .agg(sum(col("len")).cast("long").as("n_terms"),
+        min(col("lo")).cast("long").as("rank_lo"),
+        max(col("hi")).cast("long").as("rank_hi"),
+        expr("sum(cnt * len)").cast("long").as("band_tokens"),
+        expr("sum(cnt * rank_sum) div sum(len)").cast("long")
           .as("mean_rank_freq"),
-        expr("sum(cnt) * 1000000 div first(t)").cast("long")
+        expr("sum(cnt * len) * 1000000 div first(t)").cast("long")
           .as("share_e6"))
       .orderBy("band")
   }
@@ -767,9 +811,13 @@ object TextAnalysis {
     * Scale shape: "first time a term appears" is min(doc_id) per term
     * — one token-keyed aggregation, no distinct-per-prefix recompute
     * (the naive form is 10 distincts over growing prefixes; this is
-    * ONE pass + a doc-count-sized running sum). The running windows
-    * order by doc_id over the per-DOC frame (corpus/40-ish rows), not
-    * the token stream. */
+    * ONE pass + running sums over the per-DOC frame). The per-doc
+    * frame is corpus-cardinality, so the running sums use the blocked
+    * prefix-sum shape of `OlapOps.globalRankAsc`: doc_ids block into
+    * ~1024 ranges, per-block totals prefix-sum over the ≤1024-row
+    * block table, within-block windows (partitioned by block) finish
+    * the cumulative counts — no doc-cardinality single-partition
+    * window. */
   def heapsQuery(spark: SparkSession, dir: String): DataFrame =
     heapsGrowth(Tables.documents(spark, dir))
 
@@ -782,15 +830,40 @@ object TextAnalysis {
     val newPerDoc = toks.groupBy("term").agg(min("doc_id").as("fd"))
       .groupBy(col("fd").as("doc_id"))
       .agg(count(lit(1)).as("new_terms"))
-    val w = Window.orderBy("doc_id")
-    val run = perDoc.join(newPerDoc, Seq("doc_id"), "left")
+    // three running sums (row number, cumulative tokens, cumulative
+    // vocab), all ordered by doc_id — blocked: doc_ids map into ≤1024
+    // contiguous ranges (order-preserving), per-block totals prefix-
+    // sum over the ≤1024-row block table, within-block windows finish
+    val base = perDoc.join(newPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("new_terms"), lit(0L)).as("new_terms"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("tok_cum", sum("n_tok").over(w))
-      .withColumn("voc_cum", sum("new_terms").over(w))
-    val nd = perDoc.agg(count(lit(1)).as("nd"))
-    run.crossJoin(broadcast(nd))
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+      count(lit(1)).as("nd"))
+    val nBlocks = 1024
+    val b = base.crossJoin(broadcast(bounds))
+      .withColumn("blk",
+        expr(s"CAST((doc_id - lo) * $nBlocks div (hi - lo + 1) AS INT)"))
+    // block offsets via a broadcast triangular self-join over the
+    // ≤1024-row block table (≤0.5M in-memory pairs) — no
+    // unpartitioned WindowExec in this plan (pinned by PlanSpec)
+    val bt = b.groupBy("blk").agg(count(lit(1)).as("bn"),
+      sum("n_tok").as("bt"), sum("new_terms").as("bv"))
+    val bt2 = bt.select(col("blk").as("blk2"), col("bn").as("bn2"),
+      col("bt").as("bt2"), col("bv").as("bv2"))
+    val offs = bt.join(broadcast(bt2), col("blk2") < col("blk"), "left")
+      .groupBy("blk")
+      .agg(coalesce(sum("bn2"), lit(0L)).as("rn_off"),
+        coalesce(sum("bt2"), lit(0L)).as("tok_off"),
+        coalesce(sum("bv2"), lit(0L)).as("voc_off"))
+    val inBlk = Window.partitionBy("blk").orderBy("doc_id")
+    val inBlkCum = inBlk
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offs), "blk")
+      .withColumn("rn",
+        col("rn_off") + row_number().over(inBlk).cast("long"))
+      .withColumn("tok_cum", col("tok_off") + sum("n_tok").over(inBlkCum))
+      .withColumn("voc_cum",
+        col("voc_off") + sum("new_terms").over(inBlkCum))
       .groupBy(expr("(rn - 1) * 10 div nd + 1").cast("int").as("decile"))
       .agg(max(col("rn")).cast("long").as("docs"),
         max(col("tok_cum")).cast("long").as("tokens_cum"),

@@ -94,7 +94,9 @@ object EventStream {
     val drop = graft.sources.Scratch.dir(spark, s"${prefix}_drop")
     val ck = graft.sources.Scratch.dir(spark, s"${prefix}_ck")
     staged.write.mode("overwrite").json(drop)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // resolve the scratch path's OWN filesystem (not the default FS)
+    // — consistent with stageWaveFiles and Scratch.delete
+    val fs = new org.apache.hadoop.fs.Path(drop).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(drop))
       .filter(_.getPath.getName.startsWith("part-"))
