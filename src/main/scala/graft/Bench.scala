@@ -102,8 +102,22 @@ object Bench {
     val perQuerySamples = names.map { n =>
       n -> samples.collect { case (`n`, Some(s)) => s }.toSeq
     }
+    // Per-query regression gate (in-harness, not judge-side): compare
+    // against the PRIOR run's minima — BENCH_OUT.json is read before
+    // this run overwrites it (override via SPARK_GRAFT_BENCH_BASELINE).
+    // A query regresses at >2x the prior min AND >0.5s absolute — the
+    // same thresholds the round verdicts applied by hand.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
+    val prior = readBaseline(baselinePath)
+    val regressions = results.flatMap { case (n, now) =>
+      prior.get(n).collect {
+        case p if now >= 2 * p && now - p >= 0.5 =>
+          n -> (now / p)
+      }
+    }
     val line = metricLine(results, failed, flaky,
-      fastHash.toSeq.sortBy(_._1), perQuerySamples, sfDir)
+      fastHash.toSeq.sortBy(_._1), perQuerySamples, sfDir, regressions)
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
@@ -116,6 +130,7 @@ object Bench {
     try Files.writeString(Paths.get("BENCH_SUMMARY.json"),
       s"""{"total":$total,"n":${results.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
+    graft.streaming.StagedDrops.cleanup(spark)
     graft.sources.Scratch.sweep(spark)
     spark.stop()
   }
@@ -138,12 +153,29 @@ object Bench {
     * min(samples) — that gap itself marks "an isolated quiet-window
     * retry beat every interleaved rep", i.e. steal hit all rounds.
     */
+  /** Extract the prior run's per-query minima from a metric-line file
+    * — the flat `"queries":{"name":sec,...}` object. Zero-dependency
+    * parse: the object is brace-free inside by construction (names are
+    * escaped, values are plain doubles), so a non-greedy regex is
+    * exact. Missing/corrupt baseline → empty map (first run, or the
+    * driver truncated the file — the gate just reports nothing). */
+  private[graft] def readBaseline(path: String): Map[String, Double] =
+    try {
+      val text = Files.readString(Paths.get(path))
+      """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map { m =>
+        """"((?:[^"\\]|\\.)+)":([0-9.Ee+-]+)""".r
+          .findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+
   private[graft] def metricLine(
       results: Seq[(String, Double)],
       failed: Seq[String], flaky: Seq[String],
       fastHash: Seq[(String, Double)],
       samples: Seq[(String, Seq[Double])],
-      sfDir: String): String = {
+      sfDir: String,
+      regressions: Seq[(String, Double)] = Nil): String = {
     def esc(s: String): String = s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
@@ -164,6 +196,6 @@ object Bench {
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash)},"samples":$samplesJson,"sf":"${esc(sfDir)}"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"failed":${arr(failed)},"flaky":${arr(flaky)},"fast_hash":${obj(fastHash)},"regressions":${obj(regressions)},"samples":$samplesJson,"sf":"${esc(sfDir)}"}"""
   }
 }

@@ -30,6 +30,9 @@ object BenchOne {
       println(f"[benchone] $n min=${s.min}%.3f " +
         s"samples=${s.map(t => f"$t%.3f").mkString(",")}")
     }
+    if (graft.operators.DupClusters.lastAlternations >= 0)
+      println("[benchone] cc_alternations=" +
+        graft.operators.DupClusters.lastAlternations)
     spark.stop()
   }
 }

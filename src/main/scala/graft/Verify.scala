@@ -53,6 +53,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.streaming.StagedDrops.cleanup(spark)
     graft.sources.Scratch.sweep(spark)
     spark.stop()
   }

@@ -51,6 +51,12 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
+  /** Alternation count of the most recent [[connectedComponents]]
+    * convergence in this JVM — a DIAGNOSTIC read by the scaling
+    * harness to record round counts (e.g. the q232 pre-collapse
+    * before/after); not part of any query's semantics. */
+  @volatile private[graft] var lastAlternations: Int = -1
+
   /** Cluster assignment for every node of the pair graph: returns
     * (node, cluster_id) where cluster_id is the MIN node id of the
     * component — deterministic canonical labels. `pairs` needs
@@ -138,6 +144,7 @@ object DupClusters {
     // legitimately needs more rounds)
     require(converged,
       s"connectedComponents did not converge in $maxIters alternations")
+    lastAlternations = rounds
     // Fixpoint edges are disjoint stars (child, component-min root):
     // every non-root node appears exactly once on the child side.
     // Roots label themselves.

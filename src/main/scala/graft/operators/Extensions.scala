@@ -942,19 +942,41 @@ object Extensions {
     *
     * Scale shape: each pair chain is its proven linear/blocked form;
     * the union is a distinct over pair-sized frames; the components
-    * run the q45 large-star/small-star alternation. */
+    * run the q45 large-star/small-star alternation, SEEDED by
+    * exact-group pre-collapse: the md5 groups are already star-shaped
+    * (member→min edges), so every OTHER family's pair endpoints are
+    * rewritten through their exact-group representative before the
+    * union. Chains that threaded through exact members vanish, the
+    * edge table shrinks, and the alternation converges in fewer
+    * rounds; connectivity and labels are unchanged because the
+    * member→rep star edges stay in the graph and each group's rep IS
+    * its min id. The rewrite joins against the MEMBERS-ONLY map
+    * (docs with a strictly smaller exact twin — dup-sized, not
+    * corpus-sized), so the seeding never shuffles the corpus. */
   def q232UnionDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val exact = docs.select(col("doc_id"), md5(col("text")).as("f"))
+    // doc -> exact-group min, members only (rep rows filtered out);
+    // read six times (3 families x 2 endpoints) + the star edges
+    val exactReps = docs.select(col("doc_id"), md5(col("text")).as("f"))
       .withColumn("mn",
         min(col("doc_id")).over(Window.partitionBy("f")))
       .filter(col("doc_id") =!= col("mn"))
-      .select(col("mn").as("d1"), col("doc_id").as("d2"))
-    val allPairs = dupPairs(docs)
-      .unionByName(
-        Dedup.sortedNeighborhoodPairs(docs).select("d1", "d2"))
-      .unionByName(Dedup.ppjoinPairs(docs).select("d1", "d2"))
+      .select(col("doc_id"), col("mn"))
+      .localCheckpoint()
+    val exact = exactReps.select(col("mn").as("d1"), col("doc_id").as("d2"))
+    def collapse(p: DataFrame): DataFrame = p
+      .join(exactReps.select(col("doc_id").as("d1"), col("mn").as("m1")),
+        Seq("d1"), "left")
+      .join(exactReps.select(col("doc_id").as("d2"), col("mn").as("m2")),
+        Seq("d2"), "left")
+      .select(coalesce(col("m1"), col("d1")).as("d1"),
+        coalesce(col("m2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val allPairs = collapse(dupPairs(docs))
+      .unionByName(collapse(
+        Dedup.sortedNeighborhoodPairs(docs).select("d1", "d2")))
+      .unionByName(collapse(Dedup.ppjoinPairs(docs).select("d1", "d2")))
       .unionByName(exact)
       .distinct()
     DupClusters.clusterReport(docs, allPairs)

@@ -60,18 +60,17 @@ object ActiveUsersStream {
   def activeUsersQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q255_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q255_drop")
-    val ck = graft.sources.Scratch.dir(spark, "q255_ck")
-    graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"),
-        timestamp_millis(unix_timestamp(col("ts")) * lit(1000L) +
-          lit(17L)).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .coalesce(4).write.mode("overwrite").json(drop)
-    try activeUsersAvailableNow(spark, drop, sunk, ck)
-    finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    val drop = StagedDrops.shared(spark, "events_sec17", dir) { d =>
+      graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"),
+          timestamp_millis(unix_timestamp(col("ts")) * lit(1000L) +
+            lit(17L)).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(4).write.mode("overwrite").json(d)
     }
+    val ck = graft.sources.Scratch.dir(spark, "q255_ck")
+    try activeUsersAvailableNow(spark, drop, sunk, ck)
+    finally graft.sources.Scratch.delete(spark, ck)
     spark.read.parquet(sunk)
       .select(col("day"), col("active_users").cast("long"))
       .orderBy("day")

@@ -139,6 +139,22 @@ object EventStream {
     }
   }
 
+  /** The (event_id, user_id, second-floored ts) median-split two-wave
+    * drop q244 (session_window) and q246 (milestones) both drain —
+    * staged once per JVM via [[StagedDrops]]. */
+  def stageSecondWaves(spark: SparkSession, dir: String): String =
+    StagedDrops.shared(spark, "sec_waves2", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+        .withColumn("wave",
+          (ntile(2).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint() // one schedule build, two filtered writes
+      stageWaveFiles(spark, staged,
+        Seq("event_id", "user_id", "ts"), 2, d)
+    }
+
   /** Run `body` with the RocksDB state store provider set, restoring
     * the prior session setting afterwards — the loan pattern for the
     * transformWithState queries/specs (the API refuses the default

@@ -128,18 +128,17 @@ object FunnelStream {
     * lifecycle is StreamingSpec's claim. */
   def funnelQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q254_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q254_drop")
-    val ck = graft.sources.Scratch.dir(spark, "q254_ck")
-    graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"), unix_millis(col("ts")).as("t"),
-        col("user_id"), col("event_type"), col("value"))
-      .selectExpr("event_id", "timestamp_millis(t) AS ts", "user_id",
-        "event_type", "value")
-      .coalesce(4).write.mode("overwrite").json(drop)
-    try funnelAvailableNow(spark, drop, sunk, ck)
-    finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+    val drop = StagedDrops.shared(spark, "events_ms", dir) { d =>
+      graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), unix_millis(col("ts")).as("t"),
+          col("user_id"), col("event_type"), col("value"))
+        .selectExpr("event_id", "timestamp_millis(t) AS ts", "user_id",
+          "event_type", "value")
+        .coalesce(4).write.mode("overwrite").json(d)
     }
+    val ck = graft.sources.Scratch.dir(spark, "q254_ck")
+    try funnelAvailableNow(spark, drop, sunk, ck)
+    finally graft.sources.Scratch.delete(spark, ck)
     val spine = spark.createDataFrame(
       stages.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) })
       .toDF("stage", "step")

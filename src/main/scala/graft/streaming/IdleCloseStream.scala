@@ -114,17 +114,18 @@ object IdleCloseStream {
     * [[idleSummaries]] on the RocksDB state store. */
   def idleCloseQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q250_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q250_drop")
+    val drop = StagedDrops.shared(spark, "sec_waves2_typed", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+        .withColumn("wave",
+          (ntile(2).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "user_id", "event_type", "ts"), 2, d)
+    }
     val ck = graft.sources.Scratch.dir(spark, "q250_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
-      .withColumn("wave",
-        (ntile(2).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
-      .localCheckpoint()
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("event_id", "user_id", "event_type", "ts"), 2, drop)
     try EventStream.withRocksDbProvider(spark) {
       val q = idleSummaries(spark,
           spark.readStream.schema(idleSchema)
@@ -138,7 +139,7 @@ object IdleCloseStream {
       require(batches == 2,
         s"q250 staged 2 wave files but streamed $batches micro-batches")
     } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+      graft.sources.Scratch.delete(spark, ck)
     }
     spark.read.parquet(sunk)
       .select(col("user_id").cast("long"), col("event_type"),

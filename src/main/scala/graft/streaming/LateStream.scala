@@ -104,12 +104,13 @@ object LateStream {
     * [[windowedCounts]], and return the emitted windows. */
   def lateAuditQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q243_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q243_drop")
+    val drop = StagedDrops.shared(spark, "late_waves3", dir) { d =>
+      val staged = stagedWaves(graft.sources.Tables.events(spark, dir))
+        .localCheckpoint() // one schedule build, three filtered writes
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "ts", "event_type"), 3, d)
+    }
     val ck = graft.sources.Scratch.dir(spark, "q243_ck")
-    val staged = stagedWaves(graft.sources.Tables.events(spark, dir))
-      .localCheckpoint() // one schedule build, three filtered writes
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("event_id", "ts", "event_type"), 3, drop)
     try {
       val q = windowedCounts(
           spark.readStream.schema(lateSchema)
@@ -128,7 +129,7 @@ object LateStream {
         "q243 ran without dropping any late rows — the schedule no " +
           "longer exercises the watermark drop path")
     } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+      graft.sources.Scratch.delete(spark, ck)
     }
     spark.read.parquet(sunk)
       .select(col("window_ms").cast("long"), col("event_type"),

@@ -91,17 +91,8 @@ object MilestoneStream {
     * [[milestones]] on the RocksDB state store. */
   def milestoneQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q246_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q246_drop")
+    val drop = EventStream.stageSecondWaves(spark, dir) // shared w/ q244
     val ck = graft.sources.Scratch.dir(spark, "q246_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
-      .withColumn("wave",
-        (ntile(2).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
-      .localCheckpoint()
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("event_id", "user_id", "ts"), 2, drop)
     try EventStream.withRocksDbProvider(spark) {
       val q = milestones(spark,
           spark.readStream.schema(milestoneSchema)
@@ -115,7 +106,7 @@ object MilestoneStream {
       require(batches == 2,
         s"q246 staged 2 wave files but streamed $batches micro-batches")
     } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+      graft.sources.Scratch.delete(spark, ck)
     }
     spark.read.parquet(sunk)
       .select(col("user_id").cast("long"),

@@ -77,17 +77,10 @@ object SessionStream {
     * [[sessionCounts]], return the emitted (closed) sessions. */
   def sessionWindowQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q244_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q244_drop")
+    // "sec_waves2": shared with q246 — both drain the same
+    // (event_id, user_id, second-floored ts) median-split schedule
+    val drop = EventStream.stageSecondWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q244_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
-      .withColumn("wave",
-        (ntile(2).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
-      .localCheckpoint() // one schedule build, two filtered writes
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("event_id", "user_id", "ts"), 2, drop)
     try {
       val q = sessionCounts(
           spark.readStream.schema(sessSchema)
@@ -105,7 +98,7 @@ object SessionStream {
       require(dropped == 0,
         s"q244's in-order schedule must never drop rows, saw $dropped")
     } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
+      graft.sources.Scratch.delete(spark, ck)
     }
     spark.read.parquet(sunk)
       .select(col("user_id").cast("long"),

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Session-memoized staging for streaming drains.
+  *
+  * Staging a drop directory (writing the fixture table out as JSONL
+  * wave files) is FIXTURE PLUMBING, not the operator under test — but
+  * it used to run once per query: q229/q251/q252 staged three copies
+  * of the same click/purchase feed, q253–q257 re-staged per query,
+  * and every bench rep repeated all of it. Each distinct staging
+  * VARIANT is now staged once per (JVM, sf dir) and reused across
+  * queries and bench reps; what stays per-drain is everything the
+  * correctness claim actually covers — a fresh checkpoint, the
+  * stream read, state stores, sink commit log, and read-back.
+  *
+  * Sharing is sound because staging is deterministic (wave splits
+  * order by (ts, id); wave-file mtimes are pinned by stageWaveFiles)
+  * and drains never mutate their drop. If a cached drop vanished
+  * (external tmp cleanup), it is re-staged to a fresh dir.
+  *
+  * Drops live until [[cleanup]] (called by Bench/Verify at the END of
+  * a run — NOT Scratch's between-query sweep, which would defeat the
+  * sharing) or JVM exit.
+  */
+object StagedDrops {
+
+  private val cache = scala.collection.mutable.Map[String, String]()
+
+  /** The drop for `variant` over `dir`, staging via `stage` on first
+    * use. `stage` receives a fresh empty scratch dir. */
+  def shared(spark: SparkSession, variant: String, dir: String)(
+      stage: String => Unit): String = synchronized {
+    val key = s"$variant|$dir"
+    val live = cache.get(key).filter { d =>
+      val p = new Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    live.getOrElse {
+      val drop = graft.sources.Scratch.dir(spark, s"shared_$variant")
+      stage(drop)
+      cache(key) = drop
+      drop
+    }
+  }
+
+  /** Delete every cached drop. Safe once no drain is in flight. */
+  def cleanup(spark: SparkSession): Unit = synchronized {
+    cache.values.foreach(graft.sources.Scratch.delete(spark, _))
+    cache.clear()
+  }
+}

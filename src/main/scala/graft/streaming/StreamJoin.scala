@@ -128,9 +128,9 @@ object StreamJoin {
     * join, sink commit log, read-back, and the cents arithmetic. */
   def streamJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q229_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q229_drop")
+    val drop = StagedDrops.shared(spark, "join_ms", dir)(
+      stageJoinDrop(spark, dir, _, floorSeconds = false))
     val ck = graft.sources.Scratch.dir(spark, "q229_ck")
-    stageJoinDrop(spark, dir, drop, floorSeconds = false)
     try {
       def side(eventType: String): DataFrame =
         joinSide(spark, drop, eventType)
@@ -141,9 +141,7 @@ object StreamJoin {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
-    }
+    } finally graft.sources.Scratch.delete(spark, ck)
     spark.read.parquet(sunk)
       .groupBy("user_id")
       .agg(count(lit(1)).cast("long").as("n_pairs"),
@@ -178,9 +176,9 @@ object StreamJoin {
     * them. Output keys nulls as purchase_id = -1 (hash-stable). */
   def leftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q251_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q251_drop")
+    val drop = StagedDrops.shared(spark, "join_sec", dir)(
+      stageJoinDrop(spark, dir, _, floorSeconds = true))
     val ck = graft.sources.Scratch.dir(spark, "q251_ck")
-    stageJoinDrop(spark, dir, drop, floorSeconds = true)
     try {
       def side(eventType: String): DataFrame =
         joinSide(spark, drop, eventType)
@@ -191,9 +189,7 @@ object StreamJoin {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
-    }
+    } finally graft.sources.Scratch.delete(spark, ck)
     val landed = spark.read.parquet(sunk)
     val nulls = landed.filter(col("purchase_id").isNull).limit(1).count()
     require(nulls > 0,
@@ -247,9 +243,9 @@ object StreamJoin {
     * exactly once with their full pair count. */
   def joinedWindowQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q252_sunk")
-    val drop = graft.sources.Scratch.dir(spark, "q252_drop")
+    val drop = StagedDrops.shared(spark, "join_sec", dir)(
+      stageJoinDrop(spark, dir, _, floorSeconds = true))
     val ck = graft.sources.Scratch.dir(spark, "q252_ck")
-    stageJoinDrop(spark, dir, drop, floorSeconds = true)
     try {
       def side(eventType: String): DataFrame =
         joinSide(spark, drop, eventType)
@@ -264,9 +260,7 @@ object StreamJoin {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
-    }
+    } finally graft.sources.Scratch.delete(spark, ck)
     spark.read.parquet(sunk)
       .select(col("window_ms").cast("long"),
         col("n_pairs").cast("long"))

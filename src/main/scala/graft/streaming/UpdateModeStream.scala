@@ -37,16 +37,17 @@ object UpdateModeStream {
       label: String, ck: String)(
       attach: DataFrame => DataStreamWriter[org.apache.spark.sql.Row])
       : Unit = {
-    val drop = graft.sources.Scratch.dir(spark, s"${label}_drop")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts"))
-      .withColumn("wave",
-        (ntile(2).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
-      .localCheckpoint()
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("event_id", "user_id", "event_type", "ts"), 2, drop)
+    val drop = StagedDrops.shared(spark, "event_waves2", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .withColumn("wave",
+          (ntile(2).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "user_id", "event_type", "ts"), 2, d)
+    }
     try {
       val q = attach(spark.readStream
           .schema(graft.streaming.IdleCloseStream.idleSchema)
@@ -60,9 +61,7 @@ object UpdateModeStream {
         s"$label staged 2 wave files but streamed $batches " +
           "micro-batches — a single batch never exercises the " +
           "second-batch overwrite")
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
-    }
+    } finally graft.sources.Scratch.delete(spark, ck)
   }
 
   /** q256: hourly per-type counts in UPDATE mode, merged per batch

@@ -58,6 +58,76 @@ object UpsertStream {
     spark.read.parquet(currentSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot under $root")))
 
+  /** The q253 upsert feed as a shared two-wave drop: key = user_id
+    * (as doc_id), version = event_id as a ms timestamp, split by
+    * version so the second batch must overwrite the first. Shared so
+    * the failure-injection spec replays EXACTLY the drop the oracle
+    * query drains. */
+  def stageUpsertWaves(spark: SparkSession, dir: String): String =
+    StagedDrops.shared(spark, "upsert_waves2", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .select(col("user_id").as("doc_id"),
+          timestamp_millis(col("event_id")).as("ts"),
+          col("event_type").as("text"),
+          col("event_type").as("source"))
+        .withColumn("wave",
+          (ntile(2).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("doc_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("doc_id", "ts", "text", "source"), 2, d)
+    }
+
+  /** Apply one upsert micro-batch to the table under `root`: reduce
+    * to latest-per-key, then copy-on-write merge into snapshot
+    * v{n+1}. IDEMPOTENT under batch replay — foreachBatch is
+    * at-least-once, so after a crash between a completed merge and
+    * its checkpoint commit the SAME batch re-merges; overwriting the
+    * same keys with the same latest rows yields an identical
+    * snapshot (the replay-safety the failure-injection spec proves). */
+  private def applyUpsertBatch(spark: SparkSession, root: String,
+      batch: DataFrame, key: String, version: String): Unit = {
+    val latest = latestPerKey(batch, key, version)
+    currentSnapshot(spark, root) match {
+      case None =>
+        latest.write.mode("overwrite").parquet(s"$root/v0")
+      case Some(cur) =>
+        val curId = new Path(cur).getName.drop(1).toLong
+        // columns in base order for the merge's schema check
+        val base = spark.read.parquet(cur)
+        graft.operators.Maintenance.copyOnWriteMerge(
+          spark, cur, s"$root/v${curId + 1}",
+          latest.select(base.columns.map(col): _*), key)
+        ()
+    }
+  }
+
+  /** The q253 drain: one wave file per micro-batch so the second
+    * batch's merge must overwrite rows the first batch wrote. Returns
+    * the carried-rows batch count. `failAfterMergeAt` injects a crash
+    * AFTER that batch's merge completed but BEFORE its checkpoint
+    * commit — the worst-case at-least-once window (the spec kills at
+    * batch 0 and at batch 1, restarts on the same checkpoint, and
+    * proves the replayed merge converges to the oracle snapshot). */
+  private[graft] def drainUpsertWaves(spark: SparkSession,
+      drop: String, root: String, ck: String,
+      failAfterMergeAt: Option[Long] = None): Long = {
+    val q = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", "1").json(drop)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUpsertBatch(spark, root, batch, "doc_id", "ts")
+        if (failAfterMergeAt.contains(batchId))
+          throw new IllegalStateException(
+            s"injected crash after batch $batchId merge")
+      }
+      .start()
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0).toLong
+  }
+
   /** q253: the upsert SINK itself under oracle check (previously
     * unit-only). Events become an upsert feed — key = user_id (staged
     * as doc_id), version = event_id encoded as a MILLISECOND
@@ -70,52 +140,15 @@ object UpsertStream {
     * original events: equality certifies batch-local reduce, merge,
     * snapshot pointer, and replay-safe ordering end to end. */
   def upsertQuery(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val root = graft.sources.Scratch.dirOutliving(spark, "q253_table")
-    val drop = graft.sources.Scratch.dir(spark, "q253_drop")
+    val drop = stageUpsertWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q253_ck")
-    val staged = graft.sources.Tables.events(spark, dir)
-      .select(col("user_id").as("doc_id"),
-        timestamp_millis(col("event_id")).as("ts"),
-        col("event_type").as("text"),
-        col("event_type").as("source"))
-      .withColumn("wave",
-        (ntile(2).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("doc_id"))) - 1).cast("int"))
-      .localCheckpoint()
-    EventStream.stageWaveFiles(spark, staged,
-      Seq("doc_id", "ts", "text", "source"), 2, drop)
     try {
-      // one wave per micro-batch: the second batch's merge must
-      // overwrite rows the first batch wrote
-      val q = spark.readStream.schema(DocStream.docSchema)
-        .option("maxFilesPerTrigger", "1").json(drop)
-        .writeStream
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val latest = latestPerKey(batch, "doc_id", "ts")
-          currentSnapshot(spark, root) match {
-            case None =>
-              latest.write.mode("overwrite").parquet(s"$root/v0")
-            case Some(cur) =>
-              val curId = new Path(cur).getName.drop(1).toLong
-              val base = spark.read.parquet(cur)
-              graft.operators.Maintenance.copyOnWriteMerge(
-                spark, cur, s"$root/v${curId + 1}",
-                latest.select(base.columns.map(col): _*), "doc_id")
-              ()
-          }
-        }
-        .start()
-      q.awaitTermination()
-      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      val batches = drainUpsertWaves(spark, drop, root, ck)
       require(batches == 2,
         s"q253 staged 2 wave files but streamed $batches micro-batches " +
           "— a single batch never exercises the overwrite merge")
-    } finally {
-      for (d <- Seq(drop, ck)) graft.sources.Scratch.delete(spark, d)
-    }
+    } finally graft.sources.Scratch.delete(spark, ck)
     readTable(spark, root)
       .select(col("doc_id").cast("long").as("user_id"),
         col("text").as("latest_type"),

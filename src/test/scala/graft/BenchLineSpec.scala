@@ -70,4 +70,31 @@ class BenchLineSpec extends AnyFunSuite {
     val n = mapper.readTree(line)
     assert(n.get("samples").get("q01").size == 0)
   }
+
+  test("regressions key renders and defaults to empty") {
+    val withReg = mapper.readTree(Bench.metricLine(
+      results = Seq("q01" -> 2.0), failed = Nil, flaky = Nil,
+      fastHash = Nil, samples = Seq("q01" -> Seq(2.0)), sfDir = "x",
+      regressions = Seq("q01" -> 4.0)))
+    assert(withReg.get("regressions").get("q01").asDouble == 4.0)
+    val without = mapper.readTree(Bench.metricLine(
+      results = Nil, failed = Nil, flaky = Nil, fastHash = Nil,
+      samples = Nil, sfDir = "x"))
+    assert(without.get("regressions").size == 0)
+  }
+
+  test("readBaseline recovers per-query minima from a metric line") {
+    val dir = java.nio.file.Files.createTempDirectory("benchline")
+    val f = dir.resolve("BENCH_OUT.json")
+    val line = Bench.metricLine(
+      results = Seq("q01" -> 1.25, "q02" -> 0.033),
+      failed = Nil, flaky = Nil, fastHash = Seq("q23" -> 0.9),
+      samples = Seq("q01" -> Seq(1.25)), sfDir = "x")
+    java.nio.file.Files.writeString(f, line + "\n")
+    val base = Bench.readBaseline(f.toString)
+    assert(base == Map("q01" -> 1.25, "q02" -> 0.033),
+      s"fast_hash/samples must not leak into the baseline: $base")
+    // gate arithmetic: >2x AND >0.5s absolute
+    assert(Bench.readBaseline(dir.resolve("missing.json").toString).isEmpty)
+  }
 }
