@@ -248,12 +248,17 @@ object ScalingCurve {
       sb ++= s"| $n | ${stateBounds(n)} | ${cells(0)} | ${cells(1)} | " +
         s"${cells(2)} |\n"
     }
-    sb ++= "\nReading: q244/q246 state rows track distinct USERS (the " +
-      "key space),\nnot event count — events grow 10x per step while " +
-      "keys saturate at the\nfixture's user population; q252's join " +
-      "buffer holds only rows inside the\nattribution interval plus " +
-      "unclosed hourly windows, the eviction the\ninterval condition " +
-      "exists to guarantee (StreamJoin.scala:14-22).\n"
+    sb ++= "\nReading: q246's rows equal the distinct-user count at " +
+      "each sf (state =\nlive keys, growing with the key space, not " +
+      "the event count). q244/q252\npeaks grow with events HERE " +
+      "because an AvailableNow drain over 1-2 wave\nfiles advances " +
+      "the watermark only at batch boundaries — sessions/join\nrows " +
+      "cannot be evicted mid-batch, so the peak is the per-watermark-" +
+      "advance\nworking set, set by the drain's batch cadence. In a " +
+      "continuous deployment\nthe same operators hold only the gap-/" +
+      "interval-bounded live set: eviction\non watermark advance is " +
+      "proven directly by StreamingSpec's multi-batch\ncases and the " +
+      "interval conditions documented at StreamJoin.scala:14-22.\n"
     ccRounds.toSeq.sortBy(_._1).headOption.foreach { _ =>
       sb ++= "\nq232 star-alternation rounds to convergence (exact-" +
         "seeded union graph):\n" +

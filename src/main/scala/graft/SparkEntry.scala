@@ -597,6 +597,30 @@ object SparkEntry {
       graft.streaming.UpdateModeStream.updateModeQuery(s, d)),
     "q257_complete_topk" -> ((s, d) =>
       graft.streaming.UpdateModeStream.completeModeQuery(s, d)),
+    // q258: STREAM-STATIC enrichment — the dimension-attach join a
+    // live fact feed needs (broadcast re-planned per micro-batch, no
+    // state store), drained over 2 batches to prove the re-attach.
+    "q258_stream_static" -> ((s, d) =>
+      graft.streaming.EnrichStream.enrichedQuery(s, d)),
+    // q259: BOUNDED-STATE streaming dedup via
+    // dropDuplicatesWithinWatermark — q218's dedup with expiring keys;
+    // the staged echo waves exercise suppression AND re-admission, and
+    // the drain itself asserts the store stayed below the key history.
+    "q259_bounded_dedup" -> ((s, d) =>
+      graft.streaming.BoundedDedupStream.boundedDedupQuery(s, d)),
+    // q260: trailing 30-day per-customer aggregates via a RANGE
+    // interval frame (the value-interval window mode; per-key frames).
+    "q260_trailing_window" -> ((s, d) =>
+      graft.operators.OlapOps.trailingWindowQuery(s, d)),
+    // q261: Pareto-frontier (skyline) selection over two quality
+    // objectives — running-max reduction vs the oracle's quadratic
+    // dominance definition.
+    "q261_skyline" -> ((s, d) =>
+      graft.operators.Curation.skylineQuery(s, d)),
+    // q262: hashed bigram feature export (fastText-style buckets) —
+    // the sparse-vector feature step before a classifier quality gate.
+    "q262_hashed_features" -> ((s, d) =>
+      graft.operators.TextAnalysis.hashedFeaturesQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1636,6 +1660,16 @@ object SparkEntry {
       graft.streaming.UpdateModeStream.updateModeOracleSql,
     "q257_complete_topk" ->
       graft.streaming.UpdateModeStream.completeModeOracleSql,
+    "q258_stream_static" ->
+      graft.streaming.EnrichStream.enrichedOracleSql,
+    "q259_bounded_dedup" ->
+      graft.streaming.BoundedDedupStream.boundedDedupOracleSql,
+    "q260_trailing_window" ->
+      graft.operators.OlapOps.trailingWindowOracleSql,
+    "q261_skyline" ->
+      graft.operators.Curation.skylineOracleSql,
+    "q262_hashed_features" ->
+      graft.operators.TextAnalysis.hashedFeaturesOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -506,4 +506,86 @@ object Curation {
          FROM documents
          ORDER BY priority, doc_id LIMIT $k)
        ORDER BY doc_id"""
+
+  /** q261: PARETO-FRONTIER (skyline) document selection — the
+    * multi-objective version of every single-score quota rule above:
+    * given two quality objectives to maximize (here `clean_e4`, the
+    * non-punctuation rate in e4, and `n_words`), a document is on the
+    * frontier iff NO other document is at least as good on both
+    * objectives and strictly better on one. The frontier is the
+    * defensible "no-regret" selection set a curation pipeline offers
+    * when objectives trade off (longer docs tend to carry more
+    * markup): anything off the frontier is dominated by a concrete
+    * witness.
+    *
+    * Scale shape: skyline over 2 integer objectives reduces to a
+    * running max — a doc is on the frontier iff its length equals the
+    * MAX length at its own cleanliness level AND strictly exceeds the
+    * max length over all STRICTLY CLEANER levels. Both maxima come
+    * from the per-level table (`clean_e4` has a bounded e4 domain, so
+    * ≤10001 rows regardless of corpus size): within-block running max
+    * windows (blocked by clean_e4 div 1000 — ≤11 partitions) plus a
+    * broadcast triangular join for cross-block offsets, the q241
+    * pattern. The corpus-sized passes are one aggregation and one
+    * broadcast-join flag attach — no single-partition window, no
+    * quadratic dominance test (the ORACLE runs the quadratic NOT
+    * EXISTS definition, so the hash match certifies the reduction). */
+  def skylineQuery(spark: SparkSession, dir: String): DataFrame =
+    skyline(Tables.documents(spark, dir))
+
+  /** [[skylineQuery]]'s core over any (doc_id, text, n_chars) frame. */
+  def skyline(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("n_chars"),
+        patternCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"),
+        size(rawTokens(col("text"))).cast("long").as("n_words"))
+      .select(col("doc_id"),
+        (lit(10000L) - expr("n_punct * 10000 div greatest(n_chars, 1)"))
+          .as("clean_e4"),
+        col("n_words"))
+    // per-cleanliness-level max length: bounded-domain table
+    val levels = scored.groupBy("clean_e4")
+      .agg(max(col("n_words")).as("max_l"))
+      .localCheckpoint() // read by offsets, blocks, and the attach
+    val blk = levels.withColumn("blk", expr("clean_e4 div 1000").cast("int"))
+    val inBlkW = Window.partitionBy("blk")
+      .orderBy(col("clean_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bm = blk.groupBy("blk").agg(max(col("max_l")).as("bm"))
+    val bm2 = bm.select(col("blk").as("blk2"), col("bm").as("bm2"))
+    val blkOff = bm.join(broadcast(bm2), col("blk2") > col("blk"), "left")
+      .groupBy("blk").agg(max(col("bm2")).as("boff")) // null = none cleaner
+    val strictMax = blk
+      .withColumn("loc", max(col("max_l")).over(inBlkW))
+      .join(broadcast(blkOff), "blk")
+      .select(col("clean_e4"), col("max_l"),
+        greatest(coalesce(col("loc"), lit(-1L)),
+          coalesce(col("boff"), lit(-1L))).as("m_strict"))
+    scored.join(broadcast(strictMax), Seq("clean_e4"))
+      .select(col("doc_id"), col("clean_e4"), col("n_words"),
+        when(col("n_words") === col("max_l") &&
+          col("n_words") > col("m_strict"), 1).otherwise(0)
+          .cast("int").as("is_frontier"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[skylineQuery]]: the QUADRATIC textbook
+    * dominance definition (NOT EXISTS a dominating witness) — fine at
+    * oracle scale, and exactly what certifies the running-max
+    * reduction. */
+  def skylineOracleSql: String = {
+    val ws = "\\s" // char-class member; the splitter adds the +
+    s"""WITH s AS (SELECT doc_id,
+           10000 - len(regexp_extract_all(text, '[^A-Za-z0-9$ws]'))
+             * 10000 // greatest(n_chars, 1) AS clean_e4,
+           CAST(len(string_split_regex(trim(text), '$ws+')) AS BIGINT)
+             AS n_words
+         FROM documents)
+     SELECT a.doc_id, a.clean_e4, a.n_words,
+       CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM s b
+           WHERE b.clean_e4 >= a.clean_e4 AND b.n_words >= a.n_words
+             AND (b.clean_e4 > a.clean_e4 OR b.n_words > a.n_words))
+         THEN 1 ELSE 0 END AS INT) AS is_frontier
+     FROM s a ORDER BY a.doc_id"""
+  }
 }

@@ -2348,4 +2348,51 @@ object OlapOps {
        CAST(sum(q * d) AS BIGINT) AS sum_qd,
        CAST(sum(d * d) AS BIGINT) AS sum_dd
      FROM f GROUP BY 1 ORDER BY 1"""
+
+  /** q260: trailing 30-day per-customer order aggregates via a RANGE
+    * interval frame — the time-bounded moving window every activity/
+    * velocity feature ("orders in the last 30 days at each order")
+    * needs, and a genuinely different window mode from the ROWS
+    * frames elsewhere (q52's rows frame counts ROWS; a RANGE frame
+    * admits every row within the VALUE interval, so same-day orders
+    * all join the frame regardless of how many there are).
+    *
+    * Scale shape: the window partitions by customer — per-key frames
+    * over each customer's own order history, never a global window.
+    * Day numbers are exact integers (days since a fixed epoch), so
+    * Spark's `rangeBetween(-29, 0)` and DuckDB's `RANGE BETWEEN 29
+    * PRECEDING AND CURRENT ROW` agree bit-for-bit — a RANGE frame
+    * over raw timestamps would instead inherit each engine's
+    * interval-arithmetic corner cases. */
+  def trailingWindowQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+        .cast("long").as("day"),
+      (round(col("o_totalprice").cast("decimal(38,10)"), 2) * 100)
+        .cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+        count(lit(1)).over(w).cast("long").as("n_orders_30d"),
+        sum(col("cents")).over(w).cast("long").as("rev_30d_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** DuckDB oracle for [[trailingWindowQuery]] — the same integer-day
+    * RANGE frame. */
+  def trailingWindowOracleSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+           date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             AS day,
+           CAST(round(CAST(o_totalprice AS DECIMAL(38,10)), 2) * 100
+             AS BIGINT) AS cents
+         FROM orders)
+     SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(sum(cents) OVER w AS BIGINT) AS rev_30d_cents
+     FROM o
+     WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+     ORDER BY o_custkey, o_orderkey"""
 }

@@ -893,4 +893,74 @@ object TextAnalysis {
        CAST(max(tok_cum) AS BIGINT) AS tokens_cum,
        CAST(max(voc_cum) AS BIGINT) AS vocab_cum
      FROM o, n GROUP BY 1 ORDER BY 1"""
+
+  /** q262: hashed n-gram FEATURE EXPORT — the feature-engineering
+    * step in front of a classifier-based quality filter (the
+    * fastText-style pipeline: hash each bigram into a fixed bucket
+    * space, train a linear model on the bucket counts, filter the
+    * corpus by its score). Per document: bigrams of lowercase
+    * whitespace tokens hashed into [[FeatureBuckets]] buckets via the
+    * portable md5-prefix hash, and the top-[[FeatureTopK]] buckets by
+    * (count DESC, bucket ASC) emitted as flat (doc_id, rank, bucket,
+    * cnt) rows — the sparse vector a downstream trainer consumes,
+    * exploded so the driver hash-compare stays on scalars.
+    *
+    * Scale shape: one scan-side explode (bigrams), one map-side-
+    * combined (doc, bucket) aggregation whose key space per doc is
+    * min(doc bigrams, 4096), and a doc-partitioned rank window (≤4096
+    * rows per partition by construction). At 100 TB the hash would be
+    * xxhash64 (the sketch-family fast path); md5 is registered
+    * because the oracle must re-derive identical buckets. */
+  val FeatureBuckets = 4096
+  val FeatureTopK = 8
+
+  def hashedFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
+    hashedFeatures(Tables.documents(spark, dir))
+
+  /** [[hashedFeaturesQuery]]'s core over any (doc_id, text) frame. */
+  def hashedFeatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // guarded: sequence(1, 0) counts DOWN, so short docs must yield
+    // an empty array, not a reversed range (the wordShingles pitfall)
+    val grams = toks.select(col("doc_id"),
+      explode(when(size(col("t")) >= 2,
+          expr("transform(sequence(1, size(t) - 1), " +
+            "i -> concat(t[i-1], ' ', t[i]))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val feats = grams
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(g), 1, 4), 16, 10) AS BIGINT) " +
+          s"% $FeatureBuckets"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("bucket").asc)
+    feats.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FeatureTopK)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("bucket").cast("long").as("bucket"),
+        col("cnt").cast("long").as("cnt"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** DuckDB oracle for [[hashedFeaturesQuery]] — same bigrams, same
+    * md5-prefix buckets, same (count DESC, bucket ASC) rank. */
+  def hashedFeaturesOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+       bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+         FROM tok, unnest(range(1, len(t))) AS u(i)
+         WHERE len(t) >= 2),
+       f AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT)
+             % $FeatureBuckets AS bucket,
+           count(*) AS cnt
+         FROM bg GROUP BY 1, 2),
+       r AS (SELECT doc_id, bucket, cnt, row_number() OVER
+           (PARTITION BY doc_id ORDER BY cnt DESC, bucket) AS rank
+         FROM f)
+     SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket, CAST(cnt AS BIGINT) AS cnt
+     FROM r WHERE rank <= $FeatureTopK ORDER BY doc_id, rank"""
 }

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+/** BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark` —
+  * the scale-correct sibling of q218's plain `dropDuplicates`, whose
+  * state never expires (every key ever seen stays in the store; on an
+  * unbounded feed that is a slow OOM). Here a key's state lives only
+  * until the watermark passes its event time + the delay threshold,
+  * so the store holds a bounded sliding working set. The tradeoff is
+  * the operator's contract: a duplicate arriving WITHIN the window is
+  * suppressed; one arriving AFTER its key expired is RE-ADMITTED.
+  * This query stages both cases deliberately and the oracle replays
+  * the exact admit/suppress/re-admit lifecycle, so the hash match
+  * certifies the semantics a capacity planner relies on — the same
+  * measured-then-pinned discipline as q251's min-policy watermark.
+  *
+  * Timing rule (MEASURED on this engine, then pinned in the oracle):
+  * batch k runs under the watermark computed from batch k-1's data
+  * (max event time − delay), and state eviction is PHYSICAL REMOVAL
+  * at the END of batch k under that same watermark — a key expired by
+  * batch k's own data is still in the store while batch k processes
+  * (the first staging attempt put the echoes in the watermark-
+  * advancing batch itself and measured ZERO re-admissions). Hence the
+  * three-wave schedule: originals, then the watermark advancer, then
+  * the echoes — by the echo batch, end-of-batch-1 eviction has
+  * removed every key whose event time + delay sat below the batch-1
+  * watermark. Echo selections are robust to lazy-vs-eager expiry
+  * checks (near echoes are alive under both readings, far echoes gone
+  * under both). The delay carries a .25 s fraction so neither the
+  * expiry nor the freshness comparison can ever TIE against the
+  * second-floored event times (q244's dodge).
+  */
+object BoundedDedupStream {
+
+  /** Dedup delay: 5 days + 250 ms (the tie dodge). */
+  val DelayMs = 432000250L
+
+  /** Echo shifts: a near echo re-sent 300 s after its original (state
+    * certainly alive), a far echo re-sent 25 days later (state
+    * certainly expired, arrival certainly fresh — 25 d spans the
+    * fixture's whole 30-day range minus the delay, so EVERY evicted
+    * key's echo clears the batch-2 watermark rather than a thin
+    * boundary band). */
+  val NearShiftSec = 300L
+  val FarShiftSec = 2160000L
+
+  private val dropSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  /** Stage the three-wave echo schedule: wave 0 = the first half of
+    * events (median split by second-floored ts, id tiebreak), wave 1
+    * = the second half (the watermark advancer), wave 2 = the echoes
+    * of every 7th key: NEAR echoes of late wave-1 keys (state alive
+    * under the batch-2 watermark ⇒ suppressed), FAR echoes of wave-0
+    * keys already evicted at the end of batch 1 (⇒ re-admitted,
+    * arriving 20 days after their original — the at-least-once
+    * replay-after-retention case). */
+  def stageEchoWaves(spark: SparkSession, dir: String): String =
+    StagedDrops.shared(spark, "dedup_echo_waves3", dir) { d =>
+      val base = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+          col("event_type"))
+      val waved = base.withColumn("wave",
+          (ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+            .cast("int"))
+        .localCheckpoint() // one split, four filtered reads
+      // m0 = wave-0 max (sets the watermark batch 1 runs under, which
+      // end-of-batch-1 eviction applies); mAll = global max (sets the
+      // watermark batch 2 runs under, the echoes' freshness bar)
+      val bounds = waved.agg(
+        max(when(col("wave") === 0, unix_millis(col("ts")))).as("m0"),
+        max(unix_millis(col("ts"))).as("mAll"))
+      val sevenths = waved.crossJoin(broadcast(bounds))
+        .filter(col("event_id") % 7 === 0)
+      // alive at batch 2 under EITHER expiry reading: ts+delay above
+      // the batch-2 watermark, so not even a lazy check rejects it
+      val echoNear = sevenths
+        .filter(col("wave") === 1 &&
+          unix_millis(col("ts")) >= col("mAll") - lit(DelayMs))
+        .select(col("event_id"),
+          (col("ts") + expr(s"interval $NearShiftSec seconds")).as("ts"),
+          col("event_type"), lit(2).cast("int").as("wave"))
+      // evicted at end of batch 1 (expired vs the m0-delay watermark)
+      // AND fresh vs the batch-2 watermark (mAll-delay)
+      val echoFar = sevenths
+        .filter(col("wave") === 0 &&
+          unix_millis(col("ts")) + lit(DelayMs) < col("m0") - lit(DelayMs) &&
+          unix_millis(col("ts")) + lit(FarShiftSec * 1000L) >=
+            col("mAll") - lit(DelayMs))
+        .select(col("event_id"),
+          (col("ts") + expr(s"interval $FarShiftSec seconds")).as("ts"),
+          col("event_type"), lit(2).cast("int").as("wave"))
+      val staged = waved.select("event_id", "ts", "event_type", "wave")
+        .unionByName(echoNear).unionByName(echoFar)
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "ts", "event_type"), 3, d)
+    }
+
+  /** q259: the two-wave echo drain through
+    * `dropDuplicatesWithinWatermark(event_id)`, rolled up per event
+    * type with the re-admission count made explicit (n_admitted −
+    * n_distinct = far echoes that returned after expiry). */
+  def boundedDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q259_sunk")
+    val drop = stageEchoWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q259_ck")
+    try {
+      val q = spark.readStream.schema(dropSchema)
+        .option("maxFilesPerTrigger", "1").json(drop)
+        .withWatermark("ts", s"$DelayMs milliseconds")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == 3,
+        s"q259 staged 3 wave files but streamed $batches micro-batches")
+      // the boundedness claim, checked live: the store never holds
+      // the full key history
+      val peakState = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val staged = spark.read.schema(dropSchema).json(drop).count()
+      require(peakState < staged,
+        s"q259 state held $peakState rows for $staged staged — " +
+          "expiry never happened")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    spark.read.parquet(sunk)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_admitted"),
+        count_distinct(col("event_id")).cast("long").as("n_distinct"),
+        (count(lit(1)) - count_distinct(col("event_id"))).cast("long")
+          .as("n_readmitted"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[boundedDedupQuery]] — replay the lifecycle:
+    * every original admits (unique ids, first occurrence); near
+    * echoes hit live state and suppress; far echoes return after
+    * expiry and re-admit. */
+  def boundedDedupOracleSql: String =
+    s"""WITH e AS (SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type
+         FROM events),
+       w AS (SELECT event_id, s, event_type,
+           ntile(2) OVER (ORDER BY s, event_id) - 1 AS wave FROM e),
+       m AS (SELECT max(CASE WHEN wave = 0 THEN s END) * 1000 AS m0,
+           max(s) * 1000 AS mall FROM w),
+       far AS (SELECT event_id, event_type FROM w, m
+         WHERE wave = 0 AND event_id % 7 = 0
+           AND s * 1000 + $DelayMs < m0 - $DelayMs
+           AND s * 1000 + ${FarShiftSec}000 >= mall - $DelayMs),
+       adm AS (SELECT event_id, event_type FROM w
+         UNION ALL SELECT event_id, event_type FROM far)
+     SELECT event_type, CAST(count(*) AS BIGINT) AS n_admitted,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+         AS n_readmitted
+     FROM adm GROUP BY 1 ORDER BY 1"""
+}

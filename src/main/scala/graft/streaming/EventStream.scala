@@ -139,6 +139,22 @@ object EventStream {
     }
   }
 
+  /** The full-events JSONL drop at ms precision (4 part files) that
+    * q254 (streaming funnel) and q258 (stream-static enrichment)
+    * drain — staged once per JVM via [[StagedDrops]]. */
+  def stageEventsMs(spark: SparkSession, dir: String): String =
+    StagedDrops.shared(spark, "events_ms", dir) { d =>
+      graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), unix_millis(col("ts")).as("t"),
+          col("user_id"), col("event_type"), col("value"))
+        .selectExpr("event_id", "timestamp_millis(t) AS ts", "user_id",
+          "event_type", "value")
+        // repartition, not coalesce: q258 needs 4 actual part files
+        // for its 2-files-per-trigger multi-batch drain, and coalesce
+        // cannot widen a single-partition upstream
+        .repartition(4).write.mode("overwrite").json(d)
+    }
+
   /** The (event_id, user_id, second-floored ts) median-split two-wave
     * drop q244 (session_window) and q246 (milestones) both drain —
     * staged once per JVM via [[StagedDrops]]. */

@@ -128,14 +128,7 @@ object FunnelStream {
     * lifecycle is StreamingSpec's claim. */
   def funnelQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q254_sunk")
-    val drop = StagedDrops.shared(spark, "events_ms", dir) { d =>
-      graft.sources.Tables.events(spark, dir)
-        .select(col("event_id"), unix_millis(col("ts")).as("t"),
-          col("user_id"), col("event_type"), col("value"))
-        .selectExpr("event_id", "timestamp_millis(t) AS ts", "user_id",
-          "event_type", "value")
-        .coalesce(4).write.mode("overwrite").json(d)
-    }
+    val drop = EventStream.stageEventsMs(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q254_ck")
     try funnelAvailableNow(spark, drop, sunk, ck)
     finally graft.sources.Scratch.delete(spark, ck)

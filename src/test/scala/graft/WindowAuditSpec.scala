@@ -32,7 +32,8 @@ class WindowAuditSpec extends SparkSpec {
     "q243_late_audit", "q244_session_window", "q246_milestones",
     "q250_idle_close", "q251_stream_left_join", "q252_join_then_window",
     "q253_stream_upsert", "q254_stream_funnel", "q255_stream_actives",
-    "q256_update_mode", "q257_complete_topk", "q145_stream_monitor")
+    "q256_update_mode", "q257_complete_topk", "q145_stream_monitor",
+    "q258_stream_static", "q259_bounded_dedup")
 
   /** query name -> (substring of the window's orderSpec identifying
     * it, why the frame is metadata-scale). An entry must match at
