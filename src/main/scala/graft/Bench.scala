@@ -109,7 +109,7 @@ object Bench {
     // same thresholds the round verdicts applied by hand.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
-    val prior = readBaseline(baselinePath)
+    val prior = readBaseline(baselinePath, sfDir)
     val regressions = results.flatMap { case (n, now) =>
       prior.get(n).collect {
         case p if now >= 2 * p && now - p >= 0.5 =>
@@ -158,11 +158,21 @@ object Bench {
     * parse: the object is brace-free inside by construction (names are
     * escaped, values are plain doubles), so a non-greedy regex is
     * exact. Missing/corrupt baseline → empty map (first run, or the
-    * driver truncated the file — the gate just reports nothing). */
-  private[graft] def readBaseline(path: String): Map[String, Double] =
+    * driver truncated the file — the gate just reports nothing).
+    *
+    * The baseline's `"sf"` field must equal THIS run's sfDir, else the
+    * gate is skipped entirely: an sf0.1 run compared against an
+    * sf0.001 baseline would flag nearly every query as regressed with
+    * bogus ratios. A baseline predating the sf field (no `"sf"` key)
+    * is also skipped — its scale is unknowable. */
+  private[graft] def readBaseline(path: String,
+      sfDir: String): Map[String, Double] =
     try {
       val text = Files.readString(Paths.get(path))
-      """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map { m =>
+      val sfMatches = """"sf":"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(text).exists(_.group(1) == sfDir)
+      if (!sfMatches) Map.empty
+      else """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map { m =>
         """"((?:[^"\\]|\\.)+)":([0-9.Ee+-]+)""".r
           .findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toDouble).toMap

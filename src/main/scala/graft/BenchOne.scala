@@ -33,6 +33,8 @@ object BenchOne {
     if (graft.operators.DupClusters.lastAlternations >= 0)
       println("[benchone] cc_alternations=" +
         graft.operators.DupClusters.lastAlternations)
+    graft.streaming.StagedDrops.cleanup(spark)
+    graft.sources.Scratch.sweep(spark)
     spark.stop()
   }
 }

@@ -41,6 +41,8 @@ object RepBench {
         println(f"SUMMARY $n%-28s min=${v.min}%.2f med=${v.sorted.apply(v.size / 2)}%.2f max=${v.max}%.2f samples=" +
           v.map(x => f"$x%.2f").mkString(","))
     }
+    graft.streaming.StagedDrops.cleanup(spark)
+    graft.sources.Scratch.sweep(spark)
     spark.stop()
   }
 }

@@ -265,14 +265,17 @@ object ScalingCurve {
         Sfs.flatMap(sf => ccRounds.get(sf).map(r =>
           s"${sf.split('/').last}=$r")).mkString("", ", ", "") +
         " — round count stays flat while edges grow, so the " +
-        "O(log^2 n)\nbound has slack; the exact-group pre-collapse " +
-        "saved an alternation and\n~30% wall time vs the unseeded " +
-        "graph (A/B min 9.88s -> 6.84s at sf0.1).\n"
+        "O(log^2 n)\nbound has slack. (One-time round-11 A/B, not " +
+        "re-measured by this\ngenerator: the exact-group pre-collapse " +
+        "saved an alternation and ~30%\nwall time vs the unseeded " +
+        "graph, min 9.88s -> 6.84s at sf0.1.)\n"
     }
     sb ++= "\nGenerated by `graft.ScalingCurve`; host CPU-steal caveats in\n"
     sb ++= "README.md (the min-of-reps discipline applies here too).\n"
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println(sb.toString)
+    graft.streaming.StagedDrops.cleanup(spark)
+    graft.sources.Scratch.sweep(spark)
     spark.stop()
   }
 }

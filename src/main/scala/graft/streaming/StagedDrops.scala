@@ -20,18 +20,30 @@ import org.apache.spark.sql.SparkSession
   * and drains never mutate their drop. If a cached drop vanished
   * (external tmp cleanup), it is re-staged to a fresh dir.
   *
-  * Drops live until [[cleanup]] (called by Bench/Verify at the END of
-  * a run — NOT Scratch's between-query sweep, which would defeat the
-  * sharing) or JVM exit.
+  * Drops live until [[cleanup]] (called by Bench/Verify/BenchOne/
+  * ScalingCurve at the END of a run — NOT Scratch's between-query
+  * sweep, which would defeat the sharing). A JVM shutdown hook,
+  * registered on first staging, is the backstop for callers that
+  * never reach an explicit cleanup (test suites, a killed run) — so
+  * staged JSONL copies of the fixture tables can't persist in the
+  * scratch root after process exit.
   */
 object StagedDrops {
 
   private val cache = scala.collection.mutable.Map[String, String]()
+  private var hookConf: Option[org.apache.hadoop.conf.Configuration] = None
 
   /** The drop for `variant` over `dir`, staging via `stage` on first
     * use. `stage` receives a fresh empty scratch dir. */
   def shared(spark: SparkSession, variant: String, dir: String)(
       stage: String => Unit): String = synchronized {
+    if (hookConf.isEmpty) {
+      // capture the Hadoop conf NOW — at hook time the SparkContext
+      // may already be stopped, but the conf object stays usable
+      hookConf = Some(spark.sparkContext.hadoopConfiguration)
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteAllBestEffort(), "staged-drops-cleanup"))
+    }
     val key = s"$variant|$dir"
     val live = cache.get(key).filter { d =>
       val p = new Path(d)
@@ -48,6 +60,19 @@ object StagedDrops {
   /** Delete every cached drop. Safe once no drain is in flight. */
   def cleanup(spark: SparkSession): Unit = synchronized {
     cache.values.foreach(graft.sources.Scratch.delete(spark, _))
+    cache.clear()
+  }
+
+  /** The shutdown-hook path: delete through the captured conf, never
+    * throw (the JVM is exiting; a cleanup failure must not mask the
+    * real exit). */
+  private def deleteAllBestEffort(): Unit = synchronized {
+    for (conf <- hookConf; d <- cache.values)
+      try {
+        val p = new Path(d)
+        p.getFileSystem(conf).delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
     cache.clear()
   }
 }

@@ -91,10 +91,18 @@ class BenchLineSpec extends AnyFunSuite {
       failed = Nil, flaky = Nil, fastHash = Seq("q23" -> 0.9),
       samples = Seq("q01" -> Seq(1.25)), sfDir = "x")
     java.nio.file.Files.writeString(f, line + "\n")
-    val base = Bench.readBaseline(f.toString)
+    val base = Bench.readBaseline(f.toString, "x")
     assert(base == Map("q01" -> 1.25, "q02" -> 0.033),
       s"fast_hash/samples must not leak into the baseline: $base")
     // gate arithmetic: >2x AND >0.5s absolute
-    assert(Bench.readBaseline(dir.resolve("missing.json").toString).isEmpty)
+    assert(Bench.readBaseline(dir.resolve("missing.json").toString, "x").isEmpty)
+    // a baseline from a DIFFERENT scale factor must not gate this run
+    // (an sf0.1 run vs an sf0.001 baseline flags everything)
+    assert(Bench.readBaseline(f.toString, "/root/testdata/sf0.1").isEmpty)
+    // a baseline with no sf field (pre-gate format) is also skipped
+    val noSf = dir.resolve("nosf.json")
+    java.nio.file.Files.writeString(noSf,
+      """{"metric":"total","value":1.0,"queries":{"q01":1.0}}""" + "\n")
+    assert(Bench.readBaseline(noSf.toString, "x").isEmpty)
   }
 }
