@@ -766,7 +766,73 @@ object SparkEntry {
       "q182_quantile_sketch" -> ((s, d) =>
         graft.operators.QuantileSketch.quantileSketch(
           graft.sources.Tables.events(s, d), portable = false)),
+      // q262's at-scale hash: one xxhash64 per bigram instead of the
+      // oracle-portable md5-prefix (TextAnalysis.hashedFeaturesQuery
+      // scaladoc names it; bucket-equivalence is NOT expected — the
+      // hash changes the buckets — so only the wall time is compared)
+      "q262_hashed_features" -> ((s, d) =>
+        TextAnalysis.hashedFeaturesQuery(s, d, portable = false)),
     )
+
+  /** The post-drain READ-BACKS of every query whose registered
+    * function runs a streaming drain (or a batch sink write) when
+    * invoked: sink row schema + the pure rollup over an already-sunk
+    * directory. Plan audits (WindowAuditSpec/PlanSpec) stage a
+    * footer-only stub parquet of the schema and plan the read-back —
+    * so all 262 registered queries' batch plans get audited WITHOUT
+    * re-running multi-batch drains. The key set must exactly cover
+    * the queries the audits skip invoking (asserted there); the
+    * streaming TRANSFORM half of each drain is verified by its own
+    * oracle + streaming specs. */
+  def streamReadBacks: Map[String,
+      (org.apache.spark.sql.types.StructType,
+       (SparkSession, String) => DataFrame)] = {
+    import graft.streaming._
+    Map(
+      "q145_stream_monitor" ->
+        ((MonitorStream.sinkSchema, MonitorStream.ruleTotals _)),
+      "q149_ingest_sessions" ->
+        ((EventStream.ingestSinkSchema,
+          EventStream.ingestSessionReadBack _)),
+      "q170_sink_roundtrip" ->
+        ((Extensions.q170SinkSchema, Extensions.q170ReadBack _)),
+      "q218_stream_dedup" ->
+        ((DocStream.sinkSchema, DocStream.readBack _)),
+      "q229_stream_join" ->
+        ((StreamJoin.joinSinkSchema, StreamJoin.joinReadBack _)),
+      "q238_stream_packing" ->
+        ((PackStream.sinkSchema, PackStream.readBack _)),
+      "q243_late_audit" ->
+        ((LateStream.sinkSchema, LateStream.readBack _)),
+      "q244_session_window" ->
+        ((SessionStream.sinkSchema, SessionStream.readBack _)),
+      "q246_milestones" ->
+        ((MilestoneStream.sinkSchema, MilestoneStream.readBack _)),
+      "q250_idle_close" ->
+        ((IdleCloseStream.sinkSchema, IdleCloseStream.readBack _)),
+      "q251_stream_left_join" ->
+        ((StreamJoin.joinSinkSchema, StreamJoin.leftJoinReadBack _)),
+      "q252_join_then_window" ->
+        ((StreamJoin.joinedWindowSinkSchema,
+          StreamJoin.joinedWindowReadBack _)),
+      "q253_stream_upsert" ->
+        ((UpsertStream.sinkSchema, UpsertStream.readBack _)),
+      "q254_stream_funnel" ->
+        ((FunnelStream.sinkSchema, FunnelStream.readBack _)),
+      "q255_stream_actives" ->
+        ((ActiveUsersStream.sinkSchema, ActiveUsersStream.readBack _)),
+      "q256_update_mode" ->
+        ((UpdateModeStream.updateModeSinkSchema,
+          UpdateModeStream.updateModeReadBack _)),
+      "q257_complete_topk" ->
+        ((UpdateModeStream.completeModeSinkSchema,
+          UpdateModeStream.completeModeReadBack _)),
+      "q258_stream_static" ->
+        ((EnrichStream.sinkSchema, EnrichStream.readBack _)),
+      "q259_bounded_dedup" ->
+        ((BoundedDedupStream.sinkSchema, BoundedDedupStream.readBack _)),
+    )
+  }
 
   /** Shared CTE prefix of the q45/q161 oracles: q23's capped shingle
     * pairs, the recursive transitive closure, and the per-doc cluster

@@ -552,9 +552,11 @@ object Curation {
       .orderBy(col("clean_e4").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bm = blk.groupBy("blk").agg(max(col("max_l")).as("bm"))
-    val bm2 = bm.select(col("blk").as("blk2"), col("bm").as("bm2"))
-    val blkOff = bm.join(broadcast(bm2), col("blk2") > col("blk"), "left")
-      .groupBy("blk").agg(max(col("bm2")).as("boff")) // null = none cleaner
+    // cross-block running max via the shared triangular-join helper;
+    // boff stays NULL when no cleaner block exists (coalesced to the
+    // -1 sentinel below, NOT to 0 — lengths are nonneg)
+    val blkOff = OlapOps.blockOffsets(bm, "blk", descending = true,
+      Seq(("bm", "max", "boff")))
     val strictMax = blk
       .withColumn("loc", max(col("max_l")).over(inBlkW))
       .join(broadcast(blkOff), "blk")

@@ -698,12 +698,26 @@ object Extensions {
     val out = graft.sources.Scratch.dirOutliving(s, "q170_sink")
     Tables.lineitem(s, d)
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    q170ReadBack(s, out)
+  }
+
+  /** The columns [[q170ReadBack]] references — a plan-audit stub needs
+    * only these (column pruning means the real scan reads no more). */
+  val q170SinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_extendedprice", DoubleType)))
+  }
+
+  /** q170's post-write read-back — the per-partition aggregate over
+    * the partition-discovered sink. */
+  def q170ReadBack(s: SparkSession, out: String): DataFrame =
     s.read.parquet(out)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("long").as("n"),
         OlapOps.decSumCents(col("l_extendedprice")).as("total_cents"))
       .orderBy("l_returnflag")
-  }
 
   /** q247: the ORC sink + predicate-pushdown read-back under oracle
     * check — the second columnar format a 100 TB estate actually

@@ -691,15 +691,15 @@ object OlapOps {
     val r = rows.withColumn("block", expr("cents div 10000000"))
     // ranking DESC: a block's offset is the count of rows in HIGHER
     // blocks (the block table is ~tens of rows — metadata-scale)
-    val blockW = Window.orderBy(col("block").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = r.groupBy("block").agg(count(lit(1)).as("bn"))
-      .withColumn("offset", coalesce(sum(col("bn")).over(blockW), lit(0L)))
-    val total = offsets.agg(sum(col("bn")).as("n_total"))
+    val bt = r.groupBy("block").agg(count(lit(1)).as("bn"))
+    val offsets = blockOffsets(bt, "block", descending = true,
+        Seq(("bn", "sum", "offset")))
+      .select(col("block"), coalesce(col("offset"), lit(0L)).as("offset"))
+    val total = bt.agg(sum(col("bn")).as("n_total"))
     val inBlock = Window.partitionBy("block")
       .orderBy(col("cents").desc, col("o_orderkey").asc)
     r.withColumn("rn_local", row_number().over(inBlock))
-      .join(broadcast(offsets.select("block", "offset")), "block")
+      .join(broadcast(offsets), "block")
       .crossJoin(broadcast(total))
       .withColumn("rn", col("offset") + col("rn_local"))
       .withColumn("decile",
@@ -1024,18 +1024,55 @@ object OlapOps {
     // cheaper than a second materialization round-trip.
     val r = rows.withColumn("block", expr(s"cents div ${blockWidth}L"))
       .localCheckpoint()
-    val blockW = Window.orderBy(col("block").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = r.groupBy("block").agg(count(lit(1)).as("bn"))
-      .withColumn("offset", coalesce(sum(col("bn")).over(blockW), lit(0L)))
-    val total = offsets.agg(sum(col("bn")).as("n_total"))
+    val bt = r.groupBy("block").agg(count(lit(1)).as("bn"))
+    val offsets = blockOffsets(bt, "block", descending = false,
+        Seq(("bn", "sum", "offset")))
+      .select(col("block"), coalesce(col("offset"), lit(0L)).as("offset"))
+    val total = bt.agg(sum(col("bn")).as("n_total"))
     val inBlock = Window.partitionBy("block")
       .orderBy(col("cents").asc, col("id").asc)
     r.withColumn("rn_local", row_number().over(inBlock))
-      .join(broadcast(offsets.select("block", "offset")), "block")
+      .join(broadcast(offsets), "block")
       .crossJoin(broadcast(total))
       .withColumn("rn", col("offset") + col("rn_local"))
       .drop("block", "rn_local", "offset")
+  }
+
+  /** THE cross-block combine of the blocked prefix shape, defined once
+    * (it was hand-rolled four times — globalRankAsc/decileSummary here,
+    * zipf/heaps in TextAnalysis, skyline in Curation — with subtle
+    * per-site variations that were one divergent copy away from a
+    * wrong offset). Given the BOUNDED block table `blocks` (ONE row
+    * per `blk` — a groupBy result; metadata-scale by contract: value
+    * ranges, decimal magnitudes, id ranges — never data cardinality),
+    * returns one row per block carrying, for each (srcCol, fn, outName)
+    * in `aggs`, fn ∈ {sum, max} combined over all STRICTLY-PRECEDING
+    * blocks — preceding in ascending blk order, or descending when
+    * `descending`. A block with no predecessor gets NULL (callers
+    * coalesce to their own identity: 0 for rank offsets, −1 sentinel
+    * for running maxima). Implemented as a broadcast triangular
+    * self-join — |blocks|² in-memory pairs, bounded by the block-table
+    * contract — so the plan contains NO single-partition WindowExec at
+    * any scale (WindowAuditSpec sweeps for exactly that). */
+  def blockOffsets(blocks: DataFrame, blk: String, descending: Boolean,
+      aggs: Seq[(String, String, String)]): DataFrame = {
+    val rhs = blocks.select(col(blk).as("__blk2") +:
+      aggs.map { case (src, _, out) => col(src).as(s"__$out") }: _*)
+    val cond =
+      if (descending) col("__blk2") > col(blk)
+      else col("__blk2") < col(blk)
+    val aggExprs = aggs.map { case (_, fn, out) =>
+      val c = col(s"__$out")
+      (fn match {
+        case "sum" => sum(c)
+        case "max" => max(c)
+        case other => throw new IllegalArgumentException(
+          s"blockOffsets combine must be sum or max, got $other")
+      }).as(out)
+    }
+    blocks.join(broadcast(rhs), cond, "left")
+      .groupBy(col(blk))
+      .agg(aggExprs.head, aggExprs.tail: _*)
   }
 
   /** q102: quantile calibration — every customer balance mapped to the
@@ -2027,17 +2064,17 @@ object OlapOps {
     // it, and each re-run would repeat the per-part corpus aggregation.
     val r = rev.withColumn("block", expr("(-rev) div 10000000"))
       .localCheckpoint()
-    val blockW = Window.orderBy(col("block").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = r.groupBy("block").agg(sum(col("rev")).as("brev"))
-      .withColumn("cum_before",
-        coalesce(sum(col("brev")).over(blockW), lit(0L)))
-    val total = offsets.agg(sum(col("brev")).as("total"))
+    val bt = r.groupBy("block").agg(sum(col("rev")).as("brev"))
+    val offsets = blockOffsets(bt, "block", descending = false,
+        Seq(("brev", "sum", "cum_before")))
+      .select(col("block"),
+        coalesce(col("cum_before"), lit(0L)).as("cum_before"))
+    val total = bt.agg(sum(col("brev")).as("total"))
     val inBlock = Window.partitionBy("block")
       .orderBy(col("rev").desc, col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.withColumn("cum_local", sum(col("rev")).over(inBlock))
-      .join(broadcast(offsets.select("block", "cum_before")), "block")
+      .join(broadcast(offsets), "block")
       .crossJoin(broadcast(total))
       .withColumn("cum_share_e6",
         expr("(cum_before + cum_local) * 1000000 div total"))

@@ -281,10 +281,11 @@ object Sessionize {
     * `Window.orderBy(t)` would sort every boundary point in one
     * partition (boundary count = 2× sessions = corpus-scale). Phase 1
     * accumulates within hour blocks (the output grain); phase 2
-    * prefix-sums the per-hour subtotals with a single-partition window
-    * over the BLOCK table — one row per hour in the data's time range,
-    * metadata-scale by construction, and it stays on executors (no
-    * driver collect at all). */
+    * prefix-sums the per-hour subtotals over the BLOCK table — one row
+    * per hour in the data's time range, metadata-scale by construction
+    * — via the shared `OlapOps.blockOffsets` triangular join, all on
+    * executors (no driver collect, no single-partition window at any
+    * scale). */
   def concurrencyQuery(spark: SparkSession, dir: String,
                        gapMs: Long = 1800000L): DataFrame =
     concurrencyCurve(Tables.events(spark, dir), gapMs)
@@ -312,11 +313,10 @@ object Sessionize {
       .withColumn("block", expr("t div 3600000"))
       .localCheckpoint()
     val inBlock = Window.partitionBy("block").orderBy("t")
-    val blockW = Window.orderBy("block")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = agg.groupBy("block").agg(sum(col("d")).as("bt"))
-      .withColumn("offset", coalesce(sum(col("bt")).over(blockW), lit(0L)))
-      .select("block", "offset")
+    val bt = agg.groupBy("block").agg(sum(col("d")).as("bt"))
+    val offsets = OlapOps.blockOffsets(bt, "block", descending = false,
+        Seq(("bt", "sum", "offset")))
+      .select(col("block"), coalesce(col("offset"), lit(0L)).as("offset"))
     agg.withColumn("run_local", sum(col("d")).over(inBlock))
       .join(broadcast(offsets), Seq("block"))
       .withColumn("open_s", col("offset") + col("run_local"))

@@ -739,18 +739,18 @@ object TextAnalysis {
     // rank offset r0 of a count-group = #terms with (cnt' > cnt),
     // blocked prefix sum: block by decimal magnitude of cnt (≤19
     // blocks; larger magnitude ⇒ earlier in cnt-DESC rank order).
-    // Block offsets come from a broadcast triangular self-join over
-    // the ≤19-row block table — NO unpartitioned WindowExec anywhere
-    // in this plan (pinned by PlanSpec)
+    // Cross-block offsets come from OlapOps.blockOffsets (the shared
+    // broadcast triangular self-join over the ≤19-row block table) —
+    // NO unpartitioned WindowExec anywhere in this plan (pinned by
+    // PlanSpec)
     val blk = grp.withColumn("blk",
       length(col("cnt").cast("string")).cast("int"))
     val inBlkW = Window.partitionBy("blk").orderBy(col("cnt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bc = blk.groupBy("blk").agg(sum(col("c")).as("bc"))
-    val bc2 = bc.select(col("blk").as("blk2"), col("bc").as("bc2"))
-    val blkOff = bc.join(broadcast(bc2), col("blk2") > col("blk"), "left")
-      .groupBy("blk")
-      .agg(coalesce(sum(col("bc2")), lit(0L)).as("boff"))
+    val blkOff = OlapOps.blockOffsets(bc, "blk", descending = true,
+        Seq(("bc", "sum", "boff")))
+      .select(col("blk"), coalesce(col("boff"), lit(0L)).as("boff"))
     val offs = blk
       .withColumn("loc", coalesce(sum(col("c")).over(inBlkW), lit(0L)))
       .join(broadcast(blkOff), "blk")
@@ -843,18 +843,19 @@ object TextAnalysis {
     val b = base.crossJoin(broadcast(bounds))
       .withColumn("blk",
         expr(s"CAST((doc_id - lo) * $nBlocks div (hi - lo + 1) AS INT)"))
-    // block offsets via a broadcast triangular self-join over the
-    // ≤1024-row block table (≤0.5M in-memory pairs) — no
-    // unpartitioned WindowExec in this plan (pinned by PlanSpec)
+    // cross-block offsets via OlapOps.blockOffsets (the shared
+    // broadcast triangular self-join) over the ≤1024-row block table
+    // (≤0.5M in-memory pairs) — no unpartitioned WindowExec in this
+    // plan (pinned by PlanSpec)
     val bt = b.groupBy("blk").agg(count(lit(1)).as("bn"),
       sum("n_tok").as("bt"), sum("new_terms").as("bv"))
-    val bt2 = bt.select(col("blk").as("blk2"), col("bn").as("bn2"),
-      col("bt").as("bt2"), col("bv").as("bv2"))
-    val offs = bt.join(broadcast(bt2), col("blk2") < col("blk"), "left")
-      .groupBy("blk")
-      .agg(coalesce(sum("bn2"), lit(0L)).as("rn_off"),
-        coalesce(sum("bt2"), lit(0L)).as("tok_off"),
-        coalesce(sum("bv2"), lit(0L)).as("voc_off"))
+    val offs = OlapOps.blockOffsets(bt, "blk", descending = false,
+        Seq(("bn", "sum", "rn_off"), ("bt", "sum", "tok_off"),
+          ("bv", "sum", "voc_off")))
+      .select(col("blk"),
+        coalesce(col("rn_off"), lit(0L)).as("rn_off"),
+        coalesce(col("tok_off"), lit(0L)).as("tok_off"),
+        coalesce(col("voc_off"), lit(0L)).as("voc_off"))
     val inBlk = Window.partitionBy("blk").orderBy("doc_id")
     val inBlkCum = inBlk
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -914,11 +915,19 @@ object TextAnalysis {
   val FeatureBuckets = 4096
   val FeatureTopK = 8
 
-  def hashedFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
-    hashedFeatures(Tables.documents(spark, dir))
+  /** `portable = false` swaps the oracle-recomputable md5-prefix
+    * bucket hash for one xxhash64 per bigram — the at-scale config
+    * the scaladoc names; benched under `fast_hash` like the sketch
+    * family. Buckets differ by design (different hash → different
+    * bucket ids), so the variant is time-compared only, never
+    * oracle-compared. */
+  def hashedFeaturesQuery(spark: SparkSession, dir: String,
+      portable: Boolean = true): DataFrame =
+    hashedFeatures(Tables.documents(spark, dir), portable)
 
   /** [[hashedFeaturesQuery]]'s core over any (doc_id, text) frame. */
-  def hashedFeatures(docs: DataFrame): DataFrame = {
+  def hashedFeatures(docs: DataFrame,
+      portable: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     // guarded: sequence(1, 0) counts DOWN, so short docs must yield
@@ -928,10 +937,13 @@ object TextAnalysis {
           expr("transform(sequence(1, size(t) - 1), " +
             "i -> concat(t[i-1], ' ', t[i]))"))
         .otherwise(array().cast("array<string>"))).as("g"))
-    val feats = grams
-      .withColumn("bucket",
+    val bucketExpr =
+      if (portable)
         expr(s"CAST(conv(substring(md5(g), 1, 4), 16, 10) AS BIGINT) " +
-          s"% $FeatureBuckets"))
+          s"% $FeatureBuckets")
+      else pmod(xxhash64(col("g")), lit(FeatureBuckets.toLong))
+    val feats = grams
+      .withColumn("bucket", bucketExpr)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("cnt").desc, col("bucket").asc)

@@ -71,10 +71,23 @@ object ActiveUsersStream {
     val ck = graft.sources.Scratch.dir(spark, "q255_ck")
     try activeUsersAvailableNow(spark, drop, sunk, ck)
     finally graft.sources.Scratch.delete(spark, ck)
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q255 drain lands (the [[activeUsers]] output). */
+  val sinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("day", StringType),
+      StructField("active_users", LongType)))
+  }
+
+  /** q255's post-drain read-back — the emitted WAU curve. */
+  def readBack(spark: org.apache.spark.sql.SparkSession,
+      sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("day"), col("active_users").cast("long"))
       .orderBy("day")
-  }
 
   /** DuckDB oracle for [[activeUsersQuery]]: each event touches the 7
     * epoch-aligned sliding windows ending on days d+1..d+7; distinct

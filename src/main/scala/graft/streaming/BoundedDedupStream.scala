@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
-/** BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark` —
-  * the scale-correct sibling of q218's plain `dropDuplicates`, whose
-  * state never expires (every key ever seen stays in the store; on an
-  * unbounded feed that is a slow OOM). Here a key's state lives only
-  * until the watermark passes its event time + the delay threshold,
-  * so the store holds a bounded sliding working set. The tradeoff is
-  * the operator's contract: a duplicate arriving WITHIN the window is
-  * suppressed; one arriving AFTER its key expired is RE-ADMITTED.
+/** BOUNDED-STATE streaming dedup lifecycle proof. q218's DocStream
+  * already runs `dropDuplicatesWithinWatermark` (1-hour horizon), but
+  * its staging deliberately keeps every duplicate INSIDE one horizon,
+  * so expiry never fires there — what q218 certifies is in-horizon
+  * suppression. THIS query stages the other half of the contract: a
+  * key's state lives only until the watermark passes its event time +
+  * the delay threshold, so a duplicate arriving WITHIN the window is
+  * suppressed while one arriving AFTER its key expired is RE-ADMITTED
+  * — the measured expiry/re-admission timing a capacity planner (and
+  * an at-least-once upstream) relies on.
   * This query stages both cases deliberately and the oracle replays
   * the exact admit/suppress/re-admit lifecycle, so the hash match
   * certifies the semantics a capacity planner relies on — the same
@@ -101,6 +103,20 @@ object BoundedDedupStream {
       val staged = waved.select("event_id", "ts", "event_type", "wave")
         .unionByName(echoNear).unionByName(echoFar)
         .localCheckpoint()
+      // Both echo classes must be NONEMPTY or the query silently stops
+      // exercising the path it exists to certify: an empty far set
+      // makes n_readmitted 0 everywhere — and the oracle AGREES, so
+      // the hash match would keep passing while proving nothing about
+      // re-admission (an empty near set likewise blinds suppression).
+      // Checked at staging (once per JVM), against the checkpointed
+      // frame so no pipeline re-runs.
+      val nNear = echoNear.count()
+      val nFar = echoFar.count()
+      require(nFar > 0 && nNear > 0,
+        s"q259 staging produced $nNear near / $nFar far echoes — the " +
+          "fixture's time range no longer spans ~2x the dedup delay; " +
+          "rescale DelayMs/FarShiftSec or the suppress/re-admit paths " +
+          "go unexercised")
       EventStream.stageWaveFiles(spark, staged,
         Seq("event_id", "ts", "event_type"), 3, d)
     }
@@ -135,6 +151,17 @@ object BoundedDedupStream {
         s"q259 state held $peakState rows for $staged staged — " +
           "expiry never happened")
     } finally graft.sources.Scratch.delete(spark, ck)
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q259 drain lands: the admitted arrivals (drop schema
+    * verbatim — `dropDuplicatesWithinWatermark` filters, never
+    * projects). */
+  val sinkSchema: StructType = dropSchema
+
+  /** q259's post-drain read-back — per-type admitted/distinct/
+    * re-admitted rollup over the sunk survivors. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n_admitted"),
@@ -142,7 +169,6 @@ object BoundedDedupStream {
         (count(lit(1)) - count_distinct(col("event_id"))).cast("long")
           .as("n_readmitted"))
       .orderBy("event_type")
-  }
 
   /** DuckDB oracle for [[boundedDedupQuery]] — replay the lifecycle:
     * every original admits (unique ids, first occurrence); near

@@ -18,7 +18,10 @@ import graft.functions.TextFunctions.fingerprint
   * corpus needs: duplicates cluster in time (re-crawls, mirror
   * batches), so a bounded horizon catches them without holding the
   * full fingerprint set forever; the periodic batch dedup sweeps the
-  * long tail.
+  * long tail. q218 runs a 1-HOUR horizon with staging that keeps all
+  * duplicates inside it (so it certifies in-horizon suppression); the
+  * expiry/re-admission half of the contract is
+  * [[BoundedDedupStream]]'s (q259) measured claim.
   */
 object DocStream {
 
@@ -126,10 +129,22 @@ object DocStream {
     require(batches == expected,
       s"q218 staged $DedupDropFiles drop files but streamed $batches " +
         s"micro-batches (expected $expected)")
+    readBack(spark, sunk)
+  }
+
+  /** Rows [[dedupedDocs]] lands in the q218 sink: the doc columns plus
+    * the content fingerprint. Lets plan audits stage a footer-only
+    * stub and plan [[readBack]] without draining. */
+  val sinkSchema: StructType =
+    docSchema.add(StructField("fp", StringType))
+
+  /** q218's post-drain read-back — the pure rollup over the sunk
+    * survivors (every distinct fingerprint must surface exactly
+    * once). */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .groupBy("fp").agg(count(lit(1)).cast("long").as("n_rows"))
       .orderBy("fp")
-  }
 
   /** DuckDB oracle for [[streamDedupQuery]] — the surviving
     * fingerprint set with multiplicity one, from the batch table. */

@@ -44,13 +44,31 @@ object EnrichStream {
           "micro-batches — a single batch never proves the per-batch " +
           "dim re-attach")
     } finally graft.sources.Scratch.delete(spark, ck)
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q258 drain lands: the streamed event columns (join key
+    * first — the join output layout) plus the attached dim column. */
+  val sinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("c_mktsegment", StringType)))
+  }
+
+  /** q258's post-drain read-back — the per-(segment, type) rollup
+    * over the enriched sink. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).cast("long").as("n_events"),
         graft.operators.OlapOps.decSumCents(col("value"))
           .as("value_cents"))
       .orderBy("c_mktsegment", "event_type")
-  }
 
   /** DuckDB oracle for [[enrichedQuery]] — the batch enrichment join
     * over the raw tables. */

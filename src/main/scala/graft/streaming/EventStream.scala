@@ -273,8 +273,20 @@ object EventStream {
       s"q149 staged $IngestDropFiles drop files but streamed $batches " +
         s"micro-batches (expected $expected) — fixture too small to " +
         "fill every drop partition?")
-    graft.operators.Sessionize.sessionsFromMs(spark.read.parquet(sunk))
+    ingestSessionReadBack(spark, sunk)
   }
+
+  /** Rows the q149 parquet file sink lands (the staged drop schema —
+    * the ingest writes events through unchanged). */
+  val ingestSinkSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("t", LongType)))
+
+  /** q149's post-drain read-back — gap-sessionize the LANDED table
+    * through the sink's commit log. */
+  def ingestSessionReadBack(spark: SparkSession, sunk: String): DataFrame =
+    graft.operators.Sessionize.sessionsFromMs(spark.read.parquet(sunk))
 
   /** Windowed aggregate to an in-memory sink, AvailableNow — used by
     * tests and as the pattern for a live dashboard feed. */

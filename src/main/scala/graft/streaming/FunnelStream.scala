@@ -132,6 +132,22 @@ object FunnelStream {
     val ck = graft.sources.Scratch.dir(spark, "q254_ck")
     try funnelAvailableNow(spark, drop, sunk, ck)
     finally graft.sources.Scratch.delete(spark, ck)
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q254 drain lands (the [[StageHit]] encoder layout). */
+  val sinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("stage", LongType),
+      StructField("step", StringType),
+      StructField("ms", LongType)))
+  }
+
+  /** q254's post-drain read-back — per-(user, stage) hits rolled up
+    * to the stage-count spine the batch funnel (q63) emits. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame = {
     val spine = spark.createDataFrame(
       stages.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) })
       .toDF("stage", "step")

@@ -141,11 +141,22 @@ object IdleCloseStream {
     } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q250 drain lands (the [[TypeSummary]] encoder layout). */
+  val sinkSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("last_ms", LongType)))
+
+  /** q250's post-drain read-back — the idle-closed summaries. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("user_id").cast("long"), col("event_type"),
         col("n").cast("long"), col("last_ms").cast("long"))
       .orderBy("user_id", "event_type")
-  }
 
   /** DuckDB oracle for [[idleCloseQuery]]: a user emits iff their
     * last event + idle has passed the final watermark; rows are total

@@ -131,11 +131,24 @@ object LateStream {
     } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q243 drain lands (the windowed-count output). */
+  val sinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("window_ms", LongType),
+      StructField("event_type", StringType),
+      StructField("n", LongType)))
+  }
+
+  /** q243's post-drain read-back — the emitted (closed) windows. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("window_ms").cast("long"), col("event_type"),
         col("n").cast("long"))
       .orderBy("window_ms", "event_type")
-  }
 
   /** DuckDB oracle for [[lateAuditQuery]] — the dual-watermark
     * lifecycle replayed in SQL: per-wave max event time, drop-late

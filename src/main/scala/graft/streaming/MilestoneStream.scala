@@ -108,11 +108,21 @@ object MilestoneStream {
     } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q246 drain lands (the [[Milestone]] encoder layout). */
+  val sinkSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("milestone_n", LongType),
+    StructField("at_ms", LongType)))
+
+  /** q246's post-drain read-back — the emitted milestone crossings. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("user_id").cast("long"),
         col("milestone_n").cast("long"), col("at_ms").cast("long"))
       .orderBy("user_id", "milestone_n")
-  }
 
   /** DuckDB oracle for [[milestoneQuery]]: per-user row_number over
     * (second-floored ms, event_id), kept where it is a power of two. */

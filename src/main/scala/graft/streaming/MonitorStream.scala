@@ -46,8 +46,21 @@ object MonitorStream {
     else withTs.withColumn("props", lit(null).cast("string"))
   }
 
+  /** Rows each monitored batch lands under `batch=<id>` (the
+    * assertion-suite output — [[ruleTotals]] is plannable against a
+    * footer-only stub of this schema; the `batch=` partition column is
+    * never referenced). */
+  val sinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("rule", StringType),
+      StructField("n_rows", LongType),
+      StructField("n_violations", LongType)))
+  }
+
   /** The rule totals across every monitored batch — equals the batch
-    * suite over the union of the drops (asserted in StreamingSpec). */
+    * suite over the union of the drops (asserted in StreamingSpec).
+    * Doubles as q145's post-drain read-back. */
   def ruleTotals(spark: SparkSession, monitorDir: String): DataFrame =
     spark.read.parquet(monitorDir)
       .groupBy("rule")

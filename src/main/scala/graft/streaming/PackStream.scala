@@ -112,10 +112,27 @@ object PackStream {
     require(batches == expected,
       s"q238 staged $PackDropFiles drop files but streamed $batches " +
         s"micro-batches (expected $expected)")
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q238 drain lands (the [[PackOut]] encoder layout). */
+  val sinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("n_toks", LongType),
+      StructField("first_window", LongType),
+      StructField("window_offset", LongType),
+      StructField("n_windows", LongType),
+      StructField("is_split", IntegerType)))
+  }
+
+  /** q238's post-drain read-back — the sunk window assignments. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("doc_id"), col("source"), col("n_toks"),
         col("first_window"), col("window_offset"), col("n_windows"),
         col("is_split"))
       .orderBy("doc_id")
-  }
 }

@@ -100,12 +100,23 @@ object SessionStream {
     } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
+    readBack(spark, sunk)
+  }
+
+  /** Rows the q244 drain lands (the closed-session output). */
+  val sinkSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("sess_start_ms", LongType),
+    StructField("sess_end_ms", LongType),
+    StructField("n", LongType)))
+
+  /** q244's post-drain read-back — the emitted (closed) sessions. */
+  def readBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("user_id").cast("long"),
         col("sess_start_ms").cast("long"),
         col("sess_end_ms").cast("long"), col("n").cast("long"))
       .orderBy("user_id", "sess_start_ms")
-  }
 
   /** DuckDB oracle for [[sessionWindowQuery]]: inclusive-gap sessions
     * per user over second-floored times, session end = last + gap,

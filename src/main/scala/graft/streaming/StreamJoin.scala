@@ -142,6 +142,23 @@ object StreamJoin {
         .start()
       q.awaitTermination()
     } finally graft.sources.Scratch.delete(spark, ck)
+    joinReadBack(spark, sunk)
+  }
+
+  /** Rows the q229/q251 drains land — the [[clickPurchaseJoin]] /
+    * [[clickPurchaseLeftJoin]] output layout (identical; the left
+    * join just admits null purchase columns). */
+  val joinSinkSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("click_id", LongType),
+    StructField("purchase_id", LongType),
+    StructField("click_ts", org.apache.spark.sql.types.TimestampType),
+    StructField("purchase_ts", org.apache.spark.sql.types.TimestampType),
+    StructField("value", DoubleType)))
+
+  /** q229's post-drain read-back — attribution pairs rolled up per
+    * user. */
+  def joinReadBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .groupBy("user_id")
       .agg(count(lit(1)).cast("long").as("n_pairs"),
@@ -149,7 +166,6 @@ object StreamJoin {
         graft.operators.OlapOps.decSumCents(col("value"))
           .as("value_cents"))
       .orderBy("user_id")
-  }
 
   /** q251 watermark horizon: 600.5 s — second-floored event times sit
     * at .000 ms, the watermark at .500 ms, so the null-completion
@@ -190,17 +206,24 @@ object StreamJoin {
         .start()
       q.awaitTermination()
     } finally graft.sources.Scratch.delete(spark, ck)
-    val landed = spark.read.parquet(sunk)
-    val nulls = landed.filter(col("purchase_id").isNull).limit(1).count()
+    // drain-side assertion, NOT part of the read-back: the outer path
+    // must actually have been exercised by this drain
+    val nulls = spark.read.parquet(sunk)
+      .filter(col("purchase_id").isNull).limit(1).count()
     require(nulls > 0,
       "q251 drained without any null-completion row — the outer path " +
         "was not exercised")
-    landed
+    leftJoinReadBack(spark, sunk)
+  }
+
+  /** q251's post-drain read-back — pairs plus null completions, nulls
+    * keyed as purchase_id = -1 (hash-stable). */
+  def leftJoinReadBack(spark: SparkSession, sunk: String): DataFrame =
+    spark.read.parquet(sunk)
       .select(col("user_id").cast("long"), col("click_id").cast("long"),
         coalesce(col("purchase_id"), lit(-1L)).cast("long")
           .as("purchase_id"))
       .orderBy("user_id", "click_id", "purchase_id")
-  }
 
   /** DuckDB oracle for [[leftJoinQuery]]: the batch left join; null
     * completions survive only for clicks the final MIN-policy
@@ -261,11 +284,20 @@ object StreamJoin {
         .start()
       q.awaitTermination()
     } finally graft.sources.Scratch.delete(spark, ck)
+    joinedWindowReadBack(spark, sunk)
+  }
+
+  /** Rows the q252 drain lands (hourly window start, pair count). */
+  val joinedWindowSinkSchema: StructType = StructType(Seq(
+    StructField("window_ms", LongType),
+    StructField("n_pairs", LongType)))
+
+  /** q252's post-drain read-back — the closed hourly windows. */
+  def joinedWindowReadBack(spark: SparkSession, sunk: String): DataFrame =
     spark.read.parquet(sunk)
       .select(col("window_ms").cast("long"),
         col("n_pairs").cast("long"))
       .orderBy("window_ms")
-  }
 
   /** DuckDB oracle for [[joinedWindowQuery]]: the batch interval join
     * windowed by click hour; windows survive iff closed by the

@@ -100,11 +100,26 @@ object UpdateModeStream {
           ()
         }
     }
-    spark.read.parquet(s"$root/v1")
+    updateModeReadBack(spark, s"$root/v1")
+  }
+
+  /** Rows each q256 snapshot version holds (the update-mode emission
+    * layout the keyed merge preserves). */
+  val updateModeSinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("window_ms", LongType),
+      StructField("event_type", StringType),
+      StructField("n", LongType)))
+  }
+
+  /** q256's post-drain read-back over the FINAL snapshot version
+    * directory. */
+  def updateModeReadBack(spark: SparkSession, snapshot: String): DataFrame =
+    spark.read.parquet(snapshot)
       .select(col("window_ms").cast("long"), col("event_type"),
         col("n").cast("long"))
       .orderBy("window_ms", "event_type")
-  }
 
   /** DuckDB oracle for [[updateModeQuery]]: the plain hourly GROUP BY
     * — update mode with last-writer-wins merging loses nothing. */
@@ -141,10 +156,24 @@ object UpdateModeStream {
           ()
         }
     }
-    spark.read.parquet(s"$root/v1")
+    completeModeReadBack(spark, s"$root/v1")
+  }
+
+  /** Rows each q257 leaderboard snapshot holds. */
+  val completeModeSinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n", LongType)))
+  }
+
+  /** q257's post-drain read-back over the FINAL leaderboard
+    * snapshot. */
+  def completeModeReadBack(spark: SparkSession,
+      snapshot: String): DataFrame =
+    spark.read.parquet(snapshot)
       .select(col("user_id").cast("long"), col("n").cast("long"))
       .orderBy(col("n").desc, col("user_id").asc)
-  }
 
   /** DuckDB oracle for [[completeModeQuery]]: the batch top-K under
     * the identical total order. */

@@ -149,12 +149,22 @@ object UpsertStream {
         s"q253 staged 2 wave files but streamed $batches micro-batches " +
           "— a single batch never exercises the overwrite merge")
     } finally graft.sources.Scratch.delete(spark, ck)
-    readTable(spark, root)
+    readBack(spark, currentSnapshot(spark, root)
+      .getOrElse(sys.error(s"q253 drained but no snapshot under $root")))
+  }
+
+  /** Rows each q253 table snapshot holds (the staged doc layout). */
+  val sinkSchema: org.apache.spark.sql.types.StructType =
+    DocStream.docSchema
+
+  /** q253's post-drain read-back over the resolved FINAL snapshot
+    * directory (callers resolve via [[currentSnapshot]]). */
+  def readBack(spark: SparkSession, snapshot: String): DataFrame =
+    spark.read.parquet(snapshot)
       .select(col("doc_id").cast("long").as("user_id"),
         col("text").as("latest_type"),
         unix_millis(col("ts")).as("ver"))
       .orderBy("user_id")
-  }
 
   /** DuckDB oracle for [[upsertQuery]]: argmax per user by event_id
     * (the staged version) over the original events. */

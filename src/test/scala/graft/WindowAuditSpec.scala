@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -7,10 +8,19 @@ import org.apache.spark.sql.execution.window.WindowExec
 /** Repo-wide scale audit: an UNPARTITIONED WindowExec moves its whole
   * input to one partition — the canonical 100×-scale-killer (this is
   * how q241/q242's vocabulary-sized rank windows were caught in round
-  * 10, by hand). This sweep mechanizes the grep: every registered
+  * 10, by hand). This sweep mechanizes the grep: EVERY registered
   * query's physical plan is collected, every WindowExec with an empty
   * partitionSpec must be on the documented whitelist below, and every
   * whitelist entry must still be exercised (no stale exemptions).
+  *
+  * Queries whose registered function runs a streaming drain (or a
+  * batch sink write) are NOT invoked — that would re-run multi-batch
+  * drains per audit — but they are NOT skipped either: their
+  * post-drain read-backs ([[SparkEntry.streamReadBacks]]) are planned
+  * against a footer-only stub parquet of the registered sink schema,
+  * so the audit covers all 262 queries' batch plans. The key-set
+  * equality assertion below means a new drain can neither dodge the
+  * audit nor forget to register its read-back.
   *
   * The whitelist is strictly for METADATA-SCALE frames — inputs whose
   * cardinality is bounded by a constant of the computation (a k-row
@@ -23,34 +33,29 @@ import org.apache.spark.sql.execution.window.WindowExec
 class WindowAuditSpec extends SparkSpec {
 
   /** Queries whose registered function DRAINS a structured stream (or
-    * replays staged waves) when invoked: their returned frame is a
-    * sink read-back over watermark-bounded state, the streaming
-    * operator itself is verified by its own oracle + StreamingSpec,
-    * and invoking them here would re-run multi-batch drains. */
+    * replays staged waves / writes a batch sink) when invoked. Audited
+    * through their registered read-backs instead of by invocation. */
   private val streamingDrains = Set(
     "q218_stream_dedup", "q229_stream_join", "q238_stream_packing",
     "q243_late_audit", "q244_session_window", "q246_milestones",
     "q250_idle_close", "q251_stream_left_join", "q252_join_then_window",
     "q253_stream_upsert", "q254_stream_funnel", "q255_stream_actives",
     "q256_update_mode", "q257_complete_topk", "q145_stream_monitor",
-    "q258_stream_static", "q259_bounded_dedup")
+    "q258_stream_static", "q259_bounded_dedup",
+    // not stream drains, but their registered functions also execute
+    // pipelines on invocation: q149 drains the parquet file sink,
+    // q170 writes the partitioned sink it then reads back
+    "q149_ingest_sessions", "q170_sink_roundtrip")
 
   /** query name -> (substring of the window's orderSpec identifying
     * it, why the frame is metadata-scale). An entry must match at
     * least one audited window or the audit fails as stale. */
   private val whitelist: Map[String, Seq[(String, String)]] = Map(
-    // the blocked-prefix-sum family: the single-partition window runs
-    // over the BLOCK table (value-range div blockWidth rows — bounded
-    // by the value domain, not the data; OlapOps.globalRankAsc/
-    // decileSummary), while rows rank within blocks in parallel
-    "q102_quantile_map" -> Seq(("block", "blocked-rank block table")),
-    "q115_funnel_latency" -> Seq(("block", "blocked-rank block table")),
-    "q124_conv_decile" -> Seq(("block", "blocked-rank block table")),
-    "q131_pareto" -> Seq(("block", "blocked-rank block table")),
-    "q139_rfm" -> Seq(("block", "blocked-rank block tables (R/F/M)")),
-    "q163_gini" -> Seq(("block", "blocked-rank block table")),
-    "q79_concurrency" -> Seq(("block", "blocked-rank block table")),
-    "q85_deciles" -> Seq(("block", "blocked-rank block table")),
+    // (the blocked-prefix-sum family — q79/q85/q102/q115/q124/q131/
+    // q139/q163 — used to rank its block table under a single-
+    // partition window and live here; OlapOps.blockOffsets replaced
+    // that with the broadcast triangular self-join, so those plans now
+    // contain NO unpartitioned WindowExec at all)
     // largest-remainder apportionment ranks the STRATA table
     // (languages / sources — a mix config, dozens of rows)
     "q104_budget_alloc" -> Seq(("rem_num", "per-language strata table")),
@@ -84,20 +89,42 @@ class WindowAuditSpec extends SparkSpec {
     case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
   }.flatten
 
+  /** The frame the audit plans for `name`: the registered function for
+    * batch queries; the registered READ-BACK over a footer-only stub
+    * parquet of the sink schema for drains (planning only — the stub
+    * scan has the real sink's schema and operators, no drain runs). */
+  private def auditFrame(name: String): DataFrame =
+    SparkEntry.streamReadBacks.get(name) match {
+      case Some((schema, readBack)) =>
+        val stub = tmpDir(s"audit_$name")
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+          .write.mode("overwrite").parquet(stub)
+        readBack(spark, stub)
+      case None => SparkEntry.queries(name)(spark, sf0001)
+    }
+
+  test("drain read-back registry exactly covers the non-invoked set") {
+    assert(SparkEntry.streamReadBacks.keySet == streamingDrains,
+      "streamReadBacks and the drain set must stay in lockstep — " +
+        s"missing read-backs: ${streamingDrains -- SparkEntry.streamReadBacks.keySet}, " +
+        s"unexpected read-backs: ${SparkEntry.streamReadBacks.keySet -- streamingDrains}")
+    assert(streamingDrains.subsetOf(SparkEntry.queries.keySet),
+      "every drain name must be a registered query")
+  }
+
   test("no registered query plans an unwhitelisted single-partition window") {
     val hits = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!streamingDrains.contains(name)) {
-        try {
-          windows(fn(spark, sf0001).queryExecution.executedPlan)
-            .foreach { w =>
-              hits += ((name, w.orderSpec.map(_.sql).mkString(", ")))
-            }
-        } catch {
-          case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName} ${e.getMessage}"
-        }
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try {
+        windows(auditFrame(name).queryExecution.executedPlan)
+          .foreach { w =>
+            hits += ((name, w.orderSpec.map(_.sql).mkString(", ")))
+          }
+      } catch {
+        case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName} ${e.getMessage}"
       }
     }
     assert(errors.isEmpty, s"plans failed to build:\n${errors.mkString("\n")}")
