@@ -44,12 +44,90 @@ import graft.operators.{SecJsonDocs, SecServing}
   * (ApiSpec's concurrent case proves N mixed-route in-flight requests
   * don't interfere). `start(0)` binds an ephemeral port and returns
   * it — how ApiSpec drives a live round-trip.
+  *
+  * Serving-edge guardrails on the verbatim-SQL surface (the reference
+  * runs user SQL with none, backend/main.py:120): every data route's
+  * collect runs under a per-request JOB-GROUP DEADLINE (`sqlTimeoutMs`
+  * — overrun cancels the group's jobs with task interruption and maps
+  * to 504), and the two free-form SQL routes EXPLAIN-check the plan
+  * first, rejecting cartesian products with a 400 before any task
+  * runs. The [[maxRows]] collect cap completes the triad: bounded
+  * rows out, bounded time on-cluster, no quadratic plans in.
   */
-class Api(spark: SparkSession, maxRows: Int = 10000) {
+class Api(spark: SparkSession, maxRows: Int = 10000,
+          sqlTimeoutMs: Long = 30000) {
 
   private var server: Option[HttpServer] = None
   private var pool: Option[java.util.concurrent.ExecutorService] = None
   private val mapper = new ObjectMapper()
+
+  /** Watchdog for the per-request job-group timeout — one daemon
+    * thread schedules cancellations; the cancel itself is cheap
+    * (cancelJobGroup is async). */
+  private val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "api-sql-watchdog"); t.setDaemon(true); t
+    }
+  private val reqCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  private final class RequestTimeout(cause: Throwable)
+    extends RuntimeException(cause)
+  private final class CartesianRejected(val shape: String)
+    extends RuntimeException(shape)
+
+  /** Run `body`'s Spark actions under a per-request job group with a
+    * hard deadline: if the watchdog fires first, every job the request
+    * submitted is cancelled (interrupt-on-cancel, so running tasks
+    * die too) and the request maps to 504 instead of occupying an
+    * executor slot forever. Job groups are thread-local, so concurrent
+    * requests cancel independently. This is the serving edge's second
+    * guardrail next to [[maxRows]]: the row cap bounds what leaves the
+    * cluster, the deadline bounds what runs on it. */
+  private def withJobTimeout[T](label: String)(body: => T): T = {
+    val group = s"graft-api-$label-${reqCounter.incrementAndGet()}"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.sparkContext.setJobGroup(group, s"serving request $label",
+      interruptOnCancel = true)
+    val cancel = watchdog.schedule(new Runnable {
+      def run(): Unit = {
+        fired.set(true)
+        spark.sparkContext.cancelJobGroup(group)
+      }
+    }, sqlTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    catch {
+      // any failure after the watchdog fired IS the cancellation
+      // surfacing (Spark wraps it in SparkException flavors)
+      case e: Throwable if fired.get() => throw new RequestTimeout(e)
+    } finally {
+      cancel.cancel(false)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** EXPLAIN-based guard for the FREE-FORM SQL routes: inspect the
+    * physical plan before any task runs and reject unconditioned cross
+    * products — `CartesianProductExec` in any form (even a conditioned
+    * one executes |L|×|R| comparisons) and a condition-less
+    * `BroadcastNestedLoopJoinExec` (a CROSS JOIN that merely got a
+    * broadcastable side; the CONDITIONED BNLJ stays allowed — it is
+    * how legitimate small-dim non-equi joins plan, bounded by the
+    * broadcast side). The named routes never build these shapes; only
+    * verbatim user SQL can. */
+  private def rejectCartesian(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def offenders(p: SparkPlan): Seq[String] = p.collect {
+      case _: CartesianProductExec => Seq("CartesianProduct")
+      case b: BroadcastNestedLoopJoinExec if b.condition.isEmpty =>
+        Seq("BroadcastNestedLoopJoin(no condition)")
+      case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+    }.flatten
+    val found = offenders(df.queryExecution.executedPlan)
+    if (found.nonEmpty) throw new CartesianRejected(found.mkString(", "))
+    df
+  }
 
   def start(port: Int = 0, threads: Int = 8): Int = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
@@ -69,6 +147,7 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
   def stop(): Unit = {
     server.foreach(_.stop(0)); server = None
     pool.foreach(_.shutdown()); pool = None
+    watchdog.shutdown()
   }
 
   // ---- endpoints ----
@@ -116,7 +195,8 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val query = Option(mapper.readTree(body).get("query")).map(_.asText)
       .getOrElse(return (400, detail("body must carry a 'query' field")))
-    (200, s"""{"data":${rows(SecServing.executeSql(spark, query))}}""")
+    (200, s"""{"data":${rows(rejectCartesian(
+      SecServing.executeSql(spark, query)))}}""")
   }
 
   private def getFinancialData(ex: HttpExchange): (Int, String) = {
@@ -152,7 +232,8 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
   private def queryData(ex: HttpExchange): (Int, String) = {
     val query = params(ex).getOrElse("query",
       return (400, detail("query parameter required")))
-    (200, s"""{"data":${rows(SecServing.executeSql(spark, query))}}""")
+    (200, s"""{"data":${rows(rejectCartesian(
+      SecServing.executeSql(spark, query)))}}""")
   }
 
   // ---- plumbing ----
@@ -160,8 +241,15 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
   private def handle(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
     val (code, body) =
       try f(ex)
-      catch { case e: Throwable => (500, detail(
-        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")) }
+      catch {
+        case _: RequestTimeout => (504, detail(
+          s"query exceeded ${sqlTimeoutMs} ms and was cancelled"))
+        case e: CartesianRejected => (400, detail(
+          s"query rejected: plan contains a cartesian product " +
+            s"(${e.shape}) — add a join condition"))
+        case e: Throwable => (500, detail(
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+      }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
@@ -203,7 +291,11 @@ class Api(spark: SparkSession, maxRows: Int = 10000) {
       }
       cleaned.as(names(i))
     }: _*)
-    sanitized.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+    // the one place request-driven Spark actions run — every data
+    // route inherits the deadline from here
+    withJobTimeout("rows") {
+      sanitized.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+    }
   }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)

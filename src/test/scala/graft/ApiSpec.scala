@@ -225,6 +225,66 @@ class ApiSpec extends SparkSpec {
     assert(elapsed < 60.0, f"32 concurrent requests took $elapsed%.1fs")
   }
 
+  test("free-form SQL: cartesian products are rejected before running") {
+    // unconditioned comma join -> CartesianProduct or condition-less
+    // BroadcastNestedLoopJoin; must 400 from the EXPLAIN check, never
+    // execute
+    val (code, body) = post("/execute-custom-query",
+      """{"query":"SELECT * FROM sec_num_2023Q4 a, sec_tag_2023Q4 b"}""")
+    assert(code == 400, s"expected rejection, got $code: $body")
+    assert(body.get("detail").asText.toLowerCase.contains("cartesian"))
+    val (c2, b2) = get("/query-data?query=" + java.net.URLEncoder.encode(
+      "SELECT * FROM sec_num_2023Q4 CROSS JOIN sec_tag_2023Q4", "UTF-8"))
+    assert(c2 == 400 && b2.get("detail").asText.toLowerCase.contains("cartesian"))
+    // the policy boundary: a CONDITIONED non-equi join (broadcast
+    // nested loop WITH a condition) stays allowed — bounded by the
+    // broadcast side, it is how legitimate small-dim theta joins plan
+    val (c3, b3) = post("/execute-custom-query",
+      """{"query":"SELECT count(*) AS n FROM sec_num_2023Q4 a JOIN sec_tag_2023Q4 b ON a.value >= b.custom"}""")
+    assert(c3 == 200, s"conditioned non-equi join must serve: $b3")
+    assert(b3.get("data").get(0).get("n").asLong > 0L)
+  }
+
+  test("free-form SQL: a query past the deadline is cancelled with 504 " +
+    "and the server stays serviceable") {
+    // dedicated instance with a tight deadline so the shared Api's
+    // generous default keeps serving the other cases
+    val strict = new Api(spark, maxRows = 100, sqlTimeoutMs = 400)
+    val strictPort = strict.start(0)
+    try {
+      val t0 = System.nanoTime()
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$strictPort/query-data?query=" +
+            java.net.URLEncoder.encode(
+              // max, not sum: ANSI mode overflows a sum of xxhash64s
+              // instantly, which would 500 before the deadline fires
+              "SELECT max(xxhash64(cast(id AS string))) AS s " +
+                "FROM range(2000000000)", "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(r.statusCode() == 504,
+        s"expected 504, got ${r.statusCode()}: ${r.body().take(200)}")
+      assert(mapper.readTree(r.body()).get("detail").asText
+        .contains("cancelled"))
+      // cancellation must cut the job short, not wait it out (the
+      // 2e9-row scan runs tens of seconds uncancelled; generous bound
+      // because this host documents CPU-steal bursts)
+      assert(elapsed < 30.0, f"cancel took $elapsed%.1fs")
+      // the session survives the cancel: a cheap follow-up serves
+      val (okCode, okBody) = {
+        val r2 = client.send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$strictPort/query-data?query=" +
+              java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r2.statusCode(), mapper.readTree(r2.body()))
+      }
+      assert(okCode == 200 && okBody.get("data").get(0).get("one").asInt == 1)
+    } finally strict.stop()
+  }
+
   override def afterAll(): Unit = {
     api.foreach(_.stop())
     super.afterAll()
