@@ -63,6 +63,10 @@ object ScalingCurve {
     ("q244_session_window", "native session_window drain (2 staged waves)", "events"),
     ("q246_milestones",     "transformWithState on RocksDB (2 staged waves)", "events"),
     ("q252_join_then_window", "chained stream-stream join + windowed agg (2 state stores)", "events"),
+    ("q229_stream_join",    "stream-stream interval join (single-batch drain)", "events"),
+    ("q251_stream_left_join", "left-outer interval join (null completion)", "events"),
+    ("q255_stream_actives", "chained dedup + sliding-window count (2 state stores)", "events"),
+    ("q259_bounded_dedup",  "dropDuplicatesWithinWatermark (expiring keys)", "events"),
     ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"))
 
   /** The stateful streaming drains: their peak state-store row counts
@@ -71,7 +75,8 @@ object ScalingCurve {
     * interval/key cardinality as documented rather than the raw input
     * volume. */
   private val Stateful = Set("q244_session_window", "q246_milestones",
-    "q252_join_then_window")
+    "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
+    "q255_stream_actives", "q259_bounded_dedup")
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -225,6 +230,66 @@ object ScalingCurve {
       "reading applies to the\nother pair generators (q23/q24/q25): " +
       "a corpus 100x denser in duplicates\nyields proportionally " +
       "more pairs — that is result mass, not operator cost.\n"
+    // ---- One more decade: synthetic 10x documents (sf1-equivalent).
+    // The corpus curves stop at sf0.1; the superlinear-risk queries
+    // (q225 was 5.2x, q224 2.2x on the last 10x step, both output-
+    // justified) get one more decade on 10 id-shifted copies of the
+    // sf0.1 corpus. Each copy's text carries a copy-unique suffix
+    // token so cross-copy exact/near duplicates are NOT manufactured:
+    // the corpus's duplicate structure replicates per copy (output
+    // ~10x) instead of exploding quadratically across copies (output
+    // ~100x), which would measure result mass, not operator scaling.
+    val decadeQs = Seq("q224_dedup_agreement", "q225_ppjoin",
+      "q232_union_dedup")
+    val blowDir: String = sources.Scratch.dir(spark, "sf1eq")
+    locally {
+      import org.apache.spark.sql.functions._
+      val d01 = spark.read.parquet(s"${Sfs(2)}/documents.parquet")
+      val stride = d01.agg(max("doc_id")).head.getLong(0) + 1L
+      (0 until 10).map { i =>
+        d01.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride))
+          .withColumn("text",
+            if (i == 0) col("text")
+            else concat(col("text"), lit(s" sfonecopy$i")))
+      }.reduce(_.unionAll(_))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$blowDir/documents.parquet")
+    }
+    val decade = decadeQs.map { n =>
+      val base = SparkEntry.queries(n)(spark, Sfs(2)).count()
+      var best = Double.MaxValue; var out = -1L
+      for (_ <- 1 to 2) {
+        BenchSession.dropPinnedBlocks(spark)
+        val t0 = System.nanoTime()
+        out = SparkEntry.queries(n)(spark, blowDir).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val rounds =
+        if (n == "q232_union_dedup") operators.DupClusters.lastAlternations
+        else -1
+      (n, best, base, out, rounds)
+    }
+    graft.sources.Scratch.delete(spark, blowDir)
+    sb ++= "\n## One more decade: synthetic 10x documents (sf1-equivalent)\n\n"
+    sb ++= "50,000 docs = 10 id-shifted copies of the sf0.1 corpus, " +
+      "copy-unique\nsuffix tokens (duplicate structure replicates " +
+      "per copy; see generator\ncomment). Output rows are the " +
+      "queries' own result cardinality — pair\nmass for q225, the " +
+      "agreement matrix for q224, one keeper row per doc\nfor q232.\n\n"
+    sb ++= "| query | sf0.1 | sf1-eq | time ratio (10x docs) | output rows sf0.1 -> sf1-eq |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    decade.foreach { case (n, best, base, out, rounds) =>
+      val t01 = mins.get((n, Sfs(2)))
+      val ratio = t01.filter(_ > 0).fold("—")(t => f"${best / t}%.1fx")
+      val extra = if (rounds >= 0) s" (CC rounds: $rounds)" else ""
+      sb ++= f"| $n | ${t01.fold("—")(t => f"$t%.2f s")} | $best%.2f s " +
+        f"| $ratio | $base%,d -> $out%,d$extra |\n"
+    }
+    sb ++= "\nReading: a time ratio at or under the output ratio on " +
+      "this decade means\nthe blocking/prefix filters keep cost " +
+      "proportional to results found, one\nmore decade out than the " +
+      "main table certifies; q232's round count staying\nflat is the " +
+      "O(log^2 n) slack holding at 100x the sf0.01 corpus.\n"
     // The streaming family's STATE dimension: wall time measures the
     // drain; state rows measure what a long-running deployment
     // actually accumulates. Peak numRowsTotal across the drain's
@@ -241,7 +306,15 @@ object ScalingCurve {
       "q244_session_window" -> "open sessions (distinct active users)",
       "q246_milestones" -> "live keys (distinct users) on RocksDB",
       "q252_join_then_window" ->
-        "in-interval click/purchase buffer + open hourly windows")
+        "in-interval click/purchase buffer + open hourly windows",
+      "q229_stream_join" ->
+        "click/purchase join buffer (single-batch drain: whole feed)",
+      "q251_stream_left_join" ->
+        "join buffer + unmatched clicks awaiting null completion",
+      "q255_stream_actives" ->
+        "dedup keys (user x window) + open sliding windows",
+      "q259_bounded_dedup" ->
+        "live dedup keys within the 5-day delay (MUST be << staged rows)")
     Stateful.toSeq.sorted.foreach { n =>
       val cells = Sfs.map(sf => stateRows.get((n, sf))
         .fold("—")(v => f"$v%,d"))
@@ -254,7 +327,17 @@ object ScalingCurve {
       "because an AvailableNow drain over 1-2 wave\nfiles advances " +
       "the watermark only at batch boundaries — sessions/join\nrows " +
       "cannot be evicted mid-batch, so the peak is the per-watermark-" +
-      "advance\nworking set, set by the drain's batch cadence. In a " +
+      "advance\nworking set, set by the drain's batch cadence. The " +
+      "same cadence caveat\nreads q229/q251 (their drains are single-" +
+      "batch BY DESIGN so the batch\noracle sees a complete result — " +
+      "the peak is the whole staged feed; a\ncontinuous deployment " +
+      "holds only the interval-bounded buffer, evicted as\nthe " +
+      "watermark passes purchase_ts + window) and q255 (two stores; " +
+      "the\nsliding windows pin 7 days x users until close). " +
+      "q259 is the one drain\nwhose BOUND is the claim: its peak " +
+      "must stay well under the staged row\ncount at every sf — the " +
+      "5-day delay expires keys mid-drain, which is\nexactly what " +
+      "its n_readmitted oracle certifies semantically.\nIn a " +
       "continuous deployment\nthe same operators hold only the gap-/" +
       "interval-bounded live set: eviction\non watermark advance is " +
       "proven directly by StreamingSpec's multi-batch\ncases and the " +

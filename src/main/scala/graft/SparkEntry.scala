@@ -621,6 +621,28 @@ object SparkEntry {
     // the sparse-vector feature step before a classifier quality gate.
     "q262_hashed_features" -> ((s, d) =>
       graft.operators.TextAnalysis.hashedFeaturesQuery(s, d)),
+    // q263: incremental aggregate maintenance (IVM) — base table ⊎
+    // delta partials merged by key; the oracle recomputes from
+    // scratch, certifying the monoid merge loses nothing.
+    "q263_incremental_agg" -> ((s, d) =>
+      graft.operators.Maintenance.incrementalAggQuery(s, d)),
+    // q264: per-source distinctive terms by chi-square keyness —
+    // exact DECIMAL(38) contingency arithmetic, top-5 per source.
+    "q264_keyness" -> ((s, d) =>
+      graft.operators.CorpusStats.keynessQuery(s, d)),
+    // q265: the upsert feed's change-data-feed — per-batch insert/
+    // update classification against the pre-merge snapshot, appended
+    // to a partitioned CDC log (q253's downstream contract).
+    "q265_stream_cdc" -> ((s, d) =>
+      graft.streaming.UpsertStream.cdcQuery(s, d)),
+    // q266: typed cogroup reconciliation — both sides' iterators per
+    // key, certified against the relational full-outer-join oracle.
+    "q266_cogroup_reconcile" -> ((s, d) =>
+      graft.operators.Reconcile.reconcileQuery(s, d)),
+    // q267: ANALYZE-style exact column-stats manifest via one
+    // unpivot Expand + one (column, value) aggregation.
+    "q267_column_stats" -> ((s, d) =>
+      graft.operators.Maintenance.tableStatsQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -831,6 +853,8 @@ object SparkEntry {
         ((EnrichStream.sinkSchema, EnrichStream.readBack _)),
       "q259_bounded_dedup" ->
         ((BoundedDedupStream.sinkSchema, BoundedDedupStream.readBack _)),
+      "q265_stream_cdc" ->
+        ((UpsertStream.cdcSinkSchema, UpsertStream.cdcReadBack _)),
     )
   }
 
@@ -1736,6 +1760,16 @@ object SparkEntry {
       graft.operators.Curation.skylineOracleSql,
     "q262_hashed_features" ->
       graft.operators.TextAnalysis.hashedFeaturesOracleSql,
+    "q263_incremental_agg" ->
+      graft.operators.Maintenance.incrementalAggOracleSql,
+    "q264_keyness" ->
+      graft.operators.CorpusStats.keynessOracleSql,
+    "q265_stream_cdc" ->
+      graft.streaming.UpsertStream.cdcOracleSql,
+    "q266_cogroup_reconcile" ->
+      graft.operators.Reconcile.reconcileOracleSql,
+    "q267_column_stats" ->
+      graft.operators.Maintenance.tableStatsOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -660,4 +660,108 @@ object CorpusStats {
        CAST(CASE WHEN contamination_e6 >= $ContamFlagE6 THEN 1 ELSE 0 END
          AS INT) AS flagged
      FROM sc ORDER BY doc_id"""
+
+  /** q264 knobs: minimum in-source occurrences for a term to be
+    * scored, and the per-source leaderboard size. */
+  val KeynessMinCount = 5L
+  val KeynessTopK = 5
+
+  /** q264: per-source DISTINCTIVE TERMS by chi-square keyness — the
+    * corpus-linguistics answer to "what is each source actually
+    * about", and in a training mix the per-domain vocabulary report
+    * that catches a mislabeled or contaminated source before it
+    * trains. For term t in source s, the 2x2 contingency is
+    * a = count(t in s), b = count(t elsewhere), c = tokens(s) - a,
+    * d = N - a - b - c; keyness = N(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)),
+    * floor-scaled e6 — ALL integer arithmetic in DECIMAL(38,0) (both
+    * engines compute the identical integer, so rank order cannot
+    * drift; at fixture scale every intermediate fits 38 digits — at
+    * true 100 TB token counts the score would be computed in doubles
+    * since it only RANKS, noted rather than hidden). Only
+    * OVER-represented terms qualify (a(N-n1) > b*n1 — relative
+    * frequency above the rest of the corpus), with a >= 5 evidence
+    * floor; top-5 per source by (keyness DESC, term ASC).
+    *
+    * Scale shape: one tokenize+explode, one (term, source) count,
+    * one term-total count, source totals broadcast, and a top-k rank
+    * window PARTITIONED by source (sources are a config-scale set).
+    * Nothing corpus-sized sorts globally. */
+  def keynessQuery(spark: SparkSession, dir: String): DataFrame =
+    keyness(Tables.documents(spark, dir))
+
+  /** [[keynessQuery]]'s core over any (source, text) frame. */
+  def keyness(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("term"))
+    val st = toks.groupBy("source", "term")
+      .agg(count(lit(1)).as("a")).localCheckpoint() // feeds tt + scores
+    val tt = st.groupBy("term").agg(sum(col("a")).as("t_tot"))
+    val srcTot = st.groupBy("source").agg(sum(col("a")).as("n1"))
+    val nTot = srcTot.agg(sum(col("n1")).as("n"))
+    val d38 = (c: String) => col(c).cast("decimal(38,0)")
+    val scored = st
+      .join(tt, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(nTot))
+      .filter(col("a") >= KeynessMinCount &&
+        // over-representation gate, cross-multiplied (integer-exact)
+        d38("a") * (d38("n") - d38("n1")) >
+          (d38("t_tot") - d38("a")) * d38("n1"))
+      .withColumn("__det", {
+        // ad - bc, shared by numerator's square
+        val a = d38("a"); val b = d38("t_tot") - d38("a")
+        val c = d38("n1") - d38("a")
+        val dd = d38("n") - d38("t_tot") - d38("n1") + d38("a")
+        a * dd - b * c
+      })
+      .withColumn("__num", d38("n") * col("__det") * col("__det") *
+        lit(1000000L).cast("decimal(38,0)"))
+      .withColumn("__den", d38("t_tot") * (d38("n") - d38("t_tot")) *
+        d38("n1") * (d38("n") - d38("n1")))
+      // integral divide, NOT decimal `/`: Spark's decimal division
+      // rounds HALF_UP at the result scale while DuckDB's // floors —
+      // the q204 class of off-by-one; div truncates like // does on
+      // these non-negative values
+      .withColumn("keyness_e6", expr("__num div __den"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("keyness_e6").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KeynessTopK)
+      .select(col("source"), col("rank").cast("int").as("rank"),
+        col("term"), col("a").cast("long").as("n_in_source"),
+        col("keyness_e6"))
+      .orderBy("source", "rank")
+  }
+
+  /** DuckDB oracle for [[keynessQuery]] — identical HUGEINT
+    * contingency arithmetic, identical floor-e6 scale and rank
+    * order. */
+  def keynessOracleSql: String =
+    s"""WITH tok AS (SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         FROM documents),
+       st AS (SELECT source, term, CAST(count(*) AS HUGEINT) AS a
+              FROM tok GROUP BY 1, 2),
+       tt AS (SELECT term, sum(a) AS t_tot FROM st GROUP BY 1),
+       s1 AS (SELECT source, sum(a) AS n1 FROM st GROUP BY 1),
+       n AS (SELECT sum(n1) AS n FROM s1),
+       sc AS (SELECT st.source, st.term, st.a,
+           (n.n * (st.a * (n.n - tt.t_tot - s1.n1 + st.a)
+                   - (tt.t_tot - st.a) * (s1.n1 - st.a))
+                * (st.a * (n.n - tt.t_tot - s1.n1 + st.a)
+                   - (tt.t_tot - st.a) * (s1.n1 - st.a))
+                * 1000000)
+             // (tt.t_tot * (n.n - tt.t_tot) * s1.n1 * (n.n - s1.n1))
+             AS keyness_e6
+         FROM st JOIN tt USING (term) JOIN s1 USING (source), n
+         WHERE st.a >= $KeynessMinCount
+           AND st.a * (n.n - s1.n1) > (tt.t_tot - st.a) * s1.n1),
+       r AS (SELECT source, term, a, keyness_e6, row_number() OVER
+           (PARTITION BY source ORDER BY keyness_e6 DESC, term)
+           AS rank FROM sc)
+     SELECT source, CAST(rank AS INT) AS rank, term,
+       CAST(a AS BIGINT) AS n_in_source,
+       CAST(keyness_e6 AS BIGINT) AS keyness_e6
+     FROM r WHERE rank <= $KeynessTopK ORDER BY source, rank"""
 }

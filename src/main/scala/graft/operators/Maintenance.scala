@@ -602,4 +602,130 @@ object Maintenance {
 
   private def greaterOf(a: Any, b: Any): Any =
     if (cmpStat(a, b) >= 0) a else b
+
+  /** Incremental maintenance of a GROUPED AGGREGATE (the IVM pattern
+    * q65 runs for dedup, applied to the metric rollup every serving
+    * table actually is): the per-user activity aggregate is
+    * materialized over the base window, then a DELTA window arrives
+    * and only ITS rows are aggregated — the refresh is
+    * base-table ⊎ delta-partials merged by key (sum/sum/max are all
+    * commutative monoids, so partial + partial = total), never a
+    * rescan of the base events. At 100 TB the refresh cost is
+    * O(delta + touched groups): the delta aggregates map-side, the
+    * merge joins two group-cardinality tables on their key. The split
+    * is the fixture's last 7 days (the nightly-load shape); the
+    * oracle recomputes the FULL aggregate from scratch, so the hash
+    * match certifies the merge loses nothing — multiplicity, sums,
+    * and the max over both windows. */
+  def incrementalAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+    val cutoff = ev.agg((max(col("ms")) - lit(7L * 86400000L)).as("c"))
+    val split = ev.crossJoin(broadcast(cutoff))
+    // partials carry the UNROUNDED decimal sum — rounding each
+    // window to cents before merging could disagree with the
+    // oracle's single grand-sum round; cents materialize only after
+    // the merge (partial sums of decimals are exact, so partial +
+    // partial = total holds to the last digit)
+    def aggOf(rows: DataFrame): DataFrame = rows.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,10)")).as("value_sum"),
+        max(col("ms")).as("last_ms"))
+    // the materialized base table — written and read back (the
+    // refresh job reads a TABLE, not a plan; skipping the round-trip
+    // would let Spark collapse base+delta into one scan and prove
+    // nothing about the merge)
+    val baseDir = graft.sources.Scratch.dirOutliving(spark, "q263_base")
+    aggOf(split.filter(col("ms") <= col("c")))
+      .write.mode("overwrite").parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+    val delta = aggOf(split.filter(col("ms") > col("c")))
+    // keyed monoid merge: union the two partial tables, re-aggregate
+    // per key (2 group-sized inputs — one small shuffle, no base
+    // events rescan anywhere in this stage's lineage)
+    base.unionByName(delta)
+      .groupBy("user_id")
+      .agg(sum(col("n_events")).cast("long").as("n_events"),
+        (round(sum(col("value_sum")), 2) * 100).cast("long")
+          .as("value_cents"),
+        max(col("last_ms")).cast("long").as("last_ms"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[incrementalAggQuery]] — the from-scratch
+    * full-window aggregate. */
+  def incrementalAggOracleSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(38,10))), 2) * 100
+           AS BIGINT) AS value_cents,
+         CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+       FROM events GROUP BY 1 ORDER BY user_id"""
+
+  /** The columns [[tableStatsQuery]] profiles (name -> the exact
+    * integer rendering both engines compute). */
+  private val StatsCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity_cents", "l_extendedprice_cents")
+
+  /** q267: the ANALYZE-style COLUMN STATS MANIFEST — exact row count,
+    * null count, NDV, min, and max per column, the statistics that
+    * drive broadcast-vs-shuffle decisions, file skipping, and CBO
+    * join ordering (the reference outsources this to the warehouse's
+    * automatic stats; an engine must compute its own). Exact NDV, not
+    * the HLL estimate — this is the nightly stats JOB, where exactness
+    * is worth one shuffle; the HLL family (q152/q215) is the serving-
+    * time path.
+    *
+    * Scale shape: the wide table MELTS via the built-in unpivot — ONE
+    * Expand over the 6-column projection, no self-joins — then one
+    * (column, value) aggregation computes every statistic. Money
+    * columns are profiled in exact integer cents, so min/max/NDV are
+    * engine-independent. */
+  def tableStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: String) =>
+      (round(col(c).cast("decimal(38,10)"), 2) * 100).cast("long")
+    val li = graft.sources.Tables.lineitem(spark, dir).select(
+      col("l_orderkey").cast("long").as("l_orderkey"),
+      col("l_partkey").cast("long").as("l_partkey"),
+      col("l_suppkey").cast("long").as("l_suppkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      cents("l_quantity").as("l_quantity_cents"),
+      cents("l_extendedprice").as("l_extendedprice_cents"))
+    columnProfile(li, StatsCols)
+  }
+
+  /** [[tableStatsQuery]]'s core: profile the given LONG columns of any
+    * frame (the composable/null-testable form). */
+  def columnProfile(rows: DataFrame, cols: Seq[String]): DataFrame =
+    rows.unpivot(Array.empty, cols.map(col).toArray, "column", "v")
+      .groupBy("column")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (count(lit(1)) - count(col("v"))).cast("long").as("n_nulls"),
+        count_distinct(col("v")).cast("long").as("n_distinct"),
+        min(col("v")).cast("long").as("min_v"),
+        max(col("v")).cast("long").as("max_v"))
+      .orderBy("column")
+
+  /** DuckDB oracle for [[tableStatsQuery]] — per-column exact stats,
+    * unioned. */
+  def tableStatsOracleSql: String = {
+    val expr = Map(
+      "l_orderkey" -> "l_orderkey",
+      "l_partkey" -> "l_partkey",
+      "l_suppkey" -> "l_suppkey",
+      "l_linenumber" -> "l_linenumber",
+      "l_quantity_cents" ->
+        "CAST(round(CAST(l_quantity AS DECIMAL(38,10)), 2) * 100 AS BIGINT)",
+      "l_extendedprice_cents" ->
+        "CAST(round(CAST(l_extendedprice AS DECIMAL(38,10)), 2) * 100 AS BIGINT)")
+    StatsCols.map { c =>
+      val e = expr(c)
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+            CAST(min($e) AS BIGINT) AS min_v,
+            CAST(max($e) AS BIGINT) AS max_v
+          FROM lineitem"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
 }

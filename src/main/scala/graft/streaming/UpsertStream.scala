@@ -176,6 +176,108 @@ object UpsertStream {
          FROM events)
        WHERE rn = 1 ORDER BY user_id"""
 
+  /** q265: the upsert feed's CHANGE DATA FEED — what the q253 table
+    * looks like to a DOWNSTREAM consumer: per micro-batch, the
+    * latest-per-key rows are classified insert vs update against the
+    * PRE-merge snapshot and appended to a CDC log partition
+    * (`cdc/batch=<id>`), then the merge applies as in q253. The log
+    * is the incremental-replication contract (a reader applies each
+    * batch's ops in order and reconstructs the table without ever
+    * scanning it) — the streaming completion of the deletion-vector /
+    * SCD2 maintenance family. Cost per batch: the batch itself plus
+    * one key-join against the current snapshot — never a table scan.
+    *
+    * The oracle replays the two-wave schedule in SQL: the staging
+    * splits by version (ntile over (ts=millis(event_id), doc_id)), so
+    * wave-0 keys land as batch-0 inserts and every wave-1 key is a
+    * batch-1 update iff it appeared in wave 0. Batch classification,
+    * per-batch latest-per-key, the pre-merge snapshot probe, and the
+    * partitioned log layout are all certified by the hash match. */
+  def cdcQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q265_table")
+    val cdc = graft.sources.Scratch.dirOutliving(spark, "q265_cdc")
+    val drop = stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q265_ck")
+    try {
+      val q = spark.readStream.schema(DocStream.docSchema)
+        .option("maxFilesPerTrigger", "1").json(drop)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batch feeds BOTH the CDC diff and the merge — persist so
+          // the source scan runs once per micro-batch
+          batch.persist()
+          try {
+            val latest = latestPerKey(batch, "doc_id", "ts")
+            // the PRE-merge key set: updates are keys the table
+            // already holds; everything else inserts
+            val existing = currentSnapshot(spark, root) match {
+              case Some(cur) => spark.read.parquet(cur)
+                .select(col("doc_id")).withColumn("__ex", lit(1))
+              case None => latest.limit(0)
+                .select(col("doc_id")).withColumn("__ex", lit(1))
+            }
+            latest.join(existing, Seq("doc_id"), "left")
+              .select(
+                when(col("__ex").isNotNull, lit("update"))
+                  .otherwise(lit("insert")).as("op"),
+                col("doc_id"), unix_millis(col("ts")).as("ver"))
+              .write.mode("overwrite").parquet(s"$cdc/batch=$batchId")
+            applyUpsertBatch(spark, root, batch, "doc_id", "ts")
+          } finally batch.unpersist()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == 2,
+        s"q265 staged 2 wave files but streamed $batches micro-batches " +
+          "— a single batch never exercises the update classification")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    cdcReadBack(spark, cdc)
+  }
+
+  /** Rows each q265 CDC partition holds. `batch` is the partition
+    * column restored from the `batch=<id>` directory names on the
+    * real log; declared here so the audit stub carries it too. */
+  val cdcSinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("op", StringType),
+      StructField("doc_id", LongType),
+      StructField("ver", LongType),
+      StructField("batch", IntegerType)))
+  }
+
+  /** q265's post-drain read-back — the ordered CDC log. */
+  def cdcReadBack(spark: SparkSession, cdc: String): DataFrame =
+    spark.read.parquet(cdc)
+      .select(col("batch").cast("int").as("batch"), col("op"),
+        col("doc_id").cast("long").as("user_id"),
+        col("ver").cast("long").as("ver"))
+      .orderBy("batch", "user_id")
+
+  /** DuckDB oracle for [[cdcQuery]] — the two-wave lifecycle replayed
+    * relationally (same ntile split as the staging; ts encodes
+    * event_id, so ordering by (event_id, user_id) is the staging's
+    * (ts, doc_id) order). */
+  def cdcOracleSql: String =
+    """WITH w AS (SELECT user_id, event_id,
+           ntile(2) OVER (ORDER BY event_id, user_id) - 1 AS wave
+         FROM events),
+       b0 AS (SELECT user_id, max(event_id) AS ver FROM w
+              WHERE wave = 0 GROUP BY 1),
+       b1 AS (SELECT user_id, max(event_id) AS ver FROM w
+              WHERE wave = 1 GROUP BY 1)
+     SELECT CAST(0 AS INT) AS batch, 'insert' AS op, user_id,
+       CAST(ver AS BIGINT) AS ver FROM b0
+     UNION ALL
+     SELECT CAST(1 AS INT), CASE WHEN user_id IN
+         (SELECT user_id FROM b0) THEN 'update' ELSE 'insert' END,
+       user_id, CAST(ver AS BIGINT) FROM b1
+     ORDER BY batch, user_id"""
+
   /** Start the upsert sink: each micro-batch latest-per-key reduces,
     * then merges into snapshot v{n+1} under `root`. AvailableNow —
     * drain what's there, then stop (the test/ops contract shared by

@@ -117,4 +117,26 @@ class CorpusStatsSpec extends SparkSpec {
         r.getInt(4))).toList
     assert(out == List((7L, 5L, 1L, 200000L, 1)), out.toString)
   }
+
+  test("keyness: a term concentrated in one source tops that source") {
+    import spark.implicits._
+    // source A is about llamas, source B about ledgers; 'the' is
+    // common background in both and must not be distinctive anywhere
+    val docs = Seq(
+      ("A", "the llama llama llama grazes on the hill"),
+      ("A", "the llama llama herd naps and the llama hums"),
+      ("B", "the ledger ledger ledger balances the account book"),
+      ("B", "the ledger ledger audit logs the account entries"))
+      .toDF("source", "text")
+    val out = graft.operators.CorpusStats.keyness(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toList
+    // rank 1 per source is the concentrated term (a >= 5 floor)
+    assert(out.filter(_._2 == 1) ==
+      List(("A", 1, "llama"), ("B", 1, "ledger")), out.toString)
+    // background terms never qualify: over-representation gate
+    assert(!out.exists(_._3 == "the"), out.toString)
+    // keyness is nonnegative and ranks are contiguous per source
+    val ranks = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    assert(ranks.values.forall(rs => rs == (1 to rs.size).toList))
+  }
 }

@@ -362,4 +362,30 @@ class MaintenanceSpec extends SparkSpec {
       assert(if (r.getInt(3) == 1) delta > 0 else delta == 0)
     }
   }
+
+  test("columnProfile counts nulls, NDV, and extremes exactly") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 10L), (3L, null), (3L, 30L), (null, null))
+      .toDF("a", "b")
+    val rows = graft.operators.Maintenance.columnProfile(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(rows == List(
+      ("a", 5L, 1L, 3L, 1L, 3L),
+      ("b", 5L, 2L, 2L, 10L, 30L)), rows.toString)
+  }
+
+  test("incremental agg merge equals the from-scratch aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Maintenance
+      .incrementalAggQuery(spark, sf0001).collect()
+    val full = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        (round(sum(col("value").cast("decimal(38,10)")), 2) * 100)
+          .cast("long").as("value_cents"),
+        max(unix_millis(col("ts"))).cast("long").as("last_ms"))
+      .orderBy("user_id").collect()
+    assert(got.toSeq == full.toSeq)
+  }
 }
