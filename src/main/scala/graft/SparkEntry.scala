@@ -643,6 +643,20 @@ object SparkEntry {
     // unpivot Expand + one (column, value) aggregation.
     "q267_column_stats" -> ((s, d) =>
       graft.operators.Maintenance.tableStatsQuery(s, d)),
+    // q268: rendezvous (HRW) sharding + expansion movement report —
+    // the minimal-movement assignment rule, 8->9 shard transition
+    // matrix certified against the same-hash argmax oracle.
+    "q268_rendezvous_shards" -> ((s, d) =>
+      graft.operators.Sharding.rendezvousQuery(s, d)),
+    // q269: weighted priority sampling (deterministic integer A-ES):
+    // bottom-K of hash div weight — the importance-weighted sampler.
+    "q269_priority_sample" -> ((s, d) =>
+      graft.operators.Sampling.prioritySampleQuery(s, d)),
+    // q270: inter-arrival burstiness (squared coefficient of
+    // variation; exponential gaps => cv2_e6 ~ 1e6) per event type —
+    // one exact rational, (n·Σg²−(Σg)²)·1e6 div (Σg)².
+    "q270_burstiness" -> ((s, d) =>
+      graft.operators.Sessionize.fanoQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1770,6 +1784,12 @@ object SparkEntry {
       graft.operators.Reconcile.reconcileOracleSql,
     "q267_column_stats" ->
       graft.operators.Maintenance.tableStatsOracleSql,
+    "q268_rendezvous_shards" ->
+      graft.operators.Sharding.rendezvousOracleSql,
+    "q269_priority_sample" ->
+      graft.operators.Sampling.prioritySampleOracleSql,
+    "q270_burstiness" ->
+      graft.operators.Sessionize.fanoOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -194,4 +194,56 @@ object Sampling {
      WHERE r.pick_rank <= q.quota
      ORDER BY r.doc_id"""
   }
+
+  /** q269 sample size. */
+  val PriorityK = 200
+
+  /** q269: WEIGHTED priority sampling — the deterministic integer
+    * rendering of the Efraimidis–Spirakis idea (weighted random
+    * sampling via per-item priority keys): every document gets
+    * priority = hash(doc) div weight, the sample is the bottom-K
+    * priorities. With the hash uniform on [0, 2^60), an item's chance
+    * of clearing any fixed priority threshold is proportional to its
+    * weight — heavier documents (here: longer, weight = n_chars) are
+    * proportionally more likely in, and the whole draw is reproducible
+    * from the data alone (the md5-keyed determinism every sampler in
+    * this engine shares; A-ES's exponential keys would need doubles,
+    * the integer quotient preserves the ∝weight property for the
+    * bottom-K selection). Completes the sampler family: uniform
+    * (q67), stratified (q59), balanced (q234), quota (q236) — this is
+    * the importance-weighted member.
+    *
+    * Scale shape: one scan computing (hash div weight), then top-K by
+    * the TakeOrderedAndProject path — no global sort, no shuffle
+    * beyond the K-row collect. */
+  def prioritySampleQuery(spark: SparkSession, dir: String): DataFrame =
+    prioritySample(Tables.documents(spark, dir))
+
+  /** [[prioritySampleQuery]]'s core over any (doc_id, text, n_chars)
+    * frame. */
+  def prioritySample(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    docs
+      .select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).cast("long").as("w"),
+        portableHash60(col("text")).as("h"))
+      .withColumn("priority", expr("h div w"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(PriorityK)
+      .select(col("doc_id"), col("w"), col("priority"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[prioritySampleQuery]] — same 60-bit md5
+    * prefix, same integer quotient, same bottom-K order. */
+  def prioritySampleOracleSql: String =
+    s"""WITH p AS (SELECT doc_id,
+           greatest(n_chars, 1) AS w,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+             // greatest(n_chars, 1) AS priority
+         FROM documents
+         ORDER BY priority ASC, doc_id ASC LIMIT $PriorityK)
+     SELECT doc_id, CAST(w AS BIGINT) AS w,
+       CAST(priority AS BIGINT) AS priority
+     FROM p ORDER BY doc_id"""
 }

@@ -924,4 +924,65 @@ object Sessionize {
        CAST(len(regexp_extract_all(seq, '(cc+)', 1)) AS BIGINT)
          AS click_runs
      FROM g ORDER BY user_id, session_seq"""
+
+  /** q270: inter-arrival BURSTINESS per event type — the squared
+    * coefficient of variation of the gap distribution
+    * (CV² = var/mean²): exponential (Poisson-process) gaps give
+    * CV² = 1, so cv2_e6 ≈ 1,000,000 means memoryless arrivals,
+    * well above means bursts, well below means metronome regularity
+    * (a cron job, not users). This is the stream-shape diagnostic
+    * that sizes streaming capacity — a bursty type needs state/
+    * backlog headroom its MEAN rate hides.
+    *
+    * All EXACT integer arithmetic: with n gaps g_i (ms), biased
+    * var = (n·Σg² − (Σg)²)/n² and mean² = (Σg)²/n², so
+    * CV² = (n·Σg² − (Σg)²)/(Σg)² — one exact rational, floor-scaled
+    * e6 in DECIMAL(38,0)/HUGEINT with an integral divide (the q264
+    * discipline; Σg² at 100 TB would move this to doubles, noted
+    * since it only diagnoses). The lag window is PARTITIONED by
+    * event type — per-type gap streams, no global window anywhere. */
+  def fanoQuery(spark: SparkSession, dir: String): DataFrame =
+    interArrivalCv2(Tables.events(spark, dir))
+
+  /** [[fanoQuery]]'s core over any (event_id, ts, event_type) frame. */
+  def interArrivalCv2(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val gaps = events
+      .select(col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .withColumn("g", col("t") - lag(col("t"), 1).over(byType))
+      .filter(col("g").isNotNull)
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(d38(col("g")) * d38(col("g"))).as("sg2"))
+      .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+        expr("sg div n").cast("long").as("mean_gap_ms"),
+        expr("""(CAST(n AS DECIMAL(38,0)) * sg2
+                 - CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0)))
+                * 1000000 div
+                (CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0)))""")
+          .cast("long").as("cv2_e6"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[fanoQuery]] — same per-type lag gaps, same
+    * HUGEINT rational, same floor-e6 scale. */
+  def fanoOracleSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+           epoch_ms(ts) AS t FROM events),
+       g AS (SELECT event_type,
+           t - lag(t) OVER (PARTITION BY event_type
+             ORDER BY t, event_id) AS g
+         FROM e),
+       s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(g) AS HUGEINT) AS sg,
+           sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sg2
+         FROM g WHERE g IS NOT NULL GROUP BY 1)
+     SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       CAST(sg // n AS BIGINT) AS mean_gap_ms,
+       CAST((n * sg2 - sg * sg) * 1000000 // (sg * sg) AS BIGINT)
+         AS cv2_e6
+     FROM s ORDER BY event_type"""
 }

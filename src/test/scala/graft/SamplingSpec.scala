@@ -63,4 +63,30 @@ class SamplingSpec extends SparkSpec {
     val h1b = b.find(_.getLong(0) == 1L).get.getString(2)
     assert(h1a == h1b, "hash draw is content-determined")
   }
+
+  test("priority sample: bottom-K of the exact quotient, weight-biased") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = graft.operators.Sampling.prioritySample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.size == graft.operators.Sampling.PriorityK)
+    // reference: full sort of the same quotient
+    val ref = docs.select(col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).cast("long").as("w"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)" +
+          " div greatest(n_chars, 1)").as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(graft.operators.Sampling.PriorityK)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == ref)
+    // the weighting works: sampled docs skew long (mean weight of the
+    // sample comfortably above the corpus mean)
+    val sampleMeanW = got.map(_._2).sum.toDouble / got.size
+    val corpusMeanW = docs.agg(avg(greatest(col("n_chars"), lit(1L))))
+      .head.getDouble(0)
+    assert(sampleMeanW > corpusMeanW,
+      f"weighted sample must skew heavy: $sampleMeanW%.1f vs corpus $corpusMeanW%.1f")
+  }
 }

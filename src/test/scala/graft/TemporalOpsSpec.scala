@@ -348,4 +348,27 @@ class TemporalOpsSpec extends SparkSpec {
         s"${r.getString(0)}: prediction must be the train argmax")
     }
   }
+
+  test("inter-arrival cv2: metronome gaps 0, planted bursts well above 1e6") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def frame(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("event_id", "ms", "event_type")
+        .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+          col("event_type"))
+    // metronome: constant 1000 ms gaps -> zero variance -> cv2 = 0
+    val metro = (1L to 50L).map(i => (i, i * 1000L, "metro"))
+    // bursty: tight 10-ms bursts separated by 100 s silences
+    val bursty = (0L until 50L).map { i =>
+      (100L + i, (i / 5) * 100000L + (i % 5) * 10L, "bursty") }
+    val out = graft.operators.Sessionize
+      .interArrivalCv2(frame(metro ++ bursty))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (mn, mMean, mCv2) = out("metro")
+    assert(mn == 49L && mMean == 1000L && mCv2 == 0L)
+    val (bn, _, bCv2) = out("bursty")
+    assert(bn == 49L && bCv2 > 1000000L,
+      s"planted bursts must exceed the Poisson reference 1e6: $bCv2")
+  }
 }
