@@ -721,4 +721,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_quantity"), p.take(2000))
     graft.sources.Scratch.sweep(spark)
   }
+
+  test("q267 column stats: ONE unpivot Expand, partial-then-final agg") {
+    val p = planString(
+      graft.operators.Maintenance.tableStatsQuery(spark, sf0001))
+    val expands = "Expand".r.findAllIn(p).length
+    assert(expands >= 1, p.take(2000))
+    // one melt, not one pass per column: a second Expand (or a Union
+    // of per-column scans) would scan the table 6x at scale
+    assert(!p.contains("Union"), p.take(2000))
+    assert(p.contains("partial"), p.take(2000))
+  }
+
+  test("q266 cogroup plans CoGroup over co-partitioned sides (no join materialization)") {
+    val p = planString(
+      graft.operators.Reconcile.reconcileQuery(spark, sf0001))
+    assert(p.contains("CoGroup"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q263 incremental refresh reads the base from parquet, not a rescan") {
+    // the returned MERGE plan scans events at most twice — the 1-row
+    // cutoff aggregate and the delta filter — and must read the
+    // materialized base AGGREGATE from parquet; a third events scan
+    // would mean the refresh recomputes the base window from facts
+    val df = graft.operators.Maintenance
+      .incrementalAggQuery(spark, sf0001)
+    val p = planString(df)
+    val eventScans = "events\\.parquet".r.findAllIn(p).length
+    assert(eventScans <= 2,
+      s"base window recomputed from events ($eventScans scans):\n" +
+        p.take(2000))
+    assert(p.contains("q263_base"), p.take(2000))
+    graft.sources.Scratch.sweep(spark)
+  }
+
+  test("q269 priority sample compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planString(
+      graft.operators.Sampling.prioritySampleQuery(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q268 rendezvous argmax combines map-side (partial_max)") {
+    val p = planString(
+      graft.operators.Sharding.rendezvousQuery(spark, sf0001))
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
