@@ -657,6 +657,12 @@ object SparkEntry {
     // one exact rational, (n·Σg²−(Σg)²)·1e6 div (Σg)².
     "q270_burstiness" -> ((s, d) =>
       graft.operators.Sessionize.fanoQuery(s, d)),
+    // q271: per-user same-type run detection via transformWithState
+    // LIST state (≤2-entry sliding window per key on RocksDB) — the
+    // CEP-lite trigger; runs straddling the wave boundary certify
+    // cross-batch list carry.
+    "q271_type_runs" -> ((s, d) =>
+      graft.streaming.RunStream.typeRunsQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -869,6 +875,8 @@ object SparkEntry {
         ((BoundedDedupStream.sinkSchema, BoundedDedupStream.readBack _)),
       "q265_stream_cdc" ->
         ((UpsertStream.cdcSinkSchema, UpsertStream.cdcReadBack _)),
+      "q271_type_runs" ->
+        ((RunStream.sinkSchema, RunStream.readBack _)),
     )
   }
 
@@ -1790,6 +1798,8 @@ object SparkEntry {
       graft.operators.Sampling.prioritySampleOracleSql,
     "q270_burstiness" ->
       graft.operators.Sessionize.fanoOracleSql,
+    "q271_type_runs" ->
+      graft.streaming.RunStream.typeRunsOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -171,6 +171,26 @@ object EventStream {
         Seq("event_id", "user_id", "ts"), 2, d)
     }
 
+  /** The TYPED (event_id, user_id, event_type, second-floored ts)
+    * median-split two-wave drop q250 (idle close) and q271 (run
+    * detection) both drain — staged once per JVM via [[StagedDrops]].
+    * The split is on the global (ts, event_id) total order, so every
+    * user's within-stream order is preserved across the wave
+    * boundary — the property the cross-batch state-carry claims of
+    * both queries stand on. */
+  def stageTypedSecondWaves(spark: SparkSession, dir: String): String =
+    StagedDrops.shared(spark, "sec_waves2_typed", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+        .withColumn("wave",
+          (ntile(2).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      stageWaveFiles(spark, staged,
+        Seq("event_id", "user_id", "event_type", "ts"), 2, d)
+    }
+
   /** Run `body` with the RocksDB state store provider set, restoring
     * the prior session setting afterwards — the loan pattern for the
     * transformWithState queries/specs (the API refuses the default

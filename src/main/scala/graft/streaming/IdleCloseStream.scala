@@ -114,17 +114,7 @@ object IdleCloseStream {
     * [[idleSummaries]] on the RocksDB state store. */
   def idleCloseQuery(spark: SparkSession, dir: String): DataFrame = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q250_sunk")
-    val drop = StagedDrops.shared(spark, "sec_waves2_typed", dir) { d =>
-      val staged = graft.sources.Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
-        .withColumn("wave",
-          (ntile(2).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
-        .localCheckpoint()
-      EventStream.stageWaveFiles(spark, staged,
-        Seq("event_id", "user_id", "event_type", "ts"), 2, d)
-    }
+    val drop = EventStream.stageTypedSecondWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q250_ck")
     try EventStream.withRocksDbProvider(spark) {
       val q = idleSummaries(spark,

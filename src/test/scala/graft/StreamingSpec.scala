@@ -678,4 +678,43 @@ class StreamingSpec extends SparkSpec {
         s"q92 and the stream disagree on $d")
     }
   }
+
+  test("transformWithState list state: runs detected across the batch boundary") {
+    import graft.streaming.RunStream
+    import org.apache.spark.sql.streaming.Trigger
+    val drop = tmpDir("run_drop")
+    val out = tmpDir("run_out")
+    val ckpt = tmpDir("run_ckpt")
+    def ev(id: Int, user: Int, min: Int, t: String) =
+      s"""{"event_id":$id,"user_id":$user,"event_type":"$t","ts":"2024-01-01T${"%02d".format(min / 60)}:${"%02d".format(min % 60)}:00Z"}"""
+    // user 1: c c | c c  -> a run STRADDLES the wave boundary (3rd c
+    // arrives in batch 1 with both predecessors carried in list
+    // state) and the 4th c extends it (overlapping emission);
+    // user 2: c v c -> never three alike, must stay silent.
+    writeDrop(drop, "wave0.json", Seq(
+      ev(1, 1, 0, "c"), ev(2, 1, 10, "c"),
+      ev(10, 2, 5, "c"), ev(11, 2, 15, "v")))
+    writeDrop(drop, "wave1.json", Seq(
+      ev(3, 1, 20, "c"), ev(4, 1, 30, "c"), ev(12, 2, 25, "c")))
+    Seq("wave0.json", "wave1.json").zipWithIndex.foreach { case (f, k) =>
+      Files.setLastModifiedTime(Paths.get(drop, f),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 1000L))
+    }
+    graft.streaming.EventStream.withRocksDbProvider(spark) {
+      val q = RunStream.typeRuns(spark,
+          spark.readStream.schema(graft.streaming.IdleCloseStream.idleSchema)
+            .option("maxFilesPerTrigger", "1").json(drop))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("at_id"))).toSet
+    assert(got == Set((1L, "c", 3L), (1L, "c", 4L)),
+      s"run hits diverge: $got")
+  }
 }
