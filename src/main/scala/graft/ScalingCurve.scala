@@ -67,7 +67,10 @@ object ScalingCurve {
     ("q251_stream_left_join", "left-outer interval join (null completion)", "events"),
     ("q255_stream_actives", "chained dedup + sliding-window count (2 state stores)", "events"),
     ("q259_bounded_dedup",  "dropDuplicatesWithinWatermark (expiring keys)", "events"),
-    ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"))
+    ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"),
+    ("q263_incremental_agg", "IVM refresh (base table + delta partials)", "events"),
+    ("q266_cogroup_reconcile", "typed cogroup (co-partitioned iterators)", "events"),
+    ("q268_rendezvous_shards", "HRW sharding argmax (map-side combined)", "documents"))
 
   /** The stateful streaming drains: their peak state-store row counts
     * (from the progress metrics) are recorded per SF — the state
