@@ -199,43 +199,64 @@ object UpsertStream {
     val drop = stageUpsertWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q265_ck")
     try {
-      val q = spark.readStream.schema(DocStream.docSchema)
-        .option("maxFilesPerTrigger", "1").json(drop)
-        .writeStream
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // batch feeds BOTH the CDC diff and the merge — persist so
-          // the source scan runs once per micro-batch
-          batch.persist()
-          try {
-            val latest = latestPerKey(batch, "doc_id", "ts")
-            // the PRE-merge key set: updates are keys the table
-            // already holds; everything else inserts
-            val existing = currentSnapshot(spark, root) match {
-              case Some(cur) => spark.read.parquet(cur)
-                .select(col("doc_id")).withColumn("__ex", lit(1))
-              case None => latest.limit(0)
-                .select(col("doc_id")).withColumn("__ex", lit(1))
-            }
-            latest.join(existing, Seq("doc_id"), "left")
-              .select(
-                when(col("__ex").isNotNull, lit("update"))
-                  .otherwise(lit("insert")).as("op"),
-                col("doc_id"), unix_millis(col("ts")).as("ver"))
-              .write.mode("overwrite").parquet(s"$cdc/batch=$batchId")
-            applyUpsertBatch(spark, root, batch, "doc_id", "ts")
-          } finally batch.unpersist()
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      val batches = drainCdcWaves(spark, drop, root, cdc, ck)
       require(batches == 2,
         s"q265 staged 2 wave files but streamed $batches micro-batches " +
           "— a single batch never exercises the update classification")
     } finally graft.sources.Scratch.delete(spark, ck)
     cdcReadBack(spark, cdc)
+  }
+
+  /** The q265 drain, factored with the q253-style failure hook so the
+    * restart spec can kill it between a batch's CDC-write+merge and
+    * its checkpoint commit. Returns the carried-rows batch count. */
+  private[graft] def drainCdcWaves(spark: SparkSession, drop: String,
+      root: String, cdc: String, ck: String,
+      failAfterBatch: Option[Long] = None): Long = {
+    val q = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", "1").json(drop)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch feeds BOTH the CDC diff and the merge — persist so
+        // the source scan runs once per micro-batch
+        batch.persist()
+        try {
+          val latest = latestPerKey(batch, "doc_id", "ts")
+          // The PRE-merge key set: updates are keys the table
+          // already holds. Resolved as snapshot v{batchId-1} BY
+          // NUMBER, never currentSnapshot: foreachBatch is
+          // at-least-once, and a replayed batch would see its own
+          // completed merge through the current pointer and
+          // misclassify its inserts as updates — v{b-1} still
+          // exists after the merge (merges only add v{b}), and a
+          // replayed merge writes a content-identical snapshot, so
+          // the replayed diff (and its mode-overwrite log partition)
+          // is bit-identical: the q253 merge's replay-safety
+          // argument, extended to the log and proven by
+          // UpsertRestartSpec's CDC case.
+          val existing =
+            if (batchId == 0) latest.limit(0)
+              .select(col("doc_id")).withColumn("__ex", lit(1))
+            else spark.read.parquet(s"$root/v${batchId - 1}")
+              .select(col("doc_id")).withColumn("__ex", lit(1))
+          latest.join(existing, Seq("doc_id"), "left")
+            .select(
+              when(col("__ex").isNotNull, lit("update"))
+                .otherwise(lit("insert")).as("op"),
+              col("doc_id"), unix_millis(col("ts")).as("ver"))
+            .write.mode("overwrite").parquet(s"$cdc/batch=$batchId")
+          applyUpsertBatch(spark, root, batch, "doc_id", "ts")
+          if (failAfterBatch.contains(batchId))
+            throw new IllegalStateException(
+              s"injected crash after batch $batchId cdc+merge")
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0).toLong
   }
 
   /** Rows each q265 CDC partition holds. `batch` is the partition

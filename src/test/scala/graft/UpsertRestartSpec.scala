@@ -73,4 +73,42 @@ class UpsertRestartSpec extends SparkSpec {
     assert(batches == 2)
     assert(snapshot(root) == expected())
   }
+
+  /** The CDC log read as (batch, op, user, ver) tuples. */
+  private def cdcLog(cdc: String): Set[(Int, String, Long, Long)] =
+    UpsertStream.cdcReadBack(spark, cdc).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("CDC log survives a kill between cdc-write+merge and commit") {
+    val drop = UpsertStream.stageUpsertWaves(spark, sf0001)
+    // control: the crash-free log
+    val okRoot = tmpDir("cdc_root_ok"); val okCdc = tmpDir("cdc_ok")
+    val okCk = tmpDir("cdc_ck_ok")
+    assert(UpsertStream.drainCdcWaves(spark, drop, okRoot, okCdc, okCk) == 2)
+    val expectedLog = cdcLog(okCdc)
+    assert(expectedLog.exists(_._2 == "insert") &&
+      expectedLog.exists(_._2 == "update"),
+      "fixture must exercise both op classes")
+    // kill after each batch's cdc-write+merge, restart on the same
+    // checkpoint: the replayed diff must be bit-identical (the v{b-1}
+    // by-number probe), so the final log equals the crash-free one
+    for (failAt <- Seq(0L, 1L)) {
+      val root = tmpDir(s"cdc_root_$failAt")
+      val cdc = tmpDir(s"cdc_log_$failAt")
+      val ck = tmpDir(s"cdc_ck_$failAt")
+      val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        UpsertStream.drainCdcWaves(spark, drop, root, cdc, ck,
+          failAfterBatch = Some(failAt))
+      }
+      assert(died.getMessage.contains("injected crash") ||
+        Option(died.getCause).exists(_.getMessage.contains("injected crash")))
+      UpsertStream.drainCdcWaves(spark, drop, root, cdc, ck)
+      assert(cdcLog(cdc) == expectedLog,
+        s"replayed CDC log diverged after kill at batch $failAt")
+      // and the table itself still converges (q253's claim holds
+      // through the CDC-writing drain too)
+      assert(snapshot(root) == expected())
+    }
+  }
 }
