@@ -663,6 +663,10 @@ object SparkEntry {
     // cross-batch list carry.
     "q271_type_runs" -> ((s, d) =>
       graft.streaming.RunStream.typeRunsQuery(s, d)),
+    // q272: Benford first-digit audit on order totals — the forensic
+    // DQ screen; exact cents digits, shared e6 reference literals.
+    "q272_benford" -> ((s, d) =>
+      graft.quality.DataQuality.benfordQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1800,6 +1804,8 @@ object SparkEntry {
       graft.operators.Sessionize.fanoOracleSql,
     "q271_type_runs" ->
       graft.streaming.RunStream.typeRunsOracleSql,
+    "q272_benford" ->
+      graft.quality.DataQuality.benfordOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

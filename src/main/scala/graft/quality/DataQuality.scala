@@ -317,4 +317,71 @@ object DataQuality {
         "region", "r_regionkey"))
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY edge")
   }
+
+  /** Benford reference shares, floor(log10(1 + 1/d) * 1e6) for
+    * d = 1..9 — ONE literal table interpolated into BOTH the Spark
+    * frame and the oracle SQL, so the two sides cannot drift. */
+  val BenfordE6: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+    5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** q272: BENFORD first-digit audit on order totals — the classic
+    * forensic-accounting / data-fabrication screen: naturally
+    * occurring multi-scale amounts follow P(d) = log10(1 + 1/d);
+    * synthetic or tampered figures usually don't. Per leading digit:
+    * observed count, observed share (e6), the Benford reference, and
+    * the absolute deviation — the audit row a DQ dashboard thresholds
+    * on. Digits come from the exact integer CENTS rendering (never a
+    * double's string form — engines format doubles differently), so
+    * both engines extract identical digits. One scan, a 9-row
+    * aggregate: free at any scale. */
+  def benfordQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    benford(graft.sources.Tables.orders(spark, dir)
+      .select((round(col("o_totalprice").cast("decimal(38,10)"), 2)
+        * 100).cast("long").as("cents")))
+
+  /** [[benfordQuery]]'s core over any positive (cents) frame. */
+  def benford(amounts: DataFrame): DataFrame = {
+    val spark = amounts.sparkSession
+    val ref = spark.createDataFrame(BenfordE6)
+      .toDF("digit", "benford_e6")
+    val obs = amounts
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    obs.crossJoin(broadcast(obs.agg(sum(col("n")).as("total"))))
+      .join(broadcast(ref), Seq("digit"), "right")
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_orders"),
+        coalesce(expr("n * 1000000 div total"), lit(0L)).cast("long")
+          .as("share_e6"),
+        col("benford_e6").cast("long").as("benford_e6"),
+        abs(coalesce(expr("n * 1000000 div total"), lit(0L))
+          - col("benford_e6")).cast("long").as("dev_e6"))
+      .orderBy("digit")
+  }
+
+  /** DuckDB oracle for [[benfordQuery]] — identical cents digits and
+    * the same interpolated reference literals. */
+  def benfordOracleSql: String = {
+    val refRows = BenfordE6
+      .map { case (d, b) => s"($d, ${b}::BIGINT)" }.mkString(", ")
+    s"""WITH amt AS (SELECT CAST(round(CAST(o_totalprice
+           AS DECIMAL(38,10)), 2) * 100 AS BIGINT) AS cents
+         FROM orders),
+       obs AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+             AS digit, count(*) AS n
+         FROM amt GROUP BY 1),
+       tot AS (SELECT sum(n) AS total FROM obs),
+       ref(digit, benford_e6) AS (VALUES $refRows)
+     SELECT ref.digit,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n * 1000000 // total, 0) AS BIGINT) AS share_e6,
+       benford_e6,
+       CAST(abs(coalesce(n * 1000000 // total, 0) - benford_e6)
+         AS BIGINT) AS dev_e6
+     FROM ref LEFT JOIN obs USING (digit), tot
+     ORDER BY ref.digit"""
+  }
 }

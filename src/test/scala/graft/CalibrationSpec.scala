@@ -417,4 +417,30 @@ class CalibrationSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3))).toMap
     assert(maintained != noDeletes)
   }
+
+  test("benford audit: exact digit counts, complete reference, e6 shares") {
+    import spark.implicits._
+    // 10 amounts: digits 1,1,1,1,2,2,3,9 and two more 1s via 4-digit
+    // cents — leading digit comes from the cents STRING, so 1099 -> 1
+    val cents = Seq(100L, 150L, 1099L, 1999L, 12L, 25L, 299L, 31L,
+      9000L, 18L)
+    val out = graft.quality.DataQuality.benford(cents.toDF("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // all nine reference digits present even when unobserved
+    assert(out.map(_._1) == (1 to 9).toList)
+    val byDigit = out.map(r => r._1 -> r).toMap
+    // digits: 100,150,1099,1999,12,18 -> 1 (x6); 25,299 -> 2 (x2);
+    // 31 -> 3; 9000 -> 9
+    assert(byDigit(1)._2 == 6L && byDigit(2)._2 == 2L &&
+      byDigit(3)._2 == 1L && byDigit(9)._2 == 1L)
+    assert(byDigit(4)._2 == 0L && byDigit(4)._3 == 0L)
+    // shares are exact floors of n/10
+    assert(byDigit(1)._3 == 600000L && byDigit(2)._3 == 200000L)
+    // deviation column is |share - benford| on the same scale
+    assert(byDigit(1)._5 == math.abs(600000L - 301029L))
+    // observed shares sum to ~1e6 (floor loss < 9)
+    val sumShares = out.map(_._3).sum
+    assert(sumShares > 999990L && sumShares <= 1000000L)
+  }
 }

@@ -366,9 +366,14 @@ class PlanSpec extends SparkSpec {
     // the year filter must sit BELOW every join (scan-side): in the
     // optimized logical plan's parent-first rendering, a scan-side
     // filter prints after even the DEEPEST Join node
+    // probe for the FILTER EXPRESSION, not the bare year: attribute
+    // ids render as #119966L etc., so "1996" alone starts matching
+    // exprIds once the session's global counter passes 119,660 — a
+    // position-21 hit in a 45-suite run was this test's own bug
     val lp = df.queryExecution.optimizedPlan.toString
-    assert(lp.contains("1996") && lp.contains("Join"), lp.take(1500))
-    assert(lp.indexOf("1996") > lp.lastIndexOf("Join"),
+    val yearProbe = "= 1996"
+    assert(lp.contains(yearProbe) && lp.contains("Join"), lp.take(1500))
+    assert(lp.indexOf(yearProbe) > lp.lastIndexOf("Join"),
       "year filter must be pushed beneath all joins:\n" + lp.take(1500))
   }
 
