@@ -169,15 +169,37 @@ object Bench {
       sfDir: String): Map[String, Double] =
     try {
       val text = Files.readString(Paths.get(path))
-      val sfMatches = """"sf":"((?:[^"\\]|\\.)*)"""".r
-        .findFirstMatchIn(text).exists(_.group(1) == sfDir)
-      if (!sfMatches) Map.empty
+      // anchored to the TOP-LEVEL field: metricLine writes sf as the
+      // line's final key, so `"sf":"…"}` at end-of-text is it — a
+      // stray "sf" key inside queries/samples can't shadow it. The
+      // capture is compared in ESCAPED space (esc(sfDir) vs the raw
+      // capture), so an sfDir containing a quote or backslash still
+      // matches its own baseline instead of silently disabling the
+      // gate.
+      val sfCap = """"sf":"((?:[^"\\]|\\.)*)"\}\s*$""".r
+        .findFirstMatchIn(text).map(_.group(1))
+      val sfMatches = sfCap.contains(escJson(sfDir))
+      if (!sfMatches) {
+        System.err.println(s"[bench] regression gate skipped: baseline " +
+          s"sf=${sfCap.getOrElse("<absent>")} does not match this " +
+          s"run's $sfDir")
+        Map.empty
+      }
       else """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map { m =>
         """"((?:[^"\\]|\\.)+)":([0-9.Ee+-]+)""".r
           .findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+
+  /** The JSON string escaping [[metricLine]] writes with — shared so
+    * [[readBaseline]] compares sf values in the same escaped space. */
+  private[graft] def escJson(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
 
   private[graft] def metricLine(
       results: Seq[(String, Double)],
@@ -186,12 +208,7 @@ object Bench {
       samples: Seq[(String, Seq[Double])],
       sfDir: String,
       regressions: Seq[(String, Double)] = Nil): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    }
+    def esc(s: String): String = escJson(s)
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + esc(k) + "\":" + v }
         .mkString("{", ",", "}")

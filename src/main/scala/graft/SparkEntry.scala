@@ -825,7 +825,7 @@ object SparkEntry {
     * invoked: sink row schema + the pure rollup over an already-sunk
     * directory. Plan audits (WindowAuditSpec/PlanSpec) stage a
     * footer-only stub parquet of the schema and plan the read-back —
-    * so all 262 registered queries' batch plans get audited WITHOUT
+    * so ALL registered queries' batch plans get audited WITHOUT
     * re-running multi-batch drains. The key set must exactly cover
     * the queries the audits skip invoking (asserted there); the
     * streaming TRANSFORM half of each drain is verified by its own
@@ -881,6 +881,12 @@ object SparkEntry {
         ((UpsertStream.cdcSinkSchema, UpsertStream.cdcReadBack _)),
       "q271_type_runs" ->
         ((RunStream.sinkSchema, RunStream.readBack _)),
+      // not a stream drain, but its registered function eagerly
+      // writes the materialized base table when invoked; the audit
+      // plans the refresh merge over a stubbed base instead
+      "q263_incremental_agg" ->
+        ((graft.operators.Maintenance.incrementalAggSinkSchema,
+          graft.operators.Maintenance.incrementalAggReadBack _)),
     )
   }
 

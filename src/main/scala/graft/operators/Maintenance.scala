@@ -641,9 +641,16 @@ object Maintenance {
       .write.mode("overwrite").parquet(baseDir)
     val base = spark.read.parquet(baseDir)
     val delta = aggOf(split.filter(col("ms") > col("c")))
-    // keyed monoid merge: union the two partial tables, re-aggregate
-    // per key (2 group-sized inputs — one small shuffle, no base
-    // events rescan anywhere in this stage's lineage)
+    incrementalMerge(base, delta)
+  }
+
+  /** q263's REFRESH stage alone: the keyed monoid merge — union the
+    * two partial tables, re-aggregate per key (2 group-sized inputs —
+    * one small shuffle, no base events rescan anywhere in this
+    * stage's lineage). Factored so the plan audits can inspect the
+    * refresh over a stub base table without executing the base
+    * write. */
+  def incrementalMerge(base: DataFrame, delta: DataFrame): DataFrame =
     base.unionByName(delta)
       .groupBy("user_id")
       .agg(sum(col("n_events")).cast("long").as("n_events"),
@@ -651,6 +658,27 @@ object Maintenance {
           .as("value_cents"),
         max(col("last_ms")).cast("long").as("last_ms"))
       .orderBy("user_id")
+
+  /** Rows the q263 base table holds (the partial-aggregate layout the
+    * refresh merges). Registered with the read-back so WindowAuditSpec
+    * plans the merge against a footer-only stub instead of invoking
+    * the registered function (which eagerly writes the base table). */
+  val incrementalAggSinkSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_events", LongType, nullable = false),
+      StructField("value_sum", DecimalType(38, 10)),
+      StructField("last_ms", LongType)))
+  }
+
+  /** Audit read-back for q263: the refresh merge planned over the
+    * stubbed base table standing in for BOTH partial inputs — the
+    * same operators (union, keyed re-aggregate, cents round) the live
+    * refresh plans; only the delta's upstream scan differs. */
+  def incrementalAggReadBack(spark: SparkSession, baseDir: String): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+    incrementalMerge(base, spark.read.parquet(baseDir))
   }
 
   /** DuckDB oracle for [[incrementalAggQuery]] — the from-scratch

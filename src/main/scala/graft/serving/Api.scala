@@ -113,17 +113,28 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     * broadcastable side; the CONDITIONED BNLJ stays allowed — it is
     * how legitimate small-dim non-equi joins plan, bounded by the
     * broadcast side). The named routes never build these shapes; only
-    * verbatim user SQL can. */
+    * verbatim user SQL can. The walk descends into AQE's executedPlan
+    * AND into subquery expression plans (`SparkPlan.collect` stops at
+    * expression boundaries, so a cartesian hiding inside a scalar/IN
+    * subquery — `WHERE x > (SELECT max(v) FROM a, b)` — would
+    * otherwise bypass the guard and execute). */
   private def rejectCartesian(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    def offenders(p: SparkPlan): Seq[String] = p.collect {
-      case _: CartesianProductExec => Seq("CartesianProduct")
-      case b: BroadcastNestedLoopJoinExec if b.condition.isEmpty =>
-        Seq("BroadcastNestedLoopJoin(no condition)")
-      case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
-    }.flatten
+    def offenders(p: SparkPlan): Seq[String] = {
+      val here = p.collect {
+        case _: CartesianProductExec => Seq("CartesianProduct")
+        case b: BroadcastNestedLoopJoinExec if b.condition.isEmpty =>
+          Seq("BroadcastNestedLoopJoin(no condition)")
+        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+      }.flatten
+      // every node's immediate subquery plans, each walked in full
+      // (nested subqueries recurse through the same path)
+      val subs = p.collect { case n => n.subqueries }.flatten
+        .flatMap(offenders)
+      here ++ subs
+    }
     val found = offenders(df.queryExecution.executedPlan)
     if (found.nonEmpty) throw new CartesianRejected(found.mkString(", "))
     df

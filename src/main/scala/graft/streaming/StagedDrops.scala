@@ -30,13 +30,23 @@ import org.apache.spark.sql.SparkSession
   */
 object StagedDrops {
 
-  private val cache = scala.collection.mutable.Map[String, String]()
-  private var hookConf: Option[org.apache.hadoop.conf.Configuration] = None
+  /** Concurrent map, NOT the staging monitor: the shutdown hook reads
+    * it lock-free, so a Ctrl-C arriving while a staging pipeline is
+    * mid-flight (Spark jobs run INSIDE the staging lock) can never
+    * block JVM exit behind that pipeline — the hook snapshots whatever
+    * is registered and deletes outside any monitor. An entry staged
+    * concurrently with shutdown may be missed; Scratch's root sweep is
+    * the backstop for that sliver. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var hookConf: Option[org.apache.hadoop.conf.Configuration] = None
+  private val stagingLock = new Object
 
   /** The drop for `variant` over `dir`, staging via `stage` on first
-    * use. `stage` receives a fresh empty scratch dir. */
+    * use. `stage` receives a fresh empty scratch dir. Stagings are
+    * serialized on a dedicated monitor (one fixture write at a time;
+    * re-entrant queries just hit the cache). */
   def shared(spark: SparkSession, variant: String, dir: String)(
-      stage: String => Unit): String = synchronized {
+      stage: String => Unit): String = stagingLock.synchronized {
     if (hookConf.isEmpty) {
       // capture the Hadoop conf NOW — at hook time the SparkContext
       // may already be stopped, but the conf object stays usable
@@ -45,34 +55,40 @@ object StagedDrops {
         new Thread(() => deleteAllBestEffort(), "staged-drops-cleanup"))
     }
     val key = s"$variant|$dir"
-    val live = cache.get(key).filter { d =>
+    val live = Option(cache.get(key)).filter { d =>
       val p = new Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     live.getOrElse {
       val drop = graft.sources.Scratch.dir(spark, s"shared_$variant")
       stage(drop)
-      cache(key) = drop
+      cache.put(key, drop)
       drop
     }
   }
 
   /** Delete every cached drop. Safe once no drain is in flight. */
-  def cleanup(spark: SparkSession): Unit = synchronized {
-    cache.values.foreach(graft.sources.Scratch.delete(spark, _))
+  def cleanup(spark: SparkSession): Unit = stagingLock.synchronized {
+    cache.values.forEach(d => graft.sources.Scratch.delete(spark, d))
     cache.clear()
   }
 
   /** The shutdown-hook path: delete through the captured conf, never
     * throw (the JVM is exiting; a cleanup failure must not mask the
-    * real exit). */
-  private def deleteAllBestEffort(): Unit = synchronized {
-    for (conf <- hookConf; d <- cache.values)
-      try {
-        val p = new Path(d)
-        p.getFileSystem(conf).delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
+    * real exit). Deliberately does NOT take [[stagingLock]] — see the
+    * cache scaladoc. */
+  private def deleteAllBestEffort(): Unit = {
+    for (conf <- hookConf) {
+      val it = cache.values.iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        try {
+          val p = new Path(d)
+          p.getFileSystem(conf).delete(p, true)
+          ()
+        } catch { case _: Throwable => () }
+      }
+    }
     cache.clear()
   }
 }

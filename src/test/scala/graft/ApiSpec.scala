@@ -236,6 +236,13 @@ class ApiSpec extends SparkSpec {
     val (c2, b2) = get("/query-data?query=" + java.net.URLEncoder.encode(
       "SELECT * FROM sec_num_2023Q4 CROSS JOIN sec_tag_2023Q4", "UTF-8"))
     assert(c2 == 400 && b2.get("detail").asText.toLowerCase.contains("cartesian"))
+    // a cartesian hiding INSIDE a scalar subquery plan must be caught
+    // too — SparkPlan.collect stops at expression boundaries, so this
+    // is the bypass the subquery walk exists to close
+    val (c4, b4) = post("/execute-custom-query",
+      """{"query":"SELECT count(*) AS n FROM sec_num_2023Q4 WHERE value > (SELECT max(a.value + b.custom) FROM sec_num_2023Q4 a, sec_tag_2023Q4 b)"}""")
+    assert(c4 == 400, s"expected subquery-cartesian rejection, got $c4: $b4")
+    assert(b4.get("detail").asText.toLowerCase.contains("cartesian"))
     // the policy boundary: a CONDITIONED non-equi join (broadcast
     // nested loop WITH a condition) stays allowed — bounded by the
     // broadcast side, it is how legitimate small-dim theta joins plan

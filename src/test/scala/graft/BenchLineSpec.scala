@@ -104,5 +104,15 @@ class BenchLineSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(noSf,
       """{"metric":"total","value":1.0,"queries":{"q01":1.0}}""" + "\n")
     assert(Bench.readBaseline(noSf.toString, "x").isEmpty)
+    // an sfDir needing JSON escaping must still match its OWN
+    // baseline — the capture is compared in escaped space, so a
+    // quote/backslash in the path can't silently disable the gate
+    val weird = dir.resolve("weird.json")
+    val weirdSf = """/tmp/sf "q" \ dir"""
+    java.nio.file.Files.writeString(weird, Bench.metricLine(
+      results = Seq("q01" -> 1.0), failed = Nil, flaky = Nil,
+      fastHash = Nil, samples = Nil, sfDir = weirdSf) + "\n")
+    assert(Bench.readBaseline(weird.toString, weirdSf) ==
+      Map("q01" -> 1.0))
   }
 }

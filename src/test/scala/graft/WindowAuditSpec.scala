@@ -18,7 +18,7 @@ import org.apache.spark.sql.execution.window.WindowExec
   * drains per audit — but they are NOT skipped either: their
   * post-drain read-backs ([[SparkEntry.streamReadBacks]]) are planned
   * against a footer-only stub parquet of the registered sink schema,
-  * so the audit covers all 262 queries' batch plans. The key-set
+  * so the audit covers ALL registered queries' batch plans. The key-set
   * equality assertion below means a new drain can neither dodge the
   * audit nor forget to register its read-back.
   *
@@ -45,8 +45,10 @@ class WindowAuditSpec extends SparkSpec {
     "q271_type_runs",
     // not stream drains, but their registered functions also execute
     // pipelines on invocation: q149 drains the parquet file sink,
-    // q170 writes the partitioned sink it then reads back
-    "q149_ingest_sessions", "q170_sink_roundtrip")
+    // q170 writes the partitioned sink it then reads back, q263
+    // eagerly writes its materialized base table before the merge
+    "q149_ingest_sessions", "q170_sink_roundtrip",
+    "q263_incremental_agg")
 
   /** query name -> (substring of the window's orderSpec identifying
     * it, why the frame is metadata-scale). An entry must match at
