@@ -168,16 +168,23 @@ object Bench {
   private[graft] def readBaseline(path: String,
       sfDir: String): Map[String, Double] =
     try {
-      val text = Files.readString(Paths.get(path))
+      // Both the sf gate and the queries extraction run against ONE
+      // line — the LAST non-empty line of the file. Anchoring them to
+      // different matches (sf at end-of-text, queries at the first
+      // match) silently diverges if the baseline ever holds more than
+      // one metric line (append-mode history): the gate would check
+      // line N's sf while gating line 1's queries.
+      val line = Files.readString(Paths.get(path)).linesIterator
+        .filter(_.trim.nonEmpty).toSeq.lastOption.getOrElse("")
       // anchored to the TOP-LEVEL field: metricLine writes sf as the
-      // line's final key, so `"sf":"…"}` at end-of-text is it — a
+      // line's final key, so `"sf":"…"}` at end-of-line is it — a
       // stray "sf" key inside queries/samples can't shadow it. The
       // capture is compared in ESCAPED space (esc(sfDir) vs the raw
       // capture), so an sfDir containing a quote or backslash still
       // matches its own baseline instead of silently disabling the
       // gate.
       val sfCap = """"sf":"((?:[^"\\]|\\.)*)"\}\s*$""".r
-        .findFirstMatchIn(text).map(_.group(1))
+        .findFirstMatchIn(line).map(_.group(1))
       val sfMatches = sfCap.contains(escJson(sfDir))
       if (!sfMatches) {
         System.err.println(s"[bench] regression gate skipped: baseline " +
@@ -185,7 +192,7 @@ object Bench {
           s"run's $sfDir")
         Map.empty
       }
-      else """"queries":\{(.*?)\}""".r.findFirstMatchIn(text).map { m =>
+      else """"queries":\{(.*?)\}""".r.findFirstMatchIn(line).map { m =>
         """"((?:[^"\\]|\\.)+)":([0-9.Ee+-]+)""".r
           .findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toDouble).toMap

@@ -667,6 +667,25 @@ object SparkEntry {
     // DQ screen; exact cents digits, shared e6 reference literals.
     "q272_benford" -> ((s, d) =>
       graft.quality.DataQuality.benfordQuery(s, d)),
+    // q273: the stream-stream interval join drained across 6
+    // watermark-advancing micro-batches — eviction bounds the join
+    // buffer (asserted live: peak state < half the staged feed) while
+    // the landed result still equals q229's complete batch oracle.
+    "q273_join_eviction" -> ((s, d) =>
+      graft.streaming.StreamJoin.evictionJoinQuery(s, d)),
+    // q275: transformWithState ValueState with a REAL TTL — the
+    // per-user cache expires between batches (physical eviction
+    // counted via numValuesRemovedDueToTTLExpiry), carried state
+    // pinned to 0 by the oracle; TtlStreamSpec's NONE-TTL arm is the
+    // contrast.
+    "q275_ttl_cache" -> ((s, d) =>
+      graft.streaming.TtlStream.ttlCacheQuery(s, d)),
+    // q276: the CDC log's incremental CONSUMER — reconstruct the
+    // upsert table and maintain Σver by folding the log's batches in
+    // order (+post −pre-image retraction), never scanning the table;
+    // certified against the from-scratch argmax oracle.
+    "q276_cdc_consumer" -> ((s, d) =>
+      graft.streaming.UpsertStream.cdcConsumerQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -881,6 +900,13 @@ object SparkEntry {
         ((UpsertStream.cdcSinkSchema, UpsertStream.cdcReadBack _)),
       "q271_type_runs" ->
         ((RunStream.sinkSchema, RunStream.readBack _)),
+      "q273_join_eviction" ->
+        ((StreamJoin.joinSinkSchema, StreamJoin.joinReadBack _)),
+      "q275_ttl_cache" ->
+        ((TtlStream.sinkSchema, TtlStream.readBack _)),
+      "q276_cdc_consumer" ->
+        ((UpsertStream.cdcConsumerSinkSchema,
+          UpsertStream.cdcConsumerReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -1812,6 +1838,15 @@ object SparkEntry {
       graft.streaming.RunStream.typeRunsOracleSql,
     "q272_benford" ->
       graft.quality.DataQuality.benfordOracleSql,
+    // q273: the multi-batch eviction drain lands the COMPLETE interval
+    // join (see StreamJoin.evictionJoinQuery's completeness argument),
+    // so q229's batch oracle applies verbatim.
+    "q273_join_eviction" ->
+      graft.streaming.StreamJoin.streamJoinOracleSql,
+    "q275_ttl_cache" ->
+      graft.streaming.TtlStream.ttlCacheOracleSql,
+    "q276_cdc_consumer" ->
+      graft.streaming.UpsertStream.cdcConsumerOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -621,27 +621,35 @@ object Maintenance {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ms"),
         col("value"))
-    val cutoff = ev.agg((max(col("ms")) - lit(7L * 86400000L)).as("c"))
-    val split = ev.crossJoin(broadcast(cutoff))
-    // partials carry the UNROUNDED decimal sum — rounding each
-    // window to cents before merging could disagree with the
-    // oracle's single grand-sum round; cents materialize only after
-    // the merge (partial sums of decimals are exact, so partial +
-    // partial = total holds to the last digit)
-    def aggOf(rows: DataFrame): DataFrame = rows.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(38,10)")).as("value_sum"),
-        max(col("ms")).as("last_ms"))
+    val (basePartials, delta) = splitPartials(ev)
     // the materialized base table — written and read back (the
     // refresh job reads a TABLE, not a plan; skipping the round-trip
     // would let Spark collapse base+delta into one scan and prove
     // nothing about the merge)
     val baseDir = graft.sources.Scratch.dirOutliving(spark, "q263_base")
-    aggOf(split.filter(col("ms") <= col("c")))
-      .write.mode("overwrite").parquet(baseDir)
+    basePartials.write.mode("overwrite").parquet(baseDir)
     val base = spark.read.parquet(baseDir)
-    val delta = aggOf(split.filter(col("ms") > col("c")))
     incrementalMerge(base, delta)
+  }
+
+  /** q263's PRE-merge stages, factored so the plan audits can inspect
+    * them over a stub events frame: the 7-day broadcast-cutoff split
+    * and the per-window partial aggregates. The partials carry the
+    * UNROUNDED decimal sum — rounding each window to cents before
+    * merging could disagree with the oracle's single grand-sum round;
+    * cents materialize only after the merge (partial sums of decimals
+    * are exact, so partial + partial = total holds to the last
+    * digit). Input must carry (user_id, ms, value). */
+  private[graft] def splitPartials(ev: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val cutoff = ev.agg((max(col("ms")) - lit(7L * 86400000L)).as("c"))
+    val split = ev.crossJoin(broadcast(cutoff))
+    def aggOf(rows: DataFrame): DataFrame = rows.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,10)")).as("value_sum"),
+        max(col("ms")).as("last_ms"))
+    (aggOf(split.filter(col("ms") <= col("c"))),
+      aggOf(split.filter(col("ms") > col("c"))))
   }
 
   /** q263's REFRESH stage alone: the keyed monoid merge — union the
@@ -673,12 +681,18 @@ object Maintenance {
   }
 
   /** Audit read-back for q263: the refresh merge planned over the
-    * stubbed base table standing in for BOTH partial inputs — the
-    * same operators (union, keyed re-aggregate, cents round) the live
-    * refresh plans; only the delta's upstream scan differs. */
+    * stubbed base table, with the DELTA side planned through the real
+    * pre-merge stages ([[splitPartials]] — cutoff crossJoin + partial
+    * aggregates) over an empty events-shaped frame. One frame covers
+    * every stage the live refresh plans: a future unpartitioned
+    * window added upstream of the merge cannot dodge the audit. */
   def incrementalAggReadBack(spark: SparkSession, baseDir: String): DataFrame = {
     val base = spark.read.parquet(baseDir)
-    incrementalMerge(base, spark.read.parquet(baseDir))
+    val evStub = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ms", LongType), StructField("value", DoubleType))))
+    incrementalMerge(base, splitPartials(evStub)._2)
   }
 
   /** DuckDB oracle for [[incrementalAggQuery]] — the from-scratch

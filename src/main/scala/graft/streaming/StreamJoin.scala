@@ -321,6 +321,120 @@ object StreamJoin {
      WHERE (ct // 3600000) * 3600000 + 3600000 <= fwm
      GROUP BY 1 ORDER BY 1"""
 
+  /** q273: the MULTI-BATCH EVICTION PROOF for the stream-stream
+    * interval join — the scale claim at [[clickPurchaseJoin]]'s
+    * scaladoc ("the time-interval condition is what lets state be
+    * evicted") finally measured instead of asserted. q229/q251 drain
+    * in ONE batch by design (so a batch oracle sees a complete
+    * result), which means their measured peak state is the whole
+    * staged feed; THIS drain stages the same click/purchase feed as
+    * [[EvictWaves]] time-ordered waves (global (t, event_id) ntile
+    * split, one file per micro-batch), so the watermark advances
+    * between batches and the state store must shed each batch's
+    * buffered rows once they fall out of the interval.
+    *
+    * Why the result is still COMPLETE (and the single-batch q229
+    * oracle applies verbatim): waves are split on the global time
+    * order, so every event in wave k+1 carries ts ≥ every event in
+    * wave k. A buffered purchase is evictable only when the global
+    * watermark (min-policy over the two sides, each max-seen − delay)
+    * passes purchase_ts + window; any FUTURE click needing it has
+    * click_ts ≥ the current max ts, hence needs purchases ≥ max −
+    * window > (max-seen − delay) − window for any delay > 0 — needed
+    * rows are never evicted. Symmetrically a click is evictable only
+    * below the watermark, where matching purchases (purchase_ts ≤
+    * click_ts) can no longer arrive. And no staged row is ever LATE:
+    * wave k+1's min ts ≥ wave k's max ≥ watermark + delay. So
+    * eviction changes the PEAK STATE, never the answer — which is
+    * exactly what lets one oracle certify both the join and the
+    * eviction-bounded drain.
+    *
+    * The boundedness claim is asserted live: peak state-store rows
+    * (summed over operators, maxed over batches) must stay under half
+    * the staged feed — the measured sf0.1 figure (SCALING.md) is
+    * ~2/[[EvictWaves]] of the feed plus the interval tail, vs 100% for
+    * the single-batch q229 drain. At 1000 waves (a continuous
+    * deployment) the same mechanics hold the buffer at the
+    * interval-bounded working set. */
+  val EvictWaves = 6
+
+  /** Watermark delay for the eviction drain: ~1 minute. Small relative
+    * to the 30-day staged span so eviction is aggressive; the
+    * completeness argument above holds for ANY delay > 0. */
+  val EvictDelayMs = 60250L
+
+  /** The staged wave drop for q273 (shared once per JVM). */
+  private def stageJoinWaves(spark: SparkSession, dir: String): String =
+    StagedDrops.shared(spark, s"join_waves$EvictWaves", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), unix_millis(col("ts")).as("t"),
+          col("user_id"), col("event_type"), col("value"))
+        .withColumn("wave",
+          (ntile(EvictWaves).over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("t"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "t", "user_id", "event_type", "value"),
+        EvictWaves, d)
+    }
+
+  /** q273: drain [[clickPurchaseJoin]] across [[EvictWaves]]
+    * watermark-advancing micro-batches, assert the state store shed
+    * between batches, and roll up the landed pairs per user (q229's
+    * read-back and oracle verbatim — the multi-batch drain must land
+    * the identical complete result). */
+  def evictionJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q273_sunk")
+    val drop = stageJoinWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q273_ck")
+    // State-partition sizing, the knob a deployment tunes per volume:
+    // a stream-stream join maintains 4 state stores per partition and
+    // re-commits each one EVERY micro-batch, so a 6-batch drain at 32
+    // partitions spends its wall time in 6×4×32 store load/commit
+    // cycles (measured 30s at sf0.001 — pure fixed overhead; q229's
+    // single batch pays 1/6th). Eight partitions carry this fixture's
+    // state comfortably and cut the drain to ~1/3; the partition
+    // count is pinned into the checkpoint at batch 0, so the loan
+    // only scopes the NEW query below (fresh checkpoint every run).
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      def side(eventType: String): DataFrame = spark.readStream
+        .schema(joinDropSchema)
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
+          col("user_id"), col("value"))
+      val q = clickPurchaseJoin(side("click"), side("purchase"),
+          AttributionMinutes, s"$EvictDelayMs milliseconds")
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == EvictWaves,
+        s"q273 staged $EvictWaves wave files but streamed $batches " +
+          "micro-batches")
+      // the eviction claim, measured live: the join buffer must never
+      // hold more than half the staged feed (a non-evicting drain
+      // holds 100% — q229's measured single-batch peak)
+      val peakState = q.recentProgress
+        .map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val staged = spark.read.schema(joinDropSchema).json(drop).count()
+      require(peakState * 2 < staged,
+        s"q273 join buffer peaked at $peakState rows for $staged " +
+          "staged — watermark eviction never freed state between batches")
+    } finally {
+      spark.conf.set(key, prior)
+      graft.sources.Scratch.delete(spark, ck)
+    }
+    joinReadBack(spark, sunk)
+  }
+
   /** DuckDB oracle for [[streamJoinQuery]] — the batch interval join
     * over the raw events at the staged ms precision. */
   def streamJoinOracleSql: String =

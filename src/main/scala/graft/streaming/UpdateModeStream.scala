@@ -28,25 +28,30 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   */
 object UpdateModeStream {
 
-  /** The shared two-wave arrival schedule + drain: stage events split
-    * at the median (q244's staging), stream one wave per micro-batch
-    * through the caller's writer, and require both batches ran —
-    * defined once so the two output-mode queries cannot drift apart
-    * in their arrival schedules. */
-  private def drainTwoWaves(spark: SparkSession, dir: String,
+  /** Wave count — three since round 14 so the snapshot-retention
+    * vacuum (first firing at batch 2) actually executes a delete in
+    * the drained queries, not just wires the policy. */
+  val Waves = 3
+
+  /** The shared three-wave arrival schedule + drain: stage events
+    * split by the global (ts, event_id) order (q244's staging), stream
+    * one wave per micro-batch through the caller's writer, and require
+    * all batches ran — defined once so the two output-mode queries
+    * cannot drift apart in their arrival schedules. */
+  private def drainWaves(spark: SparkSession, dir: String,
       label: String, ck: String)(
       attach: DataFrame => DataStreamWriter[org.apache.spark.sql.Row])
       : Unit = {
-    val drop = StagedDrops.shared(spark, "event_waves2", dir) { d =>
+    val drop = StagedDrops.shared(spark, s"event_waves$Waves", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"))
         .withColumn("wave",
-          (ntile(2).over(org.apache.spark.sql.expressions.Window
+          (ntile(Waves).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
         .localCheckpoint()
       EventStream.stageWaveFiles(spark, staged,
-        Seq("event_id", "user_id", "event_type", "ts"), 2, d)
+        Seq("event_id", "user_id", "event_type", "ts"), Waves, d)
     }
     try {
       val q = attach(spark.readStream
@@ -57,8 +62,8 @@ object UpdateModeStream {
         .start()
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
-      require(batches == 2,
-        s"$label staged 2 wave files but streamed $batches " +
+      require(batches == Waves,
+        s"$label staged $Waves wave files but streamed $batches " +
           "micro-batches — a single batch never exercises the " +
           "second-batch overwrite")
     } finally graft.sources.Scratch.delete(spark, ck)
@@ -72,7 +77,7 @@ object UpdateModeStream {
   def updateModeQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dirOutliving(spark, "q256_table")
     val ck = graft.sources.Scratch.dir(spark, "q256_ck")
-    drainTwoWaves(spark, dir, "q256", ck) { stream =>
+    drainWaves(spark, dir, "q256", ck) { stream =>
       stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"))
@@ -81,6 +86,11 @@ object UpdateModeStream {
         .writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // retention first: batch b reads only v{b-1}, and every
+          // batch < b has committed, so snapshots below v{b-1} are
+          // dead weight (UpsertStream.vacuumSnapshots' replay-safety
+          // argument applies verbatim — the chain stays ~2 long)
+          UpsertStream.vacuumSnapshots(spark, root, batchId - 1)
           // last-writer-wins keyed merge: this batch's rows replace
           // the stored rows for the same (window, type); update mode
           // guarantees the latest emission carries the current total.
@@ -100,7 +110,12 @@ object UpdateModeStream {
           ()
         }
     }
-    updateModeReadBack(spark, s"$root/v1")
+    // retention observed: the crash-free drain ends with {v1, v2}
+    val live = UpsertStream.snapshotCount(spark, root)
+    require(live == 2,
+      s"q256 drained with $live live snapshots — retention must leave " +
+        "exactly {v(N-1), v(N)}")
+    updateModeReadBack(spark, s"$root/v${Waves - 1}")
   }
 
   /** Rows each q256 snapshot version holds (the update-mode emission
@@ -141,7 +156,7 @@ object UpdateModeStream {
   def completeModeQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dirOutliving(spark, "q257_table")
     val ck = graft.sources.Scratch.dir(spark, "q257_ck")
-    drainTwoWaves(spark, dir, "q257", ck) { stream =>
+    drainWaves(spark, dir, "q257", ck) { stream =>
       stream
         .groupBy(col("user_id"))
         .agg(count(lit(1)).cast("long").as("n"))
@@ -151,12 +166,20 @@ object UpdateModeStream {
         .outputMode(OutputMode.Complete())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // complete mode re-emits the whole leaderboard: the merge
-          // IS a snapshot overwrite
+          // IS a snapshot overwrite, and retention is even simpler
+          // than q256's — no batch reads ANY prior snapshot, so the
+          // keep-from-v{b-1} policy is applied uniformly for the
+          // shared crash-safety argument, not out of need
+          UpsertStream.vacuumSnapshots(spark, root, batchId - 1)
           batch.write.mode("overwrite").parquet(s"$root/v$batchId")
           ()
         }
     }
-    completeModeReadBack(spark, s"$root/v1")
+    val live = UpsertStream.snapshotCount(spark, root)
+    require(live == 2,
+      s"q257 drained with $live live snapshots — retention must leave " +
+        "exactly {v(N-1), v(N)}")
+    completeModeReadBack(spark, s"$root/v${Waves - 1}")
   }
 
   /** Rows each q257 leaderboard snapshot holds. */

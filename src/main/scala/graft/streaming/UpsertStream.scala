@@ -38,15 +38,31 @@ object UpsertStream {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Snapshot COMMIT marker: an empty file written into a snapshot
+    * directory only after every file of the snapshot (rewritten AND
+    * raw-copied) is in place — the "repoint" half of write-new-then-
+    * repoint. A crash mid-merge leaves a marker-less torn directory
+    * that [[currentSnapshot]] never surfaces, so external readers see
+    * the previous committed snapshot until the replay completes. */
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  private def markCommitted(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, CommitMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
+
   /** Current snapshot directory of an upsert table rooted at `root`
-    * (the pointer is the max snapshot id present — a file-listing
-    * read, the plain-parquet stand-in for a catalog pointer). */
+    * (the pointer is the max COMMITTED snapshot id — a file-listing
+    * read over [[CommitMarker]]-bearing directories, the
+    * plain-parquet stand-in for a catalog pointer). */
   def currentSnapshot(spark: SparkSession, root: String): Option[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+        fs.exists(new Path(s.getPath, CommitMarker)))
       .map(_.getPath)
       .sortBy(_.getName.drop(1).toLong)
       .lastOption.map(_.toString)
@@ -58,48 +74,105 @@ object UpsertStream {
     spark.read.parquet(currentSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot under $root")))
 
-  /** The q253 upsert feed as a shared two-wave drop: key = user_id
+  /** Wave count of the upsert/CDC feed. THREE, not two, since round
+    * 14: retention (vacuum of snapshots below v{b-1}) first fires at
+    * batch 2, so a two-wave drain would wire the vacuum policy
+    * without ever executing a delete — the drains must run the code
+    * path the 100 TB claim stands on. */
+  val Waves = 3
+
+  /** The q253 upsert feed as a shared three-wave drop: key = user_id
     * (as doc_id), version = event_id as a ms timestamp, split by
-    * version so the second batch must overwrite the first. Shared so
+    * version so later batches must overwrite earlier rows. Shared so
     * the failure-injection spec replays EXACTLY the drop the oracle
     * query drains. */
   def stageUpsertWaves(spark: SparkSession, dir: String): String =
-    StagedDrops.shared(spark, "upsert_waves2", dir) { d =>
+    StagedDrops.shared(spark, s"upsert_waves$Waves", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
         .select(col("user_id").as("doc_id"),
           timestamp_millis(col("event_id")).as("ts"),
           col("event_type").as("text"),
           col("event_type").as("source"))
         .withColumn("wave",
-          (ntile(2).over(org.apache.spark.sql.expressions.Window
+          (ntile(Waves).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"), col("doc_id"))) - 1).cast("int"))
         .localCheckpoint()
       EventStream.stageWaveFiles(spark, staged,
-        Seq("doc_id", "ts", "text", "source"), 2, d)
+        Seq("doc_id", "ts", "text", "source"), Waves, d)
     }
 
-  /** Apply one upsert micro-batch to the table under `root`: reduce
-    * to latest-per-key, then copy-on-write merge into snapshot
-    * v{n+1}. IDEMPOTENT under batch replay — foreachBatch is
-    * at-least-once, so after a crash between a completed merge and
-    * its checkpoint commit the SAME batch re-merges; overwriting the
-    * same keys with the same latest rows yields an identical
-    * snapshot (the replay-safety the failure-injection spec proves). */
-  private def applyUpsertBatch(spark: SparkSession, root: String,
-      batch: DataFrame, key: String, version: String): Unit = {
-    val latest = latestPerKey(batch, key, version)
-    currentSnapshot(spark, root) match {
-      case None =>
-        latest.write.mode("overwrite").parquet(s"$root/v0")
-      case Some(cur) =>
-        val curId = new Path(cur).getName.drop(1).toLong
-        // columns in base order for the merge's schema check
-        val base = spark.read.parquet(cur)
-        graft.operators.Maintenance.copyOnWriteMerge(
-          spark, cur, s"$root/v${curId + 1}",
-          latest.select(base.columns.map(col): _*), key)
-        ()
+  /** Snapshot RETENTION: delete every snapshot directory v{j} with
+    * j < keepFrom under `root`. Replay-safety argument, which is why
+    * callers must pass keepFrom = batchId − 1 from INSIDE
+    * foreachBatch(batchId): the checkpoint serializes batches, so
+    * when batch b is running every batch < b has committed and can
+    * never replay; batch b itself is the only uncommitted batch, and
+    * the oldest snapshot it can read is v{b−1} (the CDC pre-image
+    * probe reads it BY NUMBER; the merge reads the current pointer,
+    * which is ≥ v{b−1}). Vacuuming j < b−1 therefore never deletes a
+    * snapshot any uncommitted batch can still need — replays of batch
+    * b re-run the same vacuum (idempotent deletes) and then find
+    * v{b−1} intact. Snapshots written by a crashed attempt of batch b
+    * carry ids ≥ b and are never below keepFrom. At 100× scale this
+    * bounds the chain to a CONSTANT ~2 live snapshots instead of one
+    * per batch forever — the storage-leak fix the upsert family's
+    * scale claim stands on (proven crash-safe by UpsertRestartSpec's
+    * kill-after-vacuum cases). */
+  def vacuumSnapshots(spark: SparkSession, root: String,
+      keepFrom: Long): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .filter(_.getPath.getName.drop(1).toLong < keepFrom)
+        .foreach(s => fs.delete(s.getPath, true))
+      ()
     }
+  }
+
+  /** Live snapshot directories under `root` (the retention audit's
+    * observable). */
+  def snapshotCount(spark: SparkSession, root: String): Int = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("v"))
+  }
+
+  /** Apply one upsert micro-batch to the table under `root`: vacuum
+    * snapshots below v{batchId−1} ([[vacuumSnapshots]] — safe because
+    * every batch < batchId has committed), reduce to latest-per-key,
+    * then copy-on-write merge snapshot v{batchId−1} into v{batchId}.
+    * Snapshot ids are DETERMINISTIC in the batch id — never
+    * "current + 1": round 14's failure injection caught the drift
+    * where a replayed merge bumped the max id, after which every
+    * later batch's by-number pre-image probe (the CDC classifier)
+    * read a snapshot one merge behind the table. With v{b} = f(v{b−1})
+    * the mapping batch↔snapshot cannot drift, and replay is
+    * idempotent by construction: re-merging the same batch from the
+    * same v{b−1} OVERWRITES v{b} with identical content (mode
+    * overwrite clears any torn partial first), then re-marks it
+    * committed ([[CommitMarker]]). */
+  private def applyUpsertBatch(spark: SparkSession, root: String,
+      batch: DataFrame, key: String, version: String,
+      batchId: Long): Unit = {
+    vacuumSnapshots(spark, root, batchId - 1)
+    val latest = latestPerKey(batch, key, version)
+    val out = s"$root/v$batchId"
+    if (batchId == 0) {
+      latest.write.mode("overwrite").parquet(out)
+    } else {
+      val baseDir = s"$root/v${batchId - 1}"
+      // columns in base order for the merge's schema check
+      val base = spark.read.parquet(baseDir)
+      graft.operators.Maintenance.copyOnWriteMerge(
+        spark, baseDir, out, latest.select(base.columns.map(col): _*),
+        key)
+      ()
+    }
+    markCommitted(spark, out)
   }
 
   /** The q253 drain: one wave file per micro-batch so the second
@@ -118,7 +191,7 @@ object UpsertStream {
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsertBatch(spark, root, batch, "doc_id", "ts")
+        applyUpsertBatch(spark, root, batch, "doc_id", "ts", batchId)
         if (failAfterMergeAt.contains(batchId))
           throw new IllegalStateException(
             s"injected crash after batch $batchId merge")
@@ -133,22 +206,32 @@ object UpsertStream {
     * as doc_id), version = event_id encoded as a MILLISECOND
     * timestamp (globally unique, so latest-per-key is total-order
     * deterministic; millis because the JSON staging format truncates
-    * micros), payload = event_type — split into two waves by
-    * version so the second batch must genuinely OVERWRITE first-batch
-    * rows through the copy-on-write merge, not just append. The final
+    * micros), payload = event_type — split into three waves by
+    * version so later batches must genuinely OVERWRITE earlier rows
+    * through the copy-on-write merge, not just append. The final
     * snapshot read back must equal DuckDB's argmax per user over the
     * original events: equality certifies batch-local reduce, merge,
-    * snapshot pointer, and replay-safe ordering end to end. */
+    * snapshot pointer, replay-safe ordering, AND snapshot retention
+    * (the drain-side assertion below proves the vacuum actually
+    * deleted v0 — the chain is constant-length, not one-per-batch). */
   def upsertQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dirOutliving(spark, "q253_table")
     val drop = stageUpsertWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q253_ck")
     try {
       val batches = drainUpsertWaves(spark, drop, root, ck)
-      require(batches == 2,
-        s"q253 staged 2 wave files but streamed $batches micro-batches " +
-          "— a single batch never exercises the overwrite merge")
+      require(batches == Waves,
+        s"q253 staged $Waves wave files but streamed $batches " +
+          "micro-batches — a single batch never exercises the " +
+          "overwrite merge")
     } finally graft.sources.Scratch.delete(spark, ck)
+    // the retention claim, checked live: a crash-free 3-batch drain
+    // ends with exactly {v1, v2} — batch 2's vacuum deleted v0, and
+    // v1 survives because batch 2 could have replayed against it
+    val live = snapshotCount(spark, root)
+    require(live == 2,
+      s"q253 drained with $live live snapshots — retention must leave " +
+        "exactly {v(N-1), v(N)} after a crash-free drain")
     readBack(spark, currentSnapshot(spark, root)
       .getOrElse(sys.error(s"q253 drained but no snapshot under $root")))
   }
@@ -187,12 +270,16 @@ object UpsertStream {
     * SCD2 maintenance family. Cost per batch: the batch itself plus
     * one key-join against the current snapshot — never a table scan.
     *
-    * The oracle replays the two-wave schedule in SQL: the staging
+    * The oracle replays the three-wave schedule in SQL: the staging
     * splits by version (ntile over (ts=millis(event_id), doc_id)), so
-    * wave-0 keys land as batch-0 inserts and every wave-1 key is a
-    * batch-1 update iff it appeared in wave 0. Batch classification,
-    * per-batch latest-per-key, the pre-merge snapshot probe, and the
-    * partitioned log layout are all certified by the hash match. */
+    * wave-0 keys land as batch-0 inserts and every later wave's key
+    * is an update iff it appeared in any earlier wave — updates carry
+    * the PRE-IMAGE version (`prev_ver`, −1 for inserts), which is
+    * what lets a downstream consumer RETRACT the replaced row and
+    * maintain aggregates incrementally (q276). Batch classification,
+    * per-batch latest-per-key, the pre-merge snapshot probe, the
+    * pre-image capture, and the partitioned log layout are all
+    * certified by the hash match. */
   def cdcQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dirOutliving(spark, "q265_table")
     val cdc = graft.sources.Scratch.dirOutliving(spark, "q265_cdc")
@@ -200,10 +287,16 @@ object UpsertStream {
     val ck = graft.sources.Scratch.dir(spark, "q265_ck")
     try {
       val batches = drainCdcWaves(spark, drop, root, cdc, ck)
-      require(batches == 2,
-        s"q265 staged 2 wave files but streamed $batches micro-batches " +
-          "— a single batch never exercises the update classification")
+      require(batches == Waves,
+        s"q265 staged $Waves wave files but streamed $batches " +
+          "micro-batches — a single batch never exercises the update " +
+          "classification")
     } finally graft.sources.Scratch.delete(spark, ck)
+    // retention fires through the CDC drain too (same merge path)
+    val live = snapshotCount(spark, root)
+    require(live == 2,
+      s"q265 drained with $live live snapshots — retention must leave " +
+        "exactly {v(N-1), v(N)}")
     cdcReadBack(spark, cdc)
   }
 
@@ -224,30 +317,35 @@ object UpsertStream {
         batch.persist()
         try {
           val latest = latestPerKey(batch, "doc_id", "ts")
-          // The PRE-merge key set: updates are keys the table
-          // already holds. Resolved as snapshot v{batchId-1} BY
-          // NUMBER, never currentSnapshot: foreachBatch is
-          // at-least-once, and a replayed batch would see its own
-          // completed merge through the current pointer and
-          // misclassify its inserts as updates — v{b-1} still
-          // exists after the merge (merges only add v{b}), and a
-          // replayed merge writes a content-identical snapshot, so
-          // the replayed diff (and its mode-overwrite log partition)
-          // is bit-identical: the q253 merge's replay-safety
-          // argument, extended to the log and proven by
-          // UpsertRestartSpec's CDC case.
+          // The PRE-merge state: updates are keys the table already
+          // holds, and their pre-image version is what a consumer
+          // retracts. Resolved as snapshot v{batchId-1} BY NUMBER,
+          // never currentSnapshot: foreachBatch is at-least-once,
+          // and a replayed batch would see its own completed merge
+          // through the current pointer and misclassify its inserts
+          // as updates. Snapshot ids are deterministic in the batch
+          // id (applyUpsertBatch), so v{b-1} IS the pre-merge table
+          // even across replays — retention never vacuums it while
+          // batch b is uncommitted — and a replayed diff (and its
+          // mode-overwrite log partition) is bit-identical:
+          // replay-safety proven by UpsertRestartSpec's CDC case.
           val existing =
             if (batchId == 0) latest.limit(0)
-              .select(col("doc_id")).withColumn("__ex", lit(1))
+              .select(col("doc_id"),
+                unix_millis(col("ts")).as("__prev_ver"))
             else spark.read.parquet(s"$root/v${batchId - 1}")
-              .select(col("doc_id")).withColumn("__ex", lit(1))
+              .select(col("doc_id"),
+                unix_millis(col("ts")).as("__prev_ver"))
           latest.join(existing, Seq("doc_id"), "left")
             .select(
-              when(col("__ex").isNotNull, lit("update"))
+              when(col("__prev_ver").isNotNull, lit("update"))
                 .otherwise(lit("insert")).as("op"),
-              col("doc_id"), unix_millis(col("ts")).as("ver"))
+              col("doc_id"), unix_millis(col("ts")).as("ver"),
+              // pre-image version: what a consumer RETRACTS on update
+              // (−1 keys the no-pre-image insert case, hash-stable)
+              coalesce(col("__prev_ver"), lit(-1L)).as("prev_ver"))
             .write.mode("overwrite").parquet(s"$cdc/batch=$batchId")
-          applyUpsertBatch(spark, root, batch, "doc_id", "ts")
+          applyUpsertBatch(spark, root, batch, "doc_id", "ts", batchId)
           if (failAfterBatch.contains(batchId))
             throw new IllegalStateException(
               s"injected crash after batch $batchId cdc+merge")
@@ -268,6 +366,7 @@ object UpsertStream {
       StructField("op", StringType),
       StructField("doc_id", LongType),
       StructField("ver", LongType),
+      StructField("prev_ver", LongType),
       StructField("batch", IntegerType)))
   }
 
@@ -276,33 +375,51 @@ object UpsertStream {
     spark.read.parquet(cdc)
       .select(col("batch").cast("int").as("batch"), col("op"),
         col("doc_id").cast("long").as("user_id"),
-        col("ver").cast("long").as("ver"))
+        col("ver").cast("long").as("ver"),
+        col("prev_ver").cast("long").as("prev_ver"))
       .orderBy("batch", "user_id")
 
-  /** DuckDB oracle for [[cdcQuery]] — the two-wave lifecycle replayed
-    * relationally (same ntile split as the staging; ts encodes
-    * event_id, so ordering by (event_id, user_id) is the staging's
-    * (ts, doc_id) order). */
+  /** DuckDB oracle for [[cdcQuery]] — the three-wave lifecycle
+    * replayed relationally (same ntile split as the staging; ts
+    * encodes event_id, so ordering by (event_id, user_id) is the
+    * staging's (ts, doc_id) order). `t1` is the table state after
+    * batch 1 (wave-1 rows overriding wave-0), the pre-image batch 2
+    * classifies and retracts against. */
   def cdcOracleSql: String =
     """WITH w AS (SELECT user_id, event_id,
-           ntile(2) OVER (ORDER BY event_id, user_id) - 1 AS wave
+           ntile(3) OVER (ORDER BY event_id, user_id) - 1 AS wave
          FROM events),
        b0 AS (SELECT user_id, max(event_id) AS ver FROM w
               WHERE wave = 0 GROUP BY 1),
        b1 AS (SELECT user_id, max(event_id) AS ver FROM w
-              WHERE wave = 1 GROUP BY 1)
+              WHERE wave = 1 GROUP BY 1),
+       b2 AS (SELECT user_id, max(event_id) AS ver FROM w
+              WHERE wave = 2 GROUP BY 1),
+       t1 AS (SELECT coalesce(b1.user_id, b0.user_id) AS user_id,
+              coalesce(b1.ver, b0.ver) AS ver
+            FROM b0 FULL OUTER JOIN b1 ON b0.user_id = b1.user_id)
      SELECT CAST(0 AS INT) AS batch, 'insert' AS op, user_id,
-       CAST(ver AS BIGINT) AS ver FROM b0
+       CAST(ver AS BIGINT) AS ver, CAST(-1 AS BIGINT) AS prev_ver
+     FROM b0
      UNION ALL
-     SELECT CAST(1 AS INT), CASE WHEN user_id IN
-         (SELECT user_id FROM b0) THEN 'update' ELSE 'insert' END,
-       user_id, CAST(ver AS BIGINT) FROM b1
+     SELECT CAST(1 AS INT),
+       CASE WHEN b0.user_id IS NOT NULL THEN 'update' ELSE 'insert' END,
+       b1.user_id, CAST(b1.ver AS BIGINT),
+       CAST(coalesce(b0.ver, -1) AS BIGINT)
+     FROM b1 LEFT JOIN b0 ON b1.user_id = b0.user_id
+     UNION ALL
+     SELECT CAST(2 AS INT),
+       CASE WHEN t1.user_id IS NOT NULL THEN 'update' ELSE 'insert' END,
+       b2.user_id, CAST(b2.ver AS BIGINT),
+       CAST(coalesce(t1.ver, -1) AS BIGINT)
+     FROM b2 LEFT JOIN t1 ON b2.user_id = t1.user_id
      ORDER BY batch, user_id"""
 
   /** Start the upsert sink: each micro-batch latest-per-key reduces,
-    * then merges into snapshot v{n+1} under `root`. AvailableNow —
-    * drain what's there, then stop (the test/ops contract shared by
-    * the other streaming entry points). */
+    * then merges into snapshot v{n+1} under `root` (retention
+    * included — [[applyUpsertBatch]]). AvailableNow — drain what's
+    * there, then stop (the test/ops contract shared by the other
+    * streaming entry points). */
   def upsertAvailableNow(spark: SparkSession, dropDir: String, root: String,
                          checkpoint: String, key: String,
                          version: String): Unit = {
@@ -311,21 +428,136 @@ object UpsertStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val latest = latestPerKey(batch, key, version)
-        currentSnapshot(spark, root) match {
-          case None =>
-            latest.write.mode("overwrite").parquet(s"$root/v0")
-          case Some(cur) =>
-            val curId = new Path(cur).getName.drop(1).toLong
-            // columns in base order for the merge's schema check
-            val base = spark.read.parquet(cur)
-            graft.operators.Maintenance.copyOnWriteMerge(
-              spark, cur, s"$root/v${curId + 1}",
-              latest.select(base.columns.map(col): _*), key)
-            ()
-        }
+        applyUpsertBatch(spark, root, batch, key, version, batchId)
       }
       .start()
     q.awaitTermination()
   }
+
+  /** q276: the INCREMENTAL CONSUMER the CDC log exists for — the
+    * downstream replication contract (q265's scaladoc) actually
+    * exercised: reconstruct the upsert table and maintain an
+    * aggregate FROM THE LOG ALONE, never scanning the table. The
+    * consumer folds the log's batch partitions IN ORDER — per batch,
+    * keys carried in the state that reappear in the batch are
+    * replaced (anti-join + union, the keyed last-writer-wins merge),
+    * and each fold step is materialized to parquet and read back (the
+    * q263 discipline: a refresh reads a TABLE, or Catalyst collapses
+    * the folds into one argmax and the query proves nothing about
+    * incremental application). Per-fold cost is O(state keys + batch
+    * ops) — at 100 TB the consumer never rescans history, which is
+    * the whole point of a change feed. The batch-id list is log
+    * METADATA (one row per refresh cadence, bounded driver state —
+    * the house collect() discipline).
+    *
+    * Retraction identity, asserted inside the drain: the running
+    * aggregate maintained incrementally from the ops (+post-image
+    * version, −pre-image version on update) must equal the same
+    * aggregate computed from the reconstructed final state — the
+    * `prev_ver` column is what makes subtractive maintenance possible
+    * without reading the table, and this is the IVM-over-CDC
+    * completion of q263's monoid merge (retraction needs the
+    * pre-image; q263's insert-only deltas never did).
+    *
+    * Oracle: the from-scratch answer — per user, the global argmax
+    * version over the raw events plus the number of waves the user
+    * appears in (= CDC ops for that key). Equality certifies batch
+    * ordering, the fold's replace semantics, and the log's
+    * completeness end to end. */
+  def cdcConsumerQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q276_table")
+    val cdc = graft.sources.Scratch.dirOutliving(spark, "q276_cdc")
+    val drop = stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q276_ck")
+    try {
+      val batches = drainCdcWaves(spark, drop, root, cdc, ck)
+      require(batches == Waves,
+        s"q276 staged $Waves wave files but streamed $batches " +
+          "micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    val log = spark.read.parquet(cdc)
+    val batchIds = log.select("batch").distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(batchIds.sameElements(0 until Waves),
+      s"q276 CDC log holds batches ${batchIds.mkString(",")}")
+    val stateRoot = graft.sources.Scratch.dirOutliving(spark, "q276_state")
+    var stateDir: Option[String] = None
+    for (b <- batchIds) {
+      val ops = log.filter(col("batch") === b).select("doc_id", "ver")
+      val next = stateDir match {
+        case None => ops
+        case Some(d) =>
+          val prev = spark.read.parquet(d)
+          prev.join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(ops)
+      }
+      val out = s"$stateRoot/s$b"
+      next.write.mode("overwrite").parquet(out)
+      stateDir = Some(out)
+    }
+    val state = spark.read.parquet(stateDir.get)
+    // the retraction identity (see scaladoc): +post −pre over the log
+    // == Σ ver over the reconstructed table
+    val maintained = log.agg(
+      (sum(col("ver")) - sum(when(col("op") === "update",
+        col("prev_ver")).otherwise(lit(0L)))).cast("long")).head.getLong(0)
+    val direct = state.agg(sum(col("ver")).cast("long")).head.getLong(0)
+    require(maintained == direct,
+      s"q276 retraction identity broken: incremental Σver=$maintained " +
+        s"vs reconstructed Σver=$direct")
+    // the fold must agree ROW-FOR-ROW with the read-back's windowed
+    // reconstruction (so the oracle certifies the fold, not just the
+    // window): full-outer compare, zero disagreements allowed
+    val disagree = state
+      .join(cdcConsumerReadBack(spark, cdc)
+          .select(col("user_id").as("doc_id"), col("ver").as("__rv")),
+        Seq("doc_id"), "full")
+      .filter(col("ver").isNull || col("__rv").isNull ||
+        col("ver") =!= col("__rv"))
+      .count()
+    require(disagree == 0,
+      s"q276 fold disagrees with the windowed reconstruction on " +
+        s"$disagree keys")
+    cdcConsumerReadBack(spark, cdc)
+  }
+
+  /** q276's read-back, expressed over the CDC log directory alone so
+    * the plan audits can stub it: ONE fold step (batch-0 state
+    * anti-joined and unioned with batch-1 ops — the per-batch
+    * operators the live fold loops) feeding the per-key op-count
+    * rollup. The live query's output equals this because the final
+    * state's (user, ver) is the last op per key and n_ops counts the
+    * key's log rows. */
+  def cdcConsumerReadBack(spark: SparkSession, cdc: String): DataFrame = {
+    val log = spark.read.parquet(cdc)
+    val prev = log.filter(col("batch") === 0).select("doc_id", "ver")
+    val last = log.withColumn("__rn",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("batch").desc)))
+      .filter(col("__rn") === 1).select("doc_id", "ver")
+    val folded = prev
+      .join(last.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(last)
+    folded
+      .join(log.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_ops")), Seq("doc_id"))
+      .select(col("doc_id").cast("long").as("user_id"),
+        col("ver").cast("long").as("ver"), col("n_ops"))
+      .orderBy("user_id")
+  }
+
+  /** Rows the q276 consumer consumes (the CDC log layout). */
+  val cdcConsumerSinkSchema: org.apache.spark.sql.types.StructType =
+    cdcSinkSchema
+
+  /** DuckDB oracle for [[cdcConsumerQuery]] — the from-scratch
+    * reconstruction: per user the global argmax version (the last
+    * op's ver) and the wave-presence count (the key's op count). */
+  def cdcConsumerOracleSql: String =
+    """WITH w AS (SELECT user_id, event_id,
+           ntile(3) OVER (ORDER BY event_id, user_id) - 1 AS wave
+         FROM events)
+     SELECT user_id, CAST(max(event_id) AS BIGINT) AS ver,
+       CAST(count(DISTINCT wave) AS BIGINT) AS n_ops
+     FROM w GROUP BY 1 ORDER BY user_id"""
 }

@@ -114,5 +114,18 @@ class BenchLineSpec extends AnyFunSuite {
       fastHash = Nil, samples = Nil, sfDir = weirdSf) + "\n")
     assert(Bench.readBaseline(weird.toString, weirdSf) ==
       Map("q01" -> 1.0))
+    // append-mode history: BOTH the sf gate and the queries object
+    // must come from the LAST line — reading sf from line N while
+    // extracting queries from line 1 would gate stale minima
+    val hist = dir.resolve("history.json")
+    val older = Bench.metricLine(
+      results = Seq("q01" -> 9.0), failed = Nil, flaky = Nil,
+      fastHash = Nil, samples = Nil, sfDir = "old-sf")
+    java.nio.file.Files.writeString(hist, older + "\n" + line + "\n")
+    assert(Bench.readBaseline(hist.toString, "x") ==
+      Map("q01" -> 1.25, "q02" -> 0.033),
+      "multi-line baseline must read queries from the same (last) line as sf")
+    assert(Bench.readBaseline(hist.toString, "old-sf").isEmpty,
+      "the superseded first line's sf must not match")
   }
 }
