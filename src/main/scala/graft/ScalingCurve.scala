@@ -66,6 +66,7 @@ object ScalingCurve {
     ("q229_stream_join",    "stream-stream interval join (single-batch drain)", "events"),
     ("q273_join_eviction",  "stream-stream interval join (6-batch eviction drain)", "events"),
     ("q251_stream_left_join", "left-outer interval join (null completion)", "events"),
+    ("q274_leftjoin_eviction", "left-outer interval join (6-batch eviction drain)", "events"),
     ("q255_stream_actives", "chained dedup + sliding-window count (2 state stores)", "events"),
     ("q259_bounded_dedup",  "dropDuplicatesWithinWatermark (expiring keys)", "events"),
     ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"),
@@ -80,7 +81,8 @@ object ScalingCurve {
     * volume. */
   private val Stateful = Set("q244_session_window", "q246_milestones",
     "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
-    "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction")
+    "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction",
+    "q274_leftjoin_eviction")
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -152,7 +154,9 @@ object ScalingCurve {
       "q259_bounded_dedup" ->
         "live dedup keys within the 5-day delay (MUST be << staged rows)",
       "q273_join_eviction" ->
-        "in-interval join buffer, shed per watermark advance (MUST be << staged feed)")
+        "in-interval join buffer, shed per watermark advance (MUST be << staged feed)",
+      "q274_leftjoin_eviction" ->
+        "outer buffer incl. unmatched clicks, closed per watermark advance (MUST be << staged feed)")
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
       BenchSession.dropPinnedBlocks(spark)
       if (Stateful(name)) statePeak.set(-1L)
@@ -459,14 +463,17 @@ object ScalingCurve {
       "holds only the interval-bounded buffer, evicted as\nthe " +
       "watermark passes purchase_ts + window) and q255 (two stores; " +
       "the\nsliding windows pin 7 days x users until close). " +
-      "q259 and q273 are the drains\nwhose BOUND is the claim: " +
+      "q259, q273 and q274 are the drains\nwhose BOUND is the claim: " +
       "each peak must stay well under the staged row\ncount at every " +
       "sf — q259's 5-day delay expires keys mid-drain (which its\n" +
-      "n_readmitted oracle certifies semantically), and q273 stages " +
+      "n_readmitted oracle certifies semantically), q273 stages " +
       "q229's exact\nfeed across 6 watermark-advancing batches so the " +
       "interval condition is\nMEASURED shedding the join buffer " +
       "(peak < 1/2 staged asserted inside the\ndrain) while landing " +
-      "the identical complete result q229's oracle checks.\nIn a " +
+      "the identical complete result q229's oracle checks,\nand q274 " +
+      "repeats the proof on the LEFT OUTER join (q251's oracle, " +
+      "null\ncompletions closed per watermark advance, mid-drain " +
+      "numRowsRemoved > 0\nasserted).\nIn a " +
       "continuous deployment\nthe same operators hold only the gap-/" +
       "interval-bounded live set: eviction\non watermark advance is " +
       "proven directly by StreamingSpec's multi-batch\ncases, the " +

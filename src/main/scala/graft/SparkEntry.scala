@@ -673,6 +673,13 @@ object SparkEntry {
     // the landed result still equals q229's complete batch oracle.
     "q273_join_eviction" -> ((s, d) =>
       graft.streaming.StreamJoin.evictionJoinQuery(s, d)),
+    // q274: the LEFT OUTER twin of q273 — q251's null-completion
+    // semantics across 6 watermark-advancing micro-batches, state
+    // shed and mid-drain removal asserted live; q251's batch oracle
+    // verbatim (the final min-policy watermark, which alone decides
+    // the surviving null set, is drain-cadence-independent).
+    "q274_leftjoin_eviction" -> ((s, d) =>
+      graft.streaming.StreamJoin.evictionLeftJoinQuery(s, d)),
     // q275: transformWithState ValueState with a REAL TTL — the
     // per-user cache expires between batches (physical eviction
     // counted via numValuesRemovedDueToTTLExpiry), carried state
@@ -902,6 +909,8 @@ object SparkEntry {
         ((RunStream.sinkSchema, RunStream.readBack _)),
       "q273_join_eviction" ->
         ((StreamJoin.joinSinkSchema, StreamJoin.joinReadBack _)),
+      "q274_leftjoin_eviction" ->
+        ((StreamJoin.joinSinkSchema, StreamJoin.leftJoinReadBack _)),
       "q275_ttl_cache" ->
         ((TtlStream.sinkSchema, TtlStream.readBack _)),
       "q276_cdc_consumer" ->
@@ -1843,6 +1852,11 @@ object SparkEntry {
     // so q229's batch oracle applies verbatim.
     "q273_join_eviction" ->
       graft.streaming.StreamJoin.streamJoinOracleSql,
+    // q274: the multi-batch left-outer eviction drain lands the same
+    // complete result as q251's single-batch drain (see
+    // StreamJoin.evictionLeftJoinQuery), so q251's oracle applies.
+    "q274_leftjoin_eviction" ->
+      graft.streaming.StreamJoin.leftJoinOracleSql,
     "q275_ttl_cache" ->
       graft.streaming.TtlStream.ttlCacheOracleSql,
     "q276_cdc_consumer" ->

@@ -69,8 +69,11 @@ object ActiveUsersStream {
         .coalesce(4).write.mode("overwrite").json(d)
     }
     val ck = graft.sources.Scratch.dir(spark, "q255_ck")
-    try activeUsersAvailableNow(spark, drop, sunk, ck)
-    finally graft.sources.Scratch.delete(spark, ck)
+    // two state stores per partition (dedup + window) — the
+    // [[StatePartitions]] loan cuts the per-batch store-commit overhead
+    try StatePartitions.scoped(spark) {
+      activeUsersAvailableNow(spark, drop, sunk, ck)
+    } finally graft.sources.Scratch.delete(spark, ck)
     readBack(spark, sunk)
   }
 

@@ -129,7 +129,9 @@ object BoundedDedupStream {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q259_sunk")
     val drop = stageEchoWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q259_ck")
-    try {
+    // multi-batch drain: the dedup store re-commits per partition per
+    // wave — the [[StatePartitions]] loan cuts that fixed overhead
+    try StatePartitions.scoped(spark) {
       val q = spark.readStream.schema(dropSchema)
         .option("maxFilesPerTrigger", "1").json(drop)
         .withWatermark("ts", s"$DelayMs milliseconds")

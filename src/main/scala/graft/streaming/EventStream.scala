@@ -62,7 +62,9 @@ object EventStream {
       dropSchema: StructType, filesPerTrigger: Int)(
       attachSink: DataFrame => org.apache.spark.sql.streaming
         .DataStreamWriter[org.apache.spark.sql.Row]): Long =
-    try {
+    // every stateful drain through here pays per-partition store
+    // commits each micro-batch — the [[StatePartitions]] loan applies
+    try StatePartitions.scoped(spark) {
       val q = attachSink(
           spark.readStream
             .schema(dropSchema)

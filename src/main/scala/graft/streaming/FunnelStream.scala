@@ -130,8 +130,9 @@ object FunnelStream {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q254_sunk")
     val drop = EventStream.stageEventsMs(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q254_ck")
-    try funnelAvailableNow(spark, drop, sunk, ck)
-    finally graft.sources.Scratch.delete(spark, ck)
+    try StatePartitions.scoped(spark) {
+      funnelAvailableNow(spark, drop, sunk, ck)
+    } finally graft.sources.Scratch.delete(spark, ck)
     readBack(spark, sunk)
   }
 

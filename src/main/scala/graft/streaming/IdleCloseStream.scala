@@ -116,7 +116,8 @@ object IdleCloseStream {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q250_sunk")
     val drop = EventStream.stageTypedSecondWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q250_ck")
-    try EventStream.withRocksDbProvider(spark) {
+    try StatePartitions.scoped(spark) {
+      EventStream.withRocksDbProvider(spark) {
       val q = idleSummaries(spark,
           spark.readStream.schema(idleSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -128,7 +129,7 @@ object IdleCloseStream {
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       require(batches == 2,
         s"q250 staged 2 wave files but streamed $batches micro-batches")
-    } finally {
+    } } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
     readBack(spark, sunk)

@@ -111,7 +111,7 @@ object LateStream {
         Seq("event_id", "ts", "event_type"), 3, d)
     }
     val ck = graft.sources.Scratch.dir(spark, "q243_ck")
-    try {
+    try StatePartitions.scoped(spark) {
       val q = windowedCounts(
           spark.readStream.schema(lateSchema)
             .option("maxFilesPerTrigger", "1").json(drop))

@@ -93,7 +93,8 @@ object MilestoneStream {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q246_sunk")
     val drop = EventStream.stageSecondWaves(spark, dir) // shared w/ q244
     val ck = graft.sources.Scratch.dir(spark, "q246_ck")
-    try EventStream.withRocksDbProvider(spark) {
+    try StatePartitions.scoped(spark) {
+      EventStream.withRocksDbProvider(spark) {
       val q = milestones(spark,
           spark.readStream.schema(milestoneSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -105,7 +106,7 @@ object MilestoneStream {
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       require(batches == 2,
         s"q246 staged 2 wave files but streamed $batches micro-batches")
-    } finally {
+    } } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
     readBack(spark, sunk)

@@ -87,7 +87,8 @@ object RunStream {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q271_sunk")
     val drop = EventStream.stageTypedSecondWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q271_ck")
-    try EventStream.withRocksDbProvider(spark) {
+    try StatePartitions.scoped(spark) {
+      EventStream.withRocksDbProvider(spark) {
       val q = typeRuns(spark,
           spark.readStream.schema(IdleCloseStream.idleSchema)
             .option("maxFilesPerTrigger", "1").json(drop))
@@ -99,7 +100,7 @@ object RunStream {
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       require(batches == 2,
         s"q271 staged 2 wave files but streamed $batches micro-batches")
-    } finally {
+    } } finally {
       graft.sources.Scratch.delete(spark, ck)
     }
     readBack(spark, sunk)

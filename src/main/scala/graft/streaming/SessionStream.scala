@@ -81,7 +81,7 @@ object SessionStream {
     // (event_id, user_id, second-floored ts) median-split schedule
     val drop = EventStream.stageSecondWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q244_ck")
-    try {
+    try StatePartitions.scoped(spark) {
       val q = sessionCounts(
           spark.readStream.schema(sessSchema)
             .option("maxFilesPerTrigger", "1").json(drop))

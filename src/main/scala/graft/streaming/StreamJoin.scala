@@ -131,7 +131,9 @@ object StreamJoin {
     val drop = StagedDrops.shared(spark, "join_ms", dir)(
       stageJoinDrop(spark, dir, _, floorSeconds = false))
     val ck = graft.sources.Scratch.dir(spark, "q229_ck")
-    try {
+    // 4 join stores per partition, re-committed per batch — the loan
+    // cuts the single batch's fixed store overhead ([[StatePartitions]])
+    try StatePartitions.scoped(spark) {
       def side(eventType: String): DataFrame =
         joinSide(spark, drop, eventType)
       val q = clickPurchaseJoin(side("click"), side("purchase"),
@@ -195,7 +197,7 @@ object StreamJoin {
     val drop = StagedDrops.shared(spark, "join_sec", dir)(
       stageJoinDrop(spark, dir, _, floorSeconds = true))
     val ck = graft.sources.Scratch.dir(spark, "q251_ck")
-    try {
+    try StatePartitions.scoped(spark) {
       def side(eventType: String): DataFrame =
         joinSide(spark, drop, eventType)
       val q = clickPurchaseLeftJoin(side("click"), side("purchase"),
@@ -269,7 +271,8 @@ object StreamJoin {
     val drop = StagedDrops.shared(spark, "join_sec", dir)(
       stageJoinDrop(spark, dir, _, floorSeconds = true))
     val ck = graft.sources.Scratch.dir(spark, "q252_ck")
-    try {
+    // two state stores (join + window agg) per partition, 2 batches
+    try StatePartitions.scoped(spark) {
       def side(eventType: String): DataFrame =
         joinSide(spark, drop, eventType)
       val q = clickPurchaseJoin(side("click"), side("purchase"),
@@ -388,19 +391,10 @@ object StreamJoin {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q273_sunk")
     val drop = stageJoinWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q273_ck")
-    // State-partition sizing, the knob a deployment tunes per volume:
-    // a stream-stream join maintains 4 state stores per partition and
-    // re-commits each one EVERY micro-batch, so a 6-batch drain at 32
-    // partitions spends its wall time in 6×4×32 store load/commit
-    // cycles (measured 30s at sf0.001 — pure fixed overhead; q229's
-    // single batch pays 1/6th). Eight partitions carry this fixture's
-    // state comfortably and cut the drain to ~1/3; the partition
-    // count is pinned into the checkpoint at batch 0, so the loan
-    // only scopes the NEW query below (fresh checkpoint every run).
-    val key = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
+    // 6 batches × 4 join stores per partition re-committed each batch
+    // — the fixed overhead [[StatePartitions]] documents (its measured
+    // numbers came from THIS drain)
+    try StatePartitions.scoped(spark) {
       def side(eventType: String): DataFrame = spark.readStream
         .schema(joinDropSchema)
         .option("maxFilesPerTrigger", "1")
@@ -428,11 +422,100 @@ object StreamJoin {
       require(peakState * 2 < staged,
         s"q273 join buffer peaked at $peakState rows for $staged " +
           "staged — watermark eviction never freed state between batches")
-    } finally {
-      spark.conf.set(key, prior)
-      graft.sources.Scratch.delete(spark, ck)
-    }
+    } finally graft.sources.Scratch.delete(spark, ck)
     joinReadBack(spark, sunk)
+  }
+
+  /** q274: the LEFT OUTER twin of [[evictionJoinQuery]] — q251's
+    * null-completion semantics driven across [[EvictWaves]]
+    * watermark-advancing micro-batches, so BOTH halves of the
+    * round-12 eviction contingency (q229 inner / q251 outer) carry a
+    * measured multi-batch proof. The outer path adds one claim the
+    * inner drain cannot test: null-completion rows must emit as the
+    * watermark closes unmatched clicks MID-DRAIN (not only at the
+    * final no-data batch), and each closed click must leave the state
+    * store — so the same peak-state bound applies to the outer
+    * buffer, which also holds every unmatched click until closure.
+    *
+    * Why q251's oracle applies verbatim: waves split on the global
+    * (t, event_id) order, so a purchase matching a click (purchase_ts
+    * ≤ click_ts) is staged in the same or an EARLIER wave — by the
+    * time the watermark passes a click (the null-emission point), all
+    * its candidate purchases were ingested, so no null row is ever
+    * premature. Inner pairs and eviction safety follow q273's
+    * argument unchanged, and the FINAL min-policy watermark — which
+    * alone decides the surviving null set — depends only on each
+    * side's max event time and the [[LeftJoinHorizonMs]] delay,
+    * identical to the single-batch drain. Eviction changes the peak
+    * state, never the answer. */
+  def evictionLeftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q274_sunk")
+    val drop = StagedDrops.shared(spark, s"leftjoin_waves$EvictWaves", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        // q251's second-floored staging: event times at .000 ms, the
+        // .500 ms horizon below — the null-completion boundary can
+        // never tie (q244's dodge)
+        .select(col("event_id"),
+          (unix_timestamp(col("ts")) * lit(1000L)).as("t"),
+          col("user_id"), col("event_type"), col("value"))
+        .withColumn("wave",
+          (ntile(EvictWaves).over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("t"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "t", "user_id", "event_type", "value"),
+        EvictWaves, d)
+    }
+    val ck = graft.sources.Scratch.dir(spark, "q274_ck")
+    // same state-partition loan as q273 (6 batches × 4 stores per
+    // partition re-committed each batch — see [[StatePartitions]])
+    try StatePartitions.scoped(spark) {
+      def side(eventType: String): DataFrame = spark.readStream
+        .schema(joinDropSchema)
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
+          col("user_id"), col("value"))
+      val q = clickPurchaseLeftJoin(side("click"), side("purchase"),
+          AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == EvictWaves,
+        s"q274 staged $EvictWaves wave files but streamed $batches " +
+          "micro-batches")
+      // the eviction claim, measured live (q273's bound on the OUTER
+      // buffer): peak state must stay under half the staged feed
+      val peakState = q.recentProgress
+        .map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val staged = spark.read.schema(joinDropSchema).json(drop).count()
+      require(peakState * 2 < staged,
+        s"q274 join buffer peaked at $peakState rows for $staged " +
+          "staged — watermark eviction never freed state between batches")
+      // the mid-drain claim, measured on the store's own counter:
+      // state rows must be REMOVED in input-carrying batches (not
+      // only at the final no-data batch) — removal is both eviction
+      // of expired buffer rows and closure of unmatched clicks, the
+      // mechanics the peak bound above depends on wave-to-wave
+      val midDrainRemoved = q.recentProgress
+        .filter(_.numInputRows > 0)
+        .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      require(midDrainRemoved > 0,
+        "q274 removed no state rows during the input waves — the " +
+          "watermark never sheds the buffer mid-drain")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    // the outer path itself must have fired (q251's assertion)
+    val nulls = spark.read.parquet(sunk)
+      .filter(col("purchase_id").isNull).limit(1).count()
+    require(nulls > 0,
+      "q274 drained without any null-completion row — the outer path " +
+        "was not exercised")
+    leftJoinReadBack(spark, sunk)
   }
 
   /** DuckDB oracle for [[streamJoinQuery]] — the batch interval join

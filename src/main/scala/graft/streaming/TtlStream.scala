@@ -197,7 +197,7 @@ object TtlStream {
     val sunk = graft.sources.Scratch.dirOutliving(spark, "q275_sunk")
     val drop = stageTypedWaves3(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q275_ck")
-    try {
+    try StatePartitions.scoped(spark) {
       val stats = drainTtl(spark, drop, sunk, ck, TtlMs)
       // eviction must have PHYSICALLY happened (the TTL-cleanup
       // metric), not just read-as-absent — otherwise the store still

@@ -53,7 +53,8 @@ object UpdateModeStream {
       EventStream.stageWaveFiles(spark, staged,
         Seq("event_id", "user_id", "event_type", "ts"), Waves, d)
     }
-    try {
+    // shared by q256/q257: state re-commits per partition per wave
+    try StatePartitions.scoped(spark) {
       val q = attach(spark.readStream
           .schema(graft.streaming.IdleCloseStream.idleSchema)
           .option("maxFilesPerTrigger", "1").json(drop))

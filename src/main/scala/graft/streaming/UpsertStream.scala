@@ -218,7 +218,9 @@ object UpsertStream {
     val root = graft.sources.Scratch.dirOutliving(spark, "q253_table")
     val drop = stageUpsertWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q253_ck")
-    try {
+    // no state store here, but each foreachBatch merge shuffles at
+    // session width — the [[StatePartitions]] loan trims that too
+    try StatePartitions.scoped(spark) {
       val batches = drainUpsertWaves(spark, drop, root, ck)
       require(batches == Waves,
         s"q253 staged $Waves wave files but streamed $batches " +
@@ -285,7 +287,7 @@ object UpsertStream {
     val cdc = graft.sources.Scratch.dirOutliving(spark, "q265_cdc")
     val drop = stageUpsertWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q265_ck")
-    try {
+    try StatePartitions.scoped(spark) {
       val batches = drainCdcWaves(spark, drop, root, cdc, ck)
       require(batches == Waves,
         s"q265 staged $Waves wave files but streamed $batches " +
@@ -469,7 +471,7 @@ object UpsertStream {
     val cdc = graft.sources.Scratch.dirOutliving(spark, "q276_cdc")
     val drop = stageUpsertWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q276_ck")
-    try {
+    try StatePartitions.scoped(spark) {
       val batches = drainCdcWaves(spark, drop, root, cdc, ck)
       require(batches == Waves,
         s"q276 staged $Waves wave files but streamed $batches " +
