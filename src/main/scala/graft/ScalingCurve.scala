@@ -67,6 +67,7 @@ object ScalingCurve {
     ("q273_join_eviction",  "stream-stream interval join (6-batch eviction drain)", "events"),
     ("q251_stream_left_join", "left-outer interval join (null completion)", "events"),
     ("q274_leftjoin_eviction", "left-outer interval join (6-batch eviction drain)", "events"),
+    ("q277_fulljoin_eviction", "full-outer interval join (6-batch eviction drain)", "events"),
     ("q255_stream_actives", "chained dedup + sliding-window count (2 state stores)", "events"),
     ("q259_bounded_dedup",  "dropDuplicatesWithinWatermark (expiring keys)", "events"),
     ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"),
@@ -82,7 +83,7 @@ object ScalingCurve {
   private val Stateful = Set("q244_session_window", "q246_milestones",
     "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
     "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction",
-    "q274_leftjoin_eviction")
+    "q274_leftjoin_eviction", "q277_fulljoin_eviction")
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -156,7 +157,9 @@ object ScalingCurve {
       "q273_join_eviction" ->
         "in-interval join buffer, shed per watermark advance (MUST be << staged feed)",
       "q274_leftjoin_eviction" ->
-        "outer buffer incl. unmatched clicks, closed per watermark advance (MUST be << staged feed)")
+        "outer buffer incl. unmatched clicks, closed per watermark advance (MUST be << staged feed)",
+      "q277_fulljoin_eviction" ->
+        "both sides' outer buffers, closed per watermark advance (MUST be << staged feed)")
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
       BenchSession.dropPinnedBlocks(spark)
       if (Stateful(name)) statePeak.set(-1L)
@@ -463,17 +466,18 @@ object ScalingCurve {
       "holds only the interval-bounded buffer, evicted as\nthe " +
       "watermark passes purchase_ts + window) and q255 (two stores; " +
       "the\nsliding windows pin 7 days x users until close). " +
-      "q259, q273 and q274 are the drains\nwhose BOUND is the claim: " +
+      "q259 and the q273/q274/q277 trio are the drains\nwhose BOUND is the claim: " +
       "each peak must stay well under the staged row\ncount at every " +
       "sf — q259's 5-day delay expires keys mid-drain (which its\n" +
       "n_readmitted oracle certifies semantically), q273 stages " +
       "q229's exact\nfeed across 6 watermark-advancing batches so the " +
       "interval condition is\nMEASURED shedding the join buffer " +
       "(peak < 1/2 staged asserted inside the\ndrain) while landing " +
-      "the identical complete result q229's oracle checks,\nand q274 " +
-      "repeats the proof on the LEFT OUTER join (q251's oracle, " +
-      "null\ncompletions closed per watermark advance, mid-drain " +
-      "numRowsRemoved > 0\nasserted).\nIn a " +
+      "the identical complete result q229's oracle checks,\nwhile " +
+      "q274 (left outer, q251's oracle) and q277 (full outer, its " +
+      "own\nper-side survival oracle) repeat the proof on the " +
+      "null-completion paths —\nunmatched rows closed per watermark " +
+      "advance, mid-drain shedding asserted\nfrom the totals.\nIn a " +
       "continuous deployment\nthe same operators hold only the gap-/" +
       "interval-bounded live set: eviction\non watermark advance is " +
       "proven directly by StreamingSpec's multi-batch\ncases, the " +

@@ -693,6 +693,12 @@ object SparkEntry {
     // certified against the from-scratch argmax oracle.
     "q276_cdc_consumer" -> ((s, d) =>
       graft.streaming.UpsertStream.cdcConsumerQuery(s, d)),
+    // q277: the FULL OUTER eviction drain — completes the stream-
+    // stream interval-join family (q229/q273 inner, q251/q274 left);
+    // both sides' null completions close per watermark advance, the
+    // q273 peak bound and q274 mid-drain removal asserted live.
+    "q277_fulljoin_eviction" -> ((s, d) =>
+      graft.streaming.StreamJoin.evictionFullJoinQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -911,6 +917,8 @@ object SparkEntry {
         ((StreamJoin.joinSinkSchema, StreamJoin.joinReadBack _)),
       "q274_leftjoin_eviction" ->
         ((StreamJoin.joinSinkSchema, StreamJoin.leftJoinReadBack _)),
+      "q277_fulljoin_eviction" ->
+        ((StreamJoin.joinSinkSchema, StreamJoin.fullJoinReadBack _)),
       "q275_ttl_cache" ->
         ((TtlStream.sinkSchema, TtlStream.readBack _)),
       "q276_cdc_consumer" ->
@@ -1861,6 +1869,8 @@ object SparkEntry {
       graft.streaming.TtlStream.ttlCacheOracleSql,
     "q276_cdc_consumer" ->
       graft.streaming.UpsertStream.cdcConsumerOracleSql,
+    "q277_fulljoin_eviction" ->
+      graft.streaming.StreamJoin.fullJoinOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

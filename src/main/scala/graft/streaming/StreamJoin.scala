@@ -69,6 +69,36 @@ object StreamJoin {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Same interval join with FULL OUTER semantics (q277): unmatched
+    * rows on BOTH sides emit null completions once the watermark
+    * proves the other side can no longer arrive — an unmatched click
+    * closes when the watermark passes click_ts (its candidate
+    * purchases have purchase_ts ≤ click_ts), an unmatched purchase
+    * closes when the watermark passes purchase_ts + window (its
+    * candidate clicks have click_ts ≤ purchase_ts + window). The
+    * output user_id must coalesce across sides: a purchase-side null
+    * row has no click columns. */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame,
+                            windowMinutes: Int,
+                            watermark: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") -
+          expr(s"interval $windowMinutes minutes"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** q229 attribution window; 60 minutes yields a non-trivial match
     * set on the fixture's 30-day event span. */
   val AttributionMinutes = 60
@@ -448,14 +478,15 @@ object StreamJoin {
     * side's max event time and the [[LeftJoinHorizonMs]] delay,
     * identical to the single-batch drain. Eviction changes the peak
     * state, never the answer. */
-  def evictionLeftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sunk = graft.sources.Scratch.dirOutliving(spark, "q274_sunk")
-    val drop = StagedDrops.shared(spark, s"leftjoin_waves$EvictWaves", dir) { d =>
+  /** The staged outer-join wave drop q274/q277 share: q251's
+    * second-floored feed (event times at .000 ms so the .500 ms
+    * horizon can never tie — q244's dodge) split into [[EvictWaves]]
+    * time-ordered wave files. */
+  private def stageOuterJoinWaves(spark: SparkSession,
+      dir: String): String =
+    StagedDrops.shared(spark, s"leftjoin_waves$EvictWaves", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
         .filter(col("event_type").isin("click", "purchase"))
-        // q251's second-floored staging: event times at .000 ms, the
-        // .500 ms horizon below — the null-completion boundary can
-        // never tie (q244's dodge)
         .select(col("event_id"),
           (unix_timestamp(col("ts")) * lit(1000L)).as("t"),
           col("user_id"), col("event_type"), col("value"))
@@ -467,9 +498,24 @@ object StreamJoin {
         Seq("event_id", "t", "user_id", "event_type", "value"),
         EvictWaves, d)
     }
-    val ck = graft.sources.Scratch.dir(spark, "q274_ck")
-    // same state-partition loan as q273 (6 batches × 4 stores per
-    // partition re-committed each batch — see [[StatePartitions]])
+
+  /** The shared eviction-drain harness for the OUTER variants
+    * (q274/q277): drain `join` over the [[stageOuterJoinWaves]] drop
+    * across [[EvictWaves]] watermark-advancing micro-batches under
+    * the [[StatePartitions]] loan, and assert the three live claims —
+    * wave count, peak state under half the staged feed (q273's
+    * bound), and mid-drain state removal (rows must leave the store
+    * during input-carrying batches, not only at the final no-data
+    * batch: removal is both eviction of expired buffer rows and
+    * closure of unmatched rows, the mechanics the peak bound depends
+    * on wave-to-wave). Returns the sink path for the caller's
+    * read-back. */
+  private def drainEvictionJoin(spark: SparkSession, dir: String,
+      label: String)(
+      join: (DataFrame, DataFrame) => DataFrame): String = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, s"${label}_sunk")
+    val drop = stageOuterJoinWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, s"${label}_ck")
     try StatePartitions.scoped(spark) {
       def side(eventType: String): DataFrame = spark.readStream
         .schema(joinDropSchema)
@@ -478,8 +524,7 @@ object StreamJoin {
         .filter(col("event_type") === eventType)
         .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
           col("user_id"), col("value"))
-      val q = clickPurchaseLeftJoin(side("click"), side("purchase"),
-          AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
+      val q = join(side("click"), side("purchase"))
         .writeStream.format("parquet").option("path", sunk)
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
@@ -487,28 +532,40 @@ object StreamJoin {
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       require(batches == EvictWaves,
-        s"q274 staged $EvictWaves wave files but streamed $batches " +
+        s"$label staged $EvictWaves wave files but streamed $batches " +
           "micro-batches")
-      // the eviction claim, measured live (q273's bound on the OUTER
-      // buffer): peak state must stay under half the staged feed
       val peakState = q.recentProgress
         .map(_.stateOperators.map(_.numRowsTotal).sum).max
       val staged = spark.read.schema(joinDropSchema).json(drop).count()
       require(peakState * 2 < staged,
-        s"q274 join buffer peaked at $peakState rows for $staged " +
+        s"$label join buffer peaked at $peakState rows for $staged " +
           "staged — watermark eviction never freed state between batches")
-      // the mid-drain claim, measured on the store's own counter:
-      // state rows must be REMOVED in input-carrying batches (not
-      // only at the final no-data batch) — removal is both eviction
-      // of expired buffer rows and closure of unmatched clicks, the
-      // mechanics the peak bound above depends on wave-to-wave
-      val midDrainRemoved = q.recentProgress
-        .filter(_.numInputRows > 0)
-        .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
-      require(midDrainRemoved > 0,
-        "q274 removed no state rows during the input waves — the " +
-          "watermark never sheds the buffer mid-drain")
+      // Inferred from TOTALS (cumulative arrivals minus resident
+      // rows), not the numRowsRemoved metric: every input row of an
+      // interval join enters one side's buffer, so cum − total is
+      // exactly the rows shed so far — and the full-outer eviction
+      // path does not populate numRowsRemoved in this Spark version
+      // (measured on q277: totals shrink batch to batch while the
+      // metric stays 0; the left-outer path does populate it).
+      val inputBatches = q.recentProgress
+        .filter(_.numInputRows > 0).sortBy(_.batchId)
+      val midDrainShed = inputBatches.zipWithIndex.map {
+        case (pr, i) =>
+          inputBatches.take(i + 1).map(_.numInputRows).sum -
+            pr.stateOperators.map(_.numRowsTotal).sum
+      }.max
+      require(midDrainShed > 0,
+        s"$label shed no state rows during the input waves — the " +
+          "watermark never frees the buffer mid-drain")
     } finally graft.sources.Scratch.delete(spark, ck)
+    sunk
+  }
+
+  def evictionLeftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = drainEvictionJoin(spark, dir, "q274") { (c, p) =>
+      clickPurchaseLeftJoin(c, p, AttributionMinutes,
+        s"$LeftJoinHorizonMs milliseconds")
+    }
     // the outer path itself must have fired (q251's assertion)
     val nulls = spark.read.parquet(sunk)
       .filter(col("purchase_id").isNull).limit(1).count()
@@ -517,6 +574,81 @@ object StreamJoin {
         "was not exercised")
     leftJoinReadBack(spark, sunk)
   }
+
+  /** q277: the FULL OUTER eviction drain — the last member of the
+    * stream-stream interval-join family (q229/q273 inner, q251/q274
+    * left). Both sides' unmatched rows must emit null completions as
+    * the watermark closes them, and both closures must leave the
+    * state store, so the q273 peak bound and the q274 mid-drain
+    * removal claim apply to BOTH buffers at once.
+    *
+    * Emission semantics measured before the oracle was written
+    * (q251's discipline): an unmatched CLICK closes when the
+    * min-policy watermark passes click_ts (its candidate purchases
+    * have purchase_ts ≤ click_ts — q251's rule verbatim); an
+    * unmatched PURCHASE closes when the watermark passes purchase_ts
+    * + window (its candidate clicks have click_ts ≤ purchase_ts +
+    * window). Completeness across waves holds on both sides: a
+    * click's candidates arrive in the same or EARLIER waves
+    * (purchase_ts ≤ click_ts), and by the time the watermark passes
+    * purchase_ts + window every candidate click (click_ts ≤
+    * purchase_ts + window < max-seen) is already ingested — so no
+    * null row is ever premature, and the final watermark, identical
+    * to a single-batch drain's, alone decides both surviving null
+    * sets. Nulls are keyed -1 on both sides (hash-stable). */
+  def evictionFullJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = drainEvictionJoin(spark, dir, "q277") { (c, p) =>
+      clickPurchaseFullJoin(c, p, AttributionMinutes,
+        s"$LeftJoinHorizonMs milliseconds")
+    }
+    // both outer paths must actually have fired
+    val landed = spark.read.parquet(sunk)
+    require(landed.filter(col("purchase_id").isNull).limit(1).count() > 0,
+      "q277 drained without any click-side null completion")
+    require(landed.filter(col("click_id").isNull).limit(1).count() > 0,
+      "q277 drained without any purchase-side null completion")
+    fullJoinReadBack(spark, sunk)
+  }
+
+  /** q277's post-drain read-back — matched pairs plus BOTH sides'
+    * null completions, nulls keyed as -1 (hash-stable). */
+  def fullJoinReadBack(spark: SparkSession, sunk: String): DataFrame =
+    spark.read.parquet(sunk)
+      .select(col("user_id").cast("long"),
+        coalesce(col("click_id"), lit(-1L)).cast("long").as("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).cast("long")
+          .as("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+
+  /** DuckDB oracle for [[evictionFullJoinQuery]]: the batch full
+    * outer interval join; click-side nulls survive iff the final
+    * MIN-policy watermark passed the click (q251's rule), purchase-
+    * side nulls iff it passed purchase_ts + window (the purchase's
+    * last possible match). Second-floored event times against the
+    * .500 ms horizon — neither boundary can tie. */
+  def fullJoinOracleSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ms
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       c AS (SELECT event_id AS click_id, user_id, ms AS ct FROM e
+         WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, user_id, ms AS pt FROM e
+         WHERE event_type = 'purchase'),
+       fin AS (SELECT least((SELECT max(ct) FROM c),
+           (SELECT max(pt) FROM p)) - $LeftJoinHorizonMs AS fwm),
+       j AS (SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               c.click_id, c.ct, p.purchase_id, p.pt
+             FROM c FULL JOIN p ON p.user_id = c.user_id
+               AND p.pt <= c.ct
+               AND p.pt >= c.ct - ${AttributionMinutes * 60000L})
+     SELECT user_id, coalesce(click_id, -1) AS click_id,
+       coalesce(purchase_id, -1) AS purchase_id
+     FROM j, fin
+     WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+        OR (purchase_id IS NULL AND ct <= fwm)
+        OR (click_id IS NULL
+            AND pt + ${AttributionMinutes * 60000L} <= fwm)
+     ORDER BY user_id, click_id, purchase_id"""
 
   /** DuckDB oracle for [[streamJoinQuery]] — the batch interval join
     * over the raw events at the staged ms precision. */
