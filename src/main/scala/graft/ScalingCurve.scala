@@ -61,6 +61,7 @@ object ScalingCurve {
     ("q227_lpa_communities", "synchronous label propagation",     "events"),
     ("q232_union_dedup",    "union-of-4-blocking-families CC (star alternation, exact-seeded)", "documents"),
     ("q244_session_window", "native session_window drain (2 staged waves)", "events"),
+    ("q278_session_eviction", "session_window drain (6-batch eviction)", "events"),
     ("q246_milestones",     "transformWithState on RocksDB (2 staged waves)", "events"),
     ("q252_join_then_window", "chained stream-stream join + windowed agg (2 state stores)", "events"),
     ("q229_stream_join",    "stream-stream interval join (single-batch drain)", "events"),
@@ -80,7 +81,8 @@ object ScalingCurve {
     * dimension of the curve, proving state follows the watermark/
     * interval/key cardinality as documented rather than the raw input
     * volume. */
-  private val Stateful = Set("q244_session_window", "q246_milestones",
+  private val Stateful = Set("q244_session_window",
+    "q278_session_eviction", "q246_milestones",
     "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
     "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction",
     "q274_leftjoin_eviction", "q277_fulljoin_eviction")
@@ -143,6 +145,8 @@ object ScalingCurve {
     val ccRounds = collection.mutable.Map.empty[String, Int]
     val stateBounds = Map(
       "q244_session_window" -> "open sessions (distinct active users)",
+      "q278_session_eviction" ->
+        "open sessions, closed per watermark advance (MUST be << staged feed)",
       "q246_milestones" -> "live keys (distinct users) on RocksDB",
       "q252_join_then_window" ->
         "in-interval click/purchase buffer + open hourly windows",
@@ -459,8 +463,11 @@ object ScalingCurve {
       "because an AvailableNow drain over 1-2 wave\nfiles advances " +
       "the watermark only at batch boundaries — sessions/join\nrows " +
       "cannot be evicted mid-batch, so the peak is the per-watermark-" +
-      "advance\nworking set, set by the drain's batch cadence. The " +
-      "same cadence caveat\nreads q229/q251 (their drains are single-" +
+      "advance\nworking set, set by the drain's batch cadence — and " +
+      "q278 MEASURES that\nreading: the same session aggregate staged " +
+      "across 6 waves peaks at the\ndivided working set (compare its " +
+      "row above to q244's). The same cadence\ncaveat reads " +
+      "q229/q251 (their drains are single-" +
       "batch BY DESIGN so the batch\noracle sees a complete result — " +
       "the peak is the whole staged feed; a\ncontinuous deployment " +
       "holds only the interval-bounded buffer, evicted as\nthe " +

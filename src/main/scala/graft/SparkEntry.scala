@@ -699,6 +699,13 @@ object SparkEntry {
     // q273 peak bound and q274 mid-drain removal asserted live.
     "q277_fulljoin_eviction" -> ((s, d) =>
       graft.streaming.StreamJoin.evictionFullJoinQuery(s, d)),
+    // q278: q244's session_window semantics staged as 6 watermark-
+    // advancing waves — open sessions close and leave the store
+    // MID-DRAIN (peak < 1/2 staged + mid-drain removal asserted
+    // live); q244's batch oracle verbatim (the final watermark is
+    // drain-cadence-independent).
+    "q278_session_eviction" -> ((s, d) =>
+      graft.streaming.SessionStream.sessionEvictionQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -919,6 +926,8 @@ object SparkEntry {
         ((StreamJoin.joinSinkSchema, StreamJoin.leftJoinReadBack _)),
       "q277_fulljoin_eviction" ->
         ((StreamJoin.joinSinkSchema, StreamJoin.fullJoinReadBack _)),
+      "q278_session_eviction" ->
+        ((SessionStream.sinkSchema, SessionStream.readBack _)),
       "q275_ttl_cache" ->
         ((TtlStream.sinkSchema, TtlStream.readBack _)),
       "q276_cdc_consumer" ->
@@ -1871,6 +1880,10 @@ object SparkEntry {
       graft.streaming.UpsertStream.cdcConsumerOracleSql,
     "q277_fulljoin_eviction" ->
       graft.streaming.StreamJoin.fullJoinOracleSql,
+    // q278: the multi-batch session-eviction drain lands the same
+    // closed-session set as q244's 2-wave drain — one oracle.
+    "q278_session_eviction" ->
+      graft.streaming.SessionStream.sessionWindowOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -103,6 +103,86 @@ object SessionStream {
     readBack(spark, sunk)
   }
 
+  /** q278 wave count — enough watermark advances that most sessions
+    * close (and leave the store) while input is still flowing. */
+  val SessEvictWaves = 6
+
+  /** q278: the session-window EVICTION drain — q244's semantics
+    * staged as [[SessEvictWaves]] watermark-advancing waves, so open
+    * sessions must CLOSE (emit + leave the state store) mid-drain
+    * instead of accumulating to the end. This resolves the q244
+    * "cadence caveat" in SCALING.md the same way the q273/q274/q277
+    * trio resolved it for the join family: q244's 2-wave peak is
+    * ~half the feed because sessions cannot be evicted mid-batch;
+    * staged across 6 waves the peak must stay under half the staged
+    * feed, proving state follows the OPEN-session working set, not
+    * the input volume.
+    *
+    * The result is COMPLETE and q244's oracle applies verbatim:
+    * waves split on the global (ts, event_id) order, so no event is
+    * ever late (wave k+1's min ts ≥ wave k's max), a session can
+    * only be closed when the watermark passes `last + gap` — at
+    * which point no event that could extend it (diff ≤ gap) can
+    * still arrive — and the FINAL watermark (max staged ts −
+    * horizon), which alone decides the emitted-session set, is
+    * drain-cadence-independent. */
+  def sessionEvictionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q278_sunk")
+    val drop = StagedDrops.shared(spark,
+        s"sec_waves$SessEvictWaves", dir) { d =>
+      val staged = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+        .withColumn("wave",
+          (ntile(SessEvictWaves).over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("ts"), col("event_id"))) - 1).cast("int"))
+        .localCheckpoint()
+      EventStream.stageWaveFiles(spark, staged,
+        Seq("event_id", "user_id", "ts"), SessEvictWaves, d)
+    }
+    val ck = graft.sources.Scratch.dir(spark, "q278_ck")
+    try StatePartitions.scoped(spark) {
+      val q = sessionCounts(
+          spark.readStream.schema(sessSchema)
+            .option("maxFilesPerTrigger", "1").json(drop))
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == SessEvictWaves,
+        s"q278 staged $SessEvictWaves wave files but streamed " +
+          s"$batches micro-batches")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      require(dropped == 0,
+        s"q278's in-order schedule must never drop rows, saw $dropped")
+      // the eviction claim, measured live: open-session state must
+      // stay under half the staged feed (q244's 2-wave drain peaks at
+      // ~half — the per-batch working set this drain divides)
+      val peakState = q.recentProgress
+        .map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val staged = spark.read.schema(sessSchema).json(drop).count()
+      require(peakState * 2 < staged,
+        s"q278 session store peaked at $peakState rows for $staged " +
+          "staged — sessions never closed between waves")
+      // the mid-drain claim: sessions must EMIT while input is still
+      // flowing (append-mode close), not only at the final no-data
+      // batch — numRowsRemoved is populated by the session store on
+      // close (measured at sf0.001 before this was pinned)
+      val midDrainRemoved = q.recentProgress
+        .filter(_.numInputRows > 0)
+        .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      require(midDrainRemoved > 0,
+        "q278 removed no session rows during the input waves — " +
+          "closure never fired mid-drain")
+    } finally {
+      graft.sources.Scratch.delete(spark, ck)
+    }
+    readBack(spark, sunk)
+  }
+
   /** Rows the q244 drain lands (the closed-session output). */
   val sinkSchema: StructType = StructType(Seq(
     StructField("user_id", LongType),
