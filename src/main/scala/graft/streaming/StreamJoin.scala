@@ -397,7 +397,7 @@ object StreamJoin {
   val EvictDelayMs = 60250L
 
   /** The staged wave drop for q273 (shared once per JVM). */
-  private def stageJoinWaves(spark: SparkSession, dir: String): String =
+  private[graft] def stageJoinWaves(spark: SparkSession, dir: String): String =
     StagedDrops.shared(spark, s"join_waves$EvictWaves", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
         .filter(col("event_type").isin("click", "purchase"))
