@@ -64,6 +64,7 @@ object ScalingCurve {
     ("q278_session_eviction", "session_window drain (6-batch eviction)", "events"),
     ("q246_milestones",     "transformWithState on RocksDB (2 staged waves)", "events"),
     ("q252_join_then_window", "chained stream-stream join + windowed agg (2 state stores)", "events"),
+    ("q279_chained_eviction", "chained join + windowed agg (6-batch eviction drain)", "events"),
     ("q229_stream_join",    "stream-stream interval join (single-batch drain)", "events"),
     ("q273_join_eviction",  "stream-stream interval join (6-batch eviction drain)", "events"),
     ("q251_stream_left_join", "left-outer interval join (null completion)", "events"),
@@ -85,7 +86,8 @@ object ScalingCurve {
     "q278_session_eviction", "q246_milestones",
     "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
     "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction",
-    "q274_leftjoin_eviction", "q277_fulljoin_eviction")
+    "q274_leftjoin_eviction", "q277_fulljoin_eviction",
+    "q279_chained_eviction")
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -163,7 +165,9 @@ object ScalingCurve {
       "q274_leftjoin_eviction" ->
         "outer buffer incl. unmatched clicks, closed per watermark advance (MUST be << staged feed)",
       "q277_fulljoin_eviction" ->
-        "both sides' outer buffers, closed per watermark advance (MUST be << staged feed)")
+        "both sides' outer buffers, closed per watermark advance (MUST be << staged feed)",
+      "q279_chained_eviction" ->
+        "join buffer + open hourly windows, both shed per watermark advance (MUST be << staged feed)")
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
       BenchSession.dropPinnedBlocks(spark)
       if (Stateful(name)) statePeak.set(-1L)
@@ -464,9 +468,11 @@ object ScalingCurve {
       "the watermark only at batch boundaries — sessions/join\nrows " +
       "cannot be evicted mid-batch, so the peak is the per-watermark-" +
       "advance\nworking set, set by the drain's batch cadence — and " +
-      "q278 MEASURES that\nreading: the same session aggregate staged " +
-      "across 6 waves peaks at the\ndivided working set (compare its " +
-      "row above to q244's). The same cadence\ncaveat reads " +
+      "q278/q279 MEASURE that\nreading: the same session aggregate " +
+      "(q278) and the same chained\njoin→window pipeline (q279) " +
+      "staged across 6 waves peak at the divided\nworking set " +
+      "(compare their rows above to q244's/q252's). The same " +
+      "cadence\ncaveat reads " +
       "q229/q251 (their drains are single-" +
       "batch BY DESIGN so the batch\noracle sees a complete result — " +
       "the peak is the whole staged feed; a\ncontinuous deployment " +

@@ -706,6 +706,12 @@ object SparkEntry {
     // drain-cadence-independent).
     "q278_session_eviction" -> ((s, d) =>
       graft.streaming.SessionStream.sessionEvictionQuery(s, d)),
+    // q279: q252's CHAINED join->windowed-agg pipeline staged across
+    // 6 watermark-advancing waves — both state stores shed mid-drain
+    // (summed peak < 1/2 staged + mid-drain window emission asserted
+    // live); q252's batch oracle verbatim.
+    "q279_chained_eviction" -> ((s, d) =>
+      graft.streaming.StreamJoin.evictionJoinedWindowQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -928,6 +934,9 @@ object SparkEntry {
         ((StreamJoin.joinSinkSchema, StreamJoin.fullJoinReadBack _)),
       "q278_session_eviction" ->
         ((SessionStream.sinkSchema, SessionStream.readBack _)),
+      "q279_chained_eviction" ->
+        ((StreamJoin.joinedWindowSinkSchema,
+          StreamJoin.joinedWindowReadBack _)),
       "q275_ttl_cache" ->
         ((TtlStream.sinkSchema, TtlStream.readBack _)),
       "q276_cdc_consumer" ->
@@ -1884,6 +1893,10 @@ object SparkEntry {
     // closed-session set as q244's 2-wave drain — one oracle.
     "q278_session_eviction" ->
       graft.streaming.SessionStream.sessionWindowOracleSql,
+    // q279: the multi-batch chained drain lands the same closed-
+    // window set as q252's 2-batch drain — one oracle.
+    "q279_chained_eviction" ->
+      graft.streaming.StreamJoin.joinedWindowOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

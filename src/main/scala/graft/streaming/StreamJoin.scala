@@ -610,6 +610,77 @@ object StreamJoin {
     fullJoinReadBack(spark, sunk)
   }
 
+  /** q279: the CHAINED eviction drain — q252's join→windowed-agg
+    * pipeline (two state stores, one watermark lifecycle) staged
+    * across [[EvictWaves]] watermark-advancing waves, so BOTH stores
+    * must shed mid-drain: the join buffer as the interval condition
+    * expires rows (q273's mechanics) and the window store as hourly
+    * windows close and emit. This measures the q252 "cadence caveat"
+    * in SCALING.md — the last stateful family whose multi-batch peak
+    * was asserted rather than measured.
+    *
+    * q252's oracle applies verbatim: the joined rows are complete
+    * across waves (q273's completeness argument — needed rows are
+    * never evicted, staged rows are never late), a window may close
+    * only when the min-policy watermark passes its end (at which
+    * point no pair with a click in that hour can still form), and
+    * the FINAL watermark deciding the emitted-window set depends only
+    * on each side's max event time and the horizon — identical to
+    * the 2-batch drain. */
+  def evictionJoinedWindowQuery(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q279_sunk")
+    val drop = stageOuterJoinWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q279_ck")
+    try StatePartitions.scoped(spark) {
+      def side(eventType: String): DataFrame = spark.readStream
+        .schema(joinDropSchema)
+        .option("maxFilesPerTrigger", "1")
+        .json(drop)
+        .filter(col("event_type") === eventType)
+        .select(col("event_id"), timestamp_millis(col("t")).as("ts"),
+          col("user_id"), col("value"))
+      val q = clickPurchaseJoin(side("click"), side("purchase"),
+          AttributionMinutes, s"$LeftJoinHorizonMs milliseconds")
+        .groupBy(window(col("click_ts"), "3600 seconds"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .select(unix_millis(col("window.start")).as("window_ms"),
+          col("n_pairs"))
+        .writeStream.format("parquet").option("path", sunk)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      require(batches == EvictWaves,
+        s"q279 staged $EvictWaves wave files but streamed $batches " +
+          "micro-batches")
+      // the eviction claim, measured live across BOTH stores: summed
+      // peak state must stay under half the staged feed (q252's
+      // 2-batch drain peaks at the whole feed + open windows)
+      val peakState = q.recentProgress
+        .map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val staged = spark.read.schema(joinDropSchema).json(drop).count()
+      require(peakState * 2 < staged,
+        s"q279 chained stores peaked at $peakState rows for $staged " +
+          "staged — neither eviction nor window close freed state " +
+          "between batches")
+      // mid-drain shedding, measured on the stores' own counters:
+      // rows must be REMOVED during input-carrying batches (the
+      // inner-join buffer populates numRowsRemoved on eviction —
+      // unlike the full-outer path, see drainEvictionJoin — and the
+      // window store populates it on close). The file sink reports
+      // numOutputRows = -1, so sink-side emission is not observable.
+      val midDrainRemoved = q.recentProgress
+        .filter(_.numInputRows > 0)
+        .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      require(midDrainRemoved > 0,
+        "q279 removed no state rows during the input waves — " +
+          "neither eviction nor window close fired mid-drain")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    joinedWindowReadBack(spark, sunk)
+  }
+
   /** q277's post-drain read-back — matched pairs plus BOTH sides'
     * null completions, nulls keyed as -1 (hash-stable). */
   def fullJoinReadBack(spark: SparkSession, sunk: String): DataFrame =

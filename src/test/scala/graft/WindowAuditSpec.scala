@@ -44,7 +44,7 @@ class WindowAuditSpec extends SparkSpec {
     "q258_stream_static", "q259_bounded_dedup", "q265_stream_cdc",
     "q271_type_runs", "q273_join_eviction", "q274_leftjoin_eviction",
     "q275_ttl_cache", "q276_cdc_consumer", "q277_fulljoin_eviction",
-    "q278_session_eviction",
+    "q278_session_eviction", "q279_chained_eviction",
     // not stream drains, but their registered functions also execute
     // pipelines on invocation: q149 drains the parquet file sink,
     // q170 writes the partitioned sink it then reads back, q263
