@@ -712,6 +712,26 @@ object SparkEntry {
     // live); q252's batch oracle verbatim.
     "q279_chained_eviction" -> ((s, d) =>
       graft.streaming.StreamJoin.evictionJoinedWindowQuery(s, d)),
+    // q280: CDC log COMPACTION — fold batches below the consumer's
+    // checkpoint into a committed base, delete the folded partitions,
+    // and prove compacted-base + tail folds to the full-log answer
+    // (layout, fold identity, and q276's oracle asserted live); the
+    // log is bounded to one base + consumer lag.
+    "q280_cdc_compaction" -> ((s, d) =>
+      graft.streaming.UpsertStream.cdcCompactionQuery(s, d)),
+    // q281: q279's chained join->window eviction drain ON ROCKSDB —
+    // provider parity for the eviction family's hardest member (two
+    // chained stores), same live peak/removal assertions, same
+    // oracle; the provider is loaned, never left set on the session.
+    "q281_rocksdb_chained" -> ((s, d) =>
+      graft.streaming.StreamJoin.rocksDbChainedEvictionQuery(s, d)),
+    // q282: EVENT-TIME TTL via transformWithState timers — q275's TTL
+    // semantics made watermark-driven and fully deterministic (lazy
+    // expiry check at arrival + timer-driven physical reclamation,
+    // resident-state equality asserted live against the in-TTL user
+    // set); completes the state-hygiene matrix.
+    "q282_event_ttl" -> ((s, d) =>
+      graft.streaming.EventTtlStream.eventTtlQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -942,6 +962,14 @@ object SparkEntry {
       "q276_cdc_consumer" ->
         ((UpsertStream.cdcConsumerSinkSchema,
           UpsertStream.cdcConsumerReadBack _)),
+      "q280_cdc_compaction" ->
+        ((UpsertStream.cdcCompactionSinkSchema,
+          UpsertStream.cdcCompactionReadBack _)),
+      "q281_rocksdb_chained" ->
+        ((StreamJoin.joinedWindowSinkSchema,
+          StreamJoin.joinedWindowReadBack _)),
+      "q282_event_ttl" ->
+        ((EventTtlStream.sinkSchema, EventTtlStream.readBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -1897,6 +1925,18 @@ object SparkEntry {
     // window set as q252's 2-batch drain — one oracle.
     "q279_chained_eviction" ->
       graft.streaming.StreamJoin.joinedWindowOracleSql,
+    // q280: compaction must be semantically invisible to the CDC
+    // consumer — q276's from-scratch oracle verbatim.
+    "q280_cdc_compaction" ->
+      graft.streaming.UpsertStream.cdcCompactionOracleSql,
+    // q281: the state-store provider must not change the answer —
+    // q252/q279's closed-window oracle verbatim.
+    "q281_rocksdb_chained" ->
+      graft.streaming.StreamJoin.joinedWindowOracleSql,
+    // q282: the event-time TTL lifecycle replayed relationally over
+    // the two-wave schedule.
+    "q282_event_ttl" ->
+      graft.streaming.EventTtlStream.eventTtlOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -126,10 +126,11 @@ object SessionStream {
     * still arrive — and the FINAL watermark (max staged ts −
     * horizon), which alone decides the emitted-session set, is
     * drain-cadence-independent. */
-  def sessionEvictionQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sunk = graft.sources.Scratch.dirOutliving(spark, "q278_sunk")
-    val drop = StagedDrops.shared(spark,
-        s"sec_waves$SessEvictWaves", dir) { d =>
+  /** The staged q278 wave drop (shared once per JVM; the restart spec
+    * replays EXACTLY the schedule the oracle query drains). */
+  private[graft] def stageSessionWaves(spark: SparkSession,
+      dir: String): String =
+    StagedDrops.shared(spark, s"sec_waves$SessEvictWaves", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),
           timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
@@ -140,6 +141,10 @@ object SessionStream {
       EventStream.stageWaveFiles(spark, staged,
         Seq("event_id", "user_id", "ts"), SessEvictWaves, d)
     }
+
+  def sessionEvictionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, "q278_sunk")
+    val drop = stageSessionWaves(spark, dir)
     val ck = graft.sources.Scratch.dir(spark, "q278_ck")
     try StatePartitions.scoped(spark) {
       val q = sessionCounts(

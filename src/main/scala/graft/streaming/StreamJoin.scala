@@ -482,7 +482,7 @@ object StreamJoin {
     * second-floored feed (event times at .000 ms so the .500 ms
     * horizon can never tie — q244's dodge) split into [[EvictWaves]]
     * time-ordered wave files. */
-  private def stageOuterJoinWaves(spark: SparkSession,
+  private[graft] def stageOuterJoinWaves(spark: SparkSession,
       dir: String): String =
     StagedDrops.shared(spark, s"leftjoin_waves$EvictWaves", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
@@ -508,10 +508,15 @@ object StreamJoin {
     * during input-carrying batches, not only at the final no-data
     * batch: removal is both eviction of expired buffer rows and
     * closure of unmatched rows, the mechanics the peak bound depends
-    * on wave-to-wave). Returns the sink path for the caller's
-    * read-back. */
+    * on wave-to-wave). `assertRemovedMetric` additionally pins the
+    * store's own `numRowsRemoved` counter > 0 across the input waves —
+    * the left-outer eviction path populates it (measured), so q274
+    * asserts the METRIC on top of the totals inference; the full-outer
+    * path does not populate it in this Spark version (see below), so
+    * q277 relies on the inference alone. Returns the sink path for the
+    * caller's read-back. */
   private def drainEvictionJoin(spark: SparkSession, dir: String,
-      label: String)(
+      label: String, assertRemovedMetric: Boolean = false)(
       join: (DataFrame, DataFrame) => DataFrame): String = {
     val sunk = graft.sources.Scratch.dirOutliving(spark, s"${label}_sunk")
     val drop = stageOuterJoinWaves(spark, dir)
@@ -557,12 +562,21 @@ object StreamJoin {
       require(midDrainShed > 0,
         s"$label shed no state rows during the input waves — the " +
           "watermark never frees the buffer mid-drain")
+      if (assertRemovedMetric) {
+        val midDrainRemoved = inputBatches
+          .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+        require(midDrainRemoved > 0,
+          s"$label reported numRowsRemoved = 0 across the input waves " +
+            "— the store's own removal counter must confirm the " +
+            "totals-inferred shedding")
+      }
     } finally graft.sources.Scratch.delete(spark, ck)
     sunk
   }
 
   def evictionLeftJoinQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sunk = drainEvictionJoin(spark, dir, "q274") { (c, p) =>
+    val sunk = drainEvictionJoin(spark, dir, "q274",
+        assertRemovedMetric = true) { (c, p) =>
       clickPurchaseLeftJoin(c, p, AttributionMinutes,
         s"$LeftJoinHorizonMs milliseconds")
     }
@@ -628,10 +642,32 @@ object StreamJoin {
     * on each side's max event time and the horizon — identical to
     * the 2-batch drain. */
   def evictionJoinedWindowQuery(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val sunk = graft.sources.Scratch.dirOutliving(spark, "q279_sunk")
+      : DataFrame = drainChainedEviction(spark, dir, "q279")
+
+  /** q281: q279's chained eviction drain ON ROCKSDB — the provider the
+    * 100 TB state posture actually leans on (README §scale), run with
+    * the SAME live assertions (wave count, summed peak < ½ staged,
+    * mid-drain removal) and the SAME oracle. Before this query the
+    * eviction family drained only on the default HDFS-backed provider
+    * while only the transformWithState family (q246/q271/q275)
+    * exercised RocksDB; this closes the gap at the family's hardest
+    * member (two chained stores, one watermark lifecycle). The
+    * provider is a loan ([[EventStream.withRocksDbProvider]]) so it
+    * cannot leak into queries sharing the session. */
+  def rocksDbChainedEvictionQuery(spark: SparkSession, dir: String)
+      : DataFrame =
+    EventStream.withRocksDbProvider(spark) {
+      drainChainedEviction(spark, dir, "q281")
+    }
+
+  /** The chained join→window eviction drain (q279/q281 share it; the
+    * state-store provider is whatever the session carries when the
+    * drain starts, which is how q281 swaps in RocksDB). */
+  private def drainChainedEviction(spark: SparkSession, dir: String,
+      label: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, s"${label}_sunk")
     val drop = stageOuterJoinWaves(spark, dir)
-    val ck = graft.sources.Scratch.dir(spark, "q279_ck")
+    val ck = graft.sources.Scratch.dir(spark, s"${label}_ck")
     try StatePartitions.scoped(spark) {
       def side(eventType: String): DataFrame = spark.readStream
         .schema(joinDropSchema)
@@ -653,7 +689,7 @@ object StreamJoin {
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       require(batches == EvictWaves,
-        s"q279 staged $EvictWaves wave files but streamed $batches " +
+        s"$label staged $EvictWaves wave files but streamed $batches " +
           "micro-batches")
       // the eviction claim, measured live across BOTH stores: summed
       // peak state must stay under half the staged feed (q252's
@@ -662,7 +698,7 @@ object StreamJoin {
         .map(_.stateOperators.map(_.numRowsTotal).sum).max
       val staged = spark.read.schema(joinDropSchema).json(drop).count()
       require(peakState * 2 < staged,
-        s"q279 chained stores peaked at $peakState rows for $staged " +
+        s"$label chained stores peaked at $peakState rows for $staged " +
           "staged — neither eviction nor window close freed state " +
           "between batches")
       // mid-drain shedding, measured on the stores' own counters:
@@ -675,7 +711,7 @@ object StreamJoin {
         .filter(_.numInputRows > 0)
         .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
       require(midDrainRemoved > 0,
-        "q279 removed no state rows during the input waves — " +
+        s"$label removed no state rows during the input waves — " +
           "neither eviction nor window close fired mid-drain")
     } finally graft.sources.Scratch.delete(spark, ck)
     joinedWindowReadBack(spark, sunk)

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.UpsertStream
+
+/** Failure injection and boundary cases for CDC log compaction
+  * (q280's [[UpsertStream.compactCdcLog]]). The claims under test:
+  *
+  *  - REPLAY SAFETY: compaction folds strictly below the consumer's
+  *    oldest-uncommitted batch, so the batch a crashed consumer
+  *    replays is always still on disk.
+  *  - CRASH SAFETY: a kill between the base's commit marker and the
+  *    partition deletes leaves folded `batch=<id>` dirs on disk; the
+  *    `batch > upto` tail filter keeps every reader correct over that
+  *    torn state, and re-running the compactor sweeps it — the same
+  *    write-new-then-repoint discipline as the snapshot chain's
+  *    (UpsertRestartSpec).
+  *  - INCREMENTALITY: compacting in two steps (fold batch 0, then
+  *    fold batch 1 onto the prior base) equals the one-shot fold —
+  *    the path a periodic compactor actually runs.
+  */
+class CdcCompactionSpec extends SparkSpec {
+
+  /** Drain the shared three-wave CDC feed into fresh dirs; returns the
+    * log dir. */
+  private def drainLog(tag: String): String = {
+    val drop = UpsertStream.stageUpsertWaves(spark, sf0001)
+    val root = tmpDir(s"cc_root_$tag")
+    val cdc = tmpDir(s"cc_cdc_$tag")
+    val ck = tmpDir(s"cc_ck_$tag")
+    assert(UpsertStream.drainCdcWaves(spark, drop, root, cdc, ck) ==
+      UpsertStream.Waves)
+    cdc
+  }
+
+  /** The consumer's answer as a comparable map: user -> (ver, n_ops).
+    * Computed through the PUBLIC read-back (base-if-present + tail),
+    * which is exactly what a consumer resumes from. */
+  private def fold(cdc: String): Map[Long, (Long, Long)] =
+    UpsertStream.cdcCompactionReadBack(spark, cdc).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("compaction bounds the layout and preserves the fold") {
+    val cdc = drainLog("ok")
+    val expected = fold(cdc) // full-log fold, no base yet
+    assert(expected.nonEmpty)
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2)
+    // replay safety: batch 2 (the consumer's uncommitted batch) must
+    // survive; batches 0/1 are folded and gone
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L),
+      s"live batches: ${UpsertStream.cdcBatchIds(spark, cdc)}")
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(1L))
+    assert(fold(cdc) == expected,
+      "compaction must be semantically invisible to the consumer")
+    // idempotence: re-running at the same checkpoint changes nothing
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    assert(fold(cdc) == expected)
+  }
+
+  test("kill between base commit and partition deletes: torn reads stay correct, re-run sweeps") {
+    val cdc = drainLog("kill")
+    val expected = fold(cdc)
+    val died = intercept[IllegalStateException] {
+      UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2,
+        failBeforeDeletes = true)
+    }
+    assert(died.getMessage.contains("injected crash"))
+    // torn state: the base committed but the folded partitions remain
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(1L),
+      "the crash must land AFTER the base commit")
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(0L, 1L, 2L),
+      "the crash must land BEFORE the partition deletes")
+    // a reader over the torn log must NOT double-count the folded
+    // partitions — the batch > upto filter, not the deletes, carries
+    // correctness
+    assert(fold(cdc) == expected,
+      "torn-state read double-counted folded partitions")
+    // restart: the re-run is idempotent and finishes the sweep
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(1L))
+    assert(fold(cdc) == expected)
+  }
+
+  test("incremental compaction (two steps) equals the one-shot fold") {
+    val cdc = drainLog("inc")
+    val expected = fold(cdc)
+    // consumer committed batch 0 only
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 1)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(1L, 2L))
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(0L))
+    assert(fold(cdc) == expected)
+    // ... then batch 1: the second step folds ONTO the prior base
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(1L))
+    assert(fold(cdc) == expected)
+    // folding the whole log leaves a base and no tail; the read-back
+    // still answers from the base alone
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 3)
+    assert(UpsertStream.cdcBatchIds(spark, cdc).isEmpty)
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(2L))
+    assert(fold(cdc) == expected)
+  }
+
+  test("checkpoint 0 is a no-op (nothing committed, nothing foldable)") {
+    val cdc = drainLog("noop")
+    val expected = fold(cdc)
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 0)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(0L, 1L, 2L))
+    assert(UpsertStream.currentCdcBase(spark, cdc).isEmpty)
+    assert(fold(cdc) == expected)
+  }
+
+  test("the fold matches the from-scratch windowed reconstruction (q276's identity)") {
+    val cdc = drainLog("ident")
+    val viaWindow = UpsertStream.cdcConsumerReadBack(spark, cdc).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fold(cdc) == viaWindow)
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2)
+    assert(fold(cdc) == viaWindow)
+  }
+}

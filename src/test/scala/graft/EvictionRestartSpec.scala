@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-import graft.streaming.StreamJoin
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.{SessionStream, StreamJoin}
 
 /** Failure injection for the multi-batch eviction join (q273's drain
   * shape): kill the drain mid-stream AFTER a batch's sink write but
@@ -73,8 +74,10 @@ class EvictionRestartSpec extends SparkSpec {
       Option(died.getCause).exists(_.getMessage.contains("injected crash")),
       s"unexpected failure: $died")
     // batch 3's output landed before the crash — the restart must
-    // OVERWRITE it, not double it
-    assert(spark.read.parquet(s"$out/b=3").count() >= 0)
+    // OVERWRITE it, not double it (the wave is non-empty at sf0.001,
+    // so a pre-crash write that never happened would read 0 rows)
+    assert(spark.read.parquet(s"$out/b=3").count() > 0,
+      "batch 3's sink write must land before the injected crash")
 
     val progress = drain(drop, out, ck, failAt = None)
     val inputBatches = progress.filter(_.numInputRows > 0).sortBy(_.batchId)
@@ -119,5 +122,191 @@ class EvictionRestartSpec extends SparkSpec {
         s"batch join yields ${ref.length}")
     assert(got.toSet == ref.toSet,
       "post-restart pairs must equal the batch interval join")
+  }
+
+  // ------------------------------------------------------------------
+  // The CHAINED pipeline (q279's shape): TWO state stores — the join
+  // buffer and the window store — restoring from ONE checkpoint, the
+  // SPARK-42376 multi-stateful-operator recovery case users actually
+  // hit. Kill after batch 3's sink write; the restart must replay
+  // batch 3 with BOTH stores restored and converge to the batch
+  // answer exactly once.
+  // ------------------------------------------------------------------
+
+  /** Drain the chained join→hourly-window pipeline to per-batch
+    * parquet dirs (`out/b=<id>`, overwrite — idempotent under
+    * replay), optionally crashing after `failAt`'s write. */
+  private def drainChained(drop: String, out: String, ck: String,
+      failAt: Option[Long])
+      : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    val q = StreamJoin.clickPurchaseJoin(
+        side(spark, drop, "click"), side(spark, drop, "purchase"),
+        StreamJoin.AttributionMinutes,
+        s"${StreamJoin.LeftJoinHorizonMs} milliseconds")
+      .groupBy(window(col("click_ts"), "3600 seconds"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("n_pairs"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/b=$id")
+        if (failAt.contains(id))
+          throw new RuntimeException(
+            s"injected crash after batch $id sink write")
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress
+  }
+
+  test("chained join->window: kill after batch 3, BOTH stores restore, exactly-once windows") {
+    val drop = StreamJoin.stageOuterJoinWaves(spark, sf0001)
+    val out = tmpDir("chain_out")
+    val ck = tmpDir("chain_ck")
+
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainChained(drop, out, ck, failAt = Some(3L))
+    }
+    assert(died.getMessage.contains("injected crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected crash")),
+      s"unexpected failure: $died")
+
+    val progress = drainChained(drop, out, ck, failAt = None)
+    val inputBatches = progress.filter(_.numInputRows > 0).sortBy(_.batchId)
+    assert(inputBatches.map(_.batchId).toSeq == Seq(3L, 4L, 5L),
+      s"restart must replay batch 3 then finish: ${inputBatches.map(_.batchId).toSeq}")
+    // BOTH stores came back from the one checkpoint: the replayed
+    // batch reports two state operators, and their summed resident
+    // rows exceed its own input — the pre-crash join-buffer tail and
+    // the open hourly windows batches 0-2 accumulated were restored,
+    // not rebuilt from the replayed wave alone.
+    val replay = inputBatches.head
+    assert(replay.stateOperators.length == 2,
+      s"chained pipeline must report 2 state operators, " +
+        s"saw ${replay.stateOperators.length}")
+    val resident = replay.stateOperators.map(_.numRowsTotal).sum
+    assert(resident > replay.numInputRows,
+      s"replayed batch 3 sees $resident state rows for " +
+        s"${replay.numInputRows} inputs — pre-crash state was not restored")
+
+    // exactly-once convergence: the landed closed windows equal the
+    // batch join bucketed hourly, windows closed by the final
+    // min-policy watermark (q252's oracle, computed Spark-side)
+    val staged = spark.read.schema(dropSchema).json(drop)
+    val c = staged.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("ct"))
+    val p = staged.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("t").as("pt"))
+    val fwm = math.min(
+        c.agg(max("ct")).head.getLong(0),
+        p.agg(max("pt")).head.getLong(0)) -
+      StreamJoin.LeftJoinHorizonMs
+    val winMs = StreamJoin.AttributionMinutes * 60000L
+    val ref = c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("pt") <= col("ct") && col("pt") >= col("ct") - lit(winMs))
+      .select((col("ct") - (col("ct") % 3600000L)).as("window_ms"))
+      .filter(col("window_ms") + 3600000L <= fwm)
+      .groupBy("window_ms").agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(out)
+      .select(col("window_ms"), col("n_pairs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref,
+      s"post-restart closed windows must equal the batch oracle " +
+        s"(got ${got.size} windows, expected ${ref.size})")
+  }
+
+  // ------------------------------------------------------------------
+  // The SESSION store (q278's shape): merge-state recovery. A session
+  // open across the crash boundary must come back from the checkpoint
+  // and keep MERGING — a lost store would restart it and split every
+  // boundary-spanning session, which the final equality would catch.
+  // ------------------------------------------------------------------
+
+  /** Drain the session aggregate to per-batch parquet dirs,
+    * optionally crashing after `failAt`'s write. */
+  private def drainSessions(drop: String, out: String, ck: String,
+      failAt: Option[Long]): Unit = {
+    val q = SessionStream.sessionCounts(
+        spark.readStream.schema(SessionStream.sessSchema)
+          .option("maxFilesPerTrigger", "1").json(drop))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/b=$id")
+        if (failAt.contains(id))
+          throw new RuntimeException(
+            s"injected crash after batch $id sink write")
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("session store: kill after batch 3, merge-state restores, sessions never split") {
+    val drop = SessionStream.stageSessionWaves(spark, sf0001)
+    val out = tmpDir("sess_out")
+    val ck = tmpDir("sess_ck")
+
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainSessions(drop, out, ck, failAt = Some(3L))
+    }
+    assert(died.getMessage.contains("injected crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected crash")),
+      s"unexpected failure: $died")
+    drainSessions(drop, out, ck, failAt = None)
+
+    // the batch answer: inclusive-gap sessions per user, end = last +
+    // gap, emitted iff closed by the final watermark (q244's oracle,
+    // computed Spark-side over the staged feed)
+    val gap = SessionStream.SessGapMs
+    val ev = spark.read.schema(SessionStream.sessSchema).json(drop)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms")
+    val sessions = ev
+      .withColumn("brk",
+        when(col("ms") - lag(col("ms"), 1).over(w) <= gap, 0)
+          .otherwise(1))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ms").as("sess_start_ms"),
+        (max("ms") + gap).as("sess_end_ms"),
+        count(lit(1)).as("n"))
+    val fwm = ev.agg(max("ms")).head.getLong(0) -
+      SessionStream.SessHorizonMs
+    val ref = sessions.filter(col("sess_end_ms") <= fwm)
+      .select("user_id", "sess_start_ms", "sess_end_ms", "n")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = spark.read.parquet(out)
+      .select("user_id", "sess_start_ms", "sess_end_ms", "n")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == ref,
+      s"post-restart sessions must equal the batch sessionization " +
+        s"(got ${got.size}, expected ${ref.size})")
+
+    // ... and the equality actually exercised cross-crash merging:
+    // at least one emitted session STARTS before the replayed wave's
+    // first event and ENDS (last event, = end - gap) at or after it —
+    // a session held open in the restored store and extended by
+    // post-restart batches. A lost store would have split it.
+    val minT3 = ev
+      .withColumn("wave", (ntile(SessionStream.SessEvictWaves).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ms"), col("event_id"))) - 1))
+      .filter(col("wave") === 3)
+      .agg(min("ms")).head.getLong(0)
+    assert(got.exists(s => s._2 < minT3 && (s._3 - gap) >= minT3),
+      "no emitted session spans the crash boundary — the merge-state " +
+        "restoration claim was not exercised")
   }
 }
