@@ -65,6 +65,8 @@ object ScalingCurve {
     ("q246_milestones",     "transformWithState on RocksDB (2 staged waves)", "events"),
     ("q252_join_then_window", "chained stream-stream join + windowed agg (2 state stores)", "events"),
     ("q279_chained_eviction", "chained join + windowed agg (6-batch eviction drain)", "events"),
+    ("q281_rocksdb_chained", "q279's chained eviction drain on RocksDB (provider-relative cost)", "events"),
+    ("q282_event_ttl", "event-time TTL via transformWithState timers (RocksDB)", "events"),
     ("q229_stream_join",    "stream-stream interval join (single-batch drain)", "events"),
     ("q273_join_eviction",  "stream-stream interval join (6-batch eviction drain)", "events"),
     ("q251_stream_left_join", "left-outer interval join (null completion)", "events"),
@@ -87,7 +89,7 @@ object ScalingCurve {
     "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
     "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction",
     "q274_leftjoin_eviction", "q277_fulljoin_eviction",
-    "q279_chained_eviction")
+    "q279_chained_eviction", "q281_rocksdb_chained", "q282_event_ttl")
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -167,7 +169,11 @@ object ScalingCurve {
       "q277_fulljoin_eviction" ->
         "both sides' outer buffers, closed per watermark advance (MUST be << staged feed)",
       "q279_chained_eviction" ->
-        "join buffer + open hourly windows, both shed per watermark advance (MUST be << staged feed)")
+        "join buffer + open hourly windows, both shed per watermark advance (MUST be << staged feed)",
+      "q281_rocksdb_chained" ->
+        "q279's two stores on RocksDB — same bound, provider-relative wall cost",
+      "q282_event_ttl" ->
+        "live in-TTL users only (event-time timers physically reclaim expired entries)")
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
       BenchSession.dropPinnedBlocks(spark)
       if (Stateful(name)) statePeak.set(-1L)
@@ -498,16 +504,32 @@ object ScalingCurve {
           f"| $peak%,d | $fed%,d | $reading (${t}%.1f s) |\n"
       }
       // the stretched decade: the live-set claim measured with key
-      // density per delay window held CONSTANT
+      // density per delay window held CONSTANT. The peak decomposes as
+      // (one wave's inflow, resident until the next watermark advance
+      // — the 3-wave drain's CADENCE component, staged/2 by the ntile
+      // split) + (the WATERMARK-GOVERNED survivors of end-of-batch
+      // eviction — the live set the 5-day delay actually bounds);
+      // measured at sf0.1: 83,590 = 50,000 + 33,590, the tail being
+      // exactly the wave-0 keys within 2x delay of the wave boundary.
+      // Only the tail is the TTL claim; the inflow term is the q244/
+      // q252 cadence caveat, which a continuous deployment divides by
+      // its trigger rate.
       val q259Base = stateRows.get(("q259_bounded_dedup", Sfs(2)))
       val stretchReading = stretchErr match {
         case Some(msg) => s"FAILED at the stretched decade: $msg"
         case None =>
-          val r = q259Base.filter(_ > 0)
-            .map(b => stretchPeak.toDouble / b)
-          f"${r.fold("—")(x => f"$x%.2fx")} peak vs sf0.1 on 10x keys " +
-            "over 10x time — the live set follows the 5-day window's " +
-            "key density, not the total key count"
+          val sf01Staged = rowCounts(("events", Sfs(2)))
+          val tails = q259Base.filter(_ > 0).map { b =>
+            (b - sf01Staged / 2, stretchPeak - stagedRows / 2)
+          }
+          tails.fold("—") { case (baseTail, stTail) =>
+            f"watermark-governed tail (peak − one wave's inflow): " +
+              f"$baseTail%,d (sf0.1) -> $stTail%,d " +
+              f"(${stTail.toDouble / baseTail}%.2fx on 10x keys over " +
+              "10x time) — the live set follows the 5-day window's " +
+              "key density; the inflow term is the drain's wave " +
+              "cadence, which a continuous deployment divides"
+          }
       }
       sb ++= "\nSTRETCHED decade (10x events over 10x the time range — " +
         "event_id and ts\nshift per copy, users stay, so keys per " +
@@ -569,6 +591,23 @@ object ScalingCurve {
       "proven directly by StreamingSpec's multi-batch\ncases, the " +
       "interval conditions documented at StreamJoin.scala, and " +
       "q273's\nmeasured peaks above.\n"
+    // provider-relative drain cost: q279 and q281 are the SAME chained
+    // eviction drain on the default (HDFS-backed) vs RocksDB provider,
+    // measured in the same session — the number a deployment sizing
+    // the 100 TB state posture on RocksDB actually needs
+    (mins.get(("q279_chained_eviction", Sfs(2))),
+     mins.get(("q281_rocksdb_chained", Sfs(2)))) match {
+      case (Some(h), Some(r)) if h > 0 =>
+        sb ++= f"\nProvider-relative drain cost: q281 (RocksDB) runs " +
+          f"the identical chained\ndrain at ${r / h}%.2fx q279's " +
+          "(default-provider) wall time at sf0.1 — the\nRocksDB " +
+          "changelog/snapshot maintenance is the fixed per-batch " +
+          "delta a\ncontinuous deployment buys for state larger than " +
+          "executor memory; state\nrows and the eviction bounds are " +
+          "identical across providers (same live\nassertions, same " +
+          "oracle).\n"
+      case _ => ()
+    }
     ccRounds.toSeq.sortBy(_._1).headOption.foreach { _ =>
       sb ++= "\nq232 star-alternation rounds to convergence (exact-" +
         "seeded union graph):\n" +

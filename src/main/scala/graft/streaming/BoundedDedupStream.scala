@@ -43,13 +43,21 @@ object BoundedDedupStream {
   val DelayMs = 432000250L
 
   /** Echo shifts: a near echo re-sent 300 s after its original (state
-    * certainly alive), a far echo re-sent 25 days later (state
-    * certainly expired, arrival certainly fresh — 25 d spans the
-    * fixture's whole 30-day range minus the delay, so EVERY evicted
-    * key's echo clears the batch-2 watermark rather than a thin
-    * boundary band). */
+    * certainly alive); a far echo re-sent `span − delay` later (state
+    * certainly expired, arrival certainly fresh). The far shift is
+    * DERIVED from the staged feed's own time range — whole seconds,
+    * `(max − min) − 432000` — so EVERY evicted key's echo clears the
+    * batch-2 watermark regardless of the range: the 30-day fixture
+    * reproduces the former 25-day constant, and a stretched decade
+    * (10x the range) scales with it instead of silently producing
+    * zero far echoes (the staging guard caught exactly that before
+    * the shift was made span-proportional). */
   val NearShiftSec = 300L
-  val FarShiftSec = 2160000L
+
+  /** The far shift in whole seconds (delay floor: 432000 s = the
+    * 5-day delay without its .25 s tie-dodge fraction, so freshness
+    * comparisons keep a 250 ms margin and can never tie). */
+  val FarShiftFloorSec = 432000L
 
   private val dropSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -79,7 +87,8 @@ object BoundedDedupStream {
       // watermark batch 2 runs under, the echoes' freshness bar)
       val bounds = waved.agg(
         max(when(col("wave") === 0, unix_millis(col("ts")))).as("m0"),
-        max(unix_millis(col("ts"))).as("mAll"))
+        max(unix_millis(col("ts"))).as("mAll"),
+        min(unix_millis(col("ts"))).as("mn"))
       val sevenths = waved.crossJoin(broadcast(bounds))
         .filter(col("event_id") % 7 === 0)
       // alive at batch 2 under EITHER expiry reading: ts+delay above
@@ -91,14 +100,18 @@ object BoundedDedupStream {
           (col("ts") + expr(s"interval $NearShiftSec seconds")).as("ts"),
           col("event_type"), lit(2).cast("int").as("wave"))
       // evicted at end of batch 1 (expired vs the m0-delay watermark)
-      // AND fresh vs the batch-2 watermark (mAll-delay)
+      // AND fresh vs the batch-2 watermark (mAll-delay); the shift is
+      // span-proportional (see [[FarShiftFloorSec]]) — exact long
+      // arithmetic on ms values that are whole-second multiples
+      val farShiftMs = ((col("mAll") - col("mn")) / lit(1000))
+        .cast("long") * lit(1000L) - lit(FarShiftFloorSec * 1000L)
       val echoFar = sevenths
         .filter(col("wave") === 0 &&
           unix_millis(col("ts")) + lit(DelayMs) < col("m0") - lit(DelayMs) &&
-          unix_millis(col("ts")) + lit(FarShiftSec * 1000L) >=
+          unix_millis(col("ts")) + farShiftMs >=
             col("mAll") - lit(DelayMs))
         .select(col("event_id"),
-          (col("ts") + expr(s"interval $FarShiftSec seconds")).as("ts"),
+          timestamp_millis(unix_millis(col("ts")) + farShiftMs).as("ts"),
           col("event_type"), lit(2).cast("int").as("wave"))
       val staged = waved.select("event_id", "ts", "event_type", "wave")
         .unionByName(echoNear).unionByName(echoFar)
@@ -183,11 +196,12 @@ object BoundedDedupStream {
        w AS (SELECT event_id, s, event_type,
            ntile(2) OVER (ORDER BY s, event_id) - 1 AS wave FROM e),
        m AS (SELECT max(CASE WHEN wave = 0 THEN s END) * 1000 AS m0,
-           max(s) * 1000 AS mall FROM w),
+           max(s) * 1000 AS mall,
+           (max(s) - min(s) - $FarShiftFloorSec) * 1000 AS fs FROM w),
        far AS (SELECT event_id, event_type FROM w, m
          WHERE wave = 0 AND event_id % 7 = 0
            AND s * 1000 + $DelayMs < m0 - $DelayMs
-           AND s * 1000 + ${FarShiftSec}000 >= mall - $DelayMs),
+           AND s * 1000 + fs >= mall - $DelayMs),
        adm AS (SELECT event_id, event_type FROM w
          UNION ALL SELECT event_id, event_type FROM far)
      SELECT event_type, CAST(count(*) AS BIGINT) AS n_admitted,

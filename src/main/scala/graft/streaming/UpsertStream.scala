@@ -642,12 +642,18 @@ object UpsertStream {
   def compactCdcLog(spark: SparkSession, cdc: String,
       oldestUncommitted: Long,
       failBeforeDeletes: Boolean = false): Unit = {
-    val hi = oldestUncommitted - 1
-    if (hi < 0) return
     val p = new Path(cdc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior = currentCdcBase(spark, cdc)
     val priorUpto = prior.map(_._1).getOrElse(-1L)
+    // clamp to batches that EXIST: a checkpoint beyond the newest
+    // batch (contract-violating, but cheap to survive) must not mint
+    // a base claiming coverage of batches never written — readers
+    // would then ignore them on arrival (batch > upto)
+    val hi = math.min(oldestUncommitted - 1,
+      math.max(cdcBatchIds(spark, cdc).lastOption.getOrElse(-1L),
+        priorUpto))
+    if (hi < 0) return
     if (priorUpto < hi) {
       // fold [priorUpto+1, hi] onto the prior base; the tail filter is
       // batch > priorUpto for the same torn-state reason readers use it

@@ -102,6 +102,13 @@ class CdcCompactionSpec extends SparkSpec {
     assert(UpsertStream.cdcBatchIds(spark, cdc).isEmpty)
     assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(2L))
     assert(fold(cdc) == expected)
+    // a checkpoint beyond the newest batch (contract-violating) must
+    // not mint a base claiming coverage of unwritten batches — a
+    // later batch=3 write would otherwise be silently ignored by the
+    // batch > upto tail filter
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 99)
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(2L))
+    assert(fold(cdc) == expected)
   }
 
   test("checkpoint 0 is a no-op (nothing committed, nothing foldable)") {
