@@ -504,28 +504,20 @@ object ScalingCurve {
           f"| $peak%,d | $fed%,d | $reading (${t}%.1f s) |\n"
       }
       // the stretched decade: the live-set claim measured with key
-      // density per delay window held CONSTANT. The peak decomposes as
-      // (one wave's inflow, resident until the next watermark advance
-      // — the 3-wave drain's CADENCE component, staged/2 by the ntile
-      // split) + (the WATERMARK-GOVERNED survivors of end-of-batch
-      // eviction — the live set the 5-day delay actually bounds);
-      // measured at sf0.1: 83,590 = 50,000 + 33,590, the tail being
-      // exactly the wave-0 keys within 2x delay of the wave boundary.
-      // Only the tail is the TTL claim; the inflow term is the q244/
-      // q252 cadence caveat, which a continuous deployment divides by
-      // its trigger rate.
+      // density per delay window held CONSTANT (the peak-decomposition
+      // explanation is EMITTED below so the committed SCALING.md and
+      // this generator cannot drift)
       val q259Base = stateRows.get(("q259_bounded_dedup", Sfs(2)))
+      val sf01Staged = rowCounts(("events", Sfs(2)))
+      val baseTail = q259Base.filter(_ > 0).map(_ - sf01Staged / 2)
       val stretchReading = stretchErr match {
         case Some(msg) => s"FAILED at the stretched decade: $msg"
         case None =>
-          val sf01Staged = rowCounts(("events", Sfs(2)))
-          val tails = q259Base.filter(_ > 0).map { b =>
-            (b - sf01Staged / 2, stretchPeak - stagedRows / 2)
-          }
-          tails.fold("—") { case (baseTail, stTail) =>
+          baseTail.fold("—") { bt =>
+            val stTail = stretchPeak - stagedRows / 2
             f"watermark-governed tail (peak − one wave's inflow): " +
-              f"$baseTail%,d (sf0.1) -> $stTail%,d " +
-              f"(${stTail.toDouble / baseTail}%.2fx on 10x keys over " +
+              f"$bt%,d (sf0.1) -> $stTail%,d " +
+              f"(${stTail.toDouble / bt}%.2fx on 10x keys over " +
               "10x time) — the live set follows the 5-day window's " +
               "key density; the inflow term is the drain's wave " +
               "cadence, which a continuous deployment divides"
@@ -533,7 +525,22 @@ object ScalingCurve {
       }
       sb ++= "\nSTRETCHED decade (10x events over 10x the time range — " +
         "event_id and ts\nshift per copy, users stay, so keys per " +
-        "5-day delay window are CONSTANT):\n\n"
+        "5-day delay window are CONSTANT):\n"
+      (q259Base, baseTail) match {
+        case (Some(b), Some(bt)) =>
+          sb ++= "The peak decomposes as (one wave's inflow, resident " +
+            "until the next\nwatermark advance — the 3-wave drain's " +
+            "CADENCE component, staged/2 by\nthe ntile split) + (the " +
+            "WATERMARK-GOVERNED survivors of end-of-batch\neviction — " +
+            "the live set the 5-day delay actually bounds); at sf0.1:\n" +
+            f"$b%,d = ${sf01Staged / 2}%,d + $bt%,d, the tail being " +
+            "exactly the wave-0 keys within\n2x delay of the wave " +
+            "boundary. Only the tail is the TTL claim; the\ninflow " +
+            "term is the q244/q252 cadence caveat.\n"
+        case _ => ()
+      }
+      sb ++= "\n| query | state bound | sf0.1 peak | stretched peak " +
+        "| staged rows | reading |\n|---|---|---|---|---|---|\n"
       sb ++= f"| q259_bounded_dedup | ${stateBounds("q259_bounded_dedup")} " +
         f"| ${q259Base.fold("—")(b => f"$b%,d")} | $stretchPeak%,d " +
         f"| $stagedRows%,d | $stretchReading (${stretchT}%.1f s) |\n"

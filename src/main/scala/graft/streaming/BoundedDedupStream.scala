@@ -128,8 +128,8 @@ object BoundedDedupStream {
       require(nFar > 0 && nNear > 0,
         s"q259 staging produced $nNear near / $nFar far echoes — the " +
           "fixture's time range no longer spans ~2x the dedup delay; " +
-          "rescale DelayMs/FarShiftSec or the suppress/re-admit paths " +
-          "go unexercised")
+          "rescale DelayMs/FarShiftFloorSec (or widen the fixture's " +
+          "time range) or the suppress/re-admit paths go unexercised")
       EventStream.stageWaveFiles(spark, staged,
         Seq("event_id", "ts", "event_type"), 3, d)
     }

@@ -78,8 +78,13 @@ object EventTtlStream {
 
     override def handleInputRows(key: Long, rows: Iterator[TtlEvent],
         timerValues: TimerValues): Iterator[TtlSplit] = {
-      val sorted = rows.toArray.sortBy(e => (e.ms, e.event_id))
-      if (sorted.isEmpty) Iterator.empty
+      // one fold: only the batch's row count and max event time are
+      // consumed (classification is per-BATCH-first-arrival, so
+      // within-batch order is irrelevant — no sort, no buffering)
+      var n = 0L
+      var maxMs = Long.MinValue
+      rows.foreach { e => n += 1; if (e.ms > maxMs) maxMs = e.ms }
+      if (n == 0) Iterator.empty
       else {
         val wm = timerValues.getCurrentWatermarkInMs()
         val prior = if (lastSeen.exists()) Some(lastSeen.get()) else None
@@ -87,12 +92,12 @@ object EventTtlStream {
         // cold: no entry, or the entry's event-time TTL has lapsed
         // under the CURRENT watermark (lazy check — see scaladoc)
         val cold = prior.forall(p => p + ttlMs < wm)
-        val last = math.max(sorted.last.ms, prior.getOrElse(Long.MinValue))
+        val last = math.max(maxMs, prior.getOrElse(Long.MinValue))
         lastSeen.update(last)
         getHandle.registerTimer(last + ttlMs)
         Iterator.single(TtlSplit(key,
           if (cold) 1L else 0L,
-          sorted.length - (if (cold) 1L else 0L)))
+          n - (if (cold) 1L else 0L)))
       }
     }
 

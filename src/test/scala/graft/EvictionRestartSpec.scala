@@ -204,16 +204,20 @@ class EvictionRestartSpec extends SparkSpec {
         p.agg(max("pt")).head.getLong(0)) -
       StreamJoin.LeftJoinHorizonMs
     val winMs = StreamJoin.AttributionMinutes * 60000L
+    // MULTISET comparison (sorted Seq, not Map/Set): a window
+    // re-emitted by a replay bug would otherwise collapse into one
+    // entry and pass — duplicates are exactly what exactly-once
+    // forbids
     val ref = c.join(p,
         col("user_id") === col("p_user_id") &&
           col("pt") <= col("ct") && col("pt") >= col("ct") - lit(winMs))
       .select((col("ct") - (col("ct") % 3600000L)).as("window_ms"))
       .filter(col("window_ms") + 3600000L <= fwm)
       .groupBy("window_ms").agg(count(lit(1)).as("n_pairs"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val got = spark.read.parquet(out)
       .select(col("window_ms"), col("n_pairs"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got == ref,
       s"post-restart closed windows must equal the batch oracle " +
         s"(got ${got.size} windows, expected ${ref.size})")
@@ -259,37 +263,30 @@ class EvictionRestartSpec extends SparkSpec {
       s"unexpected failure: $died")
     drainSessions(drop, out, ck, failAt = None)
 
-    // the batch answer: inclusive-gap sessions per user, end = last +
-    // gap, emitted iff closed by the final watermark (q244's oracle,
-    // computed Spark-side over the staged feed)
+    // the batch answer: THE shared gap rule (Sessionize.sessionsFromMs
+    // — the one definition q46/q149/q164 already use, so this
+    // reference cannot diverge from the engine's inclusive-gap
+    // semantics), end = last + gap, emitted iff closed by the final
+    // watermark. Multiset (sorted Seq) comparison: a session row
+    // duplicated by a replay bug must fail, not collapse into a set.
     val gap = SessionStream.SessGapMs
     val ev = spark.read.schema(SessionStream.sessSchema).json(drop)
       .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ms")
-    val sessions = ev
-      .withColumn("brk",
-        when(col("ms") - lag(col("ms"), 1).over(w) <= gap, 0)
-          .otherwise(1))
-      .withColumn("sid", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sid")
-      .agg(min("ms").as("sess_start_ms"),
-        (max("ms") + gap).as("sess_end_ms"),
-        count(lit(1)).as("n"))
-    val fwm = ev.agg(max("ms")).head.getLong(0) -
+        unix_millis(col("ts")).as("t"))
+    val fwm = ev.agg(max("t")).head.getLong(0) -
       SessionStream.SessHorizonMs
-    val ref = sessions.filter(col("sess_end_ms") <= fwm)
-      .select("user_id", "sess_start_ms", "sess_end_ms", "n")
+    val ref = graft.operators.Sessionize.sessionsFromMs(ev, gap)
+      .filter(col("end_ms") + gap <= fwm)
+      .select(col("user_id"), col("start_ms"),
+        (col("end_ms") + gap).as("sess_end_ms"), col("n_events"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
+      .sorted.toSeq
     val got = spark.read.parquet(out)
       .select("user_id", "sess_start_ms", "sess_end_ms", "n")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
+      .sorted.toSeq
     assert(got == ref,
       s"post-restart sessions must equal the batch sessionization " +
         s"(got ${got.size}, expected ${ref.size})")
@@ -302,9 +299,9 @@ class EvictionRestartSpec extends SparkSpec {
     val minT3 = ev
       .withColumn("wave", (ntile(SessionStream.SessEvictWaves).over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("ms"), col("event_id"))) - 1))
+          .orderBy(col("t"), col("event_id"))) - 1))
       .filter(col("wave") === 3)
-      .agg(min("ms")).head.getLong(0)
+      .agg(min("t")).head.getLong(0)
     assert(got.exists(s => s._2 < minT3 && (s._3 - gap) >= minT3),
       "no emitted session spans the crash boundary — the merge-state " +
         "restoration claim was not exercised")
