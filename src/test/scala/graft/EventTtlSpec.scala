@@ -81,6 +81,63 @@ class EventTtlSpec extends SparkSpec {
       s"expected exactly u1 resident, saw $resident state rows")
   }
 
+  test("kill after batch 1: value state AND armed timers restore from the checkpoint") {
+    // foreachBatch drain so the crash can land after batch 1's write
+    // but before its commit: the restart replays batch 1 against the
+    // state checkpointed at batch 0 — including the TIMERS batch 0
+    // armed, which is the recovery property no crash-free drain can
+    // show (a lost timer registry would never fire expiry for users
+    // that don't re-arrive, leaving their entries resident forever).
+    val drop = stageFixture()
+    val out = tmpDir("ettl_kill_out")
+    val ck = tmpDir("ettl_kill_ck")
+    def drain(failAt: Option[Long]): Long = {
+      var resident = -1L
+      StatePartitions.scoped(spark) {
+        EventStream.withRocksDbProvider(spark) {
+          val q = EventTtlStream.ttlSplits(spark,
+              spark.readStream.schema(EventTtlStream.ttlSchema)
+                .option("maxFilesPerTrigger", "1").json(drop), 86400000L)
+            .writeStream
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              df.write.mode("overwrite").parquet(s"$out/b=$id")
+              if (failAt.contains(id))
+                throw new RuntimeException(
+                  s"injected crash after batch $id sink write")
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          resident = q.recentProgress.last
+            .stateOperators.map(_.numRowsTotal).sum
+        }
+      }
+      resident
+    }
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(failAt = Some(1L))
+    }
+    assert(died.getMessage.contains("injected crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected crash")))
+    val resident = drain(failAt = None)
+    // classification converges to the crash-free answer: the replayed
+    // batch 1 saw u1's RESTORED lastSeen (cold by lazy expiry, not by
+    // absence) and u2's (warm) — a lost value state would make u2
+    // cold-by-absence and break the map equality
+    val totals = EventTtlStream.readBack(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(totals == Map(
+      1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 0L)),
+      4L -> ((1L, 1L)), 5L -> ((1L, 0L))),
+      s"post-restart classification diverged: $totals")
+    // ... and the timers armed before the crash fired after it: every
+    // entry but u1's was physically reclaimed
+    assert(resident == 1L,
+      s"expected exactly u1 resident after restart, saw $resident — " +
+        "armed timers did not survive the checkpoint")
+  }
+
   test("infinite-TTL contrast: cold only by absence, nothing reclaimed") {
     val (totals, resident) = drain(stageFixture(), 86400000000L)
     assert(totals == Map(

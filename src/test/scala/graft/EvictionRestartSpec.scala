@@ -162,9 +162,26 @@ class EvictionRestartSpec extends SparkSpec {
   }
 
   test("chained join->window: kill after batch 3, BOTH stores restore, exactly-once windows") {
+    chainedKillRestart("chain")
+  }
+
+  /** The same two-store kill/restart on ROCKSDB: recovery there goes
+    * through changelog/snapshot replay rather than the default
+    * provider's HDFS delta files — a different restore path entirely,
+    * and the one the 100 TB posture depends on. No other spec proves
+    * RocksDB state SURVIVES a crash (q246/q271/q275/q281/q282 drain
+    * crash-free); this one does, at the hardest member (two chained
+    * stores, one checkpoint). */
+  test("chained join->window on RocksDB: kill after batch 3, changelog restore, exactly-once") {
+    graft.streaming.EventStream.withRocksDbProvider(spark) {
+      chainedKillRestart("chain_rocks")
+    }
+  }
+
+  private def chainedKillRestart(tag: String): Unit = {
     val drop = StreamJoin.stageOuterJoinWaves(spark, sf0001)
-    val out = tmpDir("chain_out")
-    val ck = tmpDir("chain_ck")
+    val out = tmpDir(s"${tag}_out")
+    val ck = tmpDir(s"${tag}_ck")
 
     val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       drainChained(drop, out, ck, failAt = Some(3L))
