@@ -271,6 +271,10 @@ object UpsertStream {
     * scanning it) — the streaming completion of the deletion-vector /
     * SCD2 maintenance family. Cost per batch: the batch itself plus
     * one key-join against the current snapshot — never a table scan.
+    * The log itself is bounded by [[compactCdcLog]] (q280): batches
+    * below the consumer's checkpoint fold into a committed base, so
+    * storage is one base + the consumer's lag, not one partition per
+    * batch forever.
     *
     * The oracle replays the three-wave schedule in SQL: the staging
     * splits by version (ntile over (ts=millis(event_id), doc_id)), so
@@ -450,7 +454,10 @@ object UpsertStream {
     * ops) — at 100 TB the consumer never rescans history, which is
     * the whole point of a change feed. The batch-id list is log
     * METADATA (one row per refresh cadence, bounded driver state —
-    * the house collect() discipline).
+    * the house collect() discipline). The loop's LENGTH (consumer
+    * lag in batches) is bounded by [[compactCdcLog]] (q280): a lagging
+    * consumer resumes from the compacted base + tail rather than a
+    * thousand sequential folds.
     *
     * Retraction identity, asserted inside the drain: the running
     * aggregate maintained incrementally from the ops (+post-image
