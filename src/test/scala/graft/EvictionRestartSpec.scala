@@ -178,7 +178,40 @@ class EvictionRestartSpec extends SparkSpec {
     }
   }
 
-  private def chainedKillRestart(tag: String): Unit = {
+  /** ... and with CHANGELOG CHECKPOINTING on — the RocksDB mode a
+    * large-state deployment runs (per-batch uploads are the changelog
+    * delta, not a full snapshot), whose RESTORE path is snapshot +
+    * changelog REPLAY. The drain asserts the mode was actually active
+    * (at least one `.changelog` file under the state checkpoint —
+    * a silently-ignored conf would otherwise pass as a duplicate of
+    * the plain RocksDB case). */
+  test("chained join->window on RocksDB + changelog checkpointing: kill, replay restore") {
+    val key = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      graft.streaming.EventStream.withRocksDbProvider(spark) {
+        val ck = chainedKillRestart("chain_rocks_cl")
+        val ckFs = new org.apache.hadoop.fs.Path(ck)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = ckFs.listFiles(new org.apache.hadoop.fs.Path(ck), true)
+        var sawChangelog = false
+        while (it.hasNext && !sawChangelog)
+          sawChangelog = it.next().getPath.getName.endsWith(".changelog")
+        assert(sawChangelog,
+          "no .changelog file under the checkpoint — changelog " +
+            "checkpointing was not active, the case proved nothing new")
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Runs the kill/restart/converge cycle; returns the checkpoint
+    * dir for provider-specific layout assertions. */
+  private def chainedKillRestart(tag: String): String = {
     val drop = StreamJoin.stageOuterJoinWaves(spark, sf0001)
     val out = tmpDir(s"${tag}_out")
     val ck = tmpDir(s"${tag}_ck")
@@ -238,6 +271,7 @@ class EvictionRestartSpec extends SparkSpec {
     assert(got == ref,
       s"post-restart closed windows must equal the batch oracle " +
         s"(got ${got.size} windows, expected ${ref.size})")
+    ck
   }
 
   // ------------------------------------------------------------------
