@@ -732,6 +732,11 @@ object SparkEntry {
     // set); completes the state-hygiene matrix.
     "q282_event_ttl" -> ((s, d) =>
       graft.streaming.EventTtlStream.eventTtlQuery(s, d)),
+    // q283: TIME TRAVEL on the upsert table — read snapshot v(N-1)
+    // next to the current v(N), the as-of query the retention window
+    // exists to serve; depth == the retention policy, asserted live.
+    "q283_time_travel" -> ((s, d) =>
+      graft.streaming.UpsertStream.timeTravelQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -970,6 +975,9 @@ object SparkEntry {
           StreamJoin.joinedWindowReadBack _)),
       "q282_event_ttl" ->
         ((EventTtlStream.sinkSchema, EventTtlStream.readBack _)),
+      "q283_time_travel" ->
+        ((UpsertStream.timeTravelSinkSchema,
+          UpsertStream.timeTravelReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -1937,6 +1945,9 @@ object SparkEntry {
     // the two-wave schedule.
     "q282_event_ttl" ->
       graft.streaming.EventTtlStream.eventTtlOracleSql,
+    // q283: the table as of batch N-1 — the first two waves' argmax.
+    "q283_time_travel" ->
+      graft.streaming.UpsertStream.timeTravelOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -804,6 +804,74 @@ object UpsertStream {
     * consumer computes. */
   def cdcCompactionOracleSql: String = cdcConsumerOracleSql
 
+  // --------------------------------------------------------------------
+  // TIME TRAVEL (q283) — the read the retention window exists to serve.
+  // --------------------------------------------------------------------
+
+  /** q283: AS-OF read of the upsert table — snapshot v{b} IS the table
+    * state after batch b (ids are deterministic in the batch id,
+    * [[applyUpsertBatch]]), so reading v{N−1} next to the current
+    * v{N} is one-step time travel, the lakehouse query the
+    * [[vacuumSnapshots]] retention window (exactly {v(N−1), v(N)}
+    * live) exists to serve: v{N−1} is simultaneously the replay
+    * safety margin, the CDC pre-image probe's target, and the
+    * user-facing "table as of the previous refresh".
+    *
+    * The drain is q253's (shared waves, same merge path); the query
+    * then reads the PREVIOUS snapshot by number. The oracle replays
+    * the first two waves' argmax — equality certifies that snapshot
+    * numbering, retention, and the merge agree on what "as of batch
+    * N−1" means. Deeper history is deliberately IMPOSSIBLE here:
+    * retention vacuums v{N−2} and below, and the drain asserts the
+    * live chain is exactly {v(N−1), v(N)} before reading — time
+    * travel depth is the retention policy, stated and enforced, not
+    * an accident of what survived. */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q283_table")
+    val drop = stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q283_ck")
+    try StatePartitions.scoped(spark) {
+      val batches = drainUpsertWaves(spark, drop, root, ck)
+      require(batches == Waves,
+        s"q283 staged $Waves wave files but streamed $batches " +
+          "micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    val cur = currentSnapshot(spark, root)
+      .getOrElse(sys.error(s"q283 drained but no snapshot under $root"))
+    require(cur.endsWith(s"/v${Waves - 1}"),
+      s"q283 current snapshot is $cur, expected v${Waves - 1}")
+    // the retention invariant IS the time-travel contract: exactly
+    // one step of history is live
+    val live = snapshotCount(spark, root)
+    require(live == 2,
+      s"q283 drained with $live live snapshots — time travel depth " +
+        "must equal the retention window (exactly {v(N-1), v(N)})")
+    timeTravelReadBack(spark, s"$root/v${Waves - 2}")
+  }
+
+  /** q283's read-back over the AS-OF snapshot directory (the q253
+    * layout read one version back). */
+  def timeTravelReadBack(spark: SparkSession, snapshot: String): DataFrame =
+    readBack(spark, snapshot)
+
+  /** Rows a q283 snapshot holds (the staged doc layout). */
+  val timeTravelSinkSchema: org.apache.spark.sql.types.StructType =
+    DocStream.docSchema
+
+  /** DuckDB oracle for [[timeTravelQuery]] — the argmax per user over
+    * the FIRST TWO waves only (the table as of batch 1; wave split
+    * replayed exactly as [[stageUpsertWaves]] ordered it). */
+  def timeTravelOracleSql: String =
+    """WITH w AS (SELECT user_id, event_type, event_id,
+           ntile(3) OVER (ORDER BY event_id, user_id) - 1 AS wave
+         FROM events)
+     SELECT user_id, event_type AS latest_type,
+       CAST(event_id AS BIGINT) AS ver
+     FROM (SELECT user_id, event_type, event_id, row_number() OVER
+         (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+       FROM w WHERE wave <= 1)
+     WHERE rn = 1 ORDER BY user_id"""
+
   /** DuckDB oracle for [[cdcConsumerQuery]] — the from-scratch
     * reconstruction: per user the global argmax version (the last
     * op's ver) and the wave-presence count (the key's op count). */
