@@ -66,6 +66,7 @@ object ScalingCurve {
     ("q252_join_then_window", "chained stream-stream join + windowed agg (2 state stores)", "events"),
     ("q279_chained_eviction", "chained join + windowed agg (6-batch eviction drain)", "events"),
     ("q281_rocksdb_chained", "q279's chained eviction drain on RocksDB (provider-relative cost)", "events"),
+    ("q286_rocksdb_session", "q278's session drain on RocksDB (provider-relative cost)", "events"),
     ("q282_event_ttl", "event-time TTL via transformWithState timers (RocksDB)", "events"),
     ("q229_stream_join",    "stream-stream interval join (single-batch drain)", "events"),
     ("q273_join_eviction",  "stream-stream interval join (6-batch eviction drain)", "events"),
@@ -89,7 +90,8 @@ object ScalingCurve {
     "q252_join_then_window", "q229_stream_join", "q251_stream_left_join",
     "q255_stream_actives", "q259_bounded_dedup", "q273_join_eviction",
     "q274_leftjoin_eviction", "q277_fulljoin_eviction",
-    "q279_chained_eviction", "q281_rocksdb_chained", "q282_event_ttl")
+    "q279_chained_eviction", "q281_rocksdb_chained",
+    "q286_rocksdb_session", "q282_event_ttl")
 
   /** Queries whose real input is the DERIVED co-activity edge list,
     * not the events table: the graph's |E| itself grows superlinearly
@@ -172,6 +174,8 @@ object ScalingCurve {
         "join buffer + open hourly windows, both shed per watermark advance (MUST be << staged feed)",
       "q281_rocksdb_chained" ->
         "q279's two stores on RocksDB — same bound, provider-relative wall cost",
+      "q286_rocksdb_session" ->
+        "q278's session store on RocksDB — same bound, provider-relative wall cost",
       "q282_event_ttl" ->
         "live in-TTL users only (event-time timers physically reclaim expired entries)")
     for (r <- 1 to reps; sf <- Sfs; (name, _, _) <- Queries) {
@@ -192,7 +196,9 @@ object ScalingCurve {
             operators.DupClusters.lastAlternations >= 0)
           ccRounds(sf) = operators.DupClusters.lastAlternations
         println(f"[rep $r] ${sf.split('/').last}%-8s $name%-24s $s%.2fs")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM, linkage) must propagate — a session
+        // that survived one is not a session to keep measuring in
         println(s"[rep $r] $sf $name FAILED: ${e.getMessage}")
       }
     }
@@ -410,7 +416,7 @@ object ScalingCurve {
         BenchSession.dropPinnedBlocks(spark)
         val t0 = System.nanoTime()
         val err = try { SparkEntry.queries(n)(spark, dir).count(); None }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             Some(Option(e.getMessage).getOrElse(e.toString).take(160)) }
         ((System.nanoTime() - t0) / 1e9, settledStatePeak(), err)
       }
@@ -426,6 +432,37 @@ object ScalingCurve {
       // judged against the feed each drain actually stages
       val clickPurchaseShare = ev01
         .filter(col("event_type").isin("click", "purchase")).count() * 10
+      // q280 LAYOUT decade: compaction bounds STORAGE, not state — the
+      // post-compaction CDC log must hold one base (rows ~ the key
+      // set) + the consumer's lag tail, however much history was fed.
+      // The streaming variant (same users, 10x events) separates the
+      // two: history grows 10x, the key set does not, so base rows
+      // must stay FLAT while pre-compaction log rows grow 10x.
+      def cdcLayout(dir: String): (Long, Long, Long, Long) = {
+        val drop = streaming.UpsertStream.stageUpsertWavesN(spark, dir, 3)
+        val root = sources.Scratch.dir(spark, "sc280_root")
+        val cdc = sources.Scratch.dir(spark, "sc280_cdc")
+        val ck = sources.Scratch.dir(spark, "sc280_ck")
+        streaming.StatePartitions.scoped(spark) {
+          streaming.UpsertStream.drainCdcWaves(spark, drop, root, cdc, ck)
+          ()
+        }
+        val history = spark.read.parquet(cdc).count()
+        // the q280 configuration: consumer committed {0,1}, lag = 1
+        streaming.UpsertStream.compactCdcLog(spark, cdc,
+          oldestUncommitted = 2)
+        val base = streaming.UpsertStream.currentCdcBase(spark, cdc)
+          .map { case (_, d) => spark.read.parquet(d).count() }
+          .getOrElse(0L)
+        val tailRows = spark.read.parquet(cdc).count()
+        val tailParts = streaming.UpsertStream.cdcBatchIds(spark, cdc)
+          .size.toLong
+        Seq(root, cdc, ck).foreach(sources.Scratch.delete(spark, _))
+        (history, base, tailRows, tailParts)
+      }
+      val cdcLayouts =
+        Sfs.map(sf => sf.split('/').last -> cdcLayout(sf)) :+
+          ("10x events" -> cdcLayout(blowS))
       graft.sources.Scratch.delete(spark, blowS)
 
       // the STRETCHED decade (q259's constant-key-density variant):
@@ -503,18 +540,47 @@ object ScalingCurve {
         sb ++= f"| $n | ${stateBounds(n)} | ${base.fold("—")(b => f"$b%,d")} " +
           f"| $peak%,d | $fed%,d | $reading (${t}%.1f s) |\n"
       }
+      // the compacted-CDC-log layout rows (computed above, before the
+      // 10x feed was deleted)
+      sb ++= "\nCompacted CDC log layout (q280's bound, consumer lag " +
+        "= 1 batch): the\npost-compaction log is one base + the lag " +
+        "tail. Base rows track the KEY\nSET (distinct users touched " +
+        "by the folded batches); pre-compaction log\nrows track " +
+        "history. The streaming decade keeps users and multiplies\n" +
+        "events 10x — history grows 10x, the base must not.\n\n"
+      sb ++= "| feed | log rows pre-compaction | base rows | tail rows " +
+        "| tail partitions |\n|---|---|---|---|---|\n"
+      cdcLayouts.foreach { case (tag, (h, b, tr, tp)) =>
+        sb ++= f"| $tag | $h%,d | $b%,d | $tr%,d | $tp |\n"
+      }
+      (cdcLayouts.lift(2), cdcLayouts.lastOption) match {
+        case (Some((_, (h01, b01, _, _))), Some((_, (hX, bX, _, _))))
+            if b01 > 0 =>
+          sb ++= f"\nReading: 10x history ($h01%,d -> $hX%,d log rows) " +
+            f"compacts to ${bX.toDouble / b01}%.2fx the base\n(" +
+            f"$b01%,d -> $bX%,d rows) — storage tracks keys + lag, " +
+            "not history, which is the\nbound the compaction exists " +
+            "to provide.\n"
+        case _ => ()
+      }
       // the stretched decade: the live-set claim measured with key
       // density per delay window held CONSTANT (the peak-decomposition
       // explanation is EMITTED below so the committed SCALING.md and
       // this generator cannot drift)
       val q259Base = stateRows.get(("q259_bounded_dedup", Sfs(2)))
       val sf01Staged = rowCounts(("events", Sfs(2)))
-      val baseTail = q259Base.filter(_ > 0).map(_ - sf01Staged / 2)
+      // a peak under half the staged feed would make the tail
+      // decomposition negative (nonsense as a ratio) — emit "—"
+      // rather than a negative "tail" in that case
+      val baseTail = q259Base.filter(_ > sf01Staged / 2)
+        .map(_ - sf01Staged / 2)
       val stretchReading = stretchErr match {
         case Some(msg) => s"FAILED at the stretched decade: $msg"
         case None =>
-          baseTail.fold("—") { bt =>
-            val stTail = stretchPeak - stagedRows / 2
+          val stTail = stretchPeak - stagedRows / 2
+          baseTail.filter(_ => stTail > 0).fold(
+            "peak under one wave's inflow on either side — the tail " +
+              "decomposition does not apply") { bt =>
             f"watermark-governed tail (peak − one wave's inflow): " +
               f"$bt%,d (sf0.1) -> $stTail%,d " +
               f"(${stTail.toDouble / bt}%.2fx on 10x keys over " +
@@ -613,6 +679,20 @@ object ScalingCurve {
           "executor memory; state\nrows and the eviction bounds are " +
           "identical across providers (same live\nassertions, same " +
           "oracle).\n"
+      case _ => ()
+    }
+    // same comparison for the session store (q278 vs q286): the
+    // merge-on-arrival layout is the provider's read-modify-write
+    // path, so its delta is measured separately from the joins'
+    (mins.get(("q278_session_eviction", Sfs(2))),
+     mins.get(("q286_rocksdb_session", Sfs(2)))) match {
+      case (Some(h), Some(r)) if h > 0 =>
+        sb ++= f"\nq286 (RocksDB) runs the identical session-window " +
+          f"drain at ${r / h}%.2fx q278's\n(default-provider) wall " +
+          "time at sf0.1 — the session store's merge-on-\narrival " +
+          "read-modify-write pattern rides the provider delta too; " +
+          "state rows\nand the eviction bounds are identical across " +
+          "providers.\n"
       case _ => ()
     }
     ccRounds.toSeq.sortBy(_._1).headOption.foreach { _ =>

@@ -737,6 +737,22 @@ object SparkEntry {
     // exists to serve; depth == the retention policy, asserted live.
     "q283_time_travel" -> ((s, d) =>
       graft.streaming.UpsertStream.timeTravelQuery(s, d)),
+    // q284: compaction INTERLEAVED with a live CDC consumer — the
+    // consumer applies batch b, the compactor folds <= b, and the
+    // spared-batch / bounded-layout / resume-identity claims are
+    // asserted at EVERY step of the loop; q276's oracle verbatim.
+    "q284_live_compaction" -> ((s, d) =>
+      graft.streaming.UpsertStream.liveCompactionQuery(s, d)),
+    // q285: retention as a PARAMETER (K=3 over four waves — the
+    // vacuum fires live at the new boundary) serving depth-2 time
+    // travel: read v(N-2), the as-of a K=2 window cannot answer.
+    "q285_retention_k" -> ((s, d) =>
+      graft.streaming.UpsertStream.retentionKQuery(s, d)),
+    // q286: q278's session-window eviction drain ON ROCKSDB — the
+    // provider's read-modify-write path under session merge/split,
+    // same live peak/shed assertions, same oracle; provider loaned.
+    "q286_rocksdb_session" -> ((s, d) =>
+      graft.streaming.SessionStream.rocksDbSessionEvictionQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -978,6 +994,14 @@ object SparkEntry {
       "q283_time_travel" ->
         ((UpsertStream.timeTravelSinkSchema,
           UpsertStream.timeTravelReadBack _)),
+      "q284_live_compaction" ->
+        ((UpsertStream.liveCompactionSinkSchema,
+          UpsertStream.liveCompactionReadBack _)),
+      "q285_retention_k" ->
+        ((UpsertStream.retentionKSinkSchema,
+          UpsertStream.retentionKReadBack _)),
+      "q286_rocksdb_session" ->
+        ((SessionStream.sinkSchema, SessionStream.readBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -1948,6 +1972,18 @@ object SparkEntry {
     // q283: the table as of batch N-1 — the first two waves' argmax.
     "q283_time_travel" ->
       graft.streaming.UpsertStream.timeTravelOracleSql,
+    // q284: compaction interleaved with the live consumer must not
+    // change what the consumer computes — q276's oracle verbatim.
+    "q284_live_compaction" ->
+      graft.streaming.UpsertStream.liveCompactionOracleSql,
+    // q285: the table as of batch 1 under a K=3 window over four
+    // waves — the first two of four waves' argmax.
+    "q285_retention_k" ->
+      graft.streaming.UpsertStream.retentionKOracleSql,
+    // q286: the state-store provider must not change the session set
+    // — q244/q278's closed-session oracle verbatim.
+    "q286_rocksdb_session" ->
+      graft.streaming.SessionStream.sessionWindowOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -24,6 +24,8 @@ import graft.operators.{SecJsonDocs, SecServing}
   *   - `POST /execute-custom-query` body `{"query": …}`  → `{"data":[…]}`
   *   - `GET /get-financial-data?year=&quarter=&data_type=&source=` → `{"data":[…], "execution_time": s}`
   *   - `GET /query-data?query=`                          → `{"data":[…]}`
+  *   - `GET /table-snapshot?root=[&version=]` (beyond-reference: the
+  *     upsert table's current/as-of read, [[tableSnapshot]])
   *
   * Float NaN/±Inf sanitize to JSON null exactly like the reference's
   * `sanitize_float_values` (main.py:34-40). Deliberate divergences,
@@ -147,6 +149,7 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     s.createContext("/execute-custom-query", ex => handle(ex)(executeCustomQuery))
     s.createContext("/get-financial-data", ex => handle(ex)(getFinancialData))
     s.createContext("/query-data", ex => handle(ex)(queryData))
+    s.createContext("/table-snapshot", ex => handle(ex)(tableSnapshot))
     val p = java.util.concurrent.Executors.newFixedThreadPool(threads)
     s.setExecutor(p)
     pool = Some(p)
@@ -238,6 +241,43 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     val data = rows(df)
     val secs = (System.nanoTime() - t0) / 1e9
     (200, s"""{"data":$data,"execution_time":$secs}""")
+  }
+
+  /** Sixth route (beyond the reference's five): serve the streaming
+    * upsert table ([[graft.streaming.UpsertStream]]) — the maintenance
+    * story's read edge. `GET /table-snapshot?root=<table root>
+    * [&version=<n|vn>]` answers from the CURRENT committed snapshot,
+    * or AS-OF version n when asked; a version the retention window
+    * has vacuumed (or a torn, uncommitted directory) is a 404, so
+    * time-travel depth surfaces as the stated policy, never as a read
+    * of half-deleted files. Response carries both ids —
+    * `{"version":n,"current":m,"data":[…]}` — so a client can tell an
+    * as-of read from a current one; data rides [[rows]] (maxRows cap,
+    * job deadline, NaN sanitize) like every other data route. */
+  private def tableSnapshot(ex: HttpExchange): (Int, String) = {
+    val p = params(ex)
+    val root = p.getOrElse("root",
+      return (400, detail("root parameter required")))
+    val cur = graft.streaming.UpsertStream.currentSnapshot(spark, root)
+      .getOrElse(return (404, detail(
+        s"no committed snapshot under $root")))
+    val curId = cur.split('/').last.stripPrefix("v").toLong
+    val asOf = p.get("version").map { v =>
+      v.stripPrefix("v").toLongOption.getOrElse(
+        return (400, detail(s"invalid version: $v")))
+    }
+    val (ver, snap) = asOf match {
+      case None => (curId, cur)
+      case Some(n) =>
+        graft.streaming.UpsertStream.snapshotDir(spark, root, n) match {
+          case Some(d) => (n, d)
+          case None => return (404, detail(
+            s"version $n is outside the retention window " +
+              s"(current: $curId)"))
+        }
+    }
+    (200, s"""{"version":$ver,"current":$curId,""" +
+      s""""data":${rows(spark.read.parquet(snap))}}""")
   }
 
   private def queryData(ex: HttpExchange): (Int, String) = {

@@ -70,8 +70,9 @@ object BoundedDedupStream {
     * of every 7th key: NEAR echoes of late wave-1 keys (state alive
     * under the batch-2 watermark ⇒ suppressed), FAR echoes of wave-0
     * keys already evicted at the end of batch 1 (⇒ re-admitted,
-    * arriving 20 days after their original — the at-least-once
-    * replay-after-retention case). */
+    * arriving span − delay after their original, where span is the
+    * staged feed's time range ([[FarShiftFloorSec]] derivation) — the
+    * at-least-once replay-after-retention case). */
   def stageEchoWaves(spark: SparkSession, dir: String): String =
     StagedDrops.shared(spark, "dedup_echo_waves3", dir) { d =>
       val base = graft.sources.Tables.events(spark, dir)

@@ -142,10 +142,35 @@ object SessionStream {
         Seq("event_id", "user_id", "ts"), SessEvictWaves, d)
     }
 
-  def sessionEvictionQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sunk = graft.sources.Scratch.dirOutliving(spark, "q278_sunk")
+  def sessionEvictionQuery(spark: SparkSession, dir: String): DataFrame =
+    drainSessionEviction(spark, dir, "q278")
+
+  /** q286: q278's session-eviction drain ON ROCKSDB — provider parity
+    * for the session store, whose merge-on-arrival state layout
+    * (`SessionWindowStateStoreSaveExec` keeps per-key session LISTS
+    * that split/merge as events arrive, unlike the interval joins'
+    * append-only row buffers) is the eviction family's most
+    * RocksDB-divergent member: q281 covered the chained join→window
+    * pipeline, but session merging exercises the provider's
+    * read-modify-write path, not just put/evict. Same live assertions
+    * (wave count, zero drops, peak < ½ staged, mid-drain removal),
+    * same q244 oracle; the provider is a loan
+    * ([[EventStream.withRocksDbProvider]]) so it cannot leak into
+    * queries sharing the session. */
+  def rocksDbSessionEvictionQuery(spark: SparkSession,
+      dir: String): DataFrame =
+    EventStream.withRocksDbProvider(spark) {
+      drainSessionEviction(spark, dir, "q286")
+    }
+
+  /** The session-window eviction drain (q278/q286 share it; the
+    * state-store provider is whatever the session carries when the
+    * drain starts, which is how q286 swaps in RocksDB). */
+  private def drainSessionEviction(spark: SparkSession, dir: String,
+      label: String): DataFrame = {
+    val sunk = graft.sources.Scratch.dirOutliving(spark, s"${label}_sunk")
     val drop = stageSessionWaves(spark, dir)
-    val ck = graft.sources.Scratch.dir(spark, "q278_ck")
+    val ck = graft.sources.Scratch.dir(spark, s"${label}_ck")
     try StatePartitions.scoped(spark) {
       val q = sessionCounts(
           spark.readStream.schema(sessSchema)
@@ -157,12 +182,12 @@ object SessionStream {
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       require(batches == SessEvictWaves,
-        s"q278 staged $SessEvictWaves wave files but streamed " +
+        s"$label staged $SessEvictWaves wave files but streamed " +
           s"$batches micro-batches")
       val dropped = q.recentProgress
         .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
       require(dropped == 0,
-        s"q278's in-order schedule must never drop rows, saw $dropped")
+        s"$label's in-order schedule must never drop rows, saw $dropped")
       // the eviction claim, measured live: open-session state must
       // stay under half the staged feed (q244's 2-wave drain peaks at
       // ~half — the per-batch working set this drain divides)
@@ -170,7 +195,7 @@ object SessionStream {
         .map(_.stateOperators.map(_.numRowsTotal).sum).max
       val staged = spark.read.schema(sessSchema).json(drop).count()
       require(peakState * 2 < staged,
-        s"q278 session store peaked at $peakState rows for $staged " +
+        s"$label session store peaked at $peakState rows for $staged " +
           "staged — sessions never closed between waves")
       // the mid-drain claim: sessions must EMIT while input is still
       // flowing (append-mode close), not only at the final no-data
@@ -180,7 +205,7 @@ object SessionStream {
         .filter(_.numInputRows > 0)
         .map(_.stateOperators.map(_.numRowsRemoved).sum).sum
       require(midDrainRemoved > 0,
-        "q278 removed no session rows during the input waves — " +
+        s"$label removed no session rows during the input waves — " +
           "closure never fired mid-drain")
     } finally {
       graft.sources.Scratch.delete(spark, ck)

@@ -68,6 +68,20 @@ object UpsertStream {
       .lastOption.map(_.toString)
   }
 
+  /** The committed snapshot directory v{n} under `root`, if live —
+    * a vacuumed (retention window passed it) or torn (no commit
+    * marker) version is None, which the serving edge maps to 404:
+    * as-of depth IS the retention policy, surfaced as absence rather
+    * than a read of a half-deleted directory. */
+  def snapshotDir(spark: SparkSession, root: String,
+      n: Long): Option[String] = {
+    val p = new Path(s"$root/v$n")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.exists(new Path(p, CommitMarker)))
+      Some(p.toString)
+    else None
+  }
+
   /** Read the live table (empty-schema-safe only once a snapshot
     * exists — callers check [[currentSnapshot]] first). */
   def readTable(spark: SparkSession, root: String): DataFrame =
@@ -87,24 +101,35 @@ object UpsertStream {
     * the failure-injection spec replays EXACTLY the drop the oracle
     * query drains. */
   def stageUpsertWaves(spark: SparkSession, dir: String): String =
-    StagedDrops.shared(spark, s"upsert_waves$Waves", dir) { d =>
+    stageUpsertWavesN(spark, dir, Waves)
+
+  /** [[stageUpsertWaves]] generalized to `n` waves (q285 stages FOUR
+    * so a K=3 retention window actually vacuums mid-drain). Each wave
+    * count is its own shared variant — the 3-wave queries keep their
+    * staging byte-identical. */
+  def stageUpsertWavesN(spark: SparkSession, dir: String,
+      n: Int): String =
+    StagedDrops.shared(spark, s"upsert_waves$n", dir) { d =>
       val staged = graft.sources.Tables.events(spark, dir)
         .select(col("user_id").as("doc_id"),
           timestamp_millis(col("event_id")).as("ts"),
           col("event_type").as("text"),
           col("event_type").as("source"))
         .withColumn("wave",
-          (ntile(Waves).over(org.apache.spark.sql.expressions.Window
+          (ntile(n).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"), col("doc_id"))) - 1).cast("int"))
         .localCheckpoint()
       EventStream.stageWaveFiles(spark, staged,
-        Seq("doc_id", "ts", "text", "source"), Waves, d)
+        Seq("doc_id", "ts", "text", "source"), n, d)
     }
 
   /** Snapshot RETENTION: delete every snapshot directory v{j} with
     * j < keepFrom under `root`. Replay-safety argument, which is why
-    * callers must pass keepFrom = batchId − 1 from INSIDE
-    * foreachBatch(batchId): the checkpoint serializes batches, so
+    * callers must pass keepFrom ≤ batchId − 1 from INSIDE
+    * foreachBatch(batchId) — the K-snapshot policy passes
+    * batchId − (K − 1), K ≥ 2 (q253/q265 run K = 2, q285 K = 3; any
+    * K ≥ 2 keeps the v{b−1} replay margin): the checkpoint
+    * serializes batches, so
     * when batch b is running every batch < b has committed and can
     * never replay; batch b itself is the only uncommitted batch, and
     * the oldest snapshot it can read is v{b−1} (the CDC pre-image
@@ -114,7 +139,8 @@ object UpsertStream {
     * b re-run the same vacuum (idempotent deletes) and then find
     * v{b−1} intact. Snapshots written by a crashed attempt of batch b
     * carry ids ≥ b and are never below keepFrom. At 100× scale this
-    * bounds the chain to a CONSTANT ~2 live snapshots instead of one
+    * bounds the chain to a CONSTANT K live snapshots (the retention
+    * policy — K = 2 default, q285 proves K = 3) instead of one
     * per batch forever — the storage-leak fix the upsert family's
     * scale claim stands on (proven crash-safe by UpsertRestartSpec's
     * kill-after-vacuum cases). */
@@ -157,8 +183,11 @@ object UpsertStream {
     * committed ([[CommitMarker]]). */
   private def applyUpsertBatch(spark: SparkSession, root: String,
       batch: DataFrame, key: String, version: String,
-      batchId: Long): Unit = {
-    vacuumSnapshots(spark, root, batchId - 1)
+      batchId: Long, retain: Int = 2): Unit = {
+    require(retain >= 2,
+      s"retain=$retain — the window must keep at least {v(b-1), v(b)}: " +
+        "v(b-1) is the replay margin batch b itself can still read")
+    vacuumSnapshots(spark, root, batchId - (retain - 1))
     val latest = latestPerKey(batch, key, version)
     val out = s"$root/v$batchId"
     if (batchId == 0) {
@@ -184,14 +213,16 @@ object UpsertStream {
     * proves the replayed merge converges to the oracle snapshot). */
   private[graft] def drainUpsertWaves(spark: SparkSession,
       drop: String, root: String, ck: String,
-      failAfterMergeAt: Option[Long] = None): Long = {
+      failAfterMergeAt: Option[Long] = None,
+      retain: Int = 2): Long = {
     val q = spark.readStream.schema(DocStream.docSchema)
       .option("maxFilesPerTrigger", "1").json(drop)
       .writeStream
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsertBatch(spark, root, batch, "doc_id", "ts", batchId)
+        applyUpsertBatch(spark, root, batch, "doc_id", "ts", batchId,
+          retain)
         if (failAfterMergeAt.contains(batchId))
           throw new IllegalStateException(
             s"injected crash after batch $batchId merge")
@@ -882,4 +913,212 @@ object UpsertStream {
      SELECT user_id, CAST(max(event_id) AS BIGINT) AS ver,
        CAST(count(DISTINCT wave) AS BIGINT) AS n_ops
      FROM w GROUP BY 1 ORDER BY user_id"""
+
+  // --------------------------------------------------------------------
+  // LIVE-CONSUMER COMPACTION (q284) — q280's one-shot compaction run
+  // the way production runs it: interleaved with the consumer's loop.
+  // --------------------------------------------------------------------
+
+  /** q284: [[compactCdcLog]] INTERLEAVED with a live q276 consumer —
+    * the production shape q280 only rehearsed (one post-drain call at
+    * a hard-coded checkpoint). The q265 drain writes the log; then the
+    * consumer loop and the compactor alternate: the consumer applies
+    * batch b (materialized fold, q276's discipline), its checkpoint
+    * advances to b+1, and the compactor immediately folds ≤ b. Three
+    * claims pinned live AT EVERY STEP, not just at the end:
+    *
+    *   1. SPARED BATCH: the batch the consumer is about to apply is
+    *      still on disk — the previous step's compaction folded
+    *      strictly below the checkpoint, so the consumer never races
+    *      its own compactor.
+    *   2. BOUNDED LAYOUT: after each compaction the log is exactly one
+    *      committed base (`upto = b`) + the consumer's lag tail
+    *      ({b+1..N−1}) — the bound holds DURING the interleaving, not
+    *      only after a final sweep.
+    *   3. RESUME IDENTITY: a consumer crashing right now and resuming
+    *      from base + tail computes the full-log fold row-for-row
+    *      (q280's identity, asserted per step) — so compaction is
+    *      invisible no matter where in the loop it fires.
+    *
+    * The loop ends with a fully-folded log (base `upto = N−1`, zero
+    * batch partitions) whose base must agree row-for-row with the live
+    * consumer's own materialized state — compactor and consumer are
+    * two independent folds of the same log, and their answers meet.
+    * The mid-loop consumer-crash replay (compactor spares the batch,
+    * consumer refolds it idempotently) is CdcCompactionSpec's
+    * live-interleaving case. Oracle: q276's from-scratch argmax
+    * verbatim — the interleaving must not change what the consumer
+    * computes. */
+  def liveCompactionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q284_table")
+    val cdc = graft.sources.Scratch.dirOutliving(spark, "q284_cdc")
+    val drop = stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q284_ck")
+    try StatePartitions.scoped(spark) {
+      val batches = drainCdcWaves(spark, drop, root, cdc, ck)
+      require(batches == Waves,
+        s"q284 staged $Waves wave files but streamed $batches " +
+          "micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    // the full-log fold, captured before any partition is deleted —
+    // the reference every per-step resume identity compares against
+    val fullRef = foldOntoBase(None, spark.read.parquet(cdc)
+        .select(col("doc_id"), col("ver"), col("batch")))
+      .select(col("doc_id"), col("ver").as("__fv"),
+        col("n_ops").as("__fo"))
+      .localCheckpoint()
+    val stateRoot = graft.sources.Scratch.dirOutliving(spark, "q284_state")
+    var stateDir: Option[String] = None
+    for (b <- 0L until Waves.toLong) {
+      // claim 1: the compactor's last fold spared this batch
+      require(cdcBatchIds(spark, cdc).contains(b),
+        s"q284 step $b: the consumer's next batch was compacted away " +
+          s"— live ${cdcBatchIds(spark, cdc).mkString(",")}")
+      val ops = spark.read.parquet(cdc).filter(col("batch") === b)
+        .select("doc_id", "ver")
+      val next = stateDir match {
+        case None => ops
+        case Some(d) =>
+          spark.read.parquet(d)
+            .join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(ops)
+      }
+      val out = s"$stateRoot/s$b"
+      next.write.mode("overwrite").parquet(out)
+      stateDir = Some(out)
+      // the consumer's checkpoint is now b+1 — the compactor runs
+      // BETWEEN folds, exactly where a periodic compactor fires
+      compactCdcLog(spark, cdc, oldestUncommitted = b + 1)
+      // claim 2: one base covering ≤ b, plus the lag tail, nothing else
+      val (upto, _) = currentCdcBase(spark, cdc)
+        .getOrElse(sys.error(s"q284 step $b: compaction left no base"))
+      require(upto == b,
+        s"q284 step $b: base covers upto=$upto, expected $b")
+      val tailIds = cdcBatchIds(spark, cdc)
+      require(tailIds == ((b + 1) until Waves.toLong),
+        s"q284 step $b: tail must be {${b + 1}..${Waves - 1}}, saw " +
+          s"{${tailIds.mkString(",")}}")
+      // claim 3: resuming from base + tail right now lands the
+      // full-log fold (cdcCompactionReadBack IS the resume path)
+      val disagree = cdcCompactionReadBack(spark, cdc)
+        .join(fullRef.select(col("doc_id").cast("long").as("user_id"),
+          col("__fv"), col("__fo")), Seq("user_id"), "full")
+        .filter(col("ver").isNull || col("__fv").isNull ||
+          col("ver") =!= col("__fv") || col("n_ops") =!= col("__fo"))
+        .count()
+      require(disagree == 0,
+        s"q284 step $b: resume-from-base+tail disagrees with the " +
+          s"full-log fold on $disagree keys")
+    }
+    // the two independent folds meet: the compactor's final base
+    // (upto = N−1, no tail left) vs the consumer's own state
+    val (finalUpto, finalBase) = currentCdcBase(spark, cdc)
+      .getOrElse(sys.error("q284 ended with no committed base"))
+    require(finalUpto == Waves - 1L,
+      s"q284 final base covers upto=$finalUpto, expected ${Waves - 1}")
+    require(cdcBatchIds(spark, cdc).isEmpty,
+      "q284 ended with live batch partitions — the final compaction " +
+        s"must fold the whole log: ${cdcBatchIds(spark, cdc).mkString(",")}")
+    val stateVsBase = spark.read.parquet(stateDir.get)
+      .join(spark.read.parquet(finalBase)
+        .select(col("doc_id"), col("ver").as("__bv")),
+        Seq("doc_id"), "full")
+      .filter(col("ver").isNull || col("__bv").isNull ||
+        col("ver") =!= col("__bv"))
+      .count()
+    require(stateVsBase == 0,
+      s"q284 live consumer state disagrees with the compactor's base " +
+        s"on $stateVsBase keys")
+    cdcCompactionReadBack(spark, cdc)
+  }
+
+  /** q284's read-back: the resume path — identical operators to
+    * q280's ([[cdcCompactionReadBack]]); on the fully-folded live log
+    * it answers from the base alone. */
+  def liveCompactionReadBack(spark: SparkSession, cdc: String): DataFrame =
+    cdcCompactionReadBack(spark, cdc)
+
+  /** Rows the q284 read-back consumes (the CDC log layout). */
+  val liveCompactionSinkSchema: org.apache.spark.sql.types.StructType =
+    cdcSinkSchema
+
+  /** DuckDB oracle for [[liveCompactionQuery]] — q276's from-scratch
+    * reconstruction verbatim: interleaved compaction must not change
+    * what the consumer computes. */
+  def liveCompactionOracleSql: String = cdcConsumerOracleSql
+
+  // --------------------------------------------------------------------
+  // RETENTION K (q285) — the window as a parameter, depth-2 time travel.
+  // --------------------------------------------------------------------
+
+  /** q285's retention window (K = 3 live snapshots) and wave count
+    * (FOUR, so the K = 3 vacuum actually deletes mid-drain: batch 3
+    * vacuums v0; a 3-wave drain would wire the parameter without ever
+    * exercising the delete at the new boundary). */
+  val RetainK = 3
+  val WavesK = 4
+
+  /** q285: CONFIGURABLE retention + DEEPER time travel — q283's
+    * depth-1 as-of generalized to the policy, not the accident: the
+    * [[vacuumSnapshots]] window is a parameter K (keepFrom =
+    * batchId − (K − 1); any K ≥ 2 keeps the v{b−1} replay margin, so
+    * the [[applyUpsertBatch]] safety argument is unchanged), the drain
+    * runs K = 3 over FOUR waves (the vacuum fires live: batch 3
+    * deletes v0), and the as-of read goes TWO steps back — v{N−2},
+    * the read a K = 2 window cannot serve and the K = 3 window exists
+    * for. Drain-side asserts pin the policy: exactly K live snapshots
+    * after the drain, current = v{N}, and v{N−2} present BY NUMBER.
+    * Kill-after-vacuum replay at the new boundary (batch 3 crashes
+    * after deleting v0; restart converges with chain {v1, v2, v3}) is
+    * UpsertRestartSpec's K = 3 case.
+    *
+    * Oracle: the argmax per user over the first TWO of four waves —
+    * the table as of batch 1, which is what v{N−2} = v1 must hold if
+    * snapshot numbering, the K-window vacuum, and the merge agree. */
+  def retentionKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q285_table")
+    val drop = stageUpsertWavesN(spark, dir, WavesK)
+    val ck = graft.sources.Scratch.dir(spark, "q285_ck")
+    try StatePartitions.scoped(spark) {
+      val batches = drainUpsertWaves(spark, drop, root, ck,
+        retain = RetainK)
+      require(batches == WavesK,
+        s"q285 staged $WavesK wave files but streamed $batches " +
+          "micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    val cur = currentSnapshot(spark, root)
+      .getOrElse(sys.error(s"q285 drained but no snapshot under $root"))
+    require(cur.endsWith(s"/v${WavesK - 1}"),
+      s"q285 current snapshot is $cur, expected v${WavesK - 1}")
+    // the policy, enforced: exactly K live snapshots — batch 3's
+    // vacuum deleted v0 and spared {v1, v2, v3}
+    val live = snapshotCount(spark, root)
+    require(live == RetainK,
+      s"q285 drained with $live live snapshots — the K=$RetainK " +
+        s"window must leave exactly {v1..v${WavesK - 1}}")
+    retentionKReadBack(spark, s"$root/v${WavesK - 3}")
+  }
+
+  /** q285's read-back over the depth-2 AS-OF snapshot directory (the
+    * q253 layout read two versions back). */
+  def retentionKReadBack(spark: SparkSession, snapshot: String): DataFrame =
+    readBack(spark, snapshot)
+
+  /** Rows a q285 snapshot holds (the staged doc layout). */
+  val retentionKSinkSchema: org.apache.spark.sql.types.StructType =
+    DocStream.docSchema
+
+  /** DuckDB oracle for [[retentionKQuery]] — the argmax per user over
+    * the first TWO of FOUR waves (the table as of batch 1; same ntile
+    * split as [[stageUpsertWavesN]] with n = 4). */
+  def retentionKOracleSql: String =
+    """WITH w AS (SELECT user_id, event_type, event_id,
+           ntile(4) OVER (ORDER BY event_id, user_id) - 1 AS wave
+         FROM events)
+     SELECT user_id, event_type AS latest_type,
+       CAST(event_id AS BIGINT) AS ver
+     FROM (SELECT user_id, event_type, event_id, row_number() OVER
+         (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+       FROM w WHERE wave <= 1)
+     WHERE rn = 1 ORDER BY user_id"""
 }

@@ -292,6 +292,45 @@ class ApiSpec extends SparkSpec {
     } finally strict.stop()
   }
 
+  test("table-snapshot: current and as-of reads of a drained upsert table, 404 past retention") {
+    // a real drained table: the q253 three-wave drain at sf0.001
+    // leaves {v1, v2} live (retention) with v2 current
+    val drop = graft.streaming.UpsertStream.stageUpsertWaves(spark, sf0001)
+    val root = tmpDir("api_upsert_root")
+    val ck = tmpDir("api_upsert_ck")
+    assert(graft.streaming.UpsertStream.drainUpsertWaves(
+      spark, drop, root, ck) == graft.streaming.UpsertStream.Waves)
+    val enc = java.net.URLEncoder.encode(root, "UTF-8")
+    // current read: version == current == 2, data == the live table
+    val (c1, b1) = get(s"/table-snapshot?root=$enc")
+    assert(c1 == 200 && b1.get("version").asLong == 2L &&
+      b1.get("current").asLong == 2L)
+    val expected = spark.read.parquet(s"$root/v2").count()
+    assert(b1.get("data").size.toLong == expected,
+      s"current snapshot served ${b1.get("data").size} of $expected rows")
+    // as-of read one step back: version 1 under current 2
+    val (c2, b2) = get(s"/table-snapshot?root=$enc&version=v1")
+    assert(c2 == 200 && b2.get("version").asLong == 1L &&
+      b2.get("current").asLong == 2L)
+    assert(b2.get("data").size.toLong ==
+      spark.read.parquet(s"$root/v1").count())
+    // bare-number version syntax serves too
+    val (c3, b3) = get(s"/table-snapshot?root=$enc&version=1")
+    assert(c3 == 200 && b3.get("version").asLong == 1L)
+    // past the retention window: v0 was vacuumed — 404, not a read of
+    // deleted files
+    val (c4, b4) = get(s"/table-snapshot?root=$enc&version=0")
+    assert(c4 == 404 &&
+      b4.get("detail").asText.contains("retention window"))
+    // error shapes: missing root, unknown root, junk version
+    val (c5, _) = get("/table-snapshot")
+    assert(c5 == 400)
+    val (c6, _) = get(s"/table-snapshot?root=${enc}_nope")
+    assert(c6 == 404)
+    val (c7, b7) = get(s"/table-snapshot?root=$enc&version=abc")
+    assert(c7 == 400 && b7.get("detail").asText.contains("invalid version"))
+  }
+
   override def afterAll(): Unit = {
     api.foreach(_.stop())
     super.afterAll()

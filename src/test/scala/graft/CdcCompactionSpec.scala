@@ -120,6 +120,61 @@ class CdcCompactionSpec extends SparkSpec {
     assert(fold(cdc) == expected)
   }
 
+  test("live interleaving: a consumer crash mid-loop replays from a batch the compactor just spared") {
+    val cdc = drainLog("live")
+    val expected = fold(cdc)
+    val stateRoot = tmpDir("cc_live_state")
+    // the q276/q284 consumer fold, materialized per step (mode
+    // overwrite — the property a torn replayed write leans on)
+    def applyBatch(b: Long, prev: Option[String]): String = {
+      val ops = spark.read.parquet(cdc).filter(col("batch") === b)
+        .select("doc_id", "ver")
+      val next = prev match {
+        case None => ops
+        case Some(d) => spark.read.parquet(d)
+          .join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(ops)
+      }
+      val out = s"$stateRoot/s$b"
+      next.write.mode("overwrite").parquet(out)
+      out
+    }
+    // consumer applies batch 0 and COMMITS (checkpoint -> 1); the
+    // compactor fires between folds and folds <= 0
+    val s0 = applyBatch(0L, None)
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 1)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(1L, 2L))
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(0L))
+    // consumer applies batch 1 but CRASHES before committing its
+    // checkpoint: the durable truth is still (state s0, checkpoint 1)
+    applyBatch(1L, Some(s0))
+    // ...the compactor, honoring the DURABLE checkpoint (still 1),
+    // runs again mid-crash: it must NOT fold the batch the consumer
+    // is about to replay
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 1)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(1L, 2L),
+      "the compactor folded the batch the crashed consumer must replay")
+    // replay: batch 1 refolds onto s0 (overwriting the torn s1 —
+    // idempotent by mode overwrite), then the loop continues with the
+    // compactor interleaved at each commit
+    val s1 = applyBatch(1L, Some(s0))
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 2)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    val s2 = applyBatch(2L, Some(s1))
+    UpsertStream.compactCdcLog(spark, cdc, oldestUncommitted = 3)
+    // fully folded: the resume path answers from the base alone and
+    // still equals the pre-compaction full-log fold
+    assert(UpsertStream.cdcBatchIds(spark, cdc).isEmpty)
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(2L))
+    assert(fold(cdc) == expected)
+    // and the crashed-then-replayed consumer's own state agrees with
+    // the compactor's base on every key's version
+    val state = spark.read.parquet(s2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == expected.map { case (k, (v, _)) => k -> v },
+      "replayed consumer state diverged from the full-log fold")
+  }
+
   test("the fold matches the from-scratch windowed reconstruction (q276's identity)") {
     val cdc = drainLog("ident")
     val viaWindow = UpsertStream.cdcConsumerReadBack(spark, cdc).collect()

@@ -96,6 +96,37 @@ class UpsertRestartSpec extends SparkSpec {
     killAndRestart(2L)
   }
 
+  test("K=3 retention: kill after batch 3's vacuum+merge replays at the new boundary") {
+    // four waves under a K=3 window (q285's configuration): batch 3
+    // is the first to vacuum (v0), and the kill lands after that
+    // vacuum+merge but before the checkpoint commit — the replay must
+    // converge against v2 with the chain ending at exactly {v1,v2,v3}
+    val drop = UpsertStream.stageUpsertWavesN(spark, sf0001,
+      UpsertStream.WavesK)
+    val root = tmpDir("upsert_root_k3")
+    val ck = tmpDir("upsert_ck_k3")
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      UpsertStream.drainUpsertWaves(spark, drop, root, ck,
+        failAfterMergeAt = Some(3L), retain = UpsertStream.RetainK)
+    }
+    assert(died.getMessage.contains("injected crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected crash")),
+      s"unexpected failure: $died")
+    // batch 3's vacuum (keepFrom = 3 - (K-1) = 1) already deleted v0
+    // when the crash landed — the restart is a replay-after-vacuum at
+    // the K=3 boundary
+    assert(!snapshotIds(root).contains(0L),
+      s"batch 3 ran after vacuuming v0; crash state ${snapshotIds(root)}")
+    assert(UpsertStream.currentSnapshot(spark, root).isDefined)
+    val batches = UpsertStream.drainUpsertWaves(spark, drop, root, ck,
+      retain = UpsertStream.RetainK)
+    assert(batches >= 1, "restart must process the replayed batch")
+    assert(snapshot(root) == expected(),
+      "post-restart snapshot must equal the batch argmax per user")
+    assert(snapshotIds(root) == Seq(1L, 2L, 3L),
+      s"post-restart K=3 chain must be exactly {v1,v2,v3}: ${snapshotIds(root)}")
+  }
+
   test("crash-free drain matches the same oracle (control)") {
     val drop = UpsertStream.stageUpsertWaves(spark, sf0001)
     val root = tmpDir("upsert_root_ok")
