@@ -432,14 +432,19 @@ object ScalingCurve {
       // judged against the feed each drain actually stages
       val clickPurchaseShare = ev01
         .filter(col("event_type").isin("click", "purchase")).count() * 10
-      // q280 LAYOUT decade: compaction bounds STORAGE, not state — the
-      // post-compaction CDC log must hold one base (rows ~ the key
-      // set) + the consumer's lag tail, however much history was fed.
-      // The streaming variant (same users, 10x events) separates the
-      // two: history grows 10x, the key set does not, so base rows
-      // must stay FLAT while pre-compaction log rows grow 10x.
-      def cdcLayout(dir: String): (Long, Long, Long, Long) = {
-        val drop = streaming.UpsertStream.stageUpsertWavesN(spark, dir, 3)
+      // q280 LAYOUT rows: the CDC log has two growth dimensions —
+      // KEYS (each batch partition is latest-per-key reduced, so it
+      // is key-bounded, never raw-event-bounded) and BATCH COUNT (one
+      // partition per micro-batch forever). Compaction removes the
+      // batch-count dimension: post-compaction storage is one base
+      // (~the key set) + the consumer's lag tail, however many
+      // batches history accumulated. Two separating variants: the
+      // 6-batch row DOUBLES history at fixed keys (layout must stay
+      // flat); the streaming decade grows event density 10x at fixed
+      // keys (per-batch ops must stay key-bounded).
+      def cdcLayout(dir: String, waves: Int): (Long, Long, Long, Long) = {
+        val drop = streaming.UpsertStream
+          .stageUpsertWavesN(spark, dir, waves)
         val root = sources.Scratch.dir(spark, "sc280_root")
         val cdc = sources.Scratch.dir(spark, "sc280_cdc")
         val ck = sources.Scratch.dir(spark, "sc280_ck")
@@ -448,9 +453,9 @@ object ScalingCurve {
           ()
         }
         val history = spark.read.parquet(cdc).count()
-        // the q280 configuration: consumer committed {0,1}, lag = 1
+        // the q280 configuration: consumer lag = 1 uncommitted batch
         streaming.UpsertStream.compactCdcLog(spark, cdc,
-          oldestUncommitted = 2)
+          oldestUncommitted = waves - 1L)
         val base = streaming.UpsertStream.currentCdcBase(spark, cdc)
           .map { case (_, d) => spark.read.parquet(d).count() }
           .getOrElse(0L)
@@ -461,8 +466,9 @@ object ScalingCurve {
         (history, base, tailRows, tailParts)
       }
       val cdcLayouts =
-        Sfs.map(sf => sf.split('/').last -> cdcLayout(sf)) :+
-          ("10x events" -> cdcLayout(blowS))
+        Sfs.map(sf => sf.split('/').last -> cdcLayout(sf, 3)) :+
+          ("sf0.1, 6 batches" -> cdcLayout(Sfs(2), 6)) :+
+          ("10x events" -> cdcLayout(blowS, 3))
       graft.sources.Scratch.delete(spark, blowS)
 
       // the STRETCHED decade (q259's constant-key-density variant):
@@ -543,24 +549,34 @@ object ScalingCurve {
       // the compacted-CDC-log layout rows (computed above, before the
       // 10x feed was deleted)
       sb ++= "\nCompacted CDC log layout (q280's bound, consumer lag " +
-        "= 1 batch): the\npost-compaction log is one base + the lag " +
-        "tail. Base rows track the KEY\nSET (distinct users touched " +
-        "by the folded batches); pre-compaction log\nrows track " +
-        "history. The streaming decade keeps users and multiplies\n" +
-        "events 10x — history grows 10x, the base must not.\n\n"
-      sb ++= "| feed | log rows pre-compaction | base rows | tail rows " +
-        "| tail partitions |\n|---|---|---|---|---|\n"
+        "= 1 batch): the log\ngrows along two dimensions — KEYS (each " +
+        "batch partition is latest-per-key\nreduced, so it is " +
+        "key-bounded, never raw-event-bounded) and BATCH COUNT\n(one " +
+        "partition per micro-batch forever). Compaction removes the " +
+        "batch-count\ndimension: post-compaction storage is one base " +
+        "(~the key set) + the lag\ntail, however many batches history " +
+        "accumulated. The 6-batch row doubles\nhistory at fixed keys; " +
+        "the decade row grows event density 10x at fixed\nkeys — the " +
+        "compacted layout must stay flat on both.\n\n"
+      sb ++= "| feed | batches | log rows pre-compaction | base rows " +
+        "| tail rows | tail partitions |\n|---|---|---|---|---|---|\n"
       cdcLayouts.foreach { case (tag, (h, b, tr, tp)) =>
-        sb ++= f"| $tag | $h%,d | $b%,d | $tr%,d | $tp |\n"
+        val waves = if (tag.contains("6 batches")) 6 else 3
+        sb ++= f"| $tag | $waves | $h%,d | $b%,d | $tr%,d | $tp |\n"
       }
-      (cdcLayouts.lift(2), cdcLayouts.lastOption) match {
-        case (Some((_, (h01, b01, _, _))), Some((_, (hX, bX, _, _))))
-            if b01 > 0 =>
-          sb ++= f"\nReading: 10x history ($h01%,d -> $hX%,d log rows) " +
-            f"compacts to ${bX.toDouble / b01}%.2fx the base\n(" +
-            f"$b01%,d -> $bX%,d rows) — storage tracks keys + lag, " +
-            "not history, which is the\nbound the compaction exists " +
-            "to provide.\n"
+      (cdcLayouts.lift(2), cdcLayouts.lift(3), cdcLayouts.lastOption) match {
+        case (Some((_, (h3, b3, t3, _))), Some((_, (h6, b6, t6, _))),
+              Some((_, (hX, bX, _, _)))) if b3 + t3 > 0 && b3 > 0 =>
+          sb ++= f"\nReading: doubling history (3 -> 6 batches at " +
+            f"sf0.1) grows the raw log\n${h6.toDouble / h3}%.2fx " +
+            f"($h3%,d -> $h6%,d rows) but the compacted layout only " +
+            f"${(b6 + t6).toDouble / (b3 + t3)}%.2fx\n(base+tail " +
+            f"${b3 + t3}%,d -> ${b6 + t6}%,d rows, tail partitions " +
+            "pinned at the lag); 10x event\ndensity leaves every " +
+            f"batch partition key-bounded ($h3%,d -> $hX%,d log " +
+            f"rows,\nbase ${bX.toDouble / b3}%.2fx) — storage tracks " +
+            "keys + lag, not history and not\nevent volume, which is " +
+            "the bound the compaction exists to provide.\n"
         case _ => ()
       }
       // the stretched decade: the live-set claim measured with key

@@ -726,6 +726,67 @@ object UpsertStream {
     ()
   }
 
+  /** Directory (under the CDC log root) holding the consumer's
+    * PUBLISHED checkpoint markers. Underscore-prefixed for the same
+    * reason as [[CdcBaseDir]]: invisible to parquet readers of the
+    * log root. */
+  private val CdcConsumerDir = "_consumer"
+
+  /** Durably publish the consumer's checkpoint (its oldest
+    * UNCOMMITTED batch id) into the log itself, so a compactor in a
+    * DIFFERENT process can fold safely without being handed the value
+    * in-process — the decoupling a production writer/consumer/
+    * compactor trio runs on. Protocol: write the `committed=<b>`
+    * marker (an empty file — its NAME is the value), then sweep older
+    * markers. Reads take the MAX marker, so the protocol is monotonic
+    * and crash-safe at every point: a crash before the write changes
+    * nothing; a crash between write and sweep leaves two markers and
+    * readers still see the newer; a belated replay republishing an
+    * OLDER value writes a marker the max rule ignores (and the sweep
+    * then removes). The consumer must publish only checkpoints it has
+    * durably committed — publishing ahead of its own commit would let
+    * the compactor fold a batch the consumer still needs, the exact
+    * failure [[compactCdcLog]]'s contract excludes. */
+  def publishConsumerCheckpoint(spark: SparkSession, cdc: String,
+      oldestUncommitted: Long): Unit = {
+    val dir = new Path(cdc, CdcConsumerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, s"committed=$oldestUncommitted"), true).close()
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("committed="))
+      .filter(_.getPath.getName.stripPrefix("committed=").toLong <
+        oldestUncommitted)
+      .foreach(s => fs.delete(s.getPath, false))
+    ()
+  }
+
+  /** The consumer checkpoint currently published into the log (max
+    * marker — see [[publishConsumerCheckpoint]] for why max), None if
+    * the consumer has never published. */
+  def readConsumerCheckpoint(spark: SparkSession,
+      cdc: String): Option[Long] = {
+    val dir = new Path(cdc, CdcConsumerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("committed="))
+      .map(_.getPath.getName.stripPrefix("committed=").toLong)
+      .maxOption
+  }
+
+  /** The stand-alone compactor's entry point: fold below whatever
+    * checkpoint the consumer has PUBLISHED ([[readConsumerCheckpoint]]),
+    * a no-op when none exists (nothing is known safe to fold). This is
+    * [[compactCdcLog]] with its one piece of coupling — who tells the
+    * compactor the checkpoint — replaced by the durable marker, so the
+    * compactor needs only the log directory. q284 drives its
+    * interleaved loop through this path. */
+  def compactCdcLogAtPublished(spark: SparkSession, cdc: String): Unit =
+    readConsumerCheckpoint(spark, cdc).foreach { b =>
+      compactCdcLog(spark, cdc, oldestUncommitted = b)
+    }
+
   /** Live `batch=<id>` partition ids of a CDC log (the compaction
     * audit's observable). */
   def cdcBatchIds(spark: SparkSession, cdc: String): Seq[Long] = {
@@ -757,7 +818,10 @@ object UpsertStream {
     * Kill-after-compaction replay safety is CdcCompactionSpec's case
     * (crash between base commit and partition deletes; re-run
     * converges; torn reads stay correct via the `batch > upto`
-    * filter). */
+    * filter). The one-shot post-drain call here isolates the fold
+    * semantics; the production shape — compaction INTERLEAVED with a
+    * live consumer advancing a PUBLISHED checkpoint — is q284
+    * ([[liveCompactionQuery]]). */
   def cdcCompactionQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.sources.Scratch.dirOutliving(spark, "q280_table")
     val cdc = graft.sources.Scratch.dirOutliving(spark, "q280_cdc")
@@ -923,9 +987,12 @@ object UpsertStream {
     * the production shape q280 only rehearsed (one post-drain call at
     * a hard-coded checkpoint). The q265 drain writes the log; then the
     * consumer loop and the compactor alternate: the consumer applies
-    * batch b (materialized fold, q276's discipline), its checkpoint
-    * advances to b+1, and the compactor immediately folds ≤ b. Three
-    * claims pinned live AT EVERY STEP, not just at the end:
+    * batch b (materialized fold, q276's discipline), PUBLISHES its
+    * checkpoint into the log ([[publishConsumerCheckpoint]] — the
+    * durable marker that decouples consumer and compactor processes),
+    * and the compactor reads that marker and folds ≤ b
+    * ([[compactCdcLogAtPublished]]). Three claims pinned live AT
+    * EVERY STEP, not just at the end:
     *
     *   1. SPARED BATCH: the batch the consumer is about to apply is
     *      still on disk — the previous step's compaction folded
@@ -986,9 +1053,12 @@ object UpsertStream {
       val out = s"$stateRoot/s$b"
       next.write.mode("overwrite").parquet(out)
       stateDir = Some(out)
-      // the consumer's checkpoint is now b+1 — the compactor runs
-      // BETWEEN folds, exactly where a periodic compactor fires
-      compactCdcLog(spark, cdc, oldestUncommitted = b + 1)
+      // the consumer's checkpoint is now b+1: PUBLISH it into the log
+      // (the durable marker an out-of-process compactor reads), then
+      // run the compactor exactly where a periodic one fires — from
+      // the published value, not an in-process handoff
+      publishConsumerCheckpoint(spark, cdc, oldestUncommitted = b + 1)
+      compactCdcLogAtPublished(spark, cdc)
       // claim 2: one base covering ≤ b, plus the lag tail, nothing else
       val (upto, _) = currentCdcBase(spark, cdc)
         .getOrElse(sys.error(s"q284 step $b: compaction left no base"))

@@ -120,6 +120,37 @@ class CdcCompactionSpec extends SparkSpec {
     assert(fold(cdc) == expected)
   }
 
+  test("published-checkpoint protocol: unpublished no-op, monotonic max, stale republish ignored") {
+    val cdc = drainLog("pub")
+    val expected = fold(cdc)
+    // no publication -> the stand-alone compactor knows nothing is
+    // safe to fold and must not touch the log
+    UpsertStream.compactCdcLogAtPublished(spark, cdc)
+    assert(UpsertStream.readConsumerCheckpoint(spark, cdc).isEmpty)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(0L, 1L, 2L))
+    // publish 2 -> the compactor folds {0,1} from the marker alone
+    UpsertStream.publishConsumerCheckpoint(spark, cdc, 2)
+    assert(UpsertStream.readConsumerCheckpoint(spark, cdc) == Some(2L))
+    UpsertStream.compactCdcLogAtPublished(spark, cdc)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(1L))
+    // a belated replay republishing an OLDER checkpoint (crash-then-
+    // replay of the consumer's publish step) leaves two markers; the
+    // max read rule ignores the stale one and re-compaction is a no-op
+    UpsertStream.publishConsumerCheckpoint(spark, cdc, 1)
+    assert(UpsertStream.readConsumerCheckpoint(spark, cdc) == Some(2L),
+      "a stale republish moved the published checkpoint backwards")
+    UpsertStream.compactCdcLogAtPublished(spark, cdc)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    assert(fold(cdc) == expected)
+    // advancing publication sweeps the stale markers and folds the tail
+    UpsertStream.publishConsumerCheckpoint(spark, cdc, 3)
+    UpsertStream.compactCdcLogAtPublished(spark, cdc)
+    assert(UpsertStream.cdcBatchIds(spark, cdc).isEmpty)
+    assert(UpsertStream.currentCdcBase(spark, cdc).map(_._1) == Some(2L))
+    assert(fold(cdc) == expected)
+  }
+
   test("live interleaving: a consumer crash mid-loop replays from a batch the compactor just spared") {
     val cdc = drainLog("live")
     val expected = fold(cdc)

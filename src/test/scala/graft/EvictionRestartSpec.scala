@@ -362,4 +362,25 @@ class EvictionRestartSpec extends SparkSpec {
       "no emitted session spans the crash boundary — the merge-state " +
         "restoration claim was not exercised")
   }
+
+  /** Provider PARITY for the interval-join eviction members: q277's
+    * full-outer drain (BOTH sides' buffers, both null-completion
+    * closures — the member whose eviction mechanics subsume the
+    * inner/left single-direction cases) run on the default provider
+    * and on RocksDB, the drain-side live assertions (wave count, peak
+    * bound, mid-drain shed) firing both times, answers compared
+    * row-for-row. With q281 (chained join→window) and q286 (session
+    * store) this puts RocksDB evidence on every eviction state
+    * layout the family uses. */
+  test("full-outer eviction drain on RocksDB matches the default provider") {
+    def run(): Set[Vector[Any]] =
+      StreamJoin.evictionFullJoinQuery(spark, sf0001)
+        .collect().map(_.toSeq.toVector).toSet
+    val default = run()
+    assert(default.nonEmpty)
+    val rocks =
+      graft.streaming.EventStream.withRocksDbProvider(spark)(run())
+    assert(rocks == default,
+      "RocksDB full-outer drain diverged from the default provider")
+  }
 }
