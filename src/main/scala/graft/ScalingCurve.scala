@@ -465,10 +465,19 @@ object ScalingCurve {
         Seq(root, cdc, ck).foreach(sources.Scratch.delete(spark, _))
         (history, base, tailRows, tailParts)
       }
+      // guarded like runStateful: a failed layout drain (the 10x one
+      // is the most expensive new step) becomes a reported row, not a
+      // lost SCALING.md
+      def layoutOr(tag: String, dir: String, waves: Int)
+          : (String, Int, Either[String, (Long, Long, Long, Long)]) =
+        (tag, waves,
+          try Right(cdcLayout(dir, waves))
+          catch { case scala.util.control.NonFatal(e) =>
+            Left(Option(e.getMessage).getOrElse(e.toString).take(120)) })
       val cdcLayouts =
-        Sfs.map(sf => sf.split('/').last -> cdcLayout(sf, 3)) :+
-          ("sf0.1, 6 batches" -> cdcLayout(Sfs(2), 6)) :+
-          ("10x events" -> cdcLayout(blowS, 3))
+        Sfs.map(sf => layoutOr(sf.split('/').last, sf, 3)) :+
+          layoutOr("sf0.1, 6 batches", Sfs(2), 6) :+
+          layoutOr("10x events", blowS, 3)
       graft.sources.Scratch.delete(spark, blowS)
 
       // the STRETCHED decade (q259's constant-key-density variant):
@@ -560,13 +569,17 @@ object ScalingCurve {
         "compacted layout must stay flat on both.\n\n"
       sb ++= "| feed | batches | log rows pre-compaction | base rows " +
         "| tail rows | tail partitions |\n|---|---|---|---|---|---|\n"
-      cdcLayouts.foreach { case (tag, (h, b, tr, tp)) =>
-        val waves = if (tag.contains("6 batches")) 6 else 3
-        sb ++= f"| $tag | $waves | $h%,d | $b%,d | $tr%,d | $tp |\n"
+      cdcLayouts.foreach {
+        case (tag, waves, Right((h, b, tr, tp))) =>
+          sb ++= f"| $tag | $waves | $h%,d | $b%,d | $tr%,d | $tp |\n"
+        case (tag, waves, Left(msg)) =>
+          sb ++= s"| $tag | $waves | FAILED: $msg | — | — | — |\n"
       }
       (cdcLayouts.lift(2), cdcLayouts.lift(3), cdcLayouts.lastOption) match {
-        case (Some((_, (h3, b3, t3, _))), Some((_, (h6, b6, t6, _))),
-              Some((_, (hX, bX, _, _)))) if b3 + t3 > 0 && b3 > 0 =>
+        case (Some((_, _, Right((h3, b3, t3, _)))),
+              Some((_, _, Right((h6, b6, t6, _)))),
+              Some((_, _, Right((hX, bX, _, _)))))
+            if b3 + t3 > 0 && b3 > 0 =>
           sb ++= f"\nReading: doubling history (3 -> 6 batches at " +
             f"sf0.1) grows the raw log\n${h6.toDouble / h3}%.2fx " +
             f"($h3%,d -> $h6%,d rows) but the compacted layout only " +
@@ -592,6 +605,10 @@ object ScalingCurve {
         .map(_ - sf01Staged / 2)
       val stretchReading = stretchErr match {
         case Some(msg) => s"FAILED at the stretched decade: $msg"
+        // no sf0.1 base measurement (the rep loop recorded a failure
+        // for q259) -> nothing to decompose against; "—" like the
+        // table cell, NOT the measured-but-small message below
+        case None if q259Base.forall(_ <= 0) => "—"
         case None =>
           val stTail = stretchPeak - stagedRows / 2
           baseTail.filter(_ => stTail > 0).fold(

@@ -276,8 +276,29 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
               s"(current: $curId)"))
         }
     }
-    (200, s"""{"version":$ver,"current":$curId,""" +
-      s""""data":${rows(spark.read.parquet(snap))}}""")
+    // the read races a live drain's retention vacuum: the version
+    // check above is point-in-time, so the collect below can land on
+    // a snapshot being deleted under it. The read only COUNTS if the
+    // snapshot is still committed afterwards — otherwise (whether the
+    // scan threw on vanished files or silently listed a subset) the
+    // version left the retention window mid-read and the contract
+    // answer is 404, never a truncated 200 or a raced 500.
+    val data =
+      try {
+        val d = rows(spark.read.parquet(snap))
+        if (graft.streaming.UpsertStream
+            .snapshotDir(spark, root, ver).isEmpty)
+          return (404, detail(s"version $ver left the retention " +
+            "window during the read"))
+        d
+      } catch {
+        case scala.util.control.NonFatal(_)
+            if graft.streaming.UpsertStream
+              .snapshotDir(spark, root, ver).isEmpty =>
+          return (404, detail(s"version $ver left the retention " +
+            "window during the read"))
+      }
+    (200, s"""{"version":$ver,"current":$curId,"data":$data}""")
   }
 
   private def queryData(ex: HttpExchange): (Int, String) = {

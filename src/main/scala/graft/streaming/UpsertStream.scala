@@ -523,17 +523,8 @@ object UpsertStream {
     val stateRoot = graft.sources.Scratch.dirOutliving(spark, "q276_state")
     var stateDir: Option[String] = None
     for (b <- batchIds) {
-      val ops = log.filter(col("batch") === b).select("doc_id", "ver")
-      val next = stateDir match {
-        case None => ops
-        case Some(d) =>
-          val prev = spark.read.parquet(d)
-          prev.join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
-            .unionByName(ops)
-      }
-      val out = s"$stateRoot/s$b"
-      next.write.mode("overwrite").parquet(out)
-      stateDir = Some(out)
+      stateDir = Some(
+        applyConsumerBatch(spark, cdc, b.toLong, stateDir, stateRoot))
     }
     val state = spark.read.parquet(stateDir.get)
     // the retraction identity (see scaladoc): +post −pre over the log
@@ -559,6 +550,32 @@ object UpsertStream {
       s"q276 fold disagrees with the windowed reconstruction on " +
         s"$disagree keys")
     cdcConsumerReadBack(spark, cdc)
+  }
+
+  /** ONE consumer fold step — THE definition of the CDC consumer's
+    * per-batch semantics (q276's discipline), shared by q276's loop,
+    * q284's interleaved loop, and the spec's crash-replay cases so
+    * the three cannot drift: read batch `b`'s ops from the log, apply
+    * them onto the materialized state at `prev` (keys reappearing in
+    * the batch are REPLACED — anti-join + union, the keyed
+    * last-writer-wins merge), write the next state to
+    * `stateRoot/s<b>` (mode overwrite — a torn write from a crashed
+    * attempt is replay-idempotent), and return its path. */
+  private[graft] def applyConsumerBatch(spark: SparkSession,
+      cdc: String, b: Long, prev: Option[String],
+      stateRoot: String): String = {
+    val ops = spark.read.parquet(cdc).filter(col("batch") === b)
+      .select("doc_id", "ver")
+    val next = prev match {
+      case None => ops
+      case Some(d) =>
+        spark.read.parquet(d)
+          .join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(ops)
+    }
+    val out = s"$stateRoot/s$b"
+    next.write.mode("overwrite").parquet(out)
+    out
   }
 
   /** q276's read-back, expressed over the CDC log directory alone so
@@ -1041,18 +1058,8 @@ object UpsertStream {
       require(cdcBatchIds(spark, cdc).contains(b),
         s"q284 step $b: the consumer's next batch was compacted away " +
           s"— live ${cdcBatchIds(spark, cdc).mkString(",")}")
-      val ops = spark.read.parquet(cdc).filter(col("batch") === b)
-        .select("doc_id", "ver")
-      val next = stateDir match {
-        case None => ops
-        case Some(d) =>
-          spark.read.parquet(d)
-            .join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
-            .unionByName(ops)
-      }
-      val out = s"$stateRoot/s$b"
-      next.write.mode("overwrite").parquet(out)
-      stateDir = Some(out)
+      stateDir = Some(
+        applyConsumerBatch(spark, cdc, b, stateDir, stateRoot))
       // the consumer's checkpoint is now b+1: PUBLISH it into the log
       // (the durable marker an out-of-process compactor reads), then
       // run the compactor exactly where a periodic one fires — from

@@ -155,21 +155,10 @@ class CdcCompactionSpec extends SparkSpec {
     val cdc = drainLog("live")
     val expected = fold(cdc)
     val stateRoot = tmpDir("cc_live_state")
-    // the q276/q284 consumer fold, materialized per step (mode
-    // overwrite — the property a torn replayed write leans on)
-    def applyBatch(b: Long, prev: Option[String]): String = {
-      val ops = spark.read.parquet(cdc).filter(col("batch") === b)
-        .select("doc_id", "ver")
-      val next = prev match {
-        case None => ops
-        case Some(d) => spark.read.parquet(d)
-          .join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
-          .unionByName(ops)
-      }
-      val out = s"$stateRoot/s$b"
-      next.write.mode("overwrite").parquet(out)
-      out
-    }
+    // the SHARED consumer fold step (the same code q276/q284 run —
+    // mode overwrite is the property a torn replayed write leans on)
+    def applyBatch(b: Long, prev: Option[String]): String =
+      UpsertStream.applyConsumerBatch(spark, cdc, b, prev, stateRoot)
     // consumer applies batch 0 and COMMITS (checkpoint -> 1); the
     // compactor fires between folds and folds <= 0
     val s0 = applyBatch(0L, None)
