@@ -753,6 +753,13 @@ object SparkEntry {
     // same live peak/shed assertions, same oracle; provider loaned.
     "q286_rocksdb_session" -> ((s, d) =>
       graft.streaming.SessionStream.rocksDbSessionEvictionQuery(s, d)),
+    // q287: the CDC consumer's OWN state chain bounded — K-window
+    // retention on the materialized fold states (the round-16
+    // verdict's last storage leak), with the consumer deriving its
+    // position from disk at every step (resume is the only path);
+    // q276's oracle verbatim.
+    "q287_consumer_retention" -> ((s, d) =>
+      graft.streaming.UpsertStream.consumerRetentionQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1002,6 +1009,9 @@ object SparkEntry {
           UpsertStream.retentionKReadBack _)),
       "q286_rocksdb_session" ->
         ((SessionStream.sinkSchema, SessionStream.readBack _)),
+      "q287_consumer_retention" ->
+        ((UpsertStream.consumerRetentionSinkSchema,
+          UpsertStream.consumerRetentionReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -1984,6 +1994,10 @@ object SparkEntry {
     // — q244/q278's closed-session oracle verbatim.
     "q286_rocksdb_session" ->
       graft.streaming.SessionStream.sessionWindowOracleSql,
+    // q287: bounding the consumer's state chain must not change what
+    // it computes — q276's oracle verbatim.
+    "q287_consumer_retention" ->
+      graft.streaming.UpsertStream.consumerRetentionOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -254,51 +254,91 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     * `{"version":n,"current":m,"data":[…]}` — so a client can tell an
     * as-of read from a current one; data rides [[rows]] (maxRows cap,
     * job deadline, NaN sanitize) like every other data route. */
+  /** TEST SEAM for the snapshot-read race: invoked after a read
+    * attempt resolves its snapshot directory and before the scan
+    * runs — the exact TOCTOU window a live drain's retention vacuum
+    * can land in. Production value is a no-op; ApiSpec swaps in a
+    * hook that vacuums (and, for the current-read case, advances)
+    * the table mid-read so both recheck branches and the retry path
+    * execute deterministically instead of depending on a thread
+    * race. */
+  private[graft] var snapshotReadRaceHook: () => Unit = () => ()
+
   private def tableSnapshot(ex: HttpExchange): (Int, String) = {
     val p = params(ex)
     val root = p.getOrElse("root",
       return (400, detail("root parameter required")))
-    val cur = graft.streaming.UpsertStream.currentSnapshot(spark, root)
-      .getOrElse(return (404, detail(
-        s"no committed snapshot under $root")))
-    val curId = cur.split('/').last.stripPrefix("v").toLong
     val asOf = p.get("version").map { v =>
       v.stripPrefix("v").toLongOption.getOrElse(
         return (400, detail(s"invalid version: $v")))
     }
-    val (ver, snap) = asOf match {
-      case None => (curId, cur)
-      case Some(n) =>
-        graft.streaming.UpsertStream.snapshotDir(spark, root, n) match {
-          case Some(d) => (n, d)
-          case None => return (404, detail(
-            s"version $n is outside the retention window " +
-              s"(current: $curId)"))
-        }
-    }
-    // the read races a live drain's retention vacuum: the version
-    // check above is point-in-time, so the collect below can land on
-    // a snapshot being deleted under it. The read only COUNTS if the
-    // snapshot is still committed afterwards — otherwise (whether the
-    // scan threw on vanished files or silently listed a subset) the
-    // version left the retention window mid-read and the contract
-    // answer is 404, never a truncated 200 or a raced 500.
-    val data =
+    // One read attempt against snapshot v{ver}: the resolution above/
+    // below is point-in-time, so the collect can land on a snapshot a
+    // live drain's retention vacuum is deleting under it. The attempt
+    // COUNTS only if the version is still committed afterwards — and
+    // the recheck is sound because vacuum UN-COMMITS first
+    // (UpsertStream.vacuumSnapshots deletes the marker before the
+    // recursive delete, making the marker the linearization point for
+    // vacuum as it is for commit): whether the scan threw on vanished
+    // part files or silently listed a subset, a vacuumed version can
+    // never recheck as committed, so a truncated 200 and a raced 500
+    // are both impossible. A NonFatal failure with the version STILL
+    // committed is a genuine error and rethrows (→ 500/504).
+    def attempt(ver: Long, snap: String): Option[String] =
       try {
+        snapshotReadRaceHook()
         val d = rows(spark.read.parquet(snap))
         if (graft.streaming.UpsertStream
-            .snapshotDir(spark, root, ver).isEmpty)
-          return (404, detail(s"version $ver left the retention " +
-            "window during the read"))
-        d
+            .snapshotDir(spark, root, ver).isEmpty) None
+        else Some(d)
       } catch {
         case scala.util.control.NonFatal(_)
             if graft.streaming.UpsertStream
-              .snapshotDir(spark, root, ver).isEmpty =>
-          return (404, detail(s"version $ver left the retention " +
-            "window during the read"))
+              .snapshotDir(spark, root, ver).isEmpty => None
       }
-    (200, s"""{"version":$ver,"current":$curId,"data":$data}""")
+    def currentId(): Option[Long] =
+      graft.streaming.UpsertStream.currentSnapshot(spark, root)
+        .map(_.split('/').last.stripPrefix("v").toLong)
+    asOf match {
+      case Some(n) =>
+        // explicit as-of: depth IS the retention policy, so a version
+        // outside (or leaving) the window is a 404 — stated policy,
+        // never a read of half-deleted files
+        val curId = currentId().getOrElse(return (404, detail(
+          s"no committed snapshot under $root")))
+        graft.streaming.UpsertStream.snapshotDir(spark, root, n) match {
+          case None => (404, detail(
+            s"version $n is outside the retention window " +
+              s"(current: $curId)"))
+          case Some(d) => attempt(n, d) match {
+            case Some(data) =>
+              (200, s"""{"version":$n,"current":$curId,"data":$data}""")
+            case None => (404, detail(
+              s"version $n left the retention window during the read"))
+          }
+        }
+      case None =>
+        // implicit CURRENT read: the resolved snapshot can only be
+        // vacuumed mid-read because a live drain committed NEWER
+        // versions — so re-resolve and retry instead of 404ing: a
+        // current read must not 404 while the table has a committed
+        // snapshot. Retries are bounded; a writer fast enough to
+        // outrun all three attempts maps to 503 (retryable), never a
+        // wrong answer or a misleading "left the window".
+        var tries = 0
+        while (tries < 3) {
+          tries += 1
+          val curId = currentId().getOrElse(return (404, detail(
+            s"no committed snapshot under $root")))
+          attempt(curId, s"$root/v$curId") match {
+            case Some(data) => return (200,
+              s"""{"version":$curId,"current":$curId,"data":$data}""")
+            case None => () // vacuumed mid-read; re-resolve and retry
+          }
+        }
+        (503, detail("current snapshot kept leaving the retention " +
+          "window during the read — retry"))
+    }
   }
 
   private def queryData(ex: HttpExchange): (Int, String) = {

@@ -61,12 +61,22 @@ object UpsertStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+      .filter(s => s.isDirectory &&
         fs.exists(new Path(s.getPath, CommitMarker)))
-      .map(_.getPath)
-      .sortBy(_.getName.drop(1).toLong)
-      .lastOption.map(_.toString)
+      // parse, don't assume: a stray `v`-prefixed non-numeric dir (a
+      // torn foreign artifact) degrades to "ignored", never a
+      // NumberFormatException in every reader of the table
+      .flatMap(s => snapshotId(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(_._1)
+      .lastOption.map(_._2.toString)
   }
+
+  /** Parse a snapshot directory name `v<n>` to its id — None for any
+    * other shape, so malformed names degrade to "ignored" in every
+    * list/vacuum/count rather than crashing the maintenance job that
+    * encounters a stray file. */
+  private def snapshotId(name: String): Option[Long] =
+    if (name.startsWith("v")) name.drop(1).toLongOption else None
 
   /** The committed snapshot directory v{n} under `root`, if live —
     * a vacuumed (retention window passed it) or torn (no commit
@@ -150,9 +160,20 @@ object UpsertStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
       fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-        .filter(_.getPath.getName.drop(1).toLong < keepFrom)
-        .foreach(s => fs.delete(s.getPath, true))
+        .filter(s => s.isDirectory &&
+          snapshotId(s.getPath.getName).exists(_ < keepFrom))
+        .foreach { s =>
+          // UN-COMMIT first: the marker is the linearization point
+          // for vacuum exactly as it is for commit. The recursive
+          // delete below removes children in unspecified order, so a
+          // concurrent reader could list a subset of part files while
+          // the directory half-exists — but with the marker already
+          // gone, that reader's post-read marker recheck (the serving
+          // edge's guard, Api.tableSnapshot) reliably classifies the
+          // version as vacuumed instead of serving a truncated 200.
+          fs.delete(new Path(s.getPath, CommitMarker), false)
+          fs.delete(s.getPath, true)
+        }
       ()
     }
   }
@@ -164,7 +185,7 @@ object UpsertStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(s =>
-      s.isDirectory && s.getPath.getName.startsWith("v"))
+      s.isDirectory && snapshotId(s.getPath.getName).isDefined)
   }
 
   /** Apply one upsert micro-batch to the table under `root`: vacuum
@@ -560,10 +581,29 @@ object UpsertStream {
     * the batch are REPLACED — anti-join + union, the keyed
     * last-writer-wins merge), write the next state to
     * `stateRoot/s<b>` (mode overwrite — a torn write from a crashed
-    * attempt is replay-idempotent), and return its path. */
+    * attempt is replay-idempotent), mark it committed, vacuum states
+    * below s{b−(retain−1)}, and return its path.
+    *
+    * The state chain runs the SAME retention discipline as the table
+    * it mirrors ([[vacuumSnapshots]] — the round-16 verdict named the
+    * unbounded chain as the one remaining storage leak): state ids
+    * are deterministic in the batch id, the write is
+    * write-new-then-repoint ([[CommitMarker]] after the parquet
+    * lands, so a crashed attempt leaves a torn marker-less dir that
+    * [[currentConsumerState]] never surfaces), and the replay-margin
+    * argument transfers verbatim — while batch b is being applied its
+    * only state read is s{b−1}, so vacuuming j < b−(retain−1) with
+    * retain ≥ 2 never deletes a state an uncommitted batch can still
+    * need; a replay of batch b re-reads the intact s{b−1} and
+    * overwrites s{b}. Storage is a CONSTANT retain states instead of
+    * one full-state snapshot per micro-batch forever. */
   private[graft] def applyConsumerBatch(spark: SparkSession,
       cdc: String, b: Long, prev: Option[String],
-      stateRoot: String): String = {
+      stateRoot: String, retain: Int = 2): String = {
+    require(retain >= 2,
+      s"retain=$retain — the window must keep at least {s(b-1), s(b)}: " +
+        "s(b-1) is the replay margin batch b itself still reads")
+    vacuumConsumerStates(spark, stateRoot, b - (retain - 1))
     val ops = spark.read.parquet(cdc).filter(col("batch") === b)
       .select("doc_id", "ver")
     val next = prev match {
@@ -575,7 +615,60 @@ object UpsertStream {
     }
     val out = s"$stateRoot/s$b"
     next.write.mode("overwrite").parquet(out)
+    markCommitted(spark, out)
     out
+  }
+
+  /** Consumer-state RETENTION: delete every state directory s{j},
+    * j < keepFrom, under `stateRoot` — [[vacuumSnapshots]]'s
+    * marker-first discipline verbatim (un-commit is the linearization
+    * point; malformed names degrade to ignored). */
+  def vacuumConsumerStates(spark: SparkSession, stateRoot: String,
+      keepFrom: Long): Unit = {
+    val p = new Path(stateRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          prefixedId(s.getPath.getName, "s").exists(_ < keepFrom))
+        .foreach { s =>
+          fs.delete(new Path(s.getPath, CommitMarker), false)
+          fs.delete(s.getPath, true)
+        }
+      ()
+    }
+  }
+
+  /** The consumer's latest COMMITTED state under `stateRoot`:
+    * (batch id, dir) for the max committed s{b}, None before the
+    * first commit. This is the crash-resume entry point — together
+    * with the log it fully determines the consumer's position (next
+    * batch = b + 1), so a restarted consumer derives its state FROM
+    * DISK instead of an in-process variable; torn (marker-less)
+    * attempts are invisible by construction. */
+  def currentConsumerState(spark: SparkSession, stateRoot: String)
+      : Option[(Long, String)] = {
+    val p = new Path(stateRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, CommitMarker)))
+      .flatMap(s => prefixedId(s.getPath.getName, "s")
+        .map(_ -> s.getPath))
+      .sortBy(_._1)
+      .lastOption.map { case (b, path) => (b, path.toString) }
+  }
+
+  /** Live consumer-state directories under `stateRoot` (the retention
+    * audit's observable — committed or torn alike, since the bound is
+    * a claim about STORAGE, not about what readers surface). */
+  def consumerStateCount(spark: SparkSession, stateRoot: String): Int = {
+    val p = new Path(stateRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && prefixedId(s.getPath.getName, "s").isDefined)
   }
 
   /** q276's read-back, expressed over the CDC log directory alone so
@@ -632,12 +725,21 @@ object UpsertStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto=") &&
+      .filter(s => s.isDirectory &&
         fs.exists(new Path(s.getPath, CommitMarker)))
-      .map(s => s.getPath.getName.stripPrefix("upto=").toLong -> s.getPath)
+      .flatMap(s => prefixedId(s.getPath.getName, "upto=")
+        .map(_ -> s.getPath))
       .sortBy(_._1)
       .lastOption.map { case (b, path) => (b, path.toString) }
   }
+
+  /** Parse `<prefix><long>` directory/marker names — None for any
+    * other shape (same degrade-to-ignored contract as
+    * [[snapshotId]]): a torn or foreign artifact in the log must not
+    * crash the stand-alone compactor. */
+  private def prefixedId(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
+    else None
 
   /** The consumer-fold state (doc_id, ver, n_ops) over base ∪ tail —
     * ver replaced by the newest op per key (ops within one batch are
@@ -729,16 +831,23 @@ object UpsertStream {
     val upto = math.max(priorUpto, hi)
     if (fs.exists(p)) {
       fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filter(_.getPath.getName.stripPrefix("batch=").toLong <= upto)
+        .filter(s => s.isDirectory &&
+          prefixedId(s.getPath.getName, "batch=").exists(_ <= upto))
         .foreach(s => fs.delete(s.getPath, true))
     }
     val baseRoot = new Path(cdc, CdcBaseDir)
     if (fs.exists(baseRoot)) {
       fs.listStatus(baseRoot).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto="))
-        .filter(_.getPath.getName.stripPrefix("upto=").toLong < upto)
-        .foreach(s => fs.delete(s.getPath, true))
+        .filter(s => s.isDirectory &&
+          prefixedId(s.getPath.getName, "upto=").exists(_ < upto))
+        .foreach { s =>
+          // un-commit first — same linearization-point discipline as
+          // vacuumSnapshots: a reader that resolved this stale base
+          // and rechecks its marker after the read never sees a
+          // truncated-but-committed directory
+          fs.delete(new Path(s.getPath, CommitMarker), false)
+          fs.delete(s.getPath, true)
+        }
     }
     ()
   }
@@ -771,9 +880,8 @@ object UpsertStream {
     fs.mkdirs(dir)
     fs.create(new Path(dir, s"committed=$oldestUncommitted"), true).close()
     fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith("committed="))
-      .filter(_.getPath.getName.stripPrefix("committed=").toLong <
-        oldestUncommitted)
+      .filter(s => prefixedId(s.getPath.getName, "committed=")
+        .exists(_ < oldestUncommitted))
       .foreach(s => fs.delete(s.getPath, false))
     ()
   }
@@ -787,8 +895,10 @@ object UpsertStream {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith("committed="))
-      .map(_.getPath.getName.stripPrefix("committed=").toLong)
+      // toLongOption via prefixedId: a torn/foreign `committed=…`
+      // artifact degrades to "ignored" rather than aborting the
+      // stand-alone compactor with a NumberFormatException
+      .flatMap(s => prefixedId(s.getPath.getName, "committed="))
       .maxOption
   }
 
@@ -811,8 +921,8 @@ object UpsertStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+      .filter(_.isDirectory)
+      .flatMap(s => prefixedId(s.getPath.getName, "batch=")).sorted
   }
 
   /** q280: CDC log compaction under the q276 oracle — the round-14
@@ -1184,6 +1294,95 @@ object UpsertStream {
   /** Rows a q285 snapshot holds (the staged doc layout). */
   val retentionKSinkSchema: org.apache.spark.sql.types.StructType =
     DocStream.docSchema
+
+  // --------------------------------------------------------------------
+  // CONSUMER STATE RETENTION (q287) — the round-16 verdict's last
+  // unbounded artifact: the CDC consumer's own state chain, bounded.
+  // --------------------------------------------------------------------
+
+  /** q287: the q276 consumer run the way a RESTARTED one runs — every
+    * step derives its position from DISK ([[currentConsumerState]] +
+    * the log), never from an in-process variable — with the state
+    * chain under the same K-window retention the table itself runs
+    * ([[applyConsumerBatch]]'s vacuum; retain = 2 here, so the delete
+    * fires live at batch 2: s0 vacuumed mid-loop). Claims pinned at
+    * every step:
+    *
+    *   1. POSITION FROM DISK: the latest committed state is exactly
+    *      s{b−1} when batch b is about to apply — the resume protocol
+    *      is the only protocol, so crash-resume isn't a separate
+    *      untested path (the torn-attempt and kill-after-vacuum
+    *      replays are CdcCompactionSpec's consumer-retention cases).
+    *   2. BOUNDED CHAIN: after each batch the chain holds exactly
+    *      min(b+1, K) state dirs — one full-state snapshot per batch
+    *      FOREVER was the leak; K is the fix, asserted while the
+    *      vacuum fires, not after a final sweep.
+    *   3. FOLD IDENTITY: the final on-disk state equals the windowed
+    *      reconstruction row-for-row (q276's discipline), so bounding
+    *      the chain changed nothing the consumer computes.
+    *
+    * Oracle: q276's from-scratch argmax verbatim. */
+  def consumerRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q287_table")
+    val cdc = graft.sources.Scratch.dirOutliving(spark, "q287_cdc")
+    val drop = stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q287_ck")
+    try StatePartitions.scoped(spark) {
+      val batches = drainCdcWaves(spark, drop, root, cdc, ck)
+      require(batches == Waves,
+        s"q287 staged $Waves wave files but streamed $batches " +
+          "micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    val stateRoot = graft.sources.Scratch.dirOutliving(spark, "q287_state")
+    val retain = 2
+    for (b <- 0L until Waves.toLong) {
+      // claim 1: position derived from disk, and it is exactly b−1
+      val st = currentConsumerState(spark, stateRoot)
+      require(st.map(_._1).getOrElse(-1L) == b - 1,
+        s"q287 step $b: latest committed state is " +
+          s"${st.map(_._1).getOrElse(-1L)}, expected ${b - 1}")
+      applyConsumerBatch(spark, cdc, b, st.map(_._2), stateRoot, retain)
+      publishConsumerCheckpoint(spark, cdc, oldestUncommitted = b + 1)
+      // claim 2: the chain is bounded to K while the loop runs — the
+      // retain=2 vacuum actually deletes s0 at batch 2
+      val live = consumerStateCount(spark, stateRoot)
+      val want = math.min(b + 1, retain.toLong).toInt
+      require(live == want,
+        s"q287 step $b: $live live state dirs, expected $want — the " +
+          "consumer chain must stay bounded to the retention window")
+    }
+    // claim 3: the final on-disk state vs the windowed reconstruction
+    val (lastB, lastDir) = currentConsumerState(spark, stateRoot)
+      .getOrElse(sys.error("q287 ended with no committed state"))
+    require(lastB == Waves - 1L,
+      s"q287 final state is s$lastB, expected s${Waves - 1}")
+    val disagree = spark.read.parquet(lastDir)
+      .join(cdcConsumerReadBack(spark, cdc)
+          .select(col("user_id").as("doc_id"), col("ver").as("__rv")),
+        Seq("doc_id"), "full")
+      .filter(col("ver").isNull || col("__rv").isNull ||
+        col("ver") =!= col("__rv"))
+      .count()
+    require(disagree == 0,
+      s"q287 bounded-chain fold disagrees with the windowed " +
+        s"reconstruction on $disagree keys")
+    cdcConsumerReadBack(spark, cdc)
+  }
+
+  /** q287's read-back — the consumer fold over the log
+    * ([[cdcConsumerReadBack]]): retention changes storage, never the
+    * answer. */
+  def consumerRetentionReadBack(spark: SparkSession,
+      cdc: String): DataFrame = cdcConsumerReadBack(spark, cdc)
+
+  /** Rows the q287 consumer consumes (the CDC log layout). */
+  val consumerRetentionSinkSchema: org.apache.spark.sql.types.StructType =
+    cdcSinkSchema
+
+  /** DuckDB oracle for [[consumerRetentionQuery]] — q276's
+    * from-scratch reconstruction verbatim: bounding the state chain
+    * must not change what the consumer computes. */
+  def consumerRetentionOracleSql: String = cdcConsumerOracleSql
 
   /** DuckDB oracle for [[retentionKQuery]] — the argmax per user over
     * the first TWO of FOUR waves (the table as of batch 1; same ntile

@@ -331,6 +331,75 @@ class ApiSpec extends SparkSpec {
     assert(c7 == 400 && b7.get("detail").asText.contains("invalid version"))
   }
 
+  test("table-snapshot: retention vacuum racing the read — as-of 404s on both branches, current read retries onto the new current") {
+    import graft.streaming.UpsertStream
+    val drop = UpsertStream.stageUpsertWaves(spark, sf0001)
+    def freshTable(tag: String): String = {
+      val root = tmpDir(s"api_race_root_$tag")
+      val ck = tmpDir(s"api_race_ck_$tag")
+      assert(UpsertStream.drainUpsertWaves(spark, drop, root, ck) ==
+        UpsertStream.Waves)
+      root // {v1, v2} live, v2 current
+    }
+    val a = api.get
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // arm a one-shot hook in the TOCTOU window (after the route
+    // resolves its snapshot, before the scan) and self-disarm — the
+    // deterministic stand-in for a racing drain's vacuum
+    def arm(f: => Unit): Unit =
+      a.snapshotReadRaceHook = () => {
+        a.snapshotReadRaceHook = () => ()
+        f
+      }
+    try {
+      // BRANCH 1 — scan throws on vanished files: the hook vacuums the
+      // as-of version whole (marker first, then the recursive delete),
+      // so the read lands on a missing path; the catch-side recheck
+      // classifies it as vacuumed -> 404, not 500
+      val r1 = freshTable("throw")
+      arm { UpsertStream.vacuumSnapshots(spark, r1, keepFrom = 2L) }
+      val (c1, b1) = get("/table-snapshot?root=" +
+        java.net.URLEncoder.encode(r1, "UTF-8") + "&version=1")
+      assert(c1 == 404 && b1.get("detail").asText
+        .contains("left the retention window during the read"),
+        s"got $c1: $b1")
+      // BRANCH 2 — scan succeeds but the version was un-committed
+      // mid-read (the truncated-listing shape: vacuum's marker delete
+      // landed, data deletes hadn't): the post-read marker recheck
+      // refuses the 200. The hook deletes ONLY the marker — the data
+      // files all survive, so only the recheck (never a scan error)
+      // can catch this
+      val r2 = freshTable("subset")
+      arm { fs.delete(new org.apache.hadoop.fs.Path(
+        s"$r2/v1/_GRAFT_COMMIT"), false) }
+      val (c2, b2) = get("/table-snapshot?root=" +
+        java.net.URLEncoder.encode(r2, "UTF-8") + "&version=1")
+      assert(c2 == 404 && b2.get("detail").asText
+        .contains("left the retention window during the read"),
+        s"got $c2: $b2")
+      // BRANCH 3 — implicit CURRENT read raced: the hook commits v3
+      // and vacuums {v1, v2}, so the resolved v2 vanishes mid-read;
+      // the route must re-resolve and serve the NEW current (ADVICE
+      // r16: a current read must not 404 while the table exists)
+      val r3 = freshTable("retry")
+      arm {
+        spark.read.parquet(s"$r3/v2").write.parquet(s"$r3/v3")
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"$r3/v3/_GRAFT_COMMIT"), true).close()
+        UpsertStream.vacuumSnapshots(spark, r3, keepFrom = 3L)
+      }
+      val (c3, b3) = get("/table-snapshot?root=" +
+        java.net.URLEncoder.encode(r3, "UTF-8"))
+      assert(c3 == 200, s"current read must retry, got $c3: $b3")
+      assert(b3.get("version").asLong == 3L &&
+        b3.get("current").asLong == 3L,
+        s"retry must land on the new current: $b3")
+      assert(b3.get("data").size.toLong ==
+        spark.read.parquet(s"$r3/v3").count())
+    } finally a.snapshotReadRaceHook = () => ()
+  }
+
   override def afterAll(): Unit = {
     api.foreach(_.stop())
     super.afterAll()

@@ -195,6 +195,76 @@ class CdcCompactionSpec extends SparkSpec {
       "replayed consumer state diverged from the full-log fold")
   }
 
+  test("consumer state retention: bounded chain, torn attempts invisible, replay converges") {
+    val cdc = drainLog("ret")
+    val expected = fold(cdc)
+    val stateRoot = tmpDir("cc_ret_state")
+    // q287's loop shape: position derived from disk each step
+    def step(b: Long): String = {
+      val st = UpsertStream.currentConsumerState(spark, stateRoot)
+      assert(st.map(_._1).getOrElse(-1L) == b - 1)
+      UpsertStream.applyConsumerBatch(spark, cdc, b, st.map(_._2),
+        stateRoot)
+    }
+    step(0L); step(1L)
+    assert(UpsertStream.consumerStateCount(spark, stateRoot) == 2)
+    // CRASH during batch 2, after its vacuum already fired (the
+    // earliest crash point inside applyConsumerBatch): s0 is gone,
+    // s1 — the replay margin — is intact by the keepFrom ≤ b−1
+    // argument, and the durable position is still s1
+    UpsertStream.vacuumConsumerStates(spark, stateRoot, keepFrom = 1L)
+    assert(UpsertStream.consumerStateCount(spark, stateRoot) == 1)
+    assert(UpsertStream.currentConsumerState(spark, stateRoot)
+      .map(_._1) == Some(1L))
+    // ...or after the parquet landed but BEFORE the commit marker: a
+    // torn s2 exists on disk yet the resume protocol cannot see it
+    val s1 = UpsertStream.currentConsumerState(spark, stateRoot).get._2
+    spark.read.parquet(s1).limit(1).write.mode("overwrite")
+      .parquet(s"$stateRoot/s2")
+    assert(UpsertStream.consumerStateCount(spark, stateRoot) == 2,
+      "the torn attempt IS on disk (storage observable)")
+    assert(UpsertStream.currentConsumerState(spark, stateRoot)
+      .map(_._1) == Some(1L),
+      "a marker-less torn state must be invisible to resume")
+    // replay batch 2 from the disk-derived position: mode overwrite
+    // clears the torn s2, the chain stays bounded, the answer lands
+    val s2 = step(2L)
+    assert(UpsertStream.currentConsumerState(spark, stateRoot)
+      .map(_._1) == Some(2L))
+    assert(UpsertStream.consumerStateCount(spark, stateRoot) == 2,
+      "the retain=2 window must hold exactly {s1, s2}")
+    val state = spark.read.parquet(s2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == expected.map { case (k, (v, _)) => k -> v },
+      "replayed bounded-chain consumer diverged from the full-log fold")
+  }
+
+  test("malformed names degrade to ignored, never a crash") {
+    val cdc = drainLog("mal")
+    val expected = fold(cdc)
+    val fs = new org.apache.hadoop.fs.Path(cdc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a torn/foreign artifact in _consumer whose name parses as no
+    // long must not abort the stand-alone compactor (ADVICE r16)
+    UpsertStream.publishConsumerCheckpoint(spark, cdc, 2)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$cdc/_consumer/committed=torn.tmp"), true).close()
+    assert(UpsertStream.readConsumerCheckpoint(spark, cdc) == Some(2L))
+    UpsertStream.compactCdcLogAtPublished(spark, cdc)
+    assert(UpsertStream.cdcBatchIds(spark, cdc) == Seq(2L))
+    assert(fold(cdc) == expected)
+    // stray non-numeric dirs in a table root / state root are ignored
+    // by every lister instead of throwing NumberFormatException
+    val root = tmpDir("cc_mal_root")
+    spark.range(1).write.parquet(s"$root/vjunk")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/vjunk/_GRAFT_COMMIT"), true).close()
+    assert(UpsertStream.currentSnapshot(spark, root).isEmpty)
+    assert(UpsertStream.snapshotCount(spark, root) == 0)
+    UpsertStream.vacuumSnapshots(spark, root, keepFrom = 99L)
+    assert(UpsertStream.currentConsumerState(spark, root).isEmpty)
+  }
+
   test("the fold matches the from-scratch windowed reconstruction (q276's identity)") {
     val cdc = drainLog("ident")
     val viaWindow = UpsertStream.cdcConsumerReadBack(spark, cdc).collect()
