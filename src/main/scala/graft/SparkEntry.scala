@@ -760,6 +760,13 @@ object SparkEntry {
     // q276's oracle verbatim.
     "q287_consumer_retention" -> ((s, d) =>
       graft.streaming.UpsertStream.consumerRetentionQuery(s, d)),
+    // q288: grouped INCREMENTAL VIEW MAINTENANCE over the CDC log —
+    // per-bucket (count, sum) maintained from ops alone with
+    // cross-group retraction (updates move keys between groups via
+    // prev_ver), view == from-scratch rollup asserted live; the MV
+    // chain runs q287's bounded-storage discipline.
+    "q288_grouped_ivm" -> ((s, d) =>
+      graft.streaming.GroupedIvm.groupedIvmQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1012,6 +1019,9 @@ object SparkEntry {
       "q287_consumer_retention" ->
         ((UpsertStream.consumerRetentionSinkSchema,
           UpsertStream.consumerRetentionReadBack _)),
+      "q288_grouped_ivm" ->
+        ((GroupedIvm.groupedIvmSinkSchema,
+          GroupedIvm.groupedIvmReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -1998,6 +2008,10 @@ object SparkEntry {
     // it computes — q276's oracle verbatim.
     "q287_consumer_retention" ->
       graft.streaming.UpsertStream.consumerRetentionOracleSql,
+    // q288: the incrementally-maintained grouped view must equal the
+    // from-scratch bucket rollup over each user's final version.
+    "q288_grouped_ivm" ->
+      graft.streaming.GroupedIvm.groupedIvmOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -46,7 +46,7 @@ object UpsertStream {
     * the previous committed snapshot until the replay completes. */
   private val CommitMarker = "_GRAFT_COMMIT"
 
-  private def markCommitted(spark: SparkSession, dir: String): Unit = {
+  private[graft] def markCommitted(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir, CommitMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(p, true).close()
