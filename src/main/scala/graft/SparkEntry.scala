@@ -767,6 +767,13 @@ object SparkEntry {
     // chain runs q287's bounded-storage discipline.
     "q288_grouped_ivm" -> ((s, d) =>
       graft.streaming.GroupedIvm.groupedIvmQuery(s, d)),
+    // q289: MERGE with AUTOMATIC SCHEMA EVOLUTION — a keyed upsert
+    // whose updates carry a new column widens the table in one
+    // single-schema snapshot (old rows null-fill), and the very next
+    // merge is back on copy-on-write's touched-files-only fast path
+    // (both path proofs asserted live via the returned file counts).
+    "q289_evolve_merge" -> ((s, d) =>
+      graft.operators.Maintenance.evolveMergeQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1022,6 +1029,9 @@ object SparkEntry {
       "q288_grouped_ivm" ->
         ((GroupedIvm.groupedIvmSinkSchema,
           GroupedIvm.groupedIvmReadBack _)),
+      "q289_evolve_merge" ->
+        ((graft.operators.Maintenance.evolveMergeSinkSchema,
+          graft.operators.Maintenance.evolveMergeReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -2012,6 +2022,10 @@ object SparkEntry {
     // from-scratch bucket rollup over each user's final version.
     "q288_grouped_ivm" ->
       graft.streaming.GroupedIvm.groupedIvmOracleSql,
+    // q289: the widened-table state — wave<=1 argmax full-outer the
+    // wave-2 argmax, updates winning, old rows with NULL channel.
+    "q289_evolve_merge" ->
+      graft.operators.Maintenance.evolveMergeOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
@@ -770,4 +770,181 @@ object Maintenance {
           FROM lineitem"""
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
+
+  // --------------------------------------------------------------------
+  // MERGE with AUTOMATIC SCHEMA EVOLUTION (q289) — Delta's
+  // mergeSchema-on-MERGE on plain parquet.
+  // --------------------------------------------------------------------
+
+  /** [[copyOnWriteMerge]] with AUTOMATIC SCHEMA EVOLUTION: the column
+    * sets of base and updates may differ in both directions — columns
+    * the updates ADD widen the table (surviving base rows null-fill
+    * them), columns the updates MISS null-fill in the update rows (a
+    * late producer that predates the column). The key column must
+    * exist on both sides.
+    *
+    * The scale decision is WHICH path a widening merge takes: it
+    * rewrites EVERY surviving base file instead of byte-copying
+    * untouched ones. Byte-copy would leave one snapshot holding two
+    * file schemas, pushing mergeSchema (schema union + per-file
+    * reconciliation, and a footer read of every file before planning)
+    * onto every future reader of every future snapshot — a permanent
+    * read tax to save one write. Schema changes are rare and reads
+    * are not, so the boundary batch pays once and every snapshot
+    * stays single-schema, plain-readable. The widening rewrite
+    * repartitions BY RANGE on the key so the post-evolution layout
+    * keeps key-clustered files — which is what lets every LATER merge
+    * take [[copyOnWriteMerge]]'s touched-files-only fast path again
+    * (the returned (rewritten, copied) counts prove which path ran:
+    * widening returns (allBaseFiles, 0); non-widening delegates and
+    * byte-copies its untouched files). */
+  def evolveMerge(spark: SparkSession, inDir: String, outDir: String,
+                  updates: DataFrame, key: String): (Long, Long) = {
+    val base = spark.read.parquet(inDir)
+    require(base.columns.contains(key) && updates.columns.contains(key),
+      s"key '$key' must exist on both sides")
+    val added = updates.schema.fields
+      .filterNot(f => base.columns.contains(f.name))
+    val missing = base.schema.fields
+      .filterNot(f => updates.columns.contains(f.name))
+    // null-fill the direction that's always safe: update rows that
+    // predate a base column
+    val updFull = missing.foldLeft(updates)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    if (added.isEmpty) {
+      copyOnWriteMerge(spark, inDir, outDir,
+        updFull.select(base.columns.map(col): _*), key)
+    } else {
+      val inPath = new Path(inDir)
+      val fsIn = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nBaseFiles = fsIn.listStatus(inPath)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      val widened = base.columns ++ added.map(_.name)
+      val baseFull = added.foldLeft(base)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      baseFull
+        .join(updates.select(key), Seq(key), "left_anti")
+        .unionByName(updFull.select(widened.map(col): _*))
+        .repartitionByRange(math.max(1, nBaseFiles), col(key))
+        .write.mode("overwrite").parquet(outDir)
+      (nBaseFiles.toLong, 0L)
+    }
+  }
+
+  /** q289: schema evolution THROUGH the merge chain — q178 covers the
+    * mergeSchema SCAN (two epochs read together); this covers the
+    * lakehouse WRITE side: a keyed upsert whose updates carry a new
+    * column lands via [[evolveMerge]], widening the table (old rows
+    * null-fill) in one single-schema snapshot, and the very next
+    * merge — updates now carrying the widened schema — is back on the
+    * touched-files-only fast path. Three-step chain over the shared
+    * wave split:
+    *
+    *   v0: waves 0–1's latest-per-key (the pre-evolution table),
+    *       written key-range-clustered;
+    *   v1: wave 2's latest-per-key + a NEW `channel` column merged in
+    *       — the widening merge (asserted: every base file rewritten,
+    *       zero byte-copies, single widened schema);
+    *   v2: a narrow key-range slice of v1 re-merged IDENTICALLY — the
+    *       post-evolution fast path (asserted: byte-copies ran, i.e.
+    *       the evolution did not permanently degrade merges; identical
+    *       rows keep the oracle the v1 state).
+    *
+    * Oracle: per user the wave≤1 argmax full-outer-joined with the
+    * wave-2 argmax — updated users carry ver/type/channel from wave 2,
+    * untouched users keep their old row with a NULL channel. */
+  def evolveMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val drop = graft.streaming.UpsertStream.stageUpsertWaves(spark, dir)
+    // latest-per-key over the named wave files (explicit paths — a
+    // glob would draw FileStreamSink's noisy metadata probe)
+    def wave(ks: Seq[Int]): DataFrame =
+      spark.read.schema(graft.streaming.DocStream.docSchema)
+        .json(ks.map(k => s"$drop/wave$k.json"): _*)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), unix_millis(col("ts")).as("ver"),
+          col("text"))
+    val v0 = graft.sources.Scratch.dir(spark, "q289_v0")
+    val v1 = graft.sources.Scratch.dir(spark, "q289_v1")
+    val v2 = graft.sources.Scratch.dir(spark, "q289_v2")
+    try {
+      wave(Seq(0, 1)).repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(v0)
+      // the WIDENING merge: wave 2's rows arrive with a new column
+      val updates = wave(Seq(2))
+        .withColumn("channel", upper(col("text")))
+      val (rw, cp) = evolveMerge(spark, v0, v1, updates, "doc_id")
+      val nV0Files = {
+        val p = new Path(v0)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      }
+      require(rw == nV0Files && cp == 0L,
+        s"q289 widening merge must rewrite all $nV0Files base files " +
+          s"(saw rewritten=$rw copied=$cp)")
+      val widened = spark.read.parquet(v1)
+      require(widened.columns.toSeq ==
+        Seq("doc_id", "ver", "text", "channel"),
+        s"q289 widened schema is ${widened.columns.toSeq}")
+      // the post-evolution FAST PATH: re-merge a narrow key slice of
+      // v1 verbatim — identical rows, so the state (and the oracle)
+      // is unchanged, but the counts prove touched-files-only ran
+      val bounds = widened.agg(min("doc_id"), max("doc_id")).head
+      val cut = bounds.getLong(0) +
+        (bounds.getLong(1) - bounds.getLong(0)) / 16
+      val slice = widened.filter(col("doc_id") <= cut).localCheckpoint()
+      val (rw2, cp2) = evolveMerge(spark, v1, v2, slice, "doc_id")
+      require(cp2 > 0L,
+        s"q289 post-evolution merge byte-copied nothing (rewritten=" +
+          s"$rw2) — evolution must not evict the fast path")
+      // pin the answer before the finally-block deletes the per-call
+      // snapshot dirs (the q158 cleanup discipline)
+      evolveMergeReadBack(spark, v2).localCheckpoint()
+    } finally {
+      graft.sources.Scratch.delete(spark, v0)
+      graft.sources.Scratch.delete(spark, v1)
+      graft.sources.Scratch.delete(spark, v2)
+    }
+  }
+
+  /** q289's read-back over the final snapshot directory. */
+  def evolveMergeReadBack(spark: SparkSession, snapshot: String): DataFrame =
+    spark.read.parquet(snapshot)
+      .select(col("doc_id").cast("long").as("user_id"),
+        col("ver").cast("long").as("ver"),
+        col("text").as("latest_type"), col("channel"))
+      .orderBy("user_id")
+
+  /** Rows a q289 snapshot holds (the widened doc layout). */
+  val evolveMergeSinkSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ver", LongType),
+    StructField("text", StringType),
+    StructField("channel", StringType)))
+
+  /** DuckDB oracle for [[evolveMergeQuery]] — wave≤1 argmax
+    * full-outer-joined with the wave-2 argmax (same ntile split as
+    * the shared staging): updates win, untouched rows keep a NULL
+    * channel. */
+  def evolveMergeOracleSql: String =
+    """WITH w AS (SELECT user_id, event_id, event_type,
+           ntile(3) OVER (ORDER BY event_id, user_id) - 1 AS wave
+         FROM events),
+       b AS (SELECT user_id, event_id AS ver, event_type FROM
+         (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY event_id DESC) AS rn FROM w WHERE wave <= 1)
+         WHERE rn = 1),
+       u AS (SELECT user_id, event_id AS ver, event_type,
+           upper(event_type) AS channel FROM
+         (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY event_id DESC) AS rn FROM w WHERE wave = 2)
+         WHERE rn = 1)
+     SELECT coalesce(u.user_id, b.user_id) AS user_id,
+       CAST(coalesce(u.ver, b.ver) AS BIGINT) AS ver,
+       coalesce(u.event_type, b.event_type) AS latest_type,
+       u.channel AS channel
+     FROM b FULL OUTER JOIN u ON b.user_id = u.user_id
+     ORDER BY user_id"""
 }

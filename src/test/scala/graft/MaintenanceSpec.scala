@@ -388,4 +388,53 @@ class MaintenanceSpec extends SparkSpec {
       .orderBy("user_id").collect()
     assert(got.toSeq == full.toSeq)
   }
+
+  test("evolveMerge: widening rewrites all files single-schema; missing columns null-fill; fast path survives") {
+    val v0 = tmpDir("evo_v0")
+    val v1 = tmpDir("evo_v1")
+    val v2 = tmpDir("evo_v2")
+    val v3 = tmpDir("evo_v3")
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("k", "ver", "text")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(v0)
+    // WIDENING: updates add `tag` (and replace k=2) -> every base file
+    // rewritten, no byte-copies, one widened schema, old rows null tag
+    val up1 = Seq((2L, 21L, "b2", "T2"), (5L, 50L, "e", "T5"))
+      .toDF("k", "ver", "text", "tag")
+    val (rw1, cp1) = Maintenance.evolveMerge(spark, v0, v1, up1, "k")
+    assert(rw1 == 4L && cp1 == 0L, s"widening: rw=$rw1 cp=$cp1")
+    val t1 = spark.read.parquet(v1)
+    assert(t1.columns.toSeq == Seq("k", "ver", "text", "tag"))
+    val m1 = t1.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getString(2), Option(r.getString(3))))).toMap
+    assert(m1 == Map(
+      1L -> ((10L, "a", None)), 2L -> ((21L, "b2", Some("T2"))),
+      3L -> ((30L, "c", None)), 4L -> ((40L, "d", None)),
+      5L -> ((50L, "e", Some("T5")))))
+    // MISSING COLUMN: updates that predate `tag` null-fill it and take
+    // the fast path (no schema widening, untouched files byte-copied)
+    val up2 = Seq((1L, 11L, "a2")).toDF("k", "ver", "text")
+    val (rw2, cp2) = Maintenance.evolveMerge(spark, v1, v2, up2, "k")
+    assert(cp2 > 0L, s"fast path must byte-copy untouched files (rw=$rw2)")
+    val m2 = spark.read.parquet(v2).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), Option(r.getString(3))))).toMap
+    assert(m2(1L) == ((11L, None)), "a late-producer row must null-fill tag")
+    assert(m2(2L) == ((21L, Some("T2"))), "untouched rows pass through")
+    // BOTH directions at once: add `lang`, miss `text`
+    val up3 = Seq((3L, 31L, "T3", "en")).toDF("k", "ver", "tag", "lang")
+    val (rw3, cp3) = Maintenance.evolveMerge(spark, v2, v3, up3, "k")
+    assert(cp3 == 0L, s"widening again: rw=$rw3 cp=$cp3")
+    val t3 = spark.read.parquet(v3)
+    assert(t3.columns.toSeq == Seq("k", "ver", "text", "tag", "lang"))
+    val r3 = t3.filter(col("k") === 3L).head
+    assert(r3.getLong(1) == 31L && r3.isNullAt(2) &&
+      r3.getString(3) == "T3" && r3.getString(4) == "en")
+    // the key must exist on both sides
+    val bad = Seq((1L, 1L)).toDF("notk", "ver")
+    intercept[IllegalArgumentException] {
+      Maintenance.evolveMerge(spark, v3, tmpDir("evo_v4"), bad, "k")
+    }
+    ()
+  }
 }

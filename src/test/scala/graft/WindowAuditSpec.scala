@@ -54,7 +54,10 @@ class WindowAuditSpec extends SparkSpec {
     // q170 writes the partitioned sink it then reads back, q263
     // eagerly writes its materialized base table before the merge
     "q149_ingest_sessions", "q170_sink_roundtrip",
-    "q263_incremental_agg")
+    "q263_incremental_agg",
+    // q289 eagerly stages waves and runs the three-merge chain; the
+    // audit plans its read-back over a stubbed snapshot instead
+    "q289_evolve_merge")
 
   /** query name -> (substring of the window's orderSpec identifying
     * it, why the frame is metadata-scale). An entry must match at
