@@ -774,6 +774,12 @@ object SparkEntry {
     // (both path proofs asserted live via the returned file counts).
     "q289_evolve_merge" -> ((s, d) =>
       graft.operators.Maintenance.evolveMergeQuery(s, d)),
+    // q290: keyed POINT LOOKUP through a footer-built skipping index
+    // on a key-clustered table — each probe opens <= 2 of 16 files
+    // (asserted on the real reads), and the pruned answers equal the
+    // plain scan row-for-row.
+    "q290_point_lookup" -> ((s, d) =>
+      graft.operators.Maintenance.pointLookupQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1032,6 +1038,9 @@ object SparkEntry {
       "q289_evolve_merge" ->
         ((graft.operators.Maintenance.evolveMergeSinkSchema,
           graft.operators.Maintenance.evolveMergeReadBack _)),
+      "q290_point_lookup" ->
+        ((graft.operators.Maintenance.pointLookupSinkSchema,
+          graft.operators.Maintenance.pointLookupReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -2026,6 +2035,10 @@ object SparkEntry {
     // wave-2 argmax, updates winning, old rows with NULL channel.
     "q289_evolve_merge" ->
       graft.operators.Maintenance.evolveMergeOracleSql,
+    // q290: the probed users' argmax rows — skipping must never
+    // change an answer.
+    "q290_point_lookup" ->
+      graft.operators.Maintenance.pointLookupOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

@@ -924,6 +924,143 @@ object Maintenance {
     StructField("text", StringType),
     StructField("channel", StringType)))
 
+  // --------------------------------------------------------------------
+  // SKIPPING INDEX + KEYED POINT LOOKUP (q290) — the serving-edge read
+  // the manifest family exists for.
+  // --------------------------------------------------------------------
+
+  /** Materialize the data-skipping index of `dir` for `cols` as a
+    * parquet sidecar at `dir/_skipindex` — built once from footers
+    * ([[fileStatsFromFooters]], no row groups read), consulted on
+    * every lookup. The leading underscore keeps it INVISIBLE to plain
+    * parquet readers of the table (the `_spark_metadata` convention),
+    * so serving a table with an index and serving one without are the
+    * same read path. Returns the indexed file count. At 100 TB the
+    * index is file-count rows (metadata scale) while the table is
+    * data scale — this is the separation that makes a keyed read
+    * O(matching files), not O(table). */
+  def writeSkipIndex(spark: SparkSession, dir: String,
+                     cols: Seq[String]): Long = {
+    val idx = fileStatsFromFooters(spark, dir, cols)
+    idx.coalesce(1).write.mode("overwrite").parquet(s"$dir/_skipindex")
+    idx.count()
+  }
+
+  /** Keyed POINT LOOKUP through the skipping index: one tiny scan of
+    * `_skipindex` (file-count rows — the candidate file list is
+    * bounded driver metadata, the house collect() discipline) selects
+    * the files whose [min, max] admits the probe, and ONLY those
+    * files are opened. Files with missing stats cannot be pruned and
+    * stay candidates — absence of evidence never drops data. Returns
+    * (matching rows, files opened, files total): on a key-clustered
+    * layout the open count is ~1 regardless of table size, which is
+    * the difference between a serving-edge keyed read and a table
+    * scan at 100 TB. */
+  def indexedLookup(spark: SparkSession, dir: String, key: String,
+                    value: Long): (DataFrame, Long, Long) = {
+    val idx = spark.read.parquet(s"$dir/_skipindex")
+    val mn = col(s"min_$key")
+    val mx = col(s"max_$key")
+    val files = idx.select(col("file"),
+        (mn.isNull || mx.isNull ||
+          (mn <= value && mx >= value)).as("cand"))
+      .collect()
+    val cand = files.filter(_.getBoolean(1)).map(_.getString(0))
+    val rows =
+      if (cand.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(cand.toIndexedSeq: _*)
+        .filter(col(key) === value)
+    (rows, cand.length.toLong, files.length.toLong)
+  }
+
+  /** q290: the keyed serving read end to end — latest-per-user doc
+    * state written KEY-RANGE CLUSTERED (16 files), a footer-built
+    * skipping index next to it, then every probe key (the 12 smallest
+    * user ids divisible by 7 — a rule the oracle recomputes) answered
+    * through [[indexedLookup]]. Asserted live, per probe: exactly one
+    * row comes back and AT MOST 2 of the 16 files were opened (range
+    * clustering keeps each key's admissible range to one file, two on
+    * a boundary) — the pruning is measured on the real reads, not
+    * inferred from the manifest. The probes' union must equal the
+    * plain filtered scan row-for-row, so the oracle certifies that
+    * skipping never changed an answer. */
+  def pointLookupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val table = graft.sources.Scratch.dirOutliving(spark, "q290_table")
+    graft.sources.Tables.events(spark, dir)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id").as("doc_id"),
+        col("event_id").cast("long").as("ver"),
+        col("event_type").as("text"))
+      .repartitionByRange(16, col("doc_id"))
+      .write.mode("overwrite").parquet(table)
+    val nFiles = writeSkipIndex(spark, table, Seq("doc_id"))
+    val probes = spark.read.parquet(table)
+      .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      .select("doc_id").orderBy("doc_id").limit(12)
+      .collect().map(_.getLong(0))
+    require(probes.nonEmpty, "q290 found no probe keys (doc_id % 7 == 0)")
+    val looked = probes.map { k =>
+      val (rows, opened, total) = indexedLookup(spark, table, "doc_id", k)
+      require(total == nFiles,
+        s"q290 index covers $total of $nFiles files")
+      require(opened <= 2,
+        s"q290 probe $k opened $opened of $total files — the " +
+          "clustered layout must keep a point read to ~1 file")
+      val got = rows.collect()
+      require(got.length == 1,
+        s"q290 probe $k returned ${got.length} rows, expected 1")
+      got.head
+    }
+    // the pruned reads must agree with the plain scan, row-for-row
+    val viaIndex = spark.createDataFrame(
+      spark.sparkContext.parallelize(looked.toIndexedSeq),
+      spark.read.parquet(table).schema)
+    val disagree = viaIndex
+      .join(pointLookupReadBack(spark, table)
+          .select(col("user_id").as("doc_id"), col("ver").as("__v"),
+            col("latest_type").as("__t")),
+        Seq("doc_id"), "full")
+      .filter(col("ver").isNull || col("__v").isNull ||
+        col("ver") =!= col("__v") || col("text") =!= col("__t"))
+      .count()
+    require(disagree == 0,
+      s"q290 indexed lookups disagree with the plain scan on " +
+        s"$disagree keys")
+    pointLookupReadBack(spark, table)
+  }
+
+  /** q290's read-back: the plain (unindexed) answer over the doc
+    * table — what the pruned reads must equal. */
+  def pointLookupReadBack(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+      .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      .orderBy("doc_id").limit(12)
+      .select(col("doc_id").cast("long").as("user_id"),
+        col("ver").cast("long").as("ver"),
+        col("text").as("latest_type"))
+      .orderBy("user_id")
+
+  /** Rows a q290 table holds (the doc-state layout). */
+  val pointLookupSinkSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ver", LongType),
+    StructField("text", StringType)))
+
+  /** DuckDB oracle for [[pointLookupQuery]] — the per-user argmax
+    * filtered to the same probe rule (12 smallest ids divisible by
+    * 7). */
+  def pointLookupOracleSql: String =
+    """WITH r AS (SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY event_id DESC) AS rn FROM events),
+       s AS (SELECT user_id, event_id AS ver, event_type AS latest_type
+         FROM r WHERE rn = 1)
+     SELECT user_id, CAST(ver AS BIGINT) AS ver, latest_type
+     FROM s WHERE user_id % 7 = 0 ORDER BY user_id LIMIT 12"""
+
   /** DuckDB oracle for [[evolveMergeQuery]] — wave≤1 argmax
     * full-outer-joined with the wave-2 argmax (same ntile split as
     * the shared staging): updates win, untouched rows keep a NULL

@@ -437,4 +437,46 @@ class MaintenanceSpec extends SparkSpec {
     }
     ()
   }
+
+  test("skip index: invisible sidecar, miss shapes, null-stats files stay candidates") {
+    val t = tmpDir("ski_t")
+    // two range-disjoint files plus one all-null-key file (footer has
+    // no non-null values for k -> cannot prune)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$t/part1.parquet.tmpdir")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def promote(sub: String, name: String): Unit = {
+      val p = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/$sub"))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      fs.rename(p, new org.apache.hadoop.fs.Path(s"$t/$name"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$t/$sub"), true)
+    }
+    promote("part1.parquet.tmpdir", "f1.parquet")
+    Seq((10L, "c"), (11L, "d")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$t/part2.parquet.tmpdir")
+    promote("part2.parquet.tmpdir", "f2.parquet")
+    Seq[(java.lang.Long, String)]((null, "n1"), (null, "n2"))
+      .toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$t/part3.parquet.tmpdir")
+    promote("part3.parquet.tmpdir", "f3.parquet")
+    val before = spark.read.parquet(t).count()
+    assert(Maintenance.writeSkipIndex(spark, t, Seq("k")) == 3L)
+    // the underscore sidecar is invisible to plain readers
+    assert(spark.read.parquet(t).count() == before)
+    // a hit prunes to the admitting file PLUS the unprunable
+    // null-stats file — absence of evidence never drops a candidate
+    val (r1, o1, n1) = Maintenance.indexedLookup(spark, t, "k", 10L)
+    assert(n1 == 3L && o1 == 2L,
+      s"expected {f2, null-stats f3} as candidates, opened $o1 of $n1")
+    assert(r1.collect().map(_.getString(1)).toSeq == Seq("c"))
+    // a key inside a candidate range but absent: file opened, 0 rows
+    val (r2, o2, _) = Maintenance.indexedLookup(spark, t, "k", 3L)
+    assert(o2 == 1L && r2.count() == 0)
+    // a key outside every range: only the unprunable file opens
+    val (r3, o3, _) = Maintenance.indexedLookup(spark, t, "k", 99L)
+    assert(o3 == 1L && r3.count() == 0)
+    assert(r3.columns.toSeq == Seq("k", "v"),
+      "a miss must keep the table schema")
+  }
 }

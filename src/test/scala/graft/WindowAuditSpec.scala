@@ -55,9 +55,10 @@ class WindowAuditSpec extends SparkSpec {
     // eagerly writes its materialized base table before the merge
     "q149_ingest_sessions", "q170_sink_roundtrip",
     "q263_incremental_agg",
-    // q289 eagerly stages waves and runs the three-merge chain; the
-    // audit plans its read-back over a stubbed snapshot instead
-    "q289_evolve_merge")
+    // q289 eagerly stages waves and runs the three-merge chain; q290
+    // eagerly writes its clustered table + index and probes it; the
+    // audit plans their read-backs over stubbed snapshots instead
+    "q289_evolve_merge", "q290_point_lookup")
 
   /** query name -> (substring of the window's orderSpec identifying
     * it, why the frame is metadata-scale). An entry must match at
