@@ -78,7 +78,11 @@ object ScalingCurve {
     ("q247_orc_roundtrip",  "ORC write + pushed-filter read-back", "lineitem"),
     ("q263_incremental_agg", "IVM refresh (base table + delta partials)", "events"),
     ("q266_cogroup_reconcile", "typed cogroup (co-partitioned iterators)", "events"),
-    ("q268_rendezvous_shards", "HRW sharding argmax (map-side combined)", "documents"))
+    ("q268_rendezvous_shards", "HRW sharding argmax (map-side combined)", "documents"),
+    ("q287_consumer_retention", "CDC consumer fold (K-bounded state chain)", "events"),
+    ("q288_grouped_ivm",    "grouped IVM, cross-group retraction (ops only)", "events"),
+    ("q289_evolve_merge",   "schema-evolving merge chain (widen + fast path)", "events"),
+    ("q290_point_lookup",   "skipping-index point lookup (build + 12 probes)", "events"))
 
   /** The stateful streaming drains: their peak state-store row counts
     * (from the progress metrics) are recorded per SF — the state

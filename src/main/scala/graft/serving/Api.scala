@@ -26,6 +26,8 @@ import graft.operators.{SecJsonDocs, SecServing}
   *   - `GET /query-data?query=`                          → `{"data":[…]}`
   *   - `GET /table-snapshot?root=[&version=]` (beyond-reference: the
   *     upsert table's current/as-of read, [[tableSnapshot]])
+  *   - `GET /table-lookup?root=&key=&value=` (beyond-reference: keyed
+  *     point read through the skipping index, [[tableLookup]])
   *
   * Float NaN/±Inf sanitize to JSON null exactly like the reference's
   * `sanitize_float_values` (main.py:34-40). Deliberate divergences,
@@ -150,6 +152,7 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     s.createContext("/get-financial-data", ex => handle(ex)(getFinancialData))
     s.createContext("/query-data", ex => handle(ex)(queryData))
     s.createContext("/table-snapshot", ex => handle(ex)(tableSnapshot))
+    s.createContext("/table-lookup", ex => handle(ex)(tableLookup))
     val p = java.util.concurrent.Executors.newFixedThreadPool(threads)
     s.setExecutor(p)
     pool = Some(p)
@@ -339,6 +342,73 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
         (503, detail("current snapshot kept leaving the retention " +
           "window during the read — retry"))
     }
+  }
+
+  /** Seventh route: KEYED POINT LOOKUP on the upsert table — the
+    * serving primitive the [[graft.operators.Maintenance.writeSkipIndex]]
+    * sidecar exists for. `GET /table-lookup?root=<table root>&key=
+    * <column>&value=<long>` answers from the current committed
+    * snapshot; when the snapshot carries a `_skipindex` covering the
+    * key, the read opens ONLY the files whose [min, max] admits the
+    * probe ([[graft.operators.Maintenance.indexedLookup]]) — a keyed
+    * read at 100 TB is O(matching files), never a table scan — and
+    * falls back to the plain filtered scan otherwise (the index is an
+    * accelerator, not a correctness dependency). The response reports
+    * `files_opened`/`files_total` so a client can see which path
+    * served it. Vacuum races resolve exactly like the current-read
+    * path of [[tableSnapshot]]: post-read marker recheck, bounded
+    * re-resolve retries, 503 if a writer outruns them. */
+  private def tableLookup(ex: HttpExchange): (Int, String) = {
+    val p = params(ex)
+    val root = p.getOrElse("root",
+      return (400, detail("root parameter required")))
+    val key = p.getOrElse("key",
+      return (400, detail("key parameter required")))
+    val value = p.get("value").flatMap(_.toLongOption).getOrElse(
+      return (400, detail("value parameter required (integer)")))
+    var tries = 0
+    while (tries < 3) {
+      tries += 1
+      val cur = graft.streaming.UpsertStream.currentSnapshot(spark, root)
+        .getOrElse(return (404, detail(
+          s"no committed snapshot under $root")))
+      val curId = cur.split('/').last.stripPrefix("v").toLong
+      val attempt: Option[(Int, String)] =
+        try {
+          snapshotReadRaceHook()
+          val snap = spark.read.parquet(cur)
+          if (!snap.columns.contains(key))
+            return (400, detail(s"unknown key column: $key"))
+          val idxPath = new org.apache.hadoop.fs.Path(s"$cur/_skipindex")
+          val fs = idxPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val covered = fs.exists(idxPath) &&
+            spark.read.parquet(idxPath.toString)
+              .columns.contains(s"min_$key")
+          val (df, opened, total) =
+            if (covered)
+              graft.operators.Maintenance.indexedLookup(
+                spark, cur, key, value)
+            else {
+              val n = fs.listStatus(new org.apache.hadoop.fs.Path(cur))
+                .count(_.getPath.getName.endsWith(".parquet")).toLong
+              (snap.filter(col(key) === value), n, n)
+            }
+          val data = rows(df)
+          if (graft.streaming.UpsertStream
+              .snapshotDir(spark, root, curId).isEmpty) None
+          else Some((200,
+            s"""{"version":$curId,"files_opened":$opened,""" +
+              s""""files_total":$total,"data":$data}"""))
+        } catch {
+          case scala.util.control.NonFatal(_)
+              if graft.streaming.UpsertStream
+                .snapshotDir(spark, root, curId).isEmpty => None
+        }
+      attempt.foreach(return _)
+    }
+    (503, detail("current snapshot kept leaving the retention " +
+      "window during the read — retry"))
   }
 
   private def queryData(ex: HttpExchange): (Int, String) = {

@@ -400,6 +400,60 @@ class ApiSpec extends SparkSpec {
     } finally a.snapshotReadRaceHook = () => ()
   }
 
+  test("table-lookup: indexed point read opens few files, unindexed falls back, races retry") {
+    import graft.streaming.UpsertStream
+    val drop = UpsertStream.stageUpsertWaves(spark, sf0001)
+    val root = tmpDir("api_lookup_root")
+    val ck = tmpDir("api_lookup_ck")
+    assert(UpsertStream.drainUpsertWaves(spark, drop, root, ck) ==
+      UpsertStream.Waves) // {v1, v2} live, v2 current
+    val enc = java.net.URLEncoder.encode(root, "UTF-8")
+    val probe = spark.read.parquet(s"$root/v2")
+      .agg(org.apache.spark.sql.functions.min("doc_id")).head.getLong(0)
+    // UNINDEXED: the plain-scan fallback serves, opened == total
+    val (c1, b1) = get(s"/table-lookup?root=$enc&key=doc_id&value=$probe")
+    assert(c1 == 200 && b1.get("version").asLong == 2L, s"$c1: $b1")
+    assert(b1.get("files_opened").asLong == b1.get("files_total").asLong)
+    assert(b1.get("data").size == 1 &&
+      b1.get("data").get(0).get("doc_id").asLong == probe)
+    // INDEXED: cluster the snapshot's layout is whatever the drain
+    // wrote; the index still prunes to the files that admit the probe
+    graft.operators.Maintenance.writeSkipIndex(spark, s"$root/v2",
+      Seq("doc_id"))
+    val (c2, b2) = get(s"/table-lookup?root=$enc&key=doc_id&value=$probe")
+    assert(c2 == 200, s"$c2: $b2")
+    assert(b2.get("files_opened").asLong <= b2.get("files_total").asLong)
+    assert(b2.get("data").size == 1 &&
+      b2.get("data").get(0).get("doc_id").asLong == probe)
+    // a key that admits no file: empty data, zero or few files opened
+    val (c3, b3) = get(s"/table-lookup?root=$enc&key=doc_id&value=-5")
+    assert(c3 == 200 && b3.get("data").size == 0, s"$c3: $b3")
+    // error shapes
+    val (c4, _) = get(s"/table-lookup?root=$enc&key=nope&value=1")
+    assert(c4 == 400)
+    val (c5, _) = get(s"/table-lookup?root=$enc&key=doc_id&value=abc")
+    assert(c5 == 400)
+    val (c6, _) = get(s"/table-lookup?root=${enc}_nope&key=doc_id&value=1")
+    assert(c6 == 404)
+    // vacuum racing the lookup: the resolved v2 vanishes mid-read
+    // after a v3 commit — the route re-resolves and serves v3
+    val a = api.get
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    a.snapshotReadRaceHook = () => {
+      a.snapshotReadRaceHook = () => ()
+      spark.read.parquet(s"$root/v2").write.parquet(s"$root/v3")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/v3/_GRAFT_COMMIT"), true).close()
+      UpsertStream.vacuumSnapshots(spark, root, keepFrom = 3L)
+    }
+    try {
+      val (c7, b7) = get(s"/table-lookup?root=$enc&key=doc_id&value=$probe")
+      assert(c7 == 200 && b7.get("version").asLong == 3L, s"$c7: $b7")
+      assert(b7.get("data").size == 1)
+    } finally a.snapshotReadRaceHook = () => ()
+  }
+
   override def afterAll(): Unit = {
     api.foreach(_.stop())
     super.afterAll()
