@@ -780,6 +780,13 @@ object SparkEntry {
     // plain scan row-for-row.
     "q290_point_lookup" -> ((s, d) =>
       graft.operators.Maintenance.pointLookupQuery(s, d)),
+    // q291: q288's grouped view maintained INSIDE the live CDC drain
+    // (same foreachBatch transaction as the merge + log write) through
+    // a disk-position replay guard — effectively-once under
+    // at-least-once replays; in-drain view==rollup(<=b) at every
+    // commit point.
+    "q291_streaming_ivm" -> ((s, d) =>
+      graft.streaming.GroupedIvm.streamingIvmQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1041,6 +1048,9 @@ object SparkEntry {
       "q290_point_lookup" ->
         ((graft.operators.Maintenance.pointLookupSinkSchema,
           graft.operators.Maintenance.pointLookupReadBack _)),
+      "q291_streaming_ivm" ->
+        ((GroupedIvm.streamingIvmSinkSchema,
+          GroupedIvm.streamingIvmReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -2039,6 +2049,10 @@ object SparkEntry {
     // change an answer.
     "q290_point_lookup" ->
       graft.operators.Maintenance.pointLookupOracleSql,
+    // q291: running the fold inside the drain must not change what it
+    // computes — q288's oracle verbatim.
+    "q291_streaming_ivm" ->
+      graft.streaming.GroupedIvm.streamingIvmOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

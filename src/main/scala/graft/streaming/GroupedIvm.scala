@@ -153,6 +153,106 @@ object GroupedIvm {
     groupedIvmReadBack(spark, cdc)
   }
 
+  /** One GUARDED IVM step — the at-least-once-to-exactly-once bridge
+    * a view maintained INSIDE a foreachBatch drain needs: foreachBatch
+    * replays a batch whose checkpoint commit was lost, so the step
+    * first reads the view's durable position ([[UpsertStream.
+    * currentConsumerState]]) and applies batch `b` only when the
+    * position is exactly b−1. A replay of an already-applied batch
+    * (position ≥ b) is a NO-OP — the disk position, not the
+    * checkpoint, is what makes the view effectively-once; a torn
+    * (marker-less) attempt is invisible to the position read, so a
+    * crash mid-apply re-applies idempotently. A position below b−1
+    * means a batch was skipped and the view can only be wrong —
+    * fail loudly rather than fold a gap. */
+  private[graft] def applyMvBatchGuarded(spark: SparkSession,
+      cdc: String, b: Long, mvRoot: String): Unit = {
+    val st = UpsertStream.currentConsumerState(spark, mvRoot)
+    val pos = st.map(_._1).getOrElse(-1L)
+    if (pos >= b) () // replayed batch, already folded — effectively-once
+    else {
+      require(pos == b - 1,
+        s"view position $pos cannot accept batch $b — a batch gap " +
+          "would fold an incomplete history")
+      applyMvBatch(spark, cdc, b, st.map(_._2), mvRoot)
+      ()
+    }
+  }
+
+  /** q291: the grouped view maintained INSIDE the live CDC drain —
+    * q288's fold run where production runs it, in the same
+    * foreachBatch transaction as the table merge and the log write,
+    * through the replay guard ([[applyMvBatchGuarded]]). Per batch,
+    * asserted live IN the drain: the just-committed view equals the
+    * from-scratch rollup of batches ≤ b (so the view is consistent
+    * with the log at every commit point, not just after the drain).
+    * The at-least-once cases — kill after the view commits but before
+    * the checkpoint (replay must skip), kill mid-apply (torn view,
+    * replay must re-apply) — are GroupedIvmSpec's restart cases.
+    * Oracle: q288's from-scratch bucket rollup verbatim. */
+  def streamingIvmQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q291_table")
+    val cdc = graft.sources.Scratch.dirOutliving(spark, "q291_cdc")
+    val mvRoot = graft.sources.Scratch.dirOutliving(spark, "q291_mv")
+    val drop = UpsertStream.stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q291_ck")
+    try StatePartitions.scoped(spark) {
+      val batches = UpsertStream.drainCdcWaves(spark, drop, root, cdc, ck,
+        afterBatch = { (cdcDir, b) =>
+          applyMvBatchGuarded(spark, cdcDir, b, mvRoot)
+          // in-drain consistency: view(b) == rollup of batches <= b
+          val (pos, viewDir) = UpsertStream
+            .currentConsumerState(spark, mvRoot)
+            .getOrElse(sys.error(s"q291 batch $b left no committed view"))
+          require(pos == b, s"q291 batch $b: view position is $pos")
+          val scratch = groupedIvmReadBackUpTo(spark, cdcDir, b)
+          val disagree = spark.read.parquet(viewDir)
+            .join(scratch.select(col("bucket"), col("n_docs").as("__n"),
+              col("sum_ver").as("__s")), Seq("bucket"), "full")
+            .filter(col("n_docs").isNull || col("__n").isNull ||
+              col("n_docs") =!= col("__n") || col("sum_ver") =!= col("__s"))
+            .count()
+          require(disagree == 0,
+            s"q291 batch $b: the in-drain view disagrees with the " +
+              s"rollup of batches <= $b on $disagree buckets")
+        })
+      require(batches == UpsertStream.Waves,
+        s"q291 staged ${UpsertStream.Waves} wave files but streamed " +
+          s"$batches micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    groupedIvmReadBack(spark, cdc)
+  }
+
+  /** The from-scratch rollup over batches ≤ `upTo` (the in-drain
+    * consistency comparator). */
+  private def groupedIvmReadBackUpTo(spark: SparkSession, cdc: String,
+      upTo: Long): DataFrame = {
+    val last = spark.read.parquet(cdc)
+      .filter(col("batch") <= upTo)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("batch").desc)))
+      .filter(col("__rn") === 1)
+    last.groupBy(bucketOf(col("ver")).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ver")).cast("long").as("sum_ver"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_docs"), col("sum_ver"))
+  }
+
+  /** q291's read-back — q288's ([[groupedIvmReadBack]]): where the
+    * fold runs must not change what it computes. */
+  def streamingIvmReadBack(spark: SparkSession, cdc: String): DataFrame =
+    groupedIvmReadBack(spark, cdc)
+
+  /** Rows the q291 drain's downstream view consumes (the CDC log
+    * layout). */
+  val streamingIvmSinkSchema: org.apache.spark.sql.types.StructType =
+    UpsertStream.cdcSinkSchema
+
+  /** DuckDB oracle for [[streamingIvmQuery]] — q288's from-scratch
+    * bucket rollup verbatim. */
+  def streamingIvmOracleSql: String = groupedIvmOracleSql
+
   /** q288's read-back: the from-scratch rollup over the log — last op
     * per key (the reconstructed table state), grouped by bucket. The
     * live query asserts its materialized view equals this before

@@ -360,10 +360,15 @@ object UpsertStream {
 
   /** The q265 drain, factored with the q253-style failure hook so the
     * restart spec can kill it between a batch's CDC-write+merge and
-    * its checkpoint commit. Returns the carried-rows batch count. */
+    * its checkpoint commit. `afterBatch(cdc, batchId)` runs after the
+    * batch's merge commits and before the failure hook — the seam a
+    * downstream consumer maintained IN the drain hangs off (q291's
+    * transactional MV; the spec's kill cases throw from here).
+    * Returns the carried-rows batch count. */
   private[graft] def drainCdcWaves(spark: SparkSession, drop: String,
       root: String, cdc: String, ck: String,
-      failAfterBatch: Option[Long] = None): Long = {
+      failAfterBatch: Option[Long] = None,
+      afterBatch: (String, Long) => Unit = (_, _) => ()): Long = {
     val q = spark.readStream.schema(DocStream.docSchema)
       .option("maxFilesPerTrigger", "1").json(drop)
       .writeStream
@@ -404,6 +409,7 @@ object UpsertStream {
               coalesce(col("__prev_ver"), lit(-1L)).as("prev_ver"))
             .write.mode("overwrite").parquet(s"$cdc/batch=$batchId")
           applyUpsertBatch(spark, root, batch, "doc_id", "ts", batchId)
+          afterBatch(cdc, batchId)
           if (failAfterBatch.contains(batchId))
             throw new IllegalStateException(
               s"injected crash after batch $batchId cdc+merge")

@@ -88,4 +88,65 @@ class GroupedIvmSpec extends SparkSpec {
     assert(UpsertStream.currentConsumerState(spark, mvRoot)
       .map(_._1) == Some(1L))
   }
+
+  test("guard semantics: replay skips, gap fails loudly") {
+    val cdc = tmpDir("ivm_guard_cdc")
+    val mvRoot = tmpDir("ivm_guard_mv")
+    writeBatch(cdc, 0, Seq(("insert", 1L, 1L, -1L)))
+    writeBatch(cdc, 1, Seq(("update", 1L, 3L, 1L)))
+    GroupedIvm.applyMvBatchGuarded(spark, cdc, 0L, mvRoot)
+    GroupedIvm.applyMvBatchGuarded(spark, cdc, 1L, mvRoot)
+    val s1 = UpsertStream.currentConsumerState(spark, mvRoot).get._2
+    val before = mvRows(s1)
+    // an at-least-once REPLAY of batch 1 is a no-op, not a double-fold
+    GroupedIvm.applyMvBatchGuarded(spark, cdc, 1L, mvRoot)
+    assert(UpsertStream.currentConsumerState(spark, mvRoot)
+      .map(_._1) == Some(1L))
+    assert(mvRows(UpsertStream.currentConsumerState(spark, mvRoot)
+      .get._2) == before, "a replayed batch must not re-fold")
+    // a batch GAP can only produce a wrong view -> loud failure
+    writeBatch(cdc, 3, Seq(("insert", 9L, 9L, -1L)))
+    intercept[IllegalArgumentException] {
+      GroupedIvm.applyMvBatchGuarded(spark, cdc, 3L, mvRoot)
+    }
+    ()
+  }
+
+  test("streaming IVM survives a kill between the view commit and the checkpoint (replay skips)") {
+    val drop = UpsertStream.stageUpsertWaves(spark, sf0001)
+    val root = tmpDir("ivm_kill_root")
+    val cdc = tmpDir("ivm_kill_cdc")
+    val mvRoot = tmpDir("ivm_kill_mv")
+    val ck = tmpDir("ivm_kill_ck")
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(failAt: Option[Long]): Long =
+      UpsertStream.drainCdcWaves(spark, drop, root, cdc, ck,
+        failAfterBatch = failAt,
+        afterBatch = { (c, b) =>
+          // record what the guard actually FOLDS vs skips
+          val pos = UpsertStream.currentConsumerState(spark, mvRoot)
+            .map(_._1).getOrElse(-1L)
+          if (pos < b) applied += b
+          GroupedIvm.applyMvBatchGuarded(spark, c, b, mvRoot)
+        })
+    // kill AFTER batch 1's view committed, BEFORE its checkpoint: the
+    // durable truth is (view s1, checkpoint 1)
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Some(1L))
+    }
+    assert(died.getCause.getMessage.contains("injected crash"))
+    assert(UpsertStream.currentConsumerState(spark, mvRoot)
+      .map(_._1) == Some(1L), "the view committed before the kill")
+    assert(applied.toSeq == Seq(0L, 1L))
+    // restart: batch 1 REPLAYS (at-least-once) but the guard sees
+    // position 1 and skips; batch 2 folds; the view lands the full fold
+    drain(None)
+    assert(applied.toSeq == Seq(0L, 1L, 2L),
+      s"the replayed batch 1 must be skipped, folds ran: $applied")
+    val finalDir = UpsertStream.currentConsumerState(spark, mvRoot).get._2
+    val scratch = GroupedIvm.groupedIvmReadBack(spark, cdc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mvRows(finalDir) == scratch,
+      "post-restart view must equal the from-scratch rollup")
+  }
 }

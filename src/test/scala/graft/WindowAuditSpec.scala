@@ -48,7 +48,7 @@ class WindowAuditSpec extends SparkSpec {
     "q280_cdc_compaction", "q281_rocksdb_chained", "q282_event_ttl",
     "q283_time_travel", "q284_live_compaction", "q285_retention_k",
     "q286_rocksdb_session", "q287_consumer_retention",
-    "q288_grouped_ivm",
+    "q288_grouped_ivm", "q291_streaming_ivm",
     // not stream drains, but their registered functions also execute
     // pipelines on invocation: q149 drains the parquet file sink,
     // q170 writes the partitioned sink it then reads back, q263
