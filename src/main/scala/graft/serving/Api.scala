@@ -405,7 +405,10 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
               if graft.streaming.UpsertStream
                 .snapshotDir(spark, root, curId).isEmpty => None
         }
-      attempt.foreach(return _)
+      attempt match {
+        case Some(r) => return r
+        case None => () // vacuumed mid-read; re-resolve and retry
+      }
     }
     (503, detail("current snapshot kept leaving the retention " +
       "window during the read — retry"))
