@@ -294,12 +294,26 @@ object Maintenance {
         StructField("n_rows", LongType, nullable = false))
     val dirPath = new Path(dir)
     // recursive: a partition-directory layout (k=v subdirs) must yield
-    // the same file set the scan-based manifest sees
-    val it = dirPath.getFileSystem(hadoopConf).listFiles(dirPath, true)
+    // the same file set the scan-based manifest sees — which also
+    // means HIDDEN paths (any `_`/`.`-prefixed component, e.g. a
+    // `_skipindex` sidecar this manifest itself feeds) are excluded
+    // exactly as Spark's file listing excludes them; without this a
+    // REBUILD on an indexed directory would capture the old index's
+    // own parquet in the file list, then race the overwrite that
+    // deletes it (self-indexing, writeSkipIndex's re-run bug).
+    val fsDir = dirPath.getFileSystem(hadoopConf)
+    // qualified base so the prefix strip matches FileStatus paths
+    // (file:/… vs the caller's bare /…)
+    val base = fsDir.makeQualified(dirPath).toString
+    val it = fsDir.listFiles(dirPath, true)
     val files = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq
+      .map(_.getPath.toString)
+      .filter { f =>
+        val rel = f.stripPrefix(base).stripPrefix("/")
+        !rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+      }.toSeq
     val conf = new SerializableConfiguration(hadoopConf)
     val colNames = cols
     val types = fields.map(_.dataType)
@@ -935,7 +949,10 @@ object Maintenance {
     * every lookup. The leading underscore keeps it INVISIBLE to plain
     * parquet readers of the table (the `_spark_metadata` convention),
     * so serving a table with an index and serving one without are the
-    * same read path. Returns the indexed file count. At 100 TB the
+    * same read path. Returns the indexed file count. RE-RUNNABLE: the
+    * manifest excludes hidden paths, so a rebuild on an
+    * already-indexed directory never captures (or self-indexes) the
+    * old sidecar it is about to overwrite. At 100 TB the
     * index is file-count rows (metadata scale) while the table is
     * data scale — this is the separation that makes a keyed read
     * O(matching files), not O(table). */
@@ -1018,14 +1035,12 @@ object Maintenance {
     val viaIndex = spark.createDataFrame(
       spark.sparkContext.parallelize(looked.toIndexedSeq),
       spark.read.parquet(table).schema)
-    val disagree = viaIndex
-      .join(pointLookupReadBack(spark, table)
-          .select(col("user_id").as("doc_id"), col("ver").as("__v"),
-            col("latest_type").as("__t")),
-        Seq("doc_id"), "full")
-      .filter(col("ver").isNull || col("__v").isNull ||
-        col("ver") =!= col("__v") || col("text") =!= col("__t"))
-      .count()
+    val disagree = graft.FrameCheck.disagreements(
+      viaIndex,
+      pointLookupReadBack(spark, table)
+        .select(col("user_id").as("doc_id"), col("ver"),
+          col("latest_type").as("text")),
+      keys = Seq("doc_id"), vals = Seq("ver", "text"))
     require(disagree == 0,
       s"q290 indexed lookups disagree with the plain scan on " +
         s"$disagree keys")

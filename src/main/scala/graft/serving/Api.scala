@@ -267,6 +267,61 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     * race. */
   private[graft] var snapshotReadRaceHook: () => Unit = () => ()
 
+  /** ONE committed read attempt against snapshot v{ver} of `root` —
+    * the vacuum-race discipline every snapshot-serving route shares.
+    * The caller's version resolution is point-in-time, so `body`'s
+    * collect can land on a snapshot a live drain's retention vacuum
+    * is deleting under it. The attempt COUNTS (Some) only if the
+    * version is still committed afterwards — and the recheck is sound
+    * because vacuum UN-COMMITS first (UpsertStream.vacuumPrefixed
+    * deletes the marker before the recursive delete, making the
+    * marker the linearization point for vacuum as it is for commit):
+    * whether the scan threw on vanished part files or silently listed
+    * a subset, a vacuumed version can never recheck as committed, so
+    * a truncated 200 and a raced 500 are both impossible. A NonFatal
+    * failure with the version STILL committed is a genuine error and
+    * rethrows (→ 500/504 via handle). */
+  private def readCommitted(root: String, ver: Long)(
+      body: => (Int, String)): Option[(Int, String)] =
+    try {
+      snapshotReadRaceHook()
+      val r = body
+      if (graft.streaming.UpsertStream
+          .snapshotDir(spark, root, ver).isEmpty) None
+      else Some(r)
+    } catch {
+      case scala.util.control.NonFatal(_)
+          if graft.streaming.UpsertStream
+            .snapshotDir(spark, root, ver).isEmpty => None
+    }
+
+  /** Serve a read of `root`'s CURRENT committed snapshot under the
+    * re-resolve-and-retry contract: the resolved snapshot can only be
+    * vacuumed mid-read because a live drain committed NEWER versions,
+    * so the route re-resolves and retries instead of 404ing — a
+    * current read must not 404 while the table has a committed
+    * snapshot. Retries are bounded; a writer fast enough to outrun
+    * all three attempts maps to 503 (retryable), never a wrong answer
+    * or a misleading "left the window". `read(curId, snapDir)` builds
+    * the success response. */
+  private def serveCurrentRead(root: String)(
+      read: (Long, String) => (Int, String)): (Int, String) = {
+    var tries = 0
+    while (tries < 3) {
+      tries += 1
+      val cur = graft.streaming.UpsertStream.currentSnapshot(spark, root)
+        .getOrElse(return (404, detail(
+          s"no committed snapshot under $root")))
+      val curId = cur.split('/').last.stripPrefix("v").toLong
+      readCommitted(root, curId)(read(curId, cur)) match {
+        case Some(r) => return r
+        case None => () // vacuumed mid-read; re-resolve and retry
+      }
+    }
+    (503, detail("current snapshot kept leaving the retention " +
+      "window during the read — retry"))
+  }
+
   private def tableSnapshot(ex: HttpExchange): (Int, String) = {
     val p = params(ex)
     val root = p.getOrElse("root",
@@ -275,72 +330,32 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
       v.stripPrefix("v").toLongOption.getOrElse(
         return (400, detail(s"invalid version: $v")))
     }
-    // One read attempt against snapshot v{ver}: the resolution above/
-    // below is point-in-time, so the collect can land on a snapshot a
-    // live drain's retention vacuum is deleting under it. The attempt
-    // COUNTS only if the version is still committed afterwards — and
-    // the recheck is sound because vacuum UN-COMMITS first
-    // (UpsertStream.vacuumSnapshots deletes the marker before the
-    // recursive delete, making the marker the linearization point for
-    // vacuum as it is for commit): whether the scan threw on vanished
-    // part files or silently listed a subset, a vacuumed version can
-    // never recheck as committed, so a truncated 200 and a raced 500
-    // are both impossible. A NonFatal failure with the version STILL
-    // committed is a genuine error and rethrows (→ 500/504).
-    def attempt(ver: Long, snap: String): Option[String] =
-      try {
-        snapshotReadRaceHook()
-        val d = rows(spark.read.parquet(snap))
-        if (graft.streaming.UpsertStream
-            .snapshotDir(spark, root, ver).isEmpty) None
-        else Some(d)
-      } catch {
-        case scala.util.control.NonFatal(_)
-            if graft.streaming.UpsertStream
-              .snapshotDir(spark, root, ver).isEmpty => None
-      }
-    def currentId(): Option[Long] =
-      graft.streaming.UpsertStream.currentSnapshot(spark, root)
-        .map(_.split('/').last.stripPrefix("v").toLong)
     asOf match {
       case Some(n) =>
         // explicit as-of: depth IS the retention policy, so a version
         // outside (or leaving) the window is a 404 — stated policy,
         // never a read of half-deleted files
-        val curId = currentId().getOrElse(return (404, detail(
-          s"no committed snapshot under $root")))
+        val curId = graft.streaming.UpsertStream
+          .currentSnapshot(spark, root)
+          .map(_.split('/').last.stripPrefix("v").toLong)
+          .getOrElse(return (404, detail(
+            s"no committed snapshot under $root")))
         graft.streaming.UpsertStream.snapshotDir(spark, root, n) match {
           case None => (404, detail(
             s"version $n is outside the retention window " +
               s"(current: $curId)"))
-          case Some(d) => attempt(n, d) match {
-            case Some(data) =>
-              (200, s"""{"version":$n,"current":$curId,"data":$data}""")
-            case None => (404, detail(
-              s"version $n left the retention window during the read"))
-          }
+          case Some(d) =>
+            readCommitted(root, n) {
+              (200, s"""{"version":$n,"current":$curId,"data":${
+                rows(spark.read.parquet(d))}}""")
+            }.getOrElse((404, detail(
+              s"version $n left the retention window during the read")))
         }
       case None =>
-        // implicit CURRENT read: the resolved snapshot can only be
-        // vacuumed mid-read because a live drain committed NEWER
-        // versions — so re-resolve and retry instead of 404ing: a
-        // current read must not 404 while the table has a committed
-        // snapshot. Retries are bounded; a writer fast enough to
-        // outrun all three attempts maps to 503 (retryable), never a
-        // wrong answer or a misleading "left the window".
-        var tries = 0
-        while (tries < 3) {
-          tries += 1
-          val curId = currentId().getOrElse(return (404, detail(
-            s"no committed snapshot under $root")))
-          attempt(curId, s"$root/v$curId") match {
-            case Some(data) => return (200,
-              s"""{"version":$curId,"current":$curId,"data":$data}""")
-            case None => () // vacuumed mid-read; re-resolve and retry
-          }
+        serveCurrentRead(root) { (curId, snap) =>
+          (200, s"""{"version":$curId,"current":$curId,"data":${
+            rows(spark.read.parquet(snap))}}""")
         }
-        (503, detail("current snapshot kept leaving the retention " +
-          "window during the read — retry"))
     }
   }
 
@@ -366,52 +381,41 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
       return (400, detail("key parameter required")))
     val value = p.get("value").flatMap(_.toLongOption).getOrElse(
       return (400, detail("value parameter required (integer)")))
-    var tries = 0
-    while (tries < 3) {
-      tries += 1
-      val cur = graft.streaming.UpsertStream.currentSnapshot(spark, root)
-        .getOrElse(return (404, detail(
-          s"no committed snapshot under $root")))
-      val curId = cur.split('/').last.stripPrefix("v").toLong
-      val attempt: Option[(Int, String)] =
-        try {
-          snapshotReadRaceHook()
-          val snap = spark.read.parquet(cur)
-          if (!snap.columns.contains(key))
-            return (400, detail(s"unknown key column: $key"))
-          val idxPath = new org.apache.hadoop.fs.Path(s"$cur/_skipindex")
-          val fs = idxPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          val covered = fs.exists(idxPath) &&
-            spark.read.parquet(idxPath.toString)
-              .columns.contains(s"min_$key")
-          val (df, opened, total) =
-            if (covered)
-              graft.operators.Maintenance.indexedLookup(
-                spark, cur, key, value)
-            else {
-              val n = fs.listStatus(new org.apache.hadoop.fs.Path(cur))
-                .count(_.getPath.getName.endsWith(".parquet")).toLong
-              (snap.filter(col(key) === value), n, n)
-            }
-          val data = rows(df)
-          if (graft.streaming.UpsertStream
-              .snapshotDir(spark, root, curId).isEmpty) None
-          else Some((200,
-            s"""{"version":$curId,"files_opened":$opened,""" +
-              s""""files_total":$total,"data":$data}"""))
-        } catch {
-          case scala.util.control.NonFatal(_)
-              if graft.streaming.UpsertStream
-                .snapshotDir(spark, root, curId).isEmpty => None
+    serveCurrentRead(root) { (curId, cur) =>
+      val snap = spark.read.parquet(cur)
+      if (!snap.columns.contains(key))
+        (400, detail(s"unknown key column: $key"))
+      else {
+        val idxPath = new org.apache.hadoop.fs.Path(s"$cur/_skipindex")
+        val fs = idxPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // the index is an ACCELERATOR, never a correctness
+        // dependency: absent, not covering the key, or UNREADABLE
+        // (a torn writeSkipIndex attempt — the one sidecar with no
+        // commit marker) all fall back to the plain filtered scan; a
+        // vacuumed-snapshot failure inside indexedLookup falls back
+        // too, and the plain scan then trips serveCurrentRead's
+        // recheck, which is the retry path's job
+        val viaIndex: Option[(DataFrame, Long, Long)] =
+          try {
+            if (fs.exists(idxPath) &&
+                spark.read.parquet(idxPath.toString)
+                  .columns.contains(s"min_$key"))
+              Some(graft.operators.Maintenance.indexedLookup(
+                spark, cur, key, value))
+            else None
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          }
+        val (df, opened, total) = viaIndex.getOrElse {
+          val n = fs.listStatus(new org.apache.hadoop.fs.Path(cur))
+            .count(_.getPath.getName.endsWith(".parquet")).toLong
+          (snap.filter(col(key) === value), n, n)
         }
-      attempt match {
-        case Some(r) => return r
-        case None => () // vacuumed mid-read; re-resolve and retry
+        (200, s"""{"version":$curId,"files_opened":$opened,""" +
+          s""""files_total":$total,"data":${rows(df)}}""")
       }
     }
-    (503, detail("current snapshot kept leaving the retention " +
-      "window during the read — retry"))
   }
 
   private def queryData(ex: HttpExchange): (Int, String) = {

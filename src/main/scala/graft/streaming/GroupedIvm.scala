@@ -139,14 +139,9 @@ object GroupedIvm {
       .getOrElse(sys.error("q288 ended with no committed view"))
     require(lastB == UpsertStream.Waves - 1L,
       s"q288 final view is s$lastB, expected s${UpsertStream.Waves - 1}")
-    val disagree = spark.read.parquet(lastDir)
-      .join(groupedIvmReadBack(spark, cdc)
-          .select(col("bucket"), col("n_docs").as("__n"),
-            col("sum_ver").as("__s")),
-        Seq("bucket"), "full")
-      .filter(col("n_docs").isNull || col("__n").isNull ||
-        col("n_docs") =!= col("__n") || col("sum_ver") =!= col("__s"))
-      .count()
+    val disagree = graft.FrameCheck.disagreements(
+      spark.read.parquet(lastDir), groupedIvmReadBack(spark, cdc),
+      keys = Seq("bucket"), vals = Seq("n_docs", "sum_ver"))
     require(disagree == 0,
       s"q288 incremental view disagrees with the from-scratch rollup " +
         s"on $disagree buckets")
@@ -205,13 +200,10 @@ object GroupedIvm {
             .currentConsumerState(spark, mvRoot)
             .getOrElse(sys.error(s"q291 batch $b left no committed view"))
           require(pos == b, s"q291 batch $b: view position is $pos")
-          val scratch = groupedIvmReadBackUpTo(spark, cdcDir, b)
-          val disagree = spark.read.parquet(viewDir)
-            .join(scratch.select(col("bucket"), col("n_docs").as("__n"),
-              col("sum_ver").as("__s")), Seq("bucket"), "full")
-            .filter(col("n_docs").isNull || col("__n").isNull ||
-              col("n_docs") =!= col("__n") || col("sum_ver") =!= col("__s"))
-            .count()
+          val disagree = graft.FrameCheck.disagreements(
+            spark.read.parquet(viewDir),
+            groupedIvmReadBackUpTo(spark, cdcDir, b),
+            keys = Seq("bucket"), vals = Seq("n_docs", "sum_ver"))
           require(disagree == 0,
             s"q291 batch $b: the in-drain view disagrees with the " +
               s"rollup of batches <= $b on $disagree buckets")
@@ -253,22 +245,13 @@ object GroupedIvm {
     * bucket rollup verbatim. */
   def streamingIvmOracleSql: String = groupedIvmOracleSql
 
-  /** q288's read-back: the from-scratch rollup over the log — last op
-    * per key (the reconstructed table state), grouped by bucket. The
-    * live query asserts its materialized view equals this before
+  /** q288's read-back: the from-scratch rollup over the whole log —
+    * [[groupedIvmReadBackUpTo]] unbounded, so the in-drain comparator
+    * and the oracle read-back share ONE rollup definition. The live
+    * queries assert their materialized views equal this before
     * returning it, so the oracle certifies the retraction algebra. */
-  def groupedIvmReadBack(spark: SparkSession, cdc: String): DataFrame = {
-    val last = spark.read.parquet(cdc)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("batch").desc)))
-      .filter(col("__rn") === 1)
-    last.groupBy(bucketOf(col("ver")).as("bucket"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("ver")).cast("long").as("sum_ver"))
-      .select(col("bucket").cast("long").as("bucket"),
-        col("n_docs"), col("sum_ver"))
-      .orderBy("bucket")
-  }
+  def groupedIvmReadBack(spark: SparkSession, cdc: String): DataFrame =
+    groupedIvmReadBackUpTo(spark, cdc, Long.MaxValue).orderBy("bucket")
 
   /** Rows the q288 maintenance consumes (the CDC log layout). */
   val groupedIvmSinkSchema: org.apache.spark.sql.types.StructType =

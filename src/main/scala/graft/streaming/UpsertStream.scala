@@ -56,27 +56,84 @@ object UpsertStream {
     * (the pointer is the max COMMITTED snapshot id — a file-listing
     * read over [[CommitMarker]]-bearing directories, the
     * plain-parquet stand-in for a catalog pointer). */
-  def currentSnapshot(spark: SparkSession, root: String): Option[String] = {
+  def currentSnapshot(spark: SparkSession, root: String): Option[String] =
+    currentPrefixed(spark, root, "v").map(_._2)
+
+  // --------------------------------------------------------------------
+  // The prefixed-chain primitives — ONE implementation of the
+  // commit/list/vacuum discipline every id-named directory chain in
+  // this file runs (snapshots `v<b>`, consumer states `s<b>`, compacted
+  // bases `upto=<b>`), so the two load-bearing invariants live in
+  // exactly one place:
+  //
+  //   1. PARSE, DON'T ASSUME: names parse via toLongOption; a torn or
+  //      foreign artifact degrades to "ignored", never a
+  //      NumberFormatException in a reader or the stand-alone
+  //      compactor.
+  //   2. MARKER-FIRST VACUUM: un-commit (delete the CommitMarker)
+  //      before the recursive directory delete, making the marker the
+  //      linearization point for vacuum exactly as it is for commit —
+  //      the recursive delete removes children in unspecified order,
+  //      so a concurrent reader could list a subset of part files
+  //      while the directory half-exists, but with the marker already
+  //      gone that reader's post-read marker recheck (the serving
+  //      edge's guard, Api.readCommitted) reliably classifies the
+  //      version as vacuumed instead of serving a truncated 200.
+  // --------------------------------------------------------------------
+
+  /** Parse a `<prefix><long>` directory/marker name — None for any
+    * other shape (invariant 1 above). */
+  private def prefixedId(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
+    else None
+
+  /** The max COMMITTED `<prefix><id>` directory under `root`:
+    * (id, dir), None before the first commit or for a missing root.
+    * Torn (marker-less) attempts are invisible by construction. */
+  private[graft] def currentPrefixed(spark: SparkSession, root: String,
+      prefix: String): Option[(Long, String)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory &&
         fs.exists(new Path(s.getPath, CommitMarker)))
-      // parse, don't assume: a stray `v`-prefixed non-numeric dir (a
-      // torn foreign artifact) degrades to "ignored", never a
-      // NumberFormatException in every reader of the table
-      .flatMap(s => snapshotId(s.getPath.getName).map(_ -> s.getPath))
+      .flatMap(s => prefixedId(s.getPath.getName, prefix)
+        .map(_ -> s.getPath))
       .sortBy(_._1)
-      .lastOption.map(_._2.toString)
+      .lastOption.map { case (b, path) => (b, path.toString) }
   }
 
-  /** Parse a snapshot directory name `v<n>` to its id — None for any
-    * other shape, so malformed names degrade to "ignored" in every
-    * list/vacuum/count rather than crashing the maintenance job that
-    * encounters a stray file. */
-  private def snapshotId(name: String): Option[Long] =
-    if (name.startsWith("v")) name.drop(1).toLongOption else None
+  /** Delete every `<prefix><id>` directory with id < keepFrom under
+    * `root`, marker-first (invariant 2 above). Idempotent — safe to
+    * re-run after any crash point. */
+  private[graft] def vacuumPrefixed(spark: SparkSession, root: String,
+      prefix: String, keepFrom: Long): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          prefixedId(s.getPath.getName, prefix).exists(_ < keepFrom))
+        .foreach { s =>
+          fs.delete(new Path(s.getPath, CommitMarker), false)
+          fs.delete(s.getPath, true)
+        }
+      ()
+    }
+  }
+
+  /** Live `<prefix><id>` directories under `root` — committed or torn
+    * alike, since the retention audits' bound is a claim about
+    * STORAGE, not about what readers surface. */
+  private[graft] def countPrefixed(spark: SparkSession, root: String,
+      prefix: String): Int = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && prefixedId(s.getPath.getName, prefix).isDefined)
+  }
 
   /** The committed snapshot directory v{n} under `root`, if live —
     * a vacuumed (retention window passed it) or torn (no commit
@@ -155,38 +212,13 @@ object UpsertStream {
     * scale claim stands on (proven crash-safe by UpsertRestartSpec's
     * kill-after-vacuum cases). */
   def vacuumSnapshots(spark: SparkSession, root: String,
-      keepFrom: Long): Unit = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory &&
-          snapshotId(s.getPath.getName).exists(_ < keepFrom))
-        .foreach { s =>
-          // UN-COMMIT first: the marker is the linearization point
-          // for vacuum exactly as it is for commit. The recursive
-          // delete below removes children in unspecified order, so a
-          // concurrent reader could list a subset of part files while
-          // the directory half-exists — but with the marker already
-          // gone, that reader's post-read marker recheck (the serving
-          // edge's guard, Api.tableSnapshot) reliably classifies the
-          // version as vacuumed instead of serving a truncated 200.
-          fs.delete(new Path(s.getPath, CommitMarker), false)
-          fs.delete(s.getPath, true)
-        }
-      ()
-    }
-  }
+      keepFrom: Long): Unit =
+    vacuumPrefixed(spark, root, "v", keepFrom)
 
   /** Live snapshot directories under `root` (the retention audit's
     * observable). */
-  def snapshotCount(spark: SparkSession, root: String): Int = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(s =>
-      s.isDirectory && snapshotId(s.getPath.getName).isDefined)
-  }
+  def snapshotCount(spark: SparkSession, root: String): Int =
+    countPrefixed(spark, root, "v")
 
   /** Apply one upsert micro-batch to the table under `root`: vacuum
     * snapshots below v{batchId−1} ([[vacuumSnapshots]] — safe because
@@ -566,13 +598,11 @@ object UpsertStream {
     // the fold must agree ROW-FOR-ROW with the read-back's windowed
     // reconstruction (so the oracle certifies the fold, not just the
     // window): full-outer compare, zero disagreements allowed
-    val disagree = state
-      .join(cdcConsumerReadBack(spark, cdc)
-          .select(col("user_id").as("doc_id"), col("ver").as("__rv")),
-        Seq("doc_id"), "full")
-      .filter(col("ver").isNull || col("__rv").isNull ||
-        col("ver") =!= col("__rv"))
-      .count()
+    val disagree = graft.FrameCheck.disagreements(
+      state,
+      cdcConsumerReadBack(spark, cdc)
+        .select(col("user_id").as("doc_id"), col("ver")),
+      keys = Seq("doc_id"), vals = Seq("ver"))
     require(disagree == 0,
       s"q276 fold disagrees with the windowed reconstruction on " +
         s"$disagree keys")
@@ -626,24 +656,12 @@ object UpsertStream {
   }
 
   /** Consumer-state RETENTION: delete every state directory s{j},
-    * j < keepFrom, under `stateRoot` — [[vacuumSnapshots]]'s
-    * marker-first discipline verbatim (un-commit is the linearization
-    * point; malformed names degrade to ignored). */
+    * j < keepFrom, under `stateRoot` — [[vacuumPrefixed]]'s
+    * marker-first discipline (un-commit is the linearization point;
+    * malformed names degrade to ignored). */
   def vacuumConsumerStates(spark: SparkSession, stateRoot: String,
-      keepFrom: Long): Unit = {
-    val p = new Path(stateRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory &&
-          prefixedId(s.getPath.getName, "s").exists(_ < keepFrom))
-        .foreach { s =>
-          fs.delete(new Path(s.getPath, CommitMarker), false)
-          fs.delete(s.getPath, true)
-        }
-      ()
-    }
-  }
+      keepFrom: Long): Unit =
+    vacuumPrefixed(spark, stateRoot, "s", keepFrom)
 
   /** The consumer's latest COMMITTED state under `stateRoot`:
     * (batch id, dir) for the max committed s{b}, None before the
@@ -653,29 +671,13 @@ object UpsertStream {
     * DISK instead of an in-process variable; torn (marker-less)
     * attempts are invisible by construction. */
   def currentConsumerState(spark: SparkSession, stateRoot: String)
-      : Option[(Long, String)] = {
-    val p = new Path(stateRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, CommitMarker)))
-      .flatMap(s => prefixedId(s.getPath.getName, "s")
-        .map(_ -> s.getPath))
-      .sortBy(_._1)
-      .lastOption.map { case (b, path) => (b, path.toString) }
-  }
+      : Option[(Long, String)] =
+    currentPrefixed(spark, stateRoot, "s")
 
   /** Live consumer-state directories under `stateRoot` (the retention
-    * audit's observable — committed or torn alike, since the bound is
-    * a claim about STORAGE, not about what readers surface). */
-  def consumerStateCount(spark: SparkSession, stateRoot: String): Int = {
-    val p = new Path(stateRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(s =>
-      s.isDirectory && prefixedId(s.getPath.getName, "s").isDefined)
-  }
+    * audit's observable). */
+  def consumerStateCount(spark: SparkSession, stateRoot: String): Int =
+    countPrefixed(spark, stateRoot, "s")
 
   /** q276's read-back, expressed over the CDC log directory alone so
     * the plan audits can stub it: ONE fold step (batch-0 state
@@ -726,26 +728,8 @@ object UpsertStream {
     * `batch=<id>` dirs ≤ upto may still exist on disk, and the filter
     * (not the deletes) is what keeps them from being double-counted. */
   def currentCdcBase(spark: SparkSession, cdc: String)
-      : Option[(Long, String)] = {
-    val p = new Path(cdc, CdcBaseDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, CommitMarker)))
-      .flatMap(s => prefixedId(s.getPath.getName, "upto=")
-        .map(_ -> s.getPath))
-      .sortBy(_._1)
-      .lastOption.map { case (b, path) => (b, path.toString) }
-  }
-
-  /** Parse `<prefix><long>` directory/marker names — None for any
-    * other shape (same degrade-to-ignored contract as
-    * [[snapshotId]]): a torn or foreign artifact in the log must not
-    * crash the stand-alone compactor. */
-  private def prefixedId(name: String, prefix: String): Option[Long] =
-    if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
-    else None
+      : Option[(Long, String)] =
+    currentPrefixed(spark, new Path(cdc, CdcBaseDir).toString, "upto=")
 
   /** The consumer-fold state (doc_id, ver, n_ops) over base ∪ tail —
     * ver replaced by the newest op per key (ops within one batch are
@@ -833,29 +817,12 @@ object UpsertStream {
       throw new IllegalStateException(
         "injected crash after base commit, before partition deletes")
     // sweep folded partitions (≤ the NEW committed upto) and stale
-    // bases — idempotent deletes, safe to re-run after any crash
+    // bases ([[vacuumPrefixed]] — marker-first, idempotent, safe to
+    // re-run after any crash)
     val upto = math.max(priorUpto, hi)
-    if (fs.exists(p)) {
-      fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory &&
-          prefixedId(s.getPath.getName, "batch=").exists(_ <= upto))
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-    val baseRoot = new Path(cdc, CdcBaseDir)
-    if (fs.exists(baseRoot)) {
-      fs.listStatus(baseRoot).toSeq
-        .filter(s => s.isDirectory &&
-          prefixedId(s.getPath.getName, "upto=").exists(_ < upto))
-        .foreach { s =>
-          // un-commit first — same linearization-point discipline as
-          // vacuumSnapshots: a reader that resolved this stale base
-          // and rechecks its marker after the read never sees a
-          // truncated-but-committed directory
-          fs.delete(new Path(s.getPath, CommitMarker), false)
-          fs.delete(s.getPath, true)
-        }
-    }
-    ()
+    vacuumPrefixed(spark, cdc, "batch=", keepFrom = upto + 1)
+    vacuumPrefixed(spark, new Path(cdc, CdcBaseDir).toString, "upto=",
+      keepFrom = upto)
   }
 
   /** Directory (under the CDC log root) holding the consumer's
@@ -985,12 +952,8 @@ object UpsertStream {
       Some(spark.read.parquet(baseDir)),
       spark.read.parquet(cdc).filter(col("batch") > upto)
         .select(col("doc_id"), col("ver"), col("batch")))
-    val disagree = resumed
-      .join(fullFold.select(col("doc_id"), col("ver").as("__fv"),
-          col("n_ops").as("__fo")), Seq("doc_id"), "full")
-      .filter(col("ver").isNull || col("__fv").isNull ||
-        col("ver") =!= col("__fv") || col("n_ops") =!= col("__fo"))
-      .count()
+    val disagree = graft.FrameCheck.disagreements(resumed, fullFold,
+      keys = Seq("doc_id"), vals = Seq("ver", "n_ops"))
     require(disagree == 0,
       s"q280 compacted-base + tail fold disagrees with the full-log " +
         s"fold on $disagree keys — compaction must be semantically " +
@@ -1164,8 +1127,6 @@ object UpsertStream {
     // the reference every per-step resume identity compares against
     val fullRef = foldOntoBase(None, spark.read.parquet(cdc)
         .select(col("doc_id"), col("ver"), col("batch")))
-      .select(col("doc_id"), col("ver").as("__fv"),
-        col("n_ops").as("__fo"))
       .localCheckpoint()
     val stateRoot = graft.sources.Scratch.dirOutliving(spark, "q284_state")
     var stateDir: Option[String] = None
@@ -1193,12 +1154,11 @@ object UpsertStream {
           s"{${tailIds.mkString(",")}}")
       // claim 3: resuming from base + tail right now lands the
       // full-log fold (cdcCompactionReadBack IS the resume path)
-      val disagree = cdcCompactionReadBack(spark, cdc)
-        .join(fullRef.select(col("doc_id").cast("long").as("user_id"),
-          col("__fv"), col("__fo")), Seq("user_id"), "full")
-        .filter(col("ver").isNull || col("__fv").isNull ||
-          col("ver") =!= col("__fv") || col("n_ops") =!= col("__fo"))
-        .count()
+      val disagree = graft.FrameCheck.disagreements(
+        cdcCompactionReadBack(spark, cdc),
+        fullRef.select(col("doc_id").cast("long").as("user_id"),
+          col("ver"), col("n_ops")),
+        keys = Seq("user_id"), vals = Seq("ver", "n_ops"))
       require(disagree == 0,
         s"q284 step $b: resume-from-base+tail disagrees with the " +
           s"full-log fold on $disagree keys")
@@ -1212,13 +1172,10 @@ object UpsertStream {
     require(cdcBatchIds(spark, cdc).isEmpty,
       "q284 ended with live batch partitions — the final compaction " +
         s"must fold the whole log: ${cdcBatchIds(spark, cdc).mkString(",")}")
-    val stateVsBase = spark.read.parquet(stateDir.get)
-      .join(spark.read.parquet(finalBase)
-        .select(col("doc_id"), col("ver").as("__bv")),
-        Seq("doc_id"), "full")
-      .filter(col("ver").isNull || col("__bv").isNull ||
-        col("ver") =!= col("__bv"))
-      .count()
+    val stateVsBase = graft.FrameCheck.disagreements(
+      spark.read.parquet(stateDir.get),
+      spark.read.parquet(finalBase).select(col("doc_id"), col("ver")),
+      keys = Seq("doc_id"), vals = Seq("ver"))
     require(stateVsBase == 0,
       s"q284 live consumer state disagrees with the compactor's base " +
         s"on $stateVsBase keys")
@@ -1362,13 +1319,11 @@ object UpsertStream {
       .getOrElse(sys.error("q287 ended with no committed state"))
     require(lastB == Waves - 1L,
       s"q287 final state is s$lastB, expected s${Waves - 1}")
-    val disagree = spark.read.parquet(lastDir)
-      .join(cdcConsumerReadBack(spark, cdc)
-          .select(col("user_id").as("doc_id"), col("ver").as("__rv")),
-        Seq("doc_id"), "full")
-      .filter(col("ver").isNull || col("__rv").isNull ||
-        col("ver") =!= col("__rv"))
-      .count()
+    val disagree = graft.FrameCheck.disagreements(
+      spark.read.parquet(lastDir),
+      cdcConsumerReadBack(spark, cdc)
+        .select(col("user_id").as("doc_id"), col("ver")),
+      keys = Seq("doc_id"), vals = Seq("ver"))
     require(disagree == 0,
       s"q287 bounded-chain fold disagrees with the windowed " +
         s"reconstruction on $disagree keys")

@@ -435,6 +435,17 @@ class ApiSpec extends SparkSpec {
     assert(c5 == 400)
     val (c6, _) = get(s"/table-lookup?root=${enc}_nope&key=doc_id&value=1")
     assert(c6 == 404)
+    // a TORN index (dir exists, no readable parquet — a crashed
+    // writeSkipIndex) must fall back to the plain scan, never 500:
+    // the index is an accelerator, not a correctness dependency
+    val fsT = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsT.delete(new org.apache.hadoop.fs.Path(s"$root/v2/_skipindex"), true)
+    fsT.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v2/_skipindex"))
+    val (c3b, b3b) = get(s"/table-lookup?root=$enc&key=doc_id&value=$probe")
+    assert(c3b == 200 && b3b.get("data").size == 1, s"$c3b: $b3b")
+    assert(b3b.get("files_opened").asLong ==
+      b3b.get("files_total").asLong, "torn index must serve unindexed")
     // vacuum racing the lookup: the resolved v2 vanishes mid-read
     // after a v3 commit — the route re-resolves and serves v3
     val a = api.get

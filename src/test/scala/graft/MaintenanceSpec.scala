@@ -478,5 +478,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(o3 == 1L && r3.count() == 0)
     assert(r3.columns.toSeq == Seq("k", "v"),
       "a miss must keep the table schema")
+    // REBUILD on the already-indexed dir: the old sidecar must be
+    // excluded from its own successor's file list (self-indexing was
+    // the round-17 review's re-run bug) — same 3 data files, and the
+    // lookups still answer identically
+    assert(Maintenance.writeSkipIndex(spark, t, Seq("k")) == 3L)
+    val idx = spark.read.parquet(s"$t/_skipindex").collect()
+    assert(idx.length == 3 &&
+      idx.forall(!_.getString(0).contains("_skipindex")),
+      "a rebuilt index must never carry the prior index's own file")
+    val (r4, o4, n4) = Maintenance.indexedLookup(spark, t, "k", 10L)
+    assert(n4 == 3L && o4 == 2L &&
+      r4.collect().map(_.getString(1)).toSeq == Seq("c"))
   }
 }
