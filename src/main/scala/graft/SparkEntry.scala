@@ -787,6 +787,13 @@ object SparkEntry {
     // commit point.
     "q291_streaming_ivm" -> ((s, d) =>
       graft.streaming.GroupedIvm.streamingIvmQuery(s, d)),
+    // q292: the skip-index LIFECYCLE — maintained incrementally
+    // through a copy-on-write merge (copied files inherit their
+    // stats, only rewritten files pay a footer read), refresh ==
+    // rebuild row-for-row, metadata-only count/min/max == the scan,
+    // probes still <=2 files through the refreshed index.
+    "q292_index_refresh" -> ((s, d) =>
+      graft.operators.Maintenance.indexRefreshQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1051,6 +1058,9 @@ object SparkEntry {
       "q291_streaming_ivm" ->
         ((GroupedIvm.streamingIvmSinkSchema,
           GroupedIvm.streamingIvmReadBack _)),
+      "q292_index_refresh" ->
+        ((graft.operators.Maintenance.indexRefreshSinkSchema,
+          graft.operators.Maintenance.indexRefreshReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -2053,6 +2063,10 @@ object SparkEntry {
     // computes — q288's oracle verbatim.
     "q291_streaming_ivm" ->
       graft.streaming.GroupedIvm.streamingIvmOracleSql,
+    // q292: the probed users' argmax rows over the merged state (head
+    // slice uppercased) — maintaining the index must not change reads.
+    "q292_index_refresh" ->
+      graft.operators.Maintenance.indexRefreshOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

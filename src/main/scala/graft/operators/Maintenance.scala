@@ -280,18 +280,6 @@ object Maintenance {
                            cols: Seq[String]): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dataSchema = spark.read.parquet(dir).schema
-    val fields = cols.map(c => dataSchema(c))
-    require(fields.forall(f => f.dataType match {
-      case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | StringType => true
-      case _ => false
-    }), s"footer stats support integral/floating/string columns, got $fields")
-    val outSchema = StructType(
-      StructField("file", StringType, nullable = false) +:
-        fields.flatMap(f => Seq(
-          StructField(s"min_${f.name}", f.dataType),
-          StructField(s"max_${f.name}", f.dataType))) :+
-        StructField("n_rows", LongType, nullable = false))
     val dirPath = new Path(dir)
     // recursive: a partition-directory layout (k=v subdirs) must yield
     // the same file set the scan-based manifest sees — which also
@@ -314,6 +302,28 @@ object Maintenance {
         val rel = f.stripPrefix(base).stripPrefix("/")
         !rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
       }.toSeq
+    footerStatsOf(spark, files, dataSchema, cols)
+  }
+
+  /** The footer-manifest core over an EXPLICIT file list — shared by
+    * [[fileStatsFromFooters]] (whole-directory listing) and
+    * [[refreshSkipIndex]] (only the files a merge rewrote). Reads
+    * footers in executor tasks; decodes no row groups. */
+  private def footerStatsOf(spark: SparkSession, files: Seq[String],
+      dataSchema: StructType, cols: Seq[String]): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fields = cols.map(c => dataSchema(c))
+    require(fields.forall(f => f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | StringType => true
+      case _ => false
+    }), s"footer stats support integral/floating/string columns, got $fields")
+    val outSchema = StructType(
+      StructField("file", StringType, nullable = false) +:
+        fields.flatMap(f => Seq(
+          StructField(s"min_${f.name}", f.dataType),
+          StructField(s"max_${f.name}", f.dataType))) :+
+        StructField("n_rows", LongType, nullable = false))
     val conf = new SerializableConfiguration(hadoopConf)
     val colNames = cols
     val types = fields.map(_.dataType)
@@ -958,7 +968,12 @@ object Maintenance {
     * O(matching files), not O(table). */
   def writeSkipIndex(spark: SparkSession, dir: String,
                      cols: Seq[String]): Long = {
+    // ZERO-ROW files are excluded: they can never hold a probe, but
+    // their (null, null) stats would make them unprunable candidates
+    // that every lookup opens for nothing (a shuffle writing fewer
+    // non-empty partitions than tasks leaves such files routinely)
     val idx = fileStatsFromFooters(spark, dir, cols)
+      .filter(col("n_rows") > 0)
     idx.coalesce(1).write.mode("overwrite").parquet(s"$dir/_skipindex")
     idx.count()
   }
@@ -988,6 +1003,57 @@ object Maintenance {
       else spark.read.parquet(cand.toIndexedSeq: _*)
         .filter(col(key) === value)
     (rows, cand.length.toLong, files.length.toLong)
+  }
+
+  /** INCREMENTAL skip-index maintenance through a
+    * [[copyOnWriteMerge]]: build `newDir/_skipindex` from `oldDir`'s
+    * index plus footers of ONLY the files the merge rewrote. The
+    * merge byte-copies untouched files as `copied-<oldname>` —
+    * byte-identical, so their footer stats are byte-identical too and
+    * the old index rows are INHERITED with just the path rewritten;
+    * only the genuinely new part files pay a footer read. Returns
+    * (inherited, reRead). At 100 TB this is the difference between
+    * index maintenance costing O(changed files) per merge and
+    * re-reading every footer of a million-file table: the metadata
+    * stays as incremental as the data. A copied file missing from the
+    * old index (it was built before that file existed, or never
+    * built) degrades to a footer read, never a gap. */
+  def refreshSkipIndex(spark: SparkSession, oldDir: String,
+      newDir: String, cols: Seq[String]): (Long, Long) = {
+    val newPath = new Path(newDir)
+    val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFiles = fs.listStatus(newPath).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val old = spark.read.parquet(s"$oldDir/_skipindex")
+    val expected = "file" +:
+      cols.flatMap(c => Seq(s"min_$c", s"max_$c")) :+ "n_rows"
+    require(old.columns.toSeq == expected,
+      s"old index covers ${old.columns.toSeq}, refresh asked for " +
+        s"$expected — rebuild instead of refreshing across a column-set " +
+        "change")
+    val oldByName = old.collect() // file-count rows: driver metadata
+      .map(r => r.getString(0).split('/').last -> r).toMap
+    val (inherited, toRead) = newFiles.partition { p =>
+      p.getName.startsWith("copied-") &&
+        oldByName.contains(p.getName.stripPrefix("copied-"))
+    }
+    val inheritedRows = inherited.map { p =>
+      val o = oldByName(p.getName.stripPrefix("copied-"))
+      Row.fromSeq(p.toString +: o.toSeq.tail)
+    }
+    // zero-row rewritten files are excluded exactly as writeSkipIndex
+    // excludes them (refresh ≡ rebuild must hold row-for-row); the
+    // inherited side can't carry any — the old index never indexed one
+    val fresh = footerStatsOf(spark, toRead.map(_.toString),
+      spark.read.parquet(newDir).schema, cols)
+      .filter(col("n_rows") > 0)
+    val idx = fresh.unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(inheritedRows, 1), fresh.schema))
+    idx.coalesce(1).write.mode("overwrite")
+      .parquet(s"$newDir/_skipindex")
+    (inherited.size.toLong, toRead.size.toLong)
   }
 
   /** q290: the keyed serving read end to end — latest-per-user doc
@@ -1063,6 +1129,126 @@ object Maintenance {
     StructField("doc_id", LongType),
     StructField("ver", LongType),
     StructField("text", StringType)))
+
+  /** q292: the skip-index LIFECYCLE — built once, then maintained
+    * INCREMENTALLY through a copy-on-write merge instead of rebuilt.
+    * The chain: the q290-style clustered doc table + index; a merge
+    * that uppercases a narrow key-range slice (so only the files
+    * holding that range rewrite — everything else byte-copies);
+    * [[refreshSkipIndex]] inheriting the copied files' stats and
+    * footer-reading only the rewritten ones. Asserted live:
+    *
+    *   1. INCREMENTAL COST: inherited > 0 and reRead < total — the
+    *      refresh touched O(changed files) footers, not the table.
+    *   2. REFRESH ≡ REBUILD: the refreshed index equals a from-scratch
+    *      [[writeSkipIndex]] of the merged table row-for-row (file,
+    *      bounds, row counts) — inheriting stats is exact because
+    *      byte-copied files have byte-identical footers.
+    *   3. METADATA-ONLY AGGREGATES: Σn_rows / min(min) / max(max)
+    *      over the refreshed index equal count/min/max scanned from
+    *      the table — the index answers the classic metadata queries
+    *      without opening a data file.
+    *
+    * Output: the q290 probe reads served through the REFRESHED index
+    * (≤2 files per probe still holds — copied files keep their
+    * clustered ranges). Oracle: the probed users' argmax rows with
+    * the slice's type uppercased by the merge. */
+  def indexRefreshQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v0 = graft.sources.Scratch.dir(spark, "q292_v0")
+    val v1 = graft.sources.Scratch.dirOutliving(spark, "q292_v1")
+    try {
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id").as("doc_id"),
+          col("event_id").cast("long").as("ver"),
+          col("event_type").as("text"))
+        .repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(v0)
+      val nFiles = writeSkipIndex(spark, v0, Seq("doc_id"))
+      // the merge: uppercase the narrow head slice of the key range —
+      // range-clustered, so only the file(s) holding it rewrite
+      val t0 = spark.read.parquet(v0)
+      val bounds = t0.agg(min("doc_id"), max("doc_id")).head
+      val cut = bounds.getLong(0) +
+        (bounds.getLong(1) - bounds.getLong(0)) / 16
+      val updates = t0.filter(col("doc_id") <= cut)
+        .withColumn("text", upper(col("text")))
+        .localCheckpoint()
+      copyOnWriteMerge(spark, v0, v1, updates, "doc_id")
+      val (inherited, reRead) =
+        refreshSkipIndex(spark, v0, v1, Seq("doc_id"))
+      // claim 1: the refresh cost is the change, not the table
+      require(inherited > 0 && reRead < nFiles,
+        s"q292 refresh inherited=$inherited reRead=$reRead of $nFiles " +
+          "— must be incremental")
+      // the probe reads, through the REFRESHED index (before the
+      // claim-2 rebuild overwrites the sidecar)
+      val probes = spark.read.parquet(v1)
+        .filter(pmod(col("doc_id"), lit(7L)) === 0)
+        .select("doc_id").orderBy("doc_id").limit(12)
+        .collect().map(_.getLong(0))
+      probes.foreach { k =>
+        val (rows, opened, _) = indexedLookup(spark, v1, "doc_id", k)
+        require(opened <= 2,
+          s"q292 probe $k opened $opened files through the refreshed " +
+            "index")
+        require(rows.count() == 1, s"q292 probe $k missed")
+      }
+      // claim 3: metadata-only count/min/max == scanned count/min/max
+      val refreshed = spark.read.parquet(s"$v1/_skipindex")
+        .localCheckpoint()
+      val meta = refreshed.agg(sum("n_rows"), min("min_doc_id"),
+        max("max_doc_id")).head
+      val scanned = spark.read.parquet(v1).agg(count(lit(1)),
+        min("doc_id"), max("doc_id")).head
+      require(meta.getLong(0) == scanned.getLong(0) &&
+        meta.getLong(1) == scanned.getLong(1) &&
+        meta.getLong(2) == scanned.getLong(2),
+        s"q292 metadata aggregates $meta disagree with the scan $scanned")
+      // claim 2: refresh ≡ rebuild, row-for-row
+      writeSkipIndex(spark, v1, Seq("doc_id"))
+      val rebuilt = spark.read.parquet(s"$v1/_skipindex")
+      val idxDisagree = graft.FrameCheck.disagreements(
+        refreshed, rebuilt, keys = Seq("file"),
+        vals = Seq("min_doc_id", "max_doc_id", "n_rows"))
+      require(idxDisagree == 0,
+        s"q292 refreshed index disagrees with a rebuild on " +
+          s"$idxDisagree files")
+      indexRefreshReadBack(spark, v1).localCheckpoint()
+    } finally graft.sources.Scratch.delete(spark, v0)
+  }
+
+  /** q292's read-back: the probed users' rows over the merged table. */
+  def indexRefreshReadBack(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+      .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      .orderBy("doc_id").limit(12)
+      .select(col("doc_id").cast("long").as("user_id"),
+        col("ver").cast("long").as("ver"),
+        col("text").as("latest_type"))
+      .orderBy("user_id")
+
+  /** Rows a q292 table holds (the doc-state layout). */
+  val indexRefreshSinkSchema: StructType = pointLookupSinkSchema
+
+  /** DuckDB oracle for [[indexRefreshQuery]] — q290's probe rule over
+    * the merged state: the head-slice users' type uppercased by the
+    * merge, everyone else unchanged. */
+  def indexRefreshOracleSql: String =
+    """WITH r AS (SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY event_id DESC) AS rn FROM events),
+       s AS (SELECT user_id, event_id AS ver, event_type
+         FROM r WHERE rn = 1),
+       c AS (SELECT min(user_id) + (max(user_id) - min(user_id)) // 16
+           AS cut FROM s)
+     SELECT user_id, CAST(ver AS BIGINT) AS ver,
+       CASE WHEN user_id <= (SELECT cut FROM c)
+         THEN upper(event_type) ELSE event_type END AS latest_type
+     FROM s WHERE user_id % 7 = 0 ORDER BY user_id LIMIT 12"""
 
   /** DuckDB oracle for [[pointLookupQuery]] — the per-user argmax
     * filtered to the same probe rule (12 smallest ids divisible by

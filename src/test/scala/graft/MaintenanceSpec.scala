@@ -491,4 +491,48 @@ class MaintenanceSpec extends SparkSpec {
     assert(n4 == 3L && o4 == 2L &&
       r4.collect().map(_.getString(1)).toSeq == Seq("c"))
   }
+
+  test("refreshSkipIndex: copied stats inherited, rewritten files re-read, gaps degrade to reads") {
+    val v0 = tmpDir("rsi_v0"); val v1 = tmpDir("rsi_v1")
+    val v2 = tmpDir("rsi_v2")
+    (0L until 800L).map(i => (i, s"t$i")).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(v0)
+    val n0 = Maintenance.writeSkipIndex(spark, v0, Seq("k"))
+    assert(n0 == 8L)
+    // merge touching only the head range -> most files byte-copy
+    val up = spark.read.parquet(v0).filter(col("k") <= 40)
+      .withColumn("v", upper(col("v"))).localCheckpoint()
+    Maintenance.copyOnWriteMerge(spark, v0, v1, up, "k")
+    val (inh, rr) = Maintenance.refreshSkipIndex(spark, v0, v1, Seq("k"))
+    assert(inh >= 6L && rr >= 1L,
+      s"expected mostly-inherited refresh, got inherited=$inh reRead=$rr")
+    // refresh == rebuild row-for-row (full paths as keys)
+    val refreshed = spark.read.parquet(s"$v1/_skipindex").localCheckpoint()
+    Maintenance.writeSkipIndex(spark, v1, Seq("k"))
+    val rebuilt = spark.read.parquet(s"$v1/_skipindex")
+    assert(graft.FrameCheck.disagreements(refreshed, rebuilt,
+      Seq("file"), Seq("min_k", "max_k", "n_rows")) == 0L)
+    // a column-set change refuses (rebuild, don't inherit mismatched rows)
+    intercept[IllegalArgumentException] {
+      Maintenance.refreshSkipIndex(spark, v0, v1, Seq("k", "v"))
+    }
+    // a copied file the old index never covered degrades to a footer
+    // read, never a gap: drop one file's row from v0's index and
+    // refresh a fresh merge — all files still land in the new index
+    val idx0 = spark.read.parquet(s"$v0/_skipindex").localCheckpoint()
+    val dropped = idx0.orderBy("file").limit(1)
+      .collect().head.getString(0)
+    idx0.filter(col("file") =!= dropped).coalesce(1)
+      .write.mode("overwrite").parquet(s"$v0/_skipindex")
+    Maintenance.copyOnWriteMerge(spark, v0, v2, up, "k")
+    val (inh2, rr2) = Maintenance.refreshSkipIndex(spark, v0, v2, Seq("k"))
+    assert(inh2 == inh - 1 || inh2 == inh,
+      s"dropping one old row shifts at most one inherit: $inh -> $inh2")
+    assert(rr2 >= rr, "the uncovered copy must be footer-read")
+    Maintenance.writeSkipIndex(spark, v2, Seq("k"))
+    val rebuilt2 = spark.read.parquet(s"$v2/_skipindex")
+    assert(spark.read.parquet(s"$v2/_skipindex").count() == rebuilt2.count())
+    ()
+  }
 }
