@@ -82,7 +82,10 @@ object ScalingCurve {
     ("q287_consumer_retention", "CDC consumer fold (K-bounded state chain)", "events"),
     ("q288_grouped_ivm",    "grouped IVM, cross-group retraction (ops only)", "events"),
     ("q289_evolve_merge",   "schema-evolving merge chain (widen + fast path)", "events"),
-    ("q290_point_lookup",   "skipping-index point lookup (build + 12 probes)", "events"))
+    ("q290_point_lookup",   "skipping-index point lookup (build + 12 probes)", "events"),
+    ("q291_streaming_ivm",  "grouped IVM inside the live drain (replay-guarded)", "events"),
+    ("q292_index_refresh",  "incremental index refresh through a CoW merge", "events"),
+    ("q293_table_history",  "history table from footers (K retained versions)", "events"))
 
   /** The stateful streaming drains: their peak state-store row counts
     * (from the progress metrics) are recorded per SF — the state

@@ -794,6 +794,12 @@ object SparkEntry {
     // probes still <=2 files through the refreshed index.
     "q292_index_refresh" -> ((s, d) =>
       graft.operators.Maintenance.indexRefreshQuery(s, d)),
+    // q293: the snapshot chain as a queryable HISTORY table — one row
+    // per retained version, row counts from footers only (metadata
+    // cost); the oracle recomputes each version's keyed cardinality
+    // from the raw events.
+    "q293_table_history" -> ((s, d) =>
+      graft.streaming.UpsertStream.tableHistoryQuery(s, d)),
   )
 
   /** §2.11: free-form SQL passthrough (reference backend/main.py:109-134
@@ -1061,6 +1067,9 @@ object SparkEntry {
       "q292_index_refresh" ->
         ((graft.operators.Maintenance.indexRefreshSinkSchema,
           graft.operators.Maintenance.indexRefreshReadBack _)),
+      "q293_table_history" ->
+        ((UpsertStream.tableHistorySinkSchema,
+          UpsertStream.tableHistoryReadBack _)),
       // not a stream drain, but its registered function eagerly
       // writes the materialized base table when invoked; the audit
       // plans the refresh merge over a stubbed base instead
@@ -2067,6 +2076,11 @@ object SparkEntry {
     // slice uppercased) — maintaining the index must not change reads.
     "q292_index_refresh" ->
       graft.operators.Maintenance.indexRefreshOracleSql,
+    // q293: each retained version's keyed cardinality from the raw
+    // events — snapshot numbering, the merge, and footer counting
+    // must agree on what every version holds.
+    "q293_table_history" ->
+      graft.streaming.UpsertStream.tableHistoryOracleSql,
     "q167_membership_topk" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem

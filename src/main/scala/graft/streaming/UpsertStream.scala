@@ -87,22 +87,28 @@ object UpsertStream {
     if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
     else None
 
-  /** The max COMMITTED `<prefix><id>` directory under `root`:
-    * (id, dir), None before the first commit or for a missing root.
-    * Torn (marker-less) attempts are invisible by construction. */
-  private[graft] def currentPrefixed(spark: SparkSession, root: String,
-      prefix: String): Option[(Long, String)] = {
+  /** Every COMMITTED `<prefix><id>` directory under `root`, ascending
+    * by id — torn (marker-less) attempts invisible by construction.
+    * Bounded output: callers run retention, so this lists the
+    * K-window, never unbounded history. */
+  private[graft] def listPrefixed(spark: SparkSession, root: String,
+      prefix: String): Seq[(Long, String)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory &&
         fs.exists(new Path(s.getPath, CommitMarker)))
       .flatMap(s => prefixedId(s.getPath.getName, prefix)
-        .map(_ -> s.getPath))
+        .map(_ -> s.getPath.toString))
       .sortBy(_._1)
-      .lastOption.map { case (b, path) => (b, path.toString) }
   }
+
+  /** The max COMMITTED `<prefix><id>` directory under `root`:
+    * (id, dir), None before the first commit or for a missing root. */
+  private[graft] def currentPrefixed(spark: SparkSession, root: String,
+      prefix: String): Option[(Long, String)] =
+    listPrefixed(spark, root, prefix).lastOption
 
   /** Delete every `<prefix><id>` directory with id < keepFrom under
     * `root`, marker-first (invariant 2 above). Idempotent — safe to
@@ -1344,6 +1350,89 @@ object UpsertStream {
     * from-scratch reconstruction verbatim: bounding the state chain
     * must not change what the consumer computes. */
   def consumerRetentionOracleSql: String = cdcConsumerOracleSql
+
+  // --------------------------------------------------------------------
+  // TABLE HISTORY (q293) — the snapshot chain as a queryable table.
+  // --------------------------------------------------------------------
+
+  /** The upsert table's HISTORY as a DataFrame — one row per live
+    * committed snapshot: (version, n_files, n_rows), row counts read
+    * from parquet FOOTERS only (no row group is decoded, no data
+    * scanned). This is the ops introspection surface a lakehouse
+    * table carries (Delta's DESCRIBE HISTORY / Iceberg's snapshots
+    * metadata table, on plain parquet): answering "how big is each
+    * retained version" is a metadata question and must cost metadata.
+    * The driver-side loop is bounded BY CONSTRUCTION: retention keeps
+    * K live snapshots, so history is K rows — the vacuum policy is
+    * what makes the history table cheap. */
+  def tableHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rows = listPrefixed(spark, root, "v").map { case (b, dir) =>
+      val stats = graft.operators.Maintenance
+        .fileStatsFromFooters(spark, dir, Seq.empty)
+        .agg(count(lit(1)).cast("long"), sum(col("n_rows")).cast("long"))
+        .head
+      (b, stats.getLong(0), stats.getLong(1))
+    }
+    rows.toDF("version", "n_files", "n_rows").orderBy("version")
+  }
+
+  /** q293: the history table under oracle check. The q253 drain
+    * leaves exactly the retention window {v1, v2} live; each
+    * version's n_rows is the keyed state cardinality as of its batch
+    * (distinct users seen in waves ≤ b), which the oracle recomputes
+    * from the raw events — so the hash match certifies that snapshot
+    * numbering, the merge's latest-per-key reduction, and the
+    * footer-only row counting all agree on what each retained version
+    * holds. n_files stays a live assert (> 0 per version; not
+    * SQL-derivable). */
+  def tableHistoryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.Scratch.dirOutliving(spark, "q293_table")
+    val drop = stageUpsertWaves(spark, dir)
+    val ck = graft.sources.Scratch.dir(spark, "q293_ck")
+    try StatePartitions.scoped(spark) {
+      val batches = drainUpsertWaves(spark, drop, root, ck)
+      require(batches == Waves,
+        s"q293 staged $Waves wave files but streamed $batches " +
+          "micro-batches")
+    } finally graft.sources.Scratch.delete(spark, ck)
+    val h = tableHistory(spark, root)
+    val rows = h.collect() // K rows — the retention window, bounded
+    require(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      s"q293 history must hold exactly the retention window {v1, v2}, " +
+        s"saw ${rows.map(_.getLong(0)).mkString(",")}")
+    require(rows.forall(_.getLong(1) > 0),
+      "q293 every retained version must report its file count")
+    tableHistoryReadBack(spark, root)
+  }
+
+  /** q293's read-back — the history projection the oracle checks
+    * (version, n_rows; n_files is live-asserted, not oracled). */
+  def tableHistoryReadBack(spark: SparkSession, root: String): DataFrame =
+    tableHistory(spark, root)
+      .select(col("version"), col("n_rows"))
+      .orderBy("version")
+
+  /** Rows a q293 snapshot holds (the staged doc layout). */
+  val tableHistorySinkSchema: org.apache.spark.sql.types.StructType =
+    DocStream.docSchema
+
+  /** DuckDB oracle for [[tableHistoryQuery]] — each retained
+    * version's keyed cardinality from the raw events: v{b} holds the
+    * distinct users of waves ≤ b (latest-per-key keeps one row per
+    * user), and retention leaves exactly {v1, v2}. */
+  def tableHistoryOracleSql: String =
+    """WITH w AS (SELECT user_id,
+           ntile(3) OVER (ORDER BY event_id, user_id) - 1 AS wave
+         FROM events)
+     SELECT CAST(1 AS BIGINT) AS version,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_rows
+     FROM w WHERE wave <= 1
+     UNION ALL
+     SELECT CAST(2 AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT)
+     FROM w
+     ORDER BY version"""
 
   /** DuckDB oracle for [[retentionKQuery]] — the argmax per user over
     * the first TWO of FOUR waves (the table as of batch 1; same ntile

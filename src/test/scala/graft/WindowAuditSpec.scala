@@ -58,7 +58,8 @@ class WindowAuditSpec extends SparkSpec {
     // q289 eagerly stages waves and runs the three-merge chain; q290
     // eagerly writes its clustered table + index and probes it; the
     // audit plans their read-backs over stubbed snapshots instead
-    "q289_evolve_merge", "q290_point_lookup", "q292_index_refresh")
+    "q289_evolve_merge", "q290_point_lookup", "q292_index_refresh",
+    "q293_table_history")
 
   /** query name -> (substring of the window's orderSpec identifying
     * it, why the frame is metadata-scale). An entry must match at
