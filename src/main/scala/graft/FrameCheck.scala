@@ -30,4 +30,24 @@ object FrameCheck {
         col(v) =!= col(s"__r_$v")).reduce(_ || _))
       .count()
   }
+
+  /** [[disagreements]] for frames whose value columns are LEGITIMATELY
+    * nullable (e.g. a skipping index's min/max, null when a file's
+    * column chunk carries no statistics): values compare null-safely
+    * (`<=>` — two nulls agree), and key presence is tracked with
+    * explicit marker columns so a key missing from one side still
+    * counts even when every value column is null. */
+  def disagreementsNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String], vals: Seq[String]): Long = {
+    val l = left.select((keys ++ vals).map(col): _*)
+      .withColumn("__l_present", lit(true))
+    val r = vals.foldLeft(
+      right.select((keys ++ vals).map(col): _*))(
+      (d, v) => d.withColumnRenamed(v, s"__r_$v"))
+      .withColumn("__r_present", lit(true))
+    l.join(r, keys, "full")
+      .filter(col("__l_present").isNull || col("__r_present").isNull ||
+        vals.map(v => !(col(v) <=> col(s"__r_$v"))).reduce(_ || _))
+      .count()
+  }
 }

@@ -280,21 +280,27 @@ object Maintenance {
                            cols: Seq[String]): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dataSchema = spark.read.parquet(dir).schema
+    footerStatsOf(spark, listDataFiles(spark, dir), dataSchema, cols)
+  }
+
+  /** The parquet DATA files under `dir` — recursive (a
+    * partition-directory `k=v` layout must yield the same file set
+    * the scan-based manifest sees) with HIDDEN paths (any `_`/`.`
+    * prefixed component, e.g. a `_skipindex` sidecar) excluded
+    * exactly as Spark's own file listing excludes them. Shared by
+    * every footer-manifest builder; without the hidden filter a
+    * REBUILD on an indexed directory would capture the old index's
+    * own parquet in the file list, then race the overwrite that
+    * deletes it (self-indexing, writeSkipIndex's round-17 re-run
+    * bug). */
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val dirPath = new Path(dir)
-    // recursive: a partition-directory layout (k=v subdirs) must yield
-    // the same file set the scan-based manifest sees — which also
-    // means HIDDEN paths (any `_`/`.`-prefixed component, e.g. a
-    // `_skipindex` sidecar this manifest itself feeds) are excluded
-    // exactly as Spark's file listing excludes them; without this a
-    // REBUILD on an indexed directory would capture the old index's
-    // own parquet in the file list, then race the overwrite that
-    // deletes it (self-indexing, writeSkipIndex's re-run bug).
-    val fsDir = dirPath.getFileSystem(hadoopConf)
+    val fsDir = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // qualified base so the prefix strip matches FileStatus paths
     // (file:/… vs the caller's bare /…)
     val base = fsDir.makeQualified(dirPath).toString
     val it = fsDir.listFiles(dirPath, true)
-    val files = Iterator.continually(it)
+    Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
@@ -302,7 +308,6 @@ object Maintenance {
         val rel = f.stripPrefix(base).stripPrefix("/")
         !rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
       }.toSeq
-    footerStatsOf(spark, files, dataSchema, cols)
   }
 
   /** The footer-manifest core over an EXPLICIT file list — shared by
@@ -1020,20 +1025,28 @@ object Maintenance {
     * built) degrades to a footer read, never a gap. */
   def refreshSkipIndex(spark: SparkSession, oldDir: String,
       newDir: String, cols: Seq[String]): (Long, Long) = {
-    val newPath = new Path(newDir)
-    val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newFiles = fs.listStatus(newPath).toSeq
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-    val old = spark.read.parquet(s"$oldDir/_skipindex")
     val expected = "file" +:
       cols.flatMap(c => Seq(s"min_$c", s"max_$c")) :+ "n_rows"
-    require(old.columns.toSeq == expected,
-      s"old index covers ${old.columns.toSeq}, refresh asked for " +
-        s"$expected — rebuild instead of refreshing across a column-set " +
-        "change")
-    val oldByName = old.collect() // file-count rows: driver metadata
-      .map(r => r.getString(0).split('/').last -> r).toMap
+    // same listing as the rebuild path (recursive, hidden-filtered):
+    // refresh ≡ rebuild must hold on every layout writeSkipIndex
+    // supports, including partition-directory (k=v) trees
+    val newFiles = listDataFiles(spark, newDir).map(new Path(_))
+    val oldIdxPath = new Path(s"$oldDir/_skipindex")
+    val fsOld = oldIdxPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a never-indexed oldDir degrades to "nothing inherited" — every
+    // file is footer-read, exactly the documented no-gap contract
+    val oldByName: Map[String, Row] =
+      if (!fsOld.exists(oldIdxPath)) Map.empty
+      else {
+        val old = spark.read.parquet(oldIdxPath.toString)
+        require(old.columns.toSeq == expected,
+          s"old index covers ${old.columns.toSeq}, refresh asked for " +
+            s"$expected — rebuild instead of refreshing across a " +
+            "column-set change")
+        old.collect() // file-count rows: driver metadata
+          .map(r => r.getString(0).split('/').last -> r).toMap
+      }
     val (inherited, toRead) = newFiles.partition { p =>
       p.getName.startsWith("copied-") &&
         oldByName.contains(p.getName.stripPrefix("copied-"))
@@ -1054,6 +1067,35 @@ object Maintenance {
     idx.coalesce(1).write.mode("overwrite")
       .parquet(s"$newDir/_skipindex")
     (inherited.size.toLong, toRead.size.toLong)
+  }
+
+  /** The probe discipline the lookup family shares (q290/q292): the
+    * 12 smallest user ids divisible by 7 (a rule the oracles
+    * recompute), each answered through [[indexedLookup]] with the
+    * pruning bound asserted ON THE REAL READS — at most 2 files per
+    * probe (range clustering keeps each key's admissible range to one
+    * file, two on a boundary) and exactly one row back. Returns the
+    * probed rows; `expectTotal` pins the index's file coverage when
+    * the caller knows it. */
+  private def probeThroughIndex(spark: SparkSession, table: String,
+      tag: String, expectTotal: Option[Long] = None): Seq[Row] = {
+    val probes = spark.read.parquet(table)
+      .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      .select("doc_id").orderBy("doc_id").limit(12)
+      .collect().map(_.getLong(0))
+    require(probes.nonEmpty, s"$tag found no probe keys (doc_id % 7 == 0)")
+    probes.toIndexedSeq.map { k =>
+      val (rows, opened, total) = indexedLookup(spark, table, "doc_id", k)
+      expectTotal.foreach(n => require(total == n,
+        s"$tag index covers $total of $n files"))
+      require(opened <= 2,
+        s"$tag probe $k opened $opened of $total files — the " +
+          "clustered layout must keep a point read to ~1 file")
+      val got = rows.collect()
+      require(got.length == 1,
+        s"$tag probe $k returned ${got.length} rows, expected 1")
+      got.head
+    }
   }
 
   /** q290: the keyed serving read end to end — latest-per-user doc
@@ -1080,23 +1122,7 @@ object Maintenance {
       .repartitionByRange(16, col("doc_id"))
       .write.mode("overwrite").parquet(table)
     val nFiles = writeSkipIndex(spark, table, Seq("doc_id"))
-    val probes = spark.read.parquet(table)
-      .filter(pmod(col("doc_id"), lit(7L)) === 0)
-      .select("doc_id").orderBy("doc_id").limit(12)
-      .collect().map(_.getLong(0))
-    require(probes.nonEmpty, "q290 found no probe keys (doc_id % 7 == 0)")
-    val looked = probes.map { k =>
-      val (rows, opened, total) = indexedLookup(spark, table, "doc_id", k)
-      require(total == nFiles,
-        s"q290 index covers $total of $nFiles files")
-      require(opened <= 2,
-        s"q290 probe $k opened $opened of $total files — the " +
-          "clustered layout must keep a point read to ~1 file")
-      val got = rows.collect()
-      require(got.length == 1,
-        s"q290 probe $k returned ${got.length} rows, expected 1")
-      got.head
-    }
+    val looked = probeThroughIndex(spark, table, "q290", Some(nFiles))
     // the pruned reads must agree with the plain scan, row-for-row
     val viaIndex = spark.createDataFrame(
       spark.sparkContext.parallelize(looked.toIndexedSeq),
@@ -1185,18 +1211,8 @@ object Maintenance {
         s"q292 refresh inherited=$inherited reRead=$reRead of $nFiles " +
           "— must be incremental")
       // the probe reads, through the REFRESHED index (before the
-      // claim-2 rebuild overwrites the sidecar)
-      val probes = spark.read.parquet(v1)
-        .filter(pmod(col("doc_id"), lit(7L)) === 0)
-        .select("doc_id").orderBy("doc_id").limit(12)
-        .collect().map(_.getLong(0))
-      probes.foreach { k =>
-        val (rows, opened, _) = indexedLookup(spark, v1, "doc_id", k)
-        require(opened <= 2,
-          s"q292 probe $k opened $opened files through the refreshed " +
-            "index")
-        require(rows.count() == 1, s"q292 probe $k missed")
-      }
+      // claim-2 rebuild overwrites the sidecar) — q290's discipline
+      probeThroughIndex(spark, v1, "q292")
       // claim 3: metadata-only count/min/max == scanned count/min/max
       val refreshed = spark.read.parquet(s"$v1/_skipindex")
         .localCheckpoint()
@@ -1208,10 +1224,11 @@ object Maintenance {
         meta.getLong(1) == scanned.getLong(1) &&
         meta.getLong(2) == scanned.getLong(2),
         s"q292 metadata aggregates $meta disagree with the scan $scanned")
-      // claim 2: refresh ≡ rebuild, row-for-row
+      // claim 2: refresh ≡ rebuild, row-for-row (null-safe: min/max
+      // are legitimately null for a file with no column statistics)
       writeSkipIndex(spark, v1, Seq("doc_id"))
       val rebuilt = spark.read.parquet(s"$v1/_skipindex")
-      val idxDisagree = graft.FrameCheck.disagreements(
+      val idxDisagree = graft.FrameCheck.disagreementsNullSafe(
         refreshed, rebuilt, keys = Seq("file"),
         vals = Seq("min_doc_id", "max_doc_id", "n_rows"))
       require(idxDisagree == 0,
@@ -1221,15 +1238,10 @@ object Maintenance {
     } finally graft.sources.Scratch.delete(spark, v0)
   }
 
-  /** q292's read-back: the probed users' rows over the merged table. */
+  /** q292's read-back: the probed users' rows over the merged table —
+    * q290's projection verbatim ([[pointLookupReadBack]]). */
   def indexRefreshReadBack(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(table)
-      .filter(pmod(col("doc_id"), lit(7L)) === 0)
-      .orderBy("doc_id").limit(12)
-      .select(col("doc_id").cast("long").as("user_id"),
-        col("ver").cast("long").as("ver"),
-        col("text").as("latest_type"))
-      .orderBy("user_id")
+    pointLookupReadBack(spark, table)
 
   /** Rows a q292 table holds (the doc-state layout). */
   val indexRefreshSinkSchema: StructType = pointLookupSinkSchema

@@ -309,10 +309,10 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
     var tries = 0
     while (tries < 3) {
       tries += 1
-      val cur = graft.streaming.UpsertStream.currentSnapshot(spark, root)
+      val (curId, cur) = graft.streaming.UpsertStream
+        .currentSnapshotVersion(spark, root)
         .getOrElse(return (404, detail(
           s"no committed snapshot under $root")))
-      val curId = cur.split('/').last.stripPrefix("v").toLong
       readCommitted(root, curId)(read(curId, cur)) match {
         case Some(r) => return r
         case None => () // vacuumed mid-read; re-resolve and retry
@@ -336,8 +336,7 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
         // outside (or leaving) the window is a 404 — stated policy,
         // never a read of half-deleted files
         val curId = graft.streaming.UpsertStream
-          .currentSnapshot(spark, root)
-          .map(_.split('/').last.stripPrefix("v").toLong)
+          .currentSnapshotVersion(spark, root).map(_._1)
           .getOrElse(return (404, detail(
             s"no committed snapshot under $root")))
         graft.streaming.UpsertStream.snapshotDir(spark, root, n) match {
@@ -389,6 +388,12 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
         val idxPath = new org.apache.hadoop.fs.Path(s"$cur/_skipindex")
         val fs = idxPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        // files_total is the ON-DISK data-file count on BOTH paths —
+        // the index's own coverage (which excludes zero-row files)
+        // must not make an unchanged table report different totals
+        // depending on which path served it
+        val total = fs.listStatus(new org.apache.hadoop.fs.Path(cur))
+          .count(_.getPath.getName.endsWith(".parquet")).toLong
         // the index is an ACCELERATOR, never a correctness
         // dependency: absent, not covering the key, or UNREADABLE
         // (a torn writeSkipIndex attempt — the one sidecar with no
@@ -396,22 +401,20 @@ class Api(spark: SparkSession, maxRows: Int = 10000,
         // vacuumed-snapshot failure inside indexedLookup falls back
         // too, and the plain scan then trips serveCurrentRead's
         // recheck, which is the retry path's job
-        val viaIndex: Option[(DataFrame, Long, Long)] =
+        val viaIndex: Option[(DataFrame, Long)] =
           try {
             if (fs.exists(idxPath) &&
                 spark.read.parquet(idxPath.toString)
-                  .columns.contains(s"min_$key"))
-              Some(graft.operators.Maintenance.indexedLookup(
-                spark, cur, key, value))
-            else None
+                  .columns.contains(s"min_$key")) {
+              val (df, opened, _) = graft.operators.Maintenance
+                .indexedLookup(spark, cur, key, value)
+              Some((df, opened))
+            } else None
           } catch {
             case scala.util.control.NonFatal(_) => None
           }
-        val (df, opened, total) = viaIndex.getOrElse {
-          val n = fs.listStatus(new org.apache.hadoop.fs.Path(cur))
-            .count(_.getPath.getName.endsWith(".parquet")).toLong
-          (snap.filter(col(key) === value), n, n)
-        }
+        val (df, opened) = viaIndex.getOrElse(
+          (snap.filter(col(key) === value), total))
         (200, s"""{"version":$curId,"files_opened":$opened,""" +
           s""""files_total":$total,"data":${rows(df)}}""")
       }

@@ -59,6 +59,13 @@ object UpsertStream {
   def currentSnapshot(spark: SparkSession, root: String): Option[String] =
     currentPrefixed(spark, root, "v").map(_._2)
 
+  /** [[currentSnapshot]] with its version id — the serving edge's
+    * resolution primitive, so the `v<n>` naming convention is never
+    * re-parsed from path strings outside this file. */
+  def currentSnapshotVersion(spark: SparkSession,
+      root: String): Option[(Long, String)] =
+    currentPrefixed(spark, root, "v")
+
   // --------------------------------------------------------------------
   // The prefixed-chain primitives — ONE implementation of the
   // commit/list/vacuum discipline every id-named directory chain in

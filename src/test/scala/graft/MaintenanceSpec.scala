@@ -507,11 +507,12 @@ class MaintenanceSpec extends SparkSpec {
     val (inh, rr) = Maintenance.refreshSkipIndex(spark, v0, v1, Seq("k"))
     assert(inh >= 6L && rr >= 1L,
       s"expected mostly-inherited refresh, got inherited=$inh reRead=$rr")
-    // refresh == rebuild row-for-row (full paths as keys)
+    // refresh == rebuild row-for-row (full paths as keys; null-safe —
+    // min/max are legitimately null for a no-statistics file)
     val refreshed = spark.read.parquet(s"$v1/_skipindex").localCheckpoint()
     Maintenance.writeSkipIndex(spark, v1, Seq("k"))
     val rebuilt = spark.read.parquet(s"$v1/_skipindex")
-    assert(graft.FrameCheck.disagreements(refreshed, rebuilt,
+    assert(graft.FrameCheck.disagreementsNullSafe(refreshed, rebuilt,
       Seq("file"), Seq("min_k", "max_k", "n_rows")) == 0L)
     // a column-set change refuses (rebuild, don't inherit mismatched rows)
     intercept[IllegalArgumentException] {
@@ -530,9 +531,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(inh2 == inh - 1 || inh2 == inh,
       s"dropping one old row shifts at most one inherit: $inh -> $inh2")
     assert(rr2 >= rr, "the uncovered copy must be footer-read")
+    // the REFRESHED index (captured before the rebuild overwrites it)
+    // must still cover every file — the uncovered copy landed via a
+    // footer read, never as a gap
+    val refreshed2 = spark.read.parquet(s"$v2/_skipindex")
+      .localCheckpoint()
     Maintenance.writeSkipIndex(spark, v2, Seq("k"))
     val rebuilt2 = spark.read.parquet(s"$v2/_skipindex")
-    assert(spark.read.parquet(s"$v2/_skipindex").count() == rebuilt2.count())
+    assert(graft.FrameCheck.disagreementsNullSafe(refreshed2, rebuilt2,
+      Seq("file"), Seq("min_k", "max_k", "n_rows")) == 0L,
+      "a coverage gap in the old index must not leave a gap in the " +
+        "refreshed one")
+    // and an oldDir with NO index at all degrades to all-footer-read
+    val v3 = tmpDir("rsi_v3")
+    fs_delete_index(v0)
+    Maintenance.copyOnWriteMerge(spark, v0, v3, up, "k")
+    val (inh3, rr3) = Maintenance.refreshSkipIndex(spark, v0, v3, Seq("k"))
+    assert(inh3 == 0L && rr3 > 0L,
+      s"never-indexed oldDir: inherited=$inh3 reRead=$rr3")
+    val refreshed3 = spark.read.parquet(s"$v3/_skipindex")
+      .localCheckpoint()
+    Maintenance.writeSkipIndex(spark, v3, Seq("k"))
+    assert(graft.FrameCheck.disagreementsNullSafe(refreshed3,
+      spark.read.parquet(s"$v3/_skipindex"), Seq("file"),
+      Seq("min_k", "max_k", "n_rows")) == 0L,
+      "all-footer-read refresh must equal the rebuild")
+    ()
+  }
+
+  private def fs_delete_index(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_skipindex")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
     ()
   }
 }
