@@ -14,7 +14,7 @@ object BenchSession {
 
   def build(): SparkSession = {
     val c = cpus
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder()
       .master(s"local[$c]")
       .config("spark.sql.shuffle.partitions", c)
       .config("spark.sql.adaptive.enabled", "true")
@@ -26,7 +26,7 @@ object BenchSession {
       // of janino compile each) were recompiling once per round —
       // measured as a stable +10s that no profiling of the query alone
       // reproduced. Static conf: must be set before the first session.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "2000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

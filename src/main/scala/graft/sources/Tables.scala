@@ -11,8 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is a single file — the code path is identical.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved schema per table path, memoized for the JVM's lifetime.
+    * Every `spark.read.parquet(path)` without a schema pays a
+    * driver-side footer read + file listing to re-infer a schema that
+    * is immutable for a given testdata dir — and a bench run resolves
+    * the same ten tables hundreds of times (this is exactly the
+    * metadata a table catalog would hold; memoizing a STRUCT TYPE is
+    * not result caching — every query still scans the parquet for its
+    * rows). Only successful PLAIN reads are memoized: the events
+    * nanos-fallback path below deliberately bypasses the memo, so a
+    * schema that resolves only under the legacy conf is re-resolved
+    * (and its read re-validated) on every call. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -48,7 +70,9 @@ object Tables {
             if Option(e.getMessage).exists(_.contains("Parquet")) =>
           val prior = s.conf.getOption(NanosConf)
           s.conf.set(NanosConf, "true")
-          try table(s, d, "events")
+          // no-memo read: this schema only resolves under the legacy
+          // conf, so later calls must re-take this same path
+          try s.read.parquet(s"$d/events.parquet")
           finally prior match {
             case Some(v) => s.conf.set(NanosConf, v)
             case None    => s.conf.unset(NanosConf)

