@@ -41,7 +41,13 @@ object ProfileQuery {
           jobs += ((je.jobId, je.time - t0)))
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val key = si.name.takeWhile(_ != '\n').take(120)
+        // attribute to the deepest graft frame in the stage's call
+        // site so future-wrapped stages don't all collapse into one
+        // "withThreadLocalCaptured" bucket
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+          .map(_.trim.take(100)).getOrElse("")
+        val key = si.name.takeWhile(_ != '\n').take(60) + " @ " + graftFrame
         val a = stageAgg.getOrElseUpdate(key, StageAgg(key, 0, 0, 0, 0, 0))
         a.tasks += si.numTasks
         val m = si.taskMetrics

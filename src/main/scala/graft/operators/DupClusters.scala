@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * loops otherwise grow the lineage linearly and re-execute the
   * whole history each action; the checkpoint also backs the
   * convergence probe, which reads cached blocks instead of re-running
-  * the pass. The probe is the (row count, endpoint sum) pair: both
+  * the pass (round-18 A/B re-confirmed BOTH checkpoints are
+  * load-bearing — see largeStar). The probe is the (row count, endpoint sum) pair: both
   * star operators are individually nonincreasing in count and sum,
   * so ONE probe per full alternation suffices — an unchanged pair
   * across large∘small proves both passes were identities. The
@@ -99,6 +100,11 @@ object DupClusters {
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val mins = dir.groupBy("u").agg(min(col("v")).as("nmin"))
         .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      // Checkpoint kept deliberately (round-18 A/B): dropping it and
+      // letting smallStar's three references recompute the large-star
+      // subtree measured 9.1 s → 14.2 s on q232 — ReuseExchange does
+      // NOT deduplicate the recomputed branches here, so the eager
+      // materialization is load-bearing, not overhead.
       dir.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("a"), col("m").as("b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -50,38 +50,66 @@ object GraphRank {
   def coActivityEdges(events: DataFrame): DataFrame =
     edgesFromCells(activityCells(events))
 
-  /** Members of hub-pruned cells (≤ [[MaxGroup]] distinct users) —
-    * THE capped-membership rule, defined once: every co-activity
-    * edge builder (unweighted, weighted, temporal) and its DuckDB
-    * oracle CTE derive from this same subquery, so a change to the
-    * hub rule cannot desync one graph family from the rest. Extra
-    * columns on `cells` (e.g. the temporal variant's hour stamp)
-    * pass through. */
-  private[operators] def cappedMembers(cells: DataFrame): DataFrame = {
-    // distinct USERS, not rows: the advertised pass-through of extra
-    // columns would otherwise inflate nu on a frame whose extra
-    // column is not functionally dependent on the cell key
+  /** Per-cell sorted member arrays of hub-pruned cells (≤ [[MaxGroup]]
+    * distinct users) — THE capped-membership rule, defined once: every
+    * co-activity edge builder (unweighted, weighted, temporal) derives
+    * from this one grouped frame, so a change to the hub rule cannot
+    * desync one graph family from the rest.
+    *
+    * ONE cell-keyed aggregation replaces the previous three-shuffle
+    * pipeline (countDistinct pre-pass + join-back + member×member
+    * self-join): group size is bounded by the cap, so the per-cell
+    * pair fan-out the self-join produced through a shuffle now comes
+    * from a codegen'd array comprehension over a ≤[[MaxGroup]]-element
+    * array — guide §2.4's "remove shuffles outright" applied to the
+    * edge build every graph query starts with (measured: the edge
+    * materialization was the single largest stage of q100/q162/q227).
+    * `collect_set` is order-nondeterministic, so the array is sorted
+    * to keep pair generation deterministic; `cells` rows are distinct
+    * by construction (activityCells), so set members == cell members. */
+  private[graft] def cellMemberSets(cells: DataFrame): DataFrame = {
+    val sets = cells.groupBy("d", "h", "event_type")
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .filter(size(col("us")) <= MaxGroup)
+    // AQE coalesces the small post-aggregation output to ~1 partition,
+    // which would serialize the downstream pair EXPLODE (the fan-out
+    // is where the work is — worst on the temporal multigraph, where
+    // pairs carry per-hour stamps); re-spread the bounded member-set
+    // frame so the comprehension runs at full width (guide §2.5's
+    // "repartition immediately after the too-narrow input").
+    sets.repartition(sets.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  /** All ordered (u < v) member pairs of a sorted member array —
+    * exactly the pair set the previous `a.user_id < b.user_id`
+    * self-join emitted per cell, built array-side. */
+  private[graft] def memberPairs(us: Column): Column =
+    flatten(transform(us, (x, i) =>
+      transform(slice(us, i + lit(2), size(us)), y =>
+        struct(x.as("u"), y.as("v")))))
+
+  /** The previous self-join spelling of the capped pair generation,
+    * kept as the REFERENCE implementation: GraphEdgeParitySpec pins
+    * the grouped-array builders to it row-for-row, so the two can
+    * never drift. */
+  private[graft] def cellPairsReference(cells: DataFrame): DataFrame = {
     val kept = cells.groupBy("d", "h", "event_type")
       .agg(countDistinct(col("user_id")).as("nu"))
       .filter(col("nu") <= MaxGroup)
       .select("d", "h", "event_type")
-    cells.join(kept, Seq("d", "h", "event_type"))
-  }
-
-  /** Ordered same-cell user pairs over a [[cappedMembers]] frame —
-    * aliases `a`/`b` stay visible so callers can project carried
-    * columns (the temporal builder reads `a.t`). */
-  private[operators] def cellPairs(members: DataFrame): DataFrame =
+    val members = cells.join(kept, Seq("d", "h", "event_type"))
     members.as("a").join(members.as("b"),
       col("a.d") === col("b.d") && col("a.h") === col("b.h") &&
         col("a.event_type") === col("b.event_type") &&
         col("a.user_id") < col("b.user_id"))
+  }
 
   /** [[coActivityEdges]] from a pre-built (possibly checkpointed)
     * [[activityCells]] frame. */
   def edgesFromCells(cells: DataFrame): DataFrame =
-    cellPairs(cappedMembers(cells))
-      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+    cellMemberSets(cells)
+      .select(explode(memberPairs(col("us"))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
 
   /** Fixed-point PageRank over undirected (u, v) edges: rank scale
@@ -328,8 +356,9 @@ object GraphRank {
     * it shared — the multigraph the distinct() of the unweighted
     * build collapses. */
   def weightedCoActivityEdges(cells: DataFrame): DataFrame =
-    cellPairs(cappedMembers(cells))
-      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+    cellMemberSets(cells)
+      .select(explode(memberPairs(col("us"))).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).cast("long").as("w"))
 
   /** q231: WEIGHTED PageRank — q100 with mass split proportionally

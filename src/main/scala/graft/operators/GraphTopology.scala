@@ -372,12 +372,15 @@ object GraphTopology {
     * graph with each edge carrying its cell's epoch hour. A pair
     * co-active in several cells keeps one edge per distinct hour. */
   def temporalEdges(cells: DataFrame): DataFrame =
-    GraphRank.cellPairs(
-        GraphRank.cappedMembers(cells).withColumn("t",
-          (datediff(col("d"), lit("1970-01-01")).cast("long") * 24
-            + col("h")).as("t")))
-      .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
-        col("a.t").as("t"))
+    GraphRank.cellMemberSets(cells)
+      // the hour stamp is a function of the cell key, so it attaches
+      // AFTER the grouped build — every pair of the cell carries it
+      .withColumn("t",
+        datediff(col("d"), lit("1970-01-01")).cast("long") * 24
+          + col("h"))
+      .select(explode(GraphRank.memberPairs(col("us"))).as("p"),
+        col("t"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("t"))
       .distinct()
 
   /** [[temporalReachQuery]]'s core over (u, v, t) undirected edges:

@@ -1079,22 +1079,50 @@ object Maintenance {
     * the caller knows it. */
   private def probeThroughIndex(spark: SparkSession, table: String,
       tag: String, expectTotal: Option[Long] = None): Seq[Row] = {
-    val probes = spark.read.parquet(table)
+    val schema = spark.read.parquet(table).schema
+    val probes = spark.read.schema(schema).parquet(table)
       .filter(pmod(col("doc_id"), lit(7L)) === 0)
       .select("doc_id").orderBy("doc_id").limit(12)
       .collect().map(_.getLong(0))
     require(probes.nonEmpty, s"$tag found no probe keys (doc_id % 7 == 0)")
-    probes.toIndexedSeq.map { k =>
-      val (rows, opened, total) = indexedLookup(spark, table, "doc_id", k)
-      expectTotal.foreach(n => require(total == n,
-        s"$tag index covers $total of $n files"))
-      require(opened <= 2,
-        s"$tag probe $k opened $opened of $total files — the " +
+    // The sidecar is read ONCE for the whole probe set (file-count
+    // rows of driver metadata — the same rows indexedLookup loads per
+    // call); candidate selection and the pruning bound stay PER
+    // PROBE. The per-probe serving primitive (indexedLookup) is
+    // unchanged for the /table-lookup route; this batches only the
+    // proof loop, which was paying 2 jobs + a sidecar read + a footer
+    // schema inference per probe — 12x over (guide §5: driver loops).
+    val idx = spark.read.parquet(s"$table/_skipindex")
+      .select(col("file"), col("min_doc_id"), col("max_doc_id"))
+      .collect()
+    val total = idx.length.toLong
+    expectTotal.foreach(n => require(total == n,
+      s"$tag index covers $total of $n files"))
+    val cands: Seq[(Long, Seq[String])] = probes.toIndexedSeq.map { k =>
+      // null stats cannot prune — the file stays a candidate, exactly
+      // as indexedLookup treats it
+      val cand = idx.filter(r => r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getLong(1) <= k && r.getLong(2) >= k)).map(_.getString(0))
+      require(cand.length <= 2,
+        s"$tag probe $k opened ${cand.length} of $total files — the " +
           "clustered layout must keep a point read to ~1 file")
-      val got = rows.collect()
+      (k, cand.toIndexedSeq)
+    }
+    // ONE action over the union of the pruned scans: each probe's
+    // subtree still reads ONLY its candidate files (the real-read
+    // claim is per subtree), but the 12 collect() round-trips fold
+    // into a single job.
+    val tagged = cands.map { case (k, cand) =>
+      spark.read.schema(schema).parquet(cand: _*)
+        .filter(col("doc_id") === k)
+        .withColumn("__probe", lit(k))
+    }.reduce(_.unionByName(_))
+    val byProbe = tagged.collect().groupBy(_.getAs[Long]("__probe"))
+    probes.toIndexedSeq.map { k =>
+      val got = byProbe.getOrElse(k, Array.empty[Row])
       require(got.length == 1,
         s"$tag probe $k returned ${got.length} rows, expected 1")
-      got.head
+      Row.fromSeq(got.head.toSeq.dropRight(1))
     }
   }
 

@@ -46,6 +46,15 @@ object GroupedIvm {
 
   private def bucketOf(c: Column): Column = pmod(c, lit(Buckets.toLong))
 
+  /** Rows a materialized-view dir holds. */
+  private val mvSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("bucket", LongType),
+      StructField("n_docs", LongType),
+      StructField("sum_ver", LongType)))
+  }
+
   /** One IVM step: read batch `b`'s ops from the log, build the
     * retraction delta, merge it onto the view at `prev`, write the
     * next view to `mvRoot/s<b>` (mode overwrite — torn replayed
@@ -57,7 +66,8 @@ object GroupedIvm {
     require(retain >= 2,
       s"retain=$retain — the window must keep the s(b-1) replay margin")
     UpsertStream.vacuumConsumerStates(spark, mvRoot, b - (retain - 1))
-    val ops = spark.read.parquet(cdc).filter(col("batch") === b)
+    val ops = UpsertStream.readCdcLog(spark, cdc)
+      .filter(col("batch") === b)
       .select("op", "doc_id", "ver", "prev_ver")
     val additions = ops.select(bucketOf(col("ver")).as("bucket"),
       lit(1L).as("dn"), col("ver").as("dv"))
@@ -71,7 +81,8 @@ object GroupedIvm {
       case None => delta.select(col("bucket"),
         col("dn").as("n_docs"), col("dv").as("sum_ver"))
       case Some(d) =>
-        spark.read.parquet(d).join(delta, Seq("bucket"), "full")
+        spark.read.schema(mvSchema).parquet(d)
+          .join(delta, Seq("bucket"), "full")
           .select(col("bucket"),
             (coalesce(col("n_docs"), lit(0L)) +
               coalesce(col("dn"), lit(0L))).as("n_docs"),
@@ -114,7 +125,7 @@ object GroupedIvm {
           s"$batches micro-batches")
     } finally graft.sources.Scratch.delete(spark, ck)
     // claim 1: the staged schedule actually moves keys across buckets
-    val moved = spark.read.parquet(cdc)
+    val moved = UpsertStream.readCdcLog(spark, cdc)
       .filter(col("op") === "update" &&
         bucketOf(col("ver")) =!= bucketOf(col("prev_ver")))
       .count()
@@ -139,13 +150,16 @@ object GroupedIvm {
       .getOrElse(sys.error("q288 ended with no committed view"))
     require(lastB == UpsertStream.Waves - 1L,
       s"q288 final view is s$lastB, expected s${UpsertStream.Waves - 1}")
+    // checkpointed ONCE: the identity compare and the returned frame
+    // share one rollup computation instead of re-running it per action
+    val readBack = groupedIvmReadBack(spark, cdc).localCheckpoint()
     val disagree = graft.FrameCheck.disagreements(
-      spark.read.parquet(lastDir), groupedIvmReadBack(spark, cdc),
+      spark.read.schema(mvSchema).parquet(lastDir), readBack,
       keys = Seq("bucket"), vals = Seq("n_docs", "sum_ver"))
     require(disagree == 0,
       s"q288 incremental view disagrees with the from-scratch rollup " +
         s"on $disagree buckets")
-    groupedIvmReadBack(spark, cdc)
+    readBack
   }
 
   /** One GUARDED IVM step — the at-least-once-to-exactly-once bridge
@@ -201,7 +215,7 @@ object GroupedIvm {
             .getOrElse(sys.error(s"q291 batch $b left no committed view"))
           require(pos == b, s"q291 batch $b: view position is $pos")
           val disagree = graft.FrameCheck.disagreements(
-            spark.read.parquet(viewDir),
+            spark.read.schema(mvSchema).parquet(viewDir),
             groupedIvmReadBackUpTo(spark, cdcDir, b),
             keys = Seq("bucket"), vals = Seq("n_docs", "sum_ver"))
           require(disagree == 0,
@@ -219,7 +233,7 @@ object GroupedIvm {
     * consistency comparator). */
   private def groupedIvmReadBackUpTo(spark: SparkSession, cdc: String,
       upTo: Long): DataFrame = {
-    val last = spark.read.parquet(cdc)
+    val last = UpsertStream.readCdcLog(spark, cdc)
       .filter(col("batch") <= upTo)
       .withColumn("__rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("batch").desc)))

@@ -479,9 +479,19 @@ object UpsertStream {
       StructField("batch", IntegerType)))
   }
 
+  /** The CDC log read with its DECLARED schema ([[cdcSinkSchema]] —
+    * `batch` restored from the partition dirs). Every per-batch fold
+    * step re-opens the log, and a schema-less read pays a footer
+    * inference plus partition-type inference per open (driver-side
+    * work, guide §5) for a layout this file itself defines. Only for
+    * logs that still carry at least one `batch=` dir — a fully
+    * compacted log has no partition dirs for the declared column. */
+  private[graft] def readCdcLog(spark: SparkSession, cdc: String): DataFrame =
+    spark.read.schema(cdcSinkSchema).parquet(cdc)
+
   /** q265's post-drain read-back — the ordered CDC log. */
   def cdcReadBack(spark: SparkSession, cdc: String): DataFrame =
-    spark.read.parquet(cdc)
+    readCdcLog(spark, cdc)
       .select(col("batch").cast("int").as("batch"), col("op"),
         col("doc_id").cast("long").as("user_id"),
         col("ver").cast("long").as("ver"),
@@ -587,7 +597,7 @@ object UpsertStream {
         s"q276 staged $Waves wave files but streamed $batches " +
           "micro-batches")
     } finally graft.sources.Scratch.delete(spark, ck)
-    val log = spark.read.parquet(cdc)
+    val log = readCdcLog(spark, cdc)
     val batchIds = log.select("batch").distinct()
       .collect().map(_.getInt(0)).sorted
     require(batchIds.sameElements(0 until Waves),
@@ -610,16 +620,18 @@ object UpsertStream {
         s"vs reconstructed Σver=$direct")
     // the fold must agree ROW-FOR-ROW with the read-back's windowed
     // reconstruction (so the oracle certifies the fold, not just the
-    // window): full-outer compare, zero disagreements allowed
+    // window): full-outer compare, zero disagreements allowed.
+    // Checkpointed ONCE — the compare and the returned frame share the
+    // same windowed reconstruction instead of re-running it per action.
+    val readBack = cdcConsumerReadBack(spark, cdc).localCheckpoint()
     val disagree = graft.FrameCheck.disagreements(
       state,
-      cdcConsumerReadBack(spark, cdc)
-        .select(col("user_id").as("doc_id"), col("ver")),
+      readBack.select(col("user_id").as("doc_id"), col("ver")),
       keys = Seq("doc_id"), vals = Seq("ver"))
     require(disagree == 0,
       s"q276 fold disagrees with the windowed reconstruction on " +
         s"$disagree keys")
-    cdcConsumerReadBack(spark, cdc)
+    readBack
   }
 
   /** ONE consumer fold step — THE definition of the CDC consumer's
@@ -653,12 +665,12 @@ object UpsertStream {
       s"retain=$retain — the window must keep at least {s(b-1), s(b)}: " +
         "s(b-1) is the replay margin batch b itself still reads")
     vacuumConsumerStates(spark, stateRoot, b - (retain - 1))
-    val ops = spark.read.parquet(cdc).filter(col("batch") === b)
+    val ops = readCdcLog(spark, cdc).filter(col("batch") === b)
       .select("doc_id", "ver")
     val next = prev match {
       case None => ops
       case Some(d) =>
-        spark.read.parquet(d)
+        spark.read.schema(consumerStateSchema).parquet(d)
           .join(ops.select("doc_id"), Seq("doc_id"), "left_anti")
           .unionByName(ops)
     }
@@ -699,8 +711,16 @@ object UpsertStream {
     * rollup. The live query's output equals this because the final
     * state's (user, ver) is the last op per key and n_ops counts the
     * key's log rows. */
+  /** Rows a consumer state dir holds — the fold's (key, version). */
+  private[graft] val consumerStateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ver", LongType)))
+  }
+
   def cdcConsumerReadBack(spark: SparkSession, cdc: String): DataFrame = {
-    val log = spark.read.parquet(cdc)
+    val log = readCdcLog(spark, cdc)
     val prev = log.filter(col("batch") === 0).select("doc_id", "ver")
     val last = log.withColumn("__rn",
         row_number().over(Window.partitionBy("doc_id")
@@ -817,7 +837,7 @@ object UpsertStream {
     if (priorUpto < hi) {
       // fold [priorUpto+1, hi] onto the prior base; the tail filter is
       // batch > priorUpto for the same torn-state reason readers use it
-      val tail = spark.read.parquet(cdc)
+      val tail = readCdcLog(spark, cdc)
         .filter(col("batch") > priorUpto && col("batch") <= hi)
         .select(col("doc_id"), col("ver"), col("batch"))
       val folded = foldOntoBase(
@@ -948,7 +968,7 @@ object UpsertStream {
     } finally graft.sources.Scratch.delete(spark, ck)
     // the consumer commits batches 0..1: its checkpoint (oldest
     // uncommitted) is 2, so compaction may fold {0, 1} and no more
-    val fullLog = spark.read.parquet(cdc)
+    val fullLog = readCdcLog(spark, cdc)
       .select(col("doc_id"), col("ver"), col("batch"))
     val fullFold = foldOntoBase(None, fullLog).localCheckpoint()
     compactCdcLog(spark, cdc, oldestUncommitted = 2)
@@ -963,7 +983,7 @@ object UpsertStream {
         s"1), saw upto=$upto")
     val resumed = foldOntoBase(
       Some(spark.read.parquet(baseDir)),
-      spark.read.parquet(cdc).filter(col("batch") > upto)
+      readCdcLog(spark, cdc).filter(col("batch") > upto)
         .select(col("doc_id"), col("ver"), col("batch")))
     val disagree = graft.FrameCheck.disagreements(resumed, fullFold,
       keys = Seq("doc_id"), vals = Seq("ver", "n_ops"))
@@ -980,7 +1000,7 @@ object UpsertStream {
     * full-log fold — same operators either way. */
   def cdcCompactionReadBack(spark: SparkSession, cdc: String): DataFrame = {
     def tail(upto: Long): DataFrame =
-      spark.read.parquet(cdc).filter(col("batch") > upto)
+      readCdcLog(spark, cdc).filter(col("batch") > upto)
         .select(col("doc_id"), col("ver"), col("batch"))
     val folded = currentCdcBase(spark, cdc) match {
       case None => foldOntoBase(None, tail(-1L))
@@ -1138,7 +1158,7 @@ object UpsertStream {
     } finally graft.sources.Scratch.delete(spark, ck)
     // the full-log fold, captured before any partition is deleted —
     // the reference every per-step resume identity compares against
-    val fullRef = foldOntoBase(None, spark.read.parquet(cdc)
+    val fullRef = foldOntoBase(None, readCdcLog(spark, cdc)
         .select(col("doc_id"), col("ver"), col("batch")))
       .localCheckpoint()
     val stateRoot = graft.sources.Scratch.dirOutliving(spark, "q284_state")
