@@ -101,13 +101,100 @@ case class WordShinglesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-scan kernel for [[SortedIntersectSizeExpr]] — one virtual
+  * call per ROW, no per-pair hash set, no materialized intersection. */
+object SortedIntersectUtil {
+  /** |A ∩ B| for two SORTED string arrays (binary UTF8String order —
+    * exactly `sort_array`'s). Duplicate runs count once, matching
+    * `size(array_intersect(a, b))` set semantics on any input; on the
+    * distinct arrays the dedup operators feed it the skip loops are
+    * no-ops. */
+  def sizeOf(a: ArrayData, b: ArrayData): Long = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n1 && j < n2) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val cmp = x.compareTo(y)
+      if (cmp < 0) i += 1
+      else if (cmp > 0) j += 1
+      else {
+        c += 1
+        i += 1; j += 1
+        while (i < n1 && a.getUTF8String(i).equals(x)) i += 1
+        while (j < n2 && b.getUTF8String(j).equals(x)) j += 1
+      }
+    }
+    c
+  }
+}
+
+/** Codegen'd sorted-set intersection SIZE: `graft_intersect_size(a, b)`
+  * over two sorted string arrays.
+  *
+  * `size(array_intersect(a, b))` builds a hash set of one side and
+  * MATERIALIZES the intersection array (allocating copies of every
+  * matching element) for every row, only for `size` to throw the
+  * array away — measured as the dominant verification cost of the
+  * PPJoin candidate check (~37µs per candidate pair at sf0.1, 2.5 s
+  * of a 4 s query). When both inputs are already sorted (one
+  * `sort_array` per DOC, amortized over every pair the doc appears
+  * in), the same count is a single allocation-free merge scan per
+  * pair. Inputs MUST be sorted ascending (sort_array's binary
+  * order); null inputs yield 0 (the pair shares nothing observable),
+  * and the result is never null. */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got $l and $r")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_intersect_size"
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) 0L
+    else SortedIntersectUtil.sizeOf(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      |${leftGen.code}
+      |${rightGen.code}
+      |long ${ev.value} = (${leftGen.isNull} || ${rightGen.isNull})
+      |  ? 0L
+      |  : graft.functions.SortedIntersectUtil.sizeOf(${leftGen.value}, ${rightGen.value});
+      """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level API for the text expressions. */
 object TextExpressionFunctions {
 
   val shinglesName = "graft_shingles"
+  val intersectSizeName = "graft_intersect_size"
 
   private val shinglesInfo = new ExpressionInfo(
     classOf[WordShinglesExpr].getName, shinglesName)
+  private val intersectSizeInfo = new ExpressionInfo(
+    classOf[SortedIntersectSizeExpr].getName, intersectSizeName)
 
   /** Idempotently register in a session's registry — engine entry
     * points self-register, mirroring [[VectorFunctions.register]]. */
@@ -117,6 +204,10 @@ object TextExpressionFunctions {
       FunctionIdentifier(shinglesName), shinglesInfo,
       (children: Seq[Expression]) =>
         WordShinglesExpr(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier(intersectSizeName), intersectSizeInfo,
+      (children: Seq[Expression]) =>
+        SortedIntersectSizeExpr(children(0), children(1)))
   }
 
   /** Codegen'd distinct word-n-gram shingles of a token array.
@@ -125,4 +216,9 @@ object TextExpressionFunctions {
     import org.apache.spark.sql.functions.lit
     call_function(shinglesName, toks, lit(n))
   }
+
+  /** Codegen'd |A ∩ B| over two SORTED string arrays (the caller
+    * sorts once per doc). Requires [[register]] on the session. */
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    call_function(intersectSizeName, a, b)
 }

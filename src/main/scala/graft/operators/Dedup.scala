@@ -683,13 +683,17 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame,
                               window: Int = SnWindow,
                               thresholdE6: Long = SnThresholdE6): DataFrame = {
+    graft.functions.TextExpressionFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val byNorm = Window.partitionBy("lang")
       .orderBy(col("norm").asc, col("doc_id").asc)
+    // token sets SORTED once per doc so the window-pair verification
+    // below runs the allocation-free merge-scan intersect (token
+    // order is observable nowhere else — only sizes and overlap)
     val ranked = docs
       .select(col("lang"), col("doc_id"),
         lower(trim(col("text"))).as("norm"),
-        array_distinct(tokens(col("text"))).as("toks"))
+        sort_array(array_distinct(tokens(col("text")))).as("toks"))
       .withColumn("rn", row_number().over(byNorm))
       // the rank feeds both sides of the successor join
       .localCheckpoint()
@@ -702,7 +706,8 @@ object Dedup {
       col("doc_id").as("d2"), col("toks").as("t2"))
     left.join(right, Seq("lang", "rn2"))
       .withColumn("inter",
-        size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        graft.functions.TextExpressionFunctions
+          .intersectSizeSorted(col("t1"), col("t2")))
       .withColumn("uni",
         size(col("t1")) + size(col("t2")) - col("inter"))
       .withColumn("jac_e6",
@@ -778,10 +783,16 @@ object Dedup {
       thresholdE6: Long = PpThresholdE6): DataFrame = {
     graft.functions.TextExpressionFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    // shingle table feeds postings, sizes, and both verify sides
+    // shingle table feeds postings, sizes, and both verify sides.
+    // SORTED once per doc: verification then counts each candidate
+    // pair's overlap with an allocation-free merge scan
+    // (intersectSizeSorted) instead of a per-pair hash set — shingle
+    // order is otherwise observable nowhere (postings explode it,
+    // sizes ignore it).
     val sh = Partitioning.spread(docs)
       .select(col("doc_id"),
-        wordShinglesFast(tokens(col("text")), n).as("shingles"))
+        sort_array(wordShinglesFast(tokens(col("text")), n))
+          .as("shingles"))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint()
     val post = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -818,7 +829,8 @@ object Dedup {
       .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")),
         Seq("d2"))
       .withColumn("inter",
-        size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        graft.functions.TextExpressionFunctions
+          .intersectSizeSorted(col("s1"), col("s2")))
       .withColumn("uni",
         size(col("s1")).cast("long") + size(col("s2")) - col("inter"))
       .withColumn("jac_e6", expr("inter * 1000000 div greatest(uni, 1)"))

@@ -372,15 +372,19 @@ object GraphTopology {
     * graph with each edge carrying its cell's epoch hour. A pair
     * co-active in several cells keeps one edge per distinct hour. */
   def temporalEdges(cells: DataFrame): DataFrame =
-    GraphRank.cellMemberSets(cells)
-      // the hour stamp is a function of the cell key, so it attaches
-      // AFTER the grouped build — every pair of the cell carries it
-      .withColumn("t",
+    // Deliberately the JOIN spelling, not the grouped-array build the
+    // unweighted/weighted builders moved to (round 18): the temporal
+    // multigraph keeps one edge per (pair, hour), so the pair fan-out
+    // into the distinct is several times larger and the measured
+    // bench preferred the self-join here (array build: q226
+    // 4.4 → 5.0 s; join build restores it) while q100's family
+    // preferred the array build — per-operator measurement, not one
+    // rule. GraphEdgeParitySpec pins both spellings to each other.
+    GraphRank.cellPairsReference(cells.withColumn("t",
         datediff(col("d"), lit("1970-01-01")).cast("long") * 24
-          + col("h"))
-      .select(explode(GraphRank.memberPairs(col("us"))).as("p"),
-        col("t"))
-      .select(col("p.u").as("u"), col("p.v").as("v"), col("t"))
+          + col("h")))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
+        col("a.t").as("t"))
       .distinct()
 
   /** [[temporalReachQuery]]'s core over (u, v, t) undirected edges:

@@ -35,16 +35,20 @@ class GraphEdgeParitySpec extends SparkSpec {
     assert(ref.exceptAll(fast).count() == 0)
   }
 
-  test("temporalEdges matches the reference with the carried stamp") {
-    val fast = graft.operators.GraphTopology.temporalEdges(cells)
-    val ref = GraphRank.cellPairsReference(
-        cells.withColumn("t",
-          datediff(col("d"), lit("1970-01-01")).cast("long") * 24
-            + col("h")))
-      .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
-        col("a.t").as("t"))
+  test("temporal array spelling matches the join spelling in use") {
+    // temporalEdges deliberately keeps the join spelling (see its
+    // scaladoc); pin the grouped-array alternative to it so the two
+    // formulations stay interchangeable by measurement alone
+    val viaArrays = GraphRank.cellMemberSets(cells)
+      .withColumn("t",
+        datediff(col("d"), lit("1970-01-01")).cast("long") * 24
+          + col("h"))
+      .select(explode(GraphRank.memberPairs(col("us"))).as("p"),
+        col("t"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("t"))
       .distinct()
-    assert(fast.exceptAll(ref).count() == 0)
-    assert(ref.exceptAll(fast).count() == 0)
+    val inUse = graft.operators.GraphTopology.temporalEdges(cells)
+    assert(viaArrays.exceptAll(inUse).count() == 0)
+    assert(inUse.exceptAll(viaArrays).count() == 0)
   }
 }
